@@ -18,7 +18,11 @@ Semantics:
   model makes the issue-#41 race structurally impossible).
 * fetch/process/transition: the exact same pure kernels as the pipeline
   (stages.fetch.process_fetch, stages.transitions.transition_batch).
-* links discovered in round r join the frontier for round r+1.
+* links discovered in round r are merged into the frontier at end of round
+  (candidates deduped by url_hash keeping the MINIMUM depth — the same
+  deterministic rule the distributed pipeline's groupby merge applies, so
+  depth values cannot depend on task interleaving); they become eligible in
+  round r+1.
 * global crawl order = sort of all fetch records by
   (fetch_clock_ms, url_hash).
 
@@ -69,18 +73,25 @@ def reference_crawl(
             hosts[host] = h
         return h
 
-    def enqueue(raw_url: str, base: str | None, depth: int, rnd: int, force: bool):
+    pending: dict[str, tuple[str, int]] = {}  # url_hash -> (url, min depth)
+
+    def enqueue(raw_url: str, base: str | None, depth: int):
+        """Collect a round's candidate; merged into the ledger at round end
+        with the min-depth rule (matches the pipeline's groupby merge)."""
         c = canonicalize(raw_url, base)
-        if c is None or "://" not in c:
+        if c is None or "://" not in c or depth > cfg.max_depth:
             return
         h = cache_key(c)
+        prev = pending.get(h)
+        if prev is None or depth < prev[1]:
+            pending[h] = (c, depth)
+
+    def insert_new(h: str, c: str, depth: int, rnd: int, force: bool = False):
         row = ledger.get(h)
         if row is not None:
             if force:
                 row["state"] = "FORCE"
                 row["next_fetch_ms"] = clock
-            return
-        if depth > cfg.max_depth:
             return
         _, rh, host = root_of(c)
         ensure_host(host)
@@ -100,9 +111,17 @@ def reference_crawl(
             "updated_ms": 0,
         }
 
+    def merge_pending(rnd: int):
+        for h, (c, depth) in pending.items():
+            insert_new(h, c, depth, rnd)
+        pending.clear()
+
     clock = 0
     for s in tables["seeds"].to_pylist():
-        enqueue(s["url"], None, 0, 0, bool(s["force"]))
+        c = canonicalize(s["url"])
+        if c is None or "://" not in c:
+            continue
+        insert_new(cache_key(c), c, 0, 0, force=bool(s["force"]))
 
     records: list[tuple] = []
     documents: list[tuple] = []
@@ -170,9 +189,10 @@ def reference_crawl(
             if rec["accepted"]:
                 documents.append((row["url_hash"], rec["spans"]))
             if rec["redirect"]:
-                enqueue(rec["redirect"], None, row["depth"] + 1, rnd + 1, False)
+                enqueue(rec["redirect"], None, row["depth"] + 1)
             for link in rec["out_links"]:
-                enqueue(link, row["url"], row["depth"] + 1, rnd + 1, False)
+                enqueue(link, row["url"], row["depth"] + 1)
+        merge_pending(rnd + 1)
 
     records.sort(key=lambda r: (r[0], r[1]))
     expected = pa.table(

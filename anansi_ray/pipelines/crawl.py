@@ -1,0 +1,634 @@
+"""The Ray-Data crawl round pipeline (C1-C3, J1-J4, O1-O2, D1-D4, A1-A2).
+
+One crawl round r (SURVEY.md §3.4):
+
+    due_r      = frontier_r.map_batches(due filter)      # state NEW/FORCE,
+                                                         # host politeness-ready
+    sched_r    = due_r.groupby(host).map_groups(top-k by O1 key, chained
+                 politeness slots)              (≙ db_next_txn, db.c:611-791)
+    fetched_r  = sched_r.map_batches(Fetcher, concurrency=N)    # actor pool
+    trans_r    = fetched_r.map_batches(transition)      (≙ db_updated_uristr)
+    docs/cache → write_parquet(round=r)                 (≙ cache commit)
+    cand_r     = trans_r → expand+canonicalize links
+                 → groupby(url_hash).map_groups(min-depth)      # round dedup
+                 → map_batches(SeenRouter)              # global anti-join (ST1)
+    frontier_r+1 = (frontier_r − fetched) ∪ new_rows    # immutable merge
+
+Design decisions for a 10^10-URL frontier on a multi-node cluster (verified
+single-node):
+
+* the frontier Dataset holds ONLY undecided rows (state NEW/FORCE);
+  transitioned rows stream out to the partitioned ledger archive and are
+  never rescanned — the reference equivalently touches fetched rows only
+  via indexed point updates (db.c:944-1059).
+* per-host politeness + eligibility counters are O(#hosts) driver state
+  (≙ crawl_root), broadcast via ``ray.put`` per round; this replaces a
+  per-round full-frontier aggregate for the clock advance with pure
+  bookkeeping off metadata the driver already receives.  At 10^8+ hosts
+  this dict shards into the same actor layout as the seen set.
+* fetched rows are removed from the frontier lazily (broadcast hash set in
+  the due filter) and physically dropped by a compaction rewrite every
+  ``compact_every`` rounds — an LSM-style merge instead of a per-round
+  full rewrite.
+* per-round driver traffic is fetch *metadata*; payloads are written
+  straight to partitioned parquet (``cache/round=r``) and never shuffled
+  (SURVEY §7.4).
+* the only all-to-all exchanges are groupby(host) of the DUE subset and
+  groupby(url_hash) of batch-pre-deduped candidate links — both keys are
+  the reference's own partitioning keys (db.c:687, db.c:1210).
+* hub-host skew: politeness slots are computed (not slept), so the fetch
+  actor pool runs decoupled from host grouping and a hub's giant group
+  costs one ordered take, not a serialized fetch lane.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from anansi_ray.canon import canon_batch, canonicalize, cache_key, root_of
+from anansi_ray.model import CrawlConfig
+from anansi_ray.stages.fetch import Fetcher, _webrow_dicts, make_fetch_fn
+from anansi_ray.stages.transitions import transition_batch
+from anansi_ray.state.seen import SeenRouter, SeenSet, make_seen_filter
+
+LEDGER_COLS = [
+    "url",
+    "url_hash",
+    "host",
+    "root_hash",
+    "depth",
+    "state",
+    "status",
+    "next_fetch_ms",
+    "error_count",
+    "soft_error_count",
+    "last_ttl_s",
+    "added_round",
+    "updated_ms",
+]
+
+LEDGER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("url_hash", pa.string()),
+        ("host", pa.string()),
+        ("root_hash", pa.string()),
+        ("depth", pa.int32()),
+        ("state", pa.string()),
+        ("status", pa.int32()),
+        ("next_fetch_ms", pa.int64()),
+        ("error_count", pa.int32()),
+        ("soft_error_count", pa.int32()),
+        ("last_ttl_s", pa.int64()),
+        ("added_round", pa.int32()),
+        ("updated_ms", pa.int64()),
+    ]
+)
+
+
+def _ds_to_table(ds: rd.Dataset) -> pa.Table | None:
+    # materialize first: to_arrow_refs() on a lazy plan re-executes it a
+    # second time (limit-1) just to fetch the schema.
+    tables = [
+        t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows > 0
+    ]
+    if not tables:
+        return None
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def _empty_ledger_table() -> pa.Table:
+    return LEDGER_SCHEMA.empty_table()
+
+
+def _make_due_filter(due_hosts_ref, removed_ref):
+    """map_batches fn: keep frontier rows that are due this round — state
+    NEW/FORCE, host in the politeness-ready set, not already fetched
+    (lazy removal) — ≙ the dequeue WHERE clause (db.c:681-692).  Stateless
+    task (not an actor pool): the broadcast refs resolve from the local
+    object store per task."""
+
+    def due_filter(batch: pa.Table) -> pa.Table:
+        states = batch["state"]
+        mask = pc.or_(pc.equal(states, "NEW"), pc.equal(states, "FORCE"))
+        batch = batch.filter(mask)
+        if batch.num_rows == 0:
+            return batch
+        due = ray.get(due_hosts_ref)
+        removed = ray.get(removed_ref)
+        hosts = batch["host"].to_pylist()
+        hashes = batch["url_hash"].to_pylist()
+        keep = np.fromiter(
+            (h in due and uh not in removed for h, uh in zip(hosts, hashes)),
+            dtype=bool,
+            count=len(hosts),
+        )
+        return batch.filter(pa.array(keep))
+
+    return due_filter
+
+
+def _make_scheduler(clock: int, budget: int | None, eu_rate_ref):
+    """groupby(host).map_groups body: O1 ordering + chained politeness slots
+    (≙ the dequeue txn's ORDER BY + earliest_update write, db.c:691,
+    762-790). Tie-break pinned on url_hash (SURVEY §7.4)."""
+
+    def schedule(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.append_column("fetch_clock_ms", pa.array([], pa.int64()))
+        host = group["host"][0].as_py()
+        eu, rate = ray.get(eu_rate_ref)[host]
+        g = group.append_column("_old", pc.not_equal(group["state"], "NEW"))
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("_old", "ascending"),
+                ("next_fetch_ms", "ascending"),
+                ("url_hash", "ascending"),
+            ],
+        )
+        if budget:
+            order = order[:budget]
+        g = g.take(order).drop_columns(["_old"])
+        t0 = max(clock, eu)
+        slots = t0 + np.arange(g.num_rows, dtype=np.int64) * int(rate)
+        return g.append_column("fetch_clock_ms", pa.array(slots, pa.int64()))
+
+    return schedule
+
+
+class _Transition:
+    """map_batches: A1/A2/A3 ledger-column updates after fetch; drops the
+    payload column unless the caller needs the cache sink."""
+
+    def __init__(self, cfg: CrawlConfig, keep_payload: bool):
+        self.cfg = cfg
+        self.keep_payload = keep_payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tr = transition_batch(
+            np.array(batch["state"].to_pylist(), dtype=object),
+            np.asarray(batch["status"].to_numpy(zero_copy_only=False)),
+            np.asarray(batch["unchanged"].to_numpy(zero_copy_only=False)),
+            np.asarray(batch["fetch_clock_ms"].to_numpy(zero_copy_only=False)),
+            np.asarray(batch["error_count"].to_numpy(zero_copy_only=False)),
+            np.asarray(batch["soft_error_count"].to_numpy(zero_copy_only=False)),
+            np.asarray(batch["next_fetch_ms"].to_numpy(zero_copy_only=False)),
+            self.cfg,
+        )
+        for name, arr in tr.items():
+            typ = (
+                pa.int64()
+                if name in ("next_fetch_ms", "last_ttl_s", "updated_ms")
+                else pa.int32()
+            )
+            batch = batch.set_column(
+                batch.column_names.index(name), name, pa.array(arr, typ)
+            )
+        if not self.keep_payload and "payload" in batch.column_names:
+            batch = batch.drop_columns(["payload"])
+        return batch
+
+
+class _ExpandLinks:
+    """map_batches: fetched row → candidate (url, url_hash, host, root_hash,
+    depth) rows via redirect (J4) + extracted out-links (M13), canonicalized
+    (M1-M4) and pre-deduped within the batch with the min-depth rule (the
+    partial-aggregate before the groupby(url_hash) shuffle)."""
+
+    def __init__(self, cfg: CrawlConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raw: list[str] = []
+        bases: list[str | None] = []
+        depths: list[int] = []
+        urls = batch["url"].to_pylist()
+        redirects = batch["redirect"].to_pylist()
+        links = batch["out_links"].to_pylist()
+        parent_depth = batch["depth"].to_pylist()
+        for i in range(batch.num_rows):
+            d = parent_depth[i] + 1
+            if redirects[i]:
+                raw.append(redirects[i])
+                bases.append(None)
+                depths.append(d)
+            for l in links[i] or ():
+                raw.append(l)
+                bases.append(urls[i])
+                depths.append(d)
+        if not raw:
+            return _empty_candidates()
+        c = canon_batch(raw, bases)
+        depth_arr = np.array(depths, dtype=np.int32)
+        keep = c["valid"] & (depth_arr <= self.cfg.max_depth)
+        best: dict[str, int] = {}
+        hashes = c["url_hash"]
+        for i in np.flatnonzero(keep):
+            h = hashes[i]
+            j = best.get(h)
+            if j is None or depth_arr[i] < depth_arr[j]:
+                best[h] = i
+        idx = np.fromiter(best.values(), dtype=np.int64, count=len(best))
+        return pa.table(
+            {
+                "url": pa.array(c["url"][idx], pa.string()),
+                "url_hash": pa.array(c["url_hash"][idx], pa.string()),
+                "host": pa.array(c["host"][idx], pa.string()),
+                "root_hash": pa.array(c["root_hash"][idx], pa.string()),
+                "depth": pa.array(depth_arr[idx], pa.int32()),
+            }
+        )
+
+
+def _empty_candidates() -> pa.Table:
+    return pa.schema(
+        [
+            ("url", pa.string()),
+            ("url_hash", pa.string()),
+            ("host", pa.string()),
+            ("root_hash", pa.string()),
+            ("depth", pa.int32()),
+        ]
+    ).empty_table()
+
+
+def _min_depth_group(group: pa.Table) -> pa.Table:
+    m = pc.min_max(group["depth"])["min"]
+    idx = group["depth"].index(m).as_py()
+    return group.slice(idx, 1)
+
+
+def _new_ledger_rows(batch: pa.Table, rnd: int) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "url": batch["url"],
+            "url_hash": batch["url_hash"],
+            "host": batch["host"],
+            "root_hash": batch["root_hash"],
+            "depth": batch["depth"],
+            "state": pa.array(["NEW"] * n, pa.string()),
+            "status": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "next_fetch_ms": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "error_count": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "soft_error_count": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "last_ttl_s": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "added_round": pa.array(np.full(n, rnd, np.int32), pa.int32()),
+            "updated_ms": pa.array(np.zeros(n, np.int64), pa.int64()),
+        }
+    )
+
+
+def _make_drop_removed(removed_ref):
+    def drop_removed(batch: pa.Table) -> pa.Table:
+        rm = ray.get(removed_ref)
+        mask = [h not in rm for h in batch["url_hash"].to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return drop_removed
+
+
+class CrawlPipeline:
+    """Driver for the round loop (≙ crawl_perform, libcrawl/crawler.c:28-71)."""
+
+    def __init__(
+        self,
+        tables: dict[str, pa.Table],
+        cfg: CrawlConfig | None = None,
+        budget: int | None = None,
+        output_dir: str | None = None,
+        checkpoint_every: int = 0,
+        compact_every: int = 16,
+    ):
+        self.cfg = cfg or CrawlConfig()
+        self.budget = budget if budget is not None else self.cfg.per_host_budget
+        self.output_dir = output_dir
+        self.checkpoint_every = checkpoint_every
+        self.compact_every = compact_every
+
+        self.web_ref = ray.put(_webrow_dicts(tables["web"]))
+        robots = {
+            r["host"]: r.get("robots_disallow") or []
+            for r in tables["hosts"].to_pylist()
+            if r.get("robots_disallow")
+        }
+        self.robots_ref = ray.put(robots)
+        # ≙ crawl_root: host -> [earliest_update_ms, rate_ms, eligible_count]
+        self.host_state: dict[str, list[int]] = {
+            r["host"]: [0, int(r["rate_ms"]), 0] for r in tables["hosts"].to_pylist()
+        }
+        self.seen = SeenSet(self.cfg.seen_shards)
+        self.clock = 0
+        self.round = 0
+        self.records: list[pa.Table] = []
+        self.docs: list[pa.Table] = []
+        self.archive: list[pa.Table] = []  # transitioned ledger rows
+        self.removed: set[str] = set()  # fetched hashes pending compaction
+
+        # bootstrap: seeds → frontier rows (S1/S2, ≙ crawler-add, add.c:117-177)
+        boot: dict[str, dict] = {}
+        for s in tables["seeds"].to_pylist():
+            c = canonicalize(s["url"])
+            if c is None or "://" not in c:
+                continue
+            h = cache_key(c)
+            if h in boot:
+                if s["force"]:
+                    boot[h]["state"] = "FORCE"
+                continue
+            _, rh, host = root_of(c)
+            self._ensure_host(host)
+            self.host_state[host][2] += 1
+            boot[h] = {
+                "url": c,
+                "url_hash": h,
+                "host": host,
+                "root_hash": rh,
+                "depth": 0,
+                "state": "FORCE" if s["force"] else "NEW",
+                "status": 0,
+                "next_fetch_ms": 0,
+                "error_count": 0,
+                "soft_error_count": 0,
+                "last_ttl_s": 0,
+                "added_round": 0,
+                "updated_ms": 0,
+            }
+        if boot:
+            self.seen.add_if_new(list(boot.keys()))
+        seed_tbl = (
+            pa.Table.from_pylist(list(boot.values()), schema=LEDGER_SCHEMA)
+            if boot
+            else _empty_ledger_table()
+        )
+        self.frontier = rd.from_arrow(seed_tbl).materialize()
+
+    def _ensure_host(self, host: str) -> None:
+        if host not in self.host_state:
+            self.host_state[host] = [0, self.cfg.default_rate_ms, 0]
+
+    # ------------------------------------------------------------------
+    def run_round(self) -> int:
+        """Execute one round; returns the number of fetches performed."""
+        cfg = self.cfg
+
+        # clock advance + due-host selection: pure driver bookkeeping over
+        # per-host politeness state (≙ the dequeue query's time gates,
+        # db.c:683-692). Valid because every frontier row has
+        # next_fetch_ms == 0 (NEW/FORCE rows are inserted due immediately).
+        ready = [st[0] for st in self.host_state.values() if st[2] > 0 and st[1] > 0]
+        if not ready:
+            return 0
+        self.clock = max(self.clock, min(ready))
+        clock = self.clock
+        due_hosts = {
+            h: (st[0], st[1])
+            for h, st in self.host_state.items()
+            if st[2] > 0 and st[1] > 0 and st[0] <= clock
+        }
+        if not due_hosts:
+            return 0
+
+        due_ref = ray.put(due_hosts)
+        removed_ref = ray.put(self.removed)
+
+        due = self.frontier.map_batches(
+            _make_due_filter(due_ref, removed_ref), batch_format="pyarrow"
+        )
+        scheduled = due.groupby("host").map_groups(
+            _make_scheduler(clock, self.budget, due_ref), batch_format="pyarrow"
+        )
+        fetched = scheduled.map_batches(
+            make_fetch_fn(self.web_ref, self.robots_ref, cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size,
+        )
+        trans = fetched.map_batches(
+            _Transition(cfg, keep_payload=bool(self.output_dir)),
+            batch_format="pyarrow",
+        )
+
+        if self.output_dir:
+            trans = trans.materialize()
+            trans.filter(lambda r: r["state"] == "ACCEPTED").map_batches(
+                lambda b: pa.table({"doc_id": b["url_hash"], "spans": b["spans"]}),
+                batch_format="pyarrow",
+            ).write_parquet(
+                os.path.join(self.output_dir, f"documents/round={self.round}")
+            )
+            trans.map_batches(
+                lambda b: b.select(
+                    ["url_hash", "url", "status", "content_type", "fresh", "payload"]
+                ),
+                batch_format="pyarrow",
+            ).write_parquet(os.path.join(self.output_dir, f"cache/round={self.round}"))
+            trans_tbl = _ds_to_table(trans.select_columns(
+                LEDGER_COLS + ["fetch_clock_ms", "redirect", "out_links"]
+            ))
+        else:
+            trans_tbl = _ds_to_table(trans)
+
+        if trans_tbl is None:
+            return 0
+        n_fetched = trans_tbl.num_rows
+
+        self.records.append(
+            trans_tbl.select(["fetch_clock_ms", "url_hash", "url", "state", "status"])
+        )
+        self.archive.append(trans_tbl.select(LEDGER_COLS))
+        if not self.output_dir and "spans" in trans_tbl.column_names:
+            acc = trans_tbl.filter(pc.equal(trans_tbl["state"], "ACCEPTED"))
+            if acc.num_rows:
+                self.docs.append(
+                    pa.table({"doc_id": acc["url_hash"], "spans": acc["spans"]})
+                )
+
+        # politeness + eligibility bookkeeping (≙ crawl_root updates)
+        agg = (
+            trans_tbl.select(["host", "fetch_clock_ms"])
+            .group_by("host")
+            .aggregate([("fetch_clock_ms", "max"), ("fetch_clock_ms", "count")])
+        )
+        for host, tmax, cnt in zip(
+            agg["host"].to_pylist(),
+            agg["fetch_clock_ms_max"].to_pylist(),
+            agg["fetch_clock_ms_count"].to_pylist(),
+        ):
+            st = self.host_state[host]
+            st[0] = int(tmax) + st[1]
+            st[2] -= int(cnt)
+        self.removed.update(trans_tbl["url_hash"].to_pylist())
+
+        # frontier expansion: links → canonicalize → round-dedup → seen-filter
+        has_links = (
+            pc.sum(pc.list_value_length(trans_tbl["out_links"])).as_py() or 0
+        ) > 0 or pc.any(pc.not_equal(trans_tbl["redirect"], "")).as_py()
+        if has_links:
+            cand_src = rd.from_arrow(
+                trans_tbl.select(["url", "redirect", "out_links", "depth"])
+            )
+            rnd = self.round + 1
+            fresh = (
+                cand_src.map_batches(_ExpandLinks(cfg), batch_format="pyarrow")
+                .groupby("url_hash")
+                .map_groups(_min_depth_group, batch_format="pyarrow")
+                .map_batches(make_seen_filter(self.seen.shards), batch_format="pyarrow")
+                .map_batches(
+                    lambda b, r=rnd: _new_ledger_rows(b, r), batch_format="pyarrow"
+                )
+            )
+            new_tbl = _ds_to_table(fresh)
+            if new_tbl is not None:
+                for host in pc.unique(new_tbl["host"]).to_pylist():
+                    self._ensure_host(host)
+                counts = new_tbl.select(["host"]).group_by("host").aggregate([([], "count_all")])
+                for host, cnt in zip(
+                    counts["host"].to_pylist(), counts["count_all"].to_pylist()
+                ):
+                    self.host_state[host][2] += int(cnt)
+                self.frontier = self.frontier.union(rd.from_arrow(new_tbl))
+
+        self.round += 1
+        if self.compact_every and self.round % self.compact_every == 0:
+            self._compact()
+        if self.checkpoint_every and self.round % self.checkpoint_every == 0:
+            self.checkpoint()
+        return n_fetched
+
+    def _compact(self) -> None:
+        """Physically drop lazily-removed rows from the frontier (LSM merge)."""
+        if not self.removed:
+            self.frontier = self.frontier.materialize()
+            return
+        rm_ref = ray.put(self.removed)
+        self.frontier = self.frontier.map_batches(
+            _make_drop_removed(rm_ref), batch_format="pyarrow"
+        ).materialize()
+        self.removed = set()
+
+    # ------------------------------------------------------------------
+    def run(self, max_rounds: int | None = None) -> dict:
+        max_rounds = max_rounds or self.cfg.max_rounds
+        fetches = 0
+        for _ in range(max_rounds):
+            n = self.run_round()
+            if n == 0:
+                break
+            fetches += n
+        return self.results(total_fetches=fetches)
+
+    def ledger_table(self) -> pa.Table:
+        """Full ledger = remaining frontier ∪ transitioned archive."""
+        self._compact()
+        parts = [t for t in ([_ds_to_table(self.frontier)] + self.archive) if t is not None]
+        if not parts:
+            return _empty_ledger_table()
+        return pa.concat_tables(parts, promote_options="default")
+
+    def results(self, total_fetches: int = 0) -> dict:
+        if self.records:
+            rec = pa.concat_tables(self.records)
+            order = pc.sort_indices(
+                rec,
+                sort_keys=[("fetch_clock_ms", "ascending"), ("url_hash", "ascending")],
+            )
+            rec = rec.take(order)
+            rec = rec.add_column(0, "seq", pa.array(range(rec.num_rows), pa.int64()))
+        else:
+            rec = None
+        docs = pa.concat_tables(self.docs) if self.docs else None
+        return {
+            "expected_crawl": rec,
+            "documents": docs,
+            "ledger": self.ledger_table(),
+            "rounds": self.round,
+            "fetches": total_fetches,
+        }
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (per-round lineage manifest, SURVEY §4)
+    # ------------------------------------------------------------------
+    def checkpoint(self) -> str:
+        ckdir = os.path.join(self.cfg.checkpoint_dir, f"round={self.round}")
+        tmp = ckdir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        frontier_tbl = _ds_to_table(self.frontier) or _empty_ledger_table()
+        pq.write_table(frontier_tbl, os.path.join(tmp, "frontier.parquet"))
+        if self.archive:
+            pq.write_table(
+                pa.concat_tables(self.archive), os.path.join(tmp, "archive.parquet")
+            )
+        if self.records:
+            pq.write_table(
+                pa.concat_tables(self.records), os.path.join(tmp, "records.parquet")
+            )
+        if self.docs:
+            pq.write_table(pa.concat_tables(self.docs), os.path.join(tmp, "docs.parquet"))
+        for i, blob in enumerate(self.seen.dump()):
+            with open(os.path.join(tmp, f"seen_{i}.bin"), "wb") as f:
+                f.write(blob)
+        manifest = {
+            "round": self.round,
+            "clock": self.clock,
+            "frontier_rows": frontier_tbl.num_rows,
+            "host_state": self.host_state,
+            "removed": sorted(self.removed),
+            "seen_shards": self.cfg.seen_shards,
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        if os.path.exists(ckdir):
+            import shutil
+
+            shutil.rmtree(ckdir)
+        os.rename(tmp, ckdir)  # atomic commit (≙ tmpfile+rename, disk.c:144-170)
+        return ckdir
+
+    def restore(self, ckdir: str) -> None:
+        with open(os.path.join(ckdir, "manifest.json")) as f:
+            manifest = json.load(f)
+        self.round = manifest["round"]
+        self.clock = manifest["clock"]
+        self.host_state = {h: list(v) for h, v in manifest["host_state"].items()}
+        self.removed = set(manifest["removed"])
+        self.frontier = rd.from_arrow(
+            pq.read_table(os.path.join(ckdir, "frontier.parquet"))
+        ).materialize()
+        self.archive = []
+        self.records = []
+        self.docs = []
+        for name, dest in (
+            ("archive.parquet", self.archive),
+            ("records.parquet", self.records),
+            ("docs.parquet", self.docs),
+        ):
+            p = os.path.join(ckdir, name)
+            if os.path.exists(p):
+                dest.append(pq.read_table(p))
+        blobs = []
+        for i in range(manifest["seen_shards"]):
+            with open(os.path.join(ckdir, f"seen_{i}.bin"), "rb") as f:
+                blobs.append(f.read())
+        self.seen.restore(blobs)
+
+    @staticmethod
+    def latest_checkpoint(checkpoint_dir: str) -> str | None:
+        if not os.path.isdir(checkpoint_dir):
+            return None
+        rounds = []
+        for name in os.listdir(checkpoint_dir):
+            if name.startswith("round=") and not name.endswith(".tmp"):
+                if os.path.exists(os.path.join(checkpoint_dir, name, "manifest.json")):
+                    rounds.append(int(name.split("=")[1]))
+        if not rounds:
+            return None
+        return os.path.join(checkpoint_dir, f"round={max(rounds)}")

@@ -212,6 +212,38 @@ class Fetcher:
         return fetch_batch(batch, self.web, self.robots, self.cfg)
 
 
+#: per-worker-process broadcast cache: Ray worker processes persist across
+#: Dataset executions, so a round loop that launches one execution per round
+#: pays the ray.get(web_ref) deserialization once per worker, not per round.
+#: (An actor pool would give the same amortization but pays actor startup on
+#: every execution; a cached stateless task does not.)
+_BROADCAST_CACHE: dict = {}
+
+
+def _cached_get(ref):
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    val = _BROADCAST_CACHE.get(key)
+    if val is None:
+        val = ray.get(ref)
+        _BROADCAST_CACHE[key] = val
+    return val
+
+
+def make_fetch_fn(web_ref, robots_ref, cfg: CrawlConfig):
+    """Stateless-task variant of :class:`Fetcher` with per-process state
+    caching — used by the round loop where per-execution actor startup would
+    dominate small rounds."""
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        web = _cached_get(web_ref)
+        robots = _cached_get(robots_ref)
+        return fetch_batch(batch, web, robots, cfg)
+
+    return fetch
+
+
 def fetch_batch(
     batch: pa.Table, web: dict[str, dict], robots: dict[str, list], cfg: CrawlConfig
 ) -> pa.Table:

@@ -1,0 +1,89 @@
+"""Golden end-to-end conformance: Ray pipeline vs oracle (SURVEY.md §5.2).
+
+Asserts identical crawl order (seq, clock, url, state, status), identical
+final URL-seen set, and per-row span-sequence equality on every fetched
+document — the BASELINE.json north-star checks.
+"""
+
+import pyarrow as pa
+import pytest
+
+from anansi_ray import fixtures
+from anansi_ray.model import CrawlConfig
+from anansi_ray.oracle import reference_crawl
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    return fixtures.generate("tiny", seed=42)
+
+
+def run_both(tiny, budget):
+    from anansi_ray.pipelines.crawl import CrawlPipeline
+
+    oracle = reference_crawl(tiny, CrawlConfig(), budget=budget)
+    pipe = CrawlPipeline(tiny, CrawlConfig(), budget=budget).run()
+    return oracle, pipe
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConformance:
+    @pytest.fixture(scope="class")
+    def both(self, tiny):
+        return run_both(tiny, budget=None)
+
+    def test_crawl_order_exact(self, both):
+        oracle, pipe = both
+        exp = oracle["expected_crawl"]
+        got = pipe["expected_crawl"]
+        assert got is not None
+        assert got.num_rows == exp.num_rows
+        for col in ("seq", "fetch_clock_ms", "url_hash", "url", "state", "status"):
+            assert got[col].to_pylist() == exp[col].to_pylist(), col
+
+    def test_seen_set_exact(self, both):
+        oracle, pipe = both
+        exp = {
+            (r["url_hash"], r["state"]) for r in oracle["ledger"].to_pylist()
+        }
+        got = {(r["url_hash"], r["state"]) for r in pipe["ledger"].to_pylist()}
+        assert got == exp
+
+    def test_ledger_columns_exact(self, both):
+        oracle, pipe = both
+        cols = [
+            "url_hash",
+            "url",
+            "host",
+            "depth",
+            "state",
+            "status",
+            "next_fetch_ms",
+            "error_count",
+            "soft_error_count",
+            "last_ttl_s",
+        ]
+        exp = {r["url_hash"]: r for r in oracle["ledger"].to_pylist()}
+        got_rows = pipe["ledger"].to_pylist()
+        assert len(got_rows) == len(exp)
+        for r in got_rows:
+            e = exp[r["url_hash"]]
+            for c in cols:
+                assert r[c] == e[c], (r["url"], c)
+
+    def test_document_spans_exact(self, both, tiny):
+        oracle, pipe = both
+        exp = {r["doc_id"]: r["spans"] for r in oracle["documents"].to_pylist()}
+        got = pipe["documents"].to_pylist()
+        assert len(got) == len(exp)
+        truth = {r["doc_id"]: r["spans"] for r in tiny["documents"].to_pylist()}
+        for d in got:
+            assert d["spans"] == exp[d["doc_id"]]
+            assert d["spans"] == truth[d["doc_id"]]
+
+    def test_budget_1_conformance(self, tiny):
+        oracle, pipe = run_both(tiny, budget=1)
+        exp, got = oracle["expected_crawl"], pipe["expected_crawl"]
+        assert got.num_rows == exp.num_rows
+        for col in ("seq", "url_hash", "fetch_clock_ms", "state", "status"):
+            assert got[col].to_pylist() == exp[col].to_pylist(), col
