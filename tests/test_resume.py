@@ -1,0 +1,55 @@
+"""Checkpoint/resume: kill after round k, restore, final state must match an
+uninterrupted run (SURVEY.md §5.3)."""
+
+import shutil
+
+import pytest
+
+from anansi_ray import fixtures
+from anansi_ray.model import CrawlConfig
+from anansi_ray.oracle import reference_crawl
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_matches_uninterrupted(tmp_path):
+    from anansi_ray.pipelines.crawl import CrawlPipeline
+
+    tiny = fixtures.generate("tiny", seed=42)
+    ckdir = str(tmp_path / "ckpt")
+    cfg = CrawlConfig(checkpoint_dir=ckdir)
+
+    # uninterrupted reference result (oracle — cheapest ground truth)
+    oracle = reference_crawl(tiny, cfg, budget=None)
+
+    # run with checkpoints every 5 rounds, "crash" after 12 rounds
+    p1 = CrawlPipeline(tiny, cfg, budget=None, checkpoint_every=5)
+    for _ in range(12):
+        if p1.run_round() == 0:
+            break
+    del p1  # simulate driver death; actors get re-created on restore
+
+    latest = CrawlPipeline.latest_checkpoint(ckdir)
+    assert latest is not None and latest.endswith("round=10")
+
+    # fresh pipeline object (fresh seen-set actors), restore, finish the crawl
+    p2 = CrawlPipeline(tiny, cfg, budget=None)
+    p2.restore(latest)
+    assert p2.round == 10
+    res = p2.run()
+
+    exp = oracle["expected_crawl"]
+    got = res["expected_crawl"]
+    assert got.num_rows == exp.num_rows
+    for col in ("seq", "fetch_clock_ms", "url_hash", "state", "status"):
+        assert got[col].to_pylist() == exp[col].to_pylist(), col
+    exp_ledger = {
+        (r["url_hash"], r["state"], r["next_fetch_ms"])
+        for r in oracle["ledger"].to_pylist()
+    }
+    got_ledger = {
+        (r["url_hash"], r["state"], r["next_fetch_ms"])
+        for r in res["ledger"].to_pylist()
+    }
+    assert got_ledger == exp_ledger
+
+    shutil.rmtree(ckdir, ignore_errors=True)
