@@ -1,44 +1,47 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline (the Ray-Data-native Anansi
+round loop over the deterministic synthetic LOD web) and returns the
+interleaved text+media documents table; ``queries()`` exposes every
+implemented operator from SURVEY.md §2 plus the training-data extensions;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible entry.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from anansi_ray.pipelines.queries import QUERIES  # noqa: E402
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: crawl the deterministic synthetic LOD web end-to-end
+    (seeds → canonicalize/hash → politeness-scheduled fetch → parse/extract
+    → seen-set dedup → ledger transitions) and return the interleaved
+    text+media documents table (doc_id, spans) — the BASELINE.json
+    input_hint shape.  Also touches /root/testdata/sf0.001 to exercise the
+    parquet read path."""
+    import ray.data as rd
+
+    sf_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(sf_dir):
+        # cheap read-path smoke: prune to one column, count
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]).count()
+    return QUERIES["crawl_documents"][0](sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

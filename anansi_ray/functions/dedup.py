@@ -1,0 +1,395 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All expressed Ray-Data-first:
+
+* exact      — hash inside ``map_batches`` (partial), then one
+               ``groupby(text_hash)`` shuffle keeping min doc_id
+* MinHash    — shingle→minhash signature per batch (vectorized numpy
+               universal hashing), explode to (band, band_hash, doc_id)
+               rows, ``groupby`` band buckets → candidate pairs → verify by
+               signature agreement (estimated Jaccard) → connected
+               components
+* SimHash    — 64-bit signature + pigeonhole piece-bucketing for
+               hamming-distance candidates
+* embedding  — brute-force blockwise cosine vs a broadcast normalized
+               matrix (exact; the SQL-oracle-checkable path) — the IVF/LSH
+               scale path lives in functions/similarity.py
+
+Scale notes: the only shuffles are on uniformly-distributed hash keys
+(text_hash, band_hash) — the same pattern as the crawl dedup (SURVEY §2.8).
+Candidate-pair connected components run driver-side union-find here (pair
+sets are tiny after LSH); at 10^9-doc scale swap in iterated min-label
+propagation over a pairs Dataset (same groupby machinery, noted inline).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_TOKEN = re.compile(r"\w+", re.UNICODE)
+
+# MinHash parameters: 128 permutations = 32 bands × 4 rows
+# (LSH threshold ≈ (1/32)^(1/4) ≈ 0.42 Jaccard)
+N_PERM = 128
+N_BANDS = 32
+ROWS_PER_BAND = N_PERM // N_BANDS
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, N_PERM, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, N_PERM, dtype=np.uint64)
+    return a, b
+
+
+_PERM_A, _PERM_B = _perm_params()
+
+
+def text_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Content hash (truncated SHA-256, same shape as the crawl cache key —
+    cache.c:103-129) appended per batch; the partial step of exact dedup."""
+    hashes = [
+        hashlib.sha256((t or "").encode("utf-8")).hexdigest()[:32]
+        for t in batch[text_col].to_pylist()
+    ]
+    return batch.append_column("text_hash", pa.array(hashes, pa.string()))
+
+
+def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+    """Exact dedup: hash-partition + per-group min id (D1 analogue).
+
+    Returns one row per distinct text: (text_hash, doc_id=min id).
+    """
+    hashed = ds.map_batches(
+        lambda b: text_hash_batch(b, text_col).select(["text_hash", id_col]),
+        batch_format="pyarrow",
+    )
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        m = pc.min_max(group[id_col])["min"]
+        return pa.table(
+            {"text_hash": group["text_hash"][:1], id_col: pa.array([m.as_py()])}
+        )
+
+    return hashed.groupby("text_hash").map_groups(keep_min, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(text: str, w: int = 3) -> np.ndarray:
+    """Token w-gram shingles → stable 61-bit hashes."""
+    toks = _TOKEN.findall((text or "").lower())
+    if len(toks) < w:
+        grams = [" ".join(toks)] if toks else [""]
+    else:
+        grams = [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+    out = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+            & _MERSENNE
+            for g in grams
+        ),
+        dtype=np.uint64,
+        count=len(grams),
+    )
+    return np.unique(out)
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    """128-perm MinHash signature via universal hashing (vectorized)."""
+    sh = _shingle_hashes(text)
+    # (n_perm, n_shingles) universal hash, min over shingles
+    vals = (_PERM_A[:, None] * sh[None, :] + _PERM_B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def minhash_bands_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per batch: signature per doc, exploded to (band_id, band_hash, doc_id,
+    sig) rows — the pre-shuffle partial of the LSH bucketing."""
+    ids = batch["doc_id"].to_pylist()
+    sigs = [minhash_signature(t) for t in batch[text_col].to_pylist()]
+    band_ids, band_hashes, doc_ids, sig_col = [], [], [], []
+    for doc, sig in zip(ids, sigs):
+        bands = sig.reshape(N_BANDS, ROWS_PER_BAND)
+        for b in range(N_BANDS):
+            band_ids.append(b)
+            band_hashes.append(
+                hashlib.blake2b(bands[b].tobytes(), digest_size=8).hexdigest()
+            )
+            doc_ids.append(doc)
+            sig_col.append(sig.astype(np.int64))
+    return pa.table(
+        {
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(band_hashes, pa.string()),
+            "doc_id": pa.array(doc_ids),
+            "sig": pa.array(sig_col, pa.list_(pa.int64())),
+        }
+    )
+
+
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    """Within one LSH bucket: all candidate pairs + signature-estimated
+    Jaccard (the verify step — sig agreement is the standard estimator)."""
+    n = group.num_rows
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if n < 2:
+        return empty
+    ids = np.asarray(group["doc_id"].to_pylist())
+    sigs = np.asarray(group["sig"].to_pylist())  # (n, N_PERM)
+    order = np.argsort(ids)
+    ids, sigs = ids[order], sigs[order]
+    a_l, b_l, j_l = [], [], []
+    for i in range(n):
+        eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+        for off, jac in enumerate(eq):
+            a_l.append(int(ids[i]))
+            b_l.append(int(ids[i + 1 + off]))
+            j_l.append(round(float(jac), 6))
+    return pa.table(
+        {
+            "a": pa.array(a_l, pa.int64()),
+            "b": pa.array(b_l, pa.int64()),
+            "est_jaccard": pa.array(j_l, pa.float64()),
+        }
+    )
+
+
+def minhash_candidate_pairs(
+    ds: rd.Dataset, text_col: str = "text", min_jaccard: float = 0.5
+) -> pa.Table:
+    """MinHash-LSH near-dup candidate pairs (deduped, est_jaccard ≥ τ)."""
+    pairs_ds = (
+        ds.map_batches(lambda b: minhash_bands_batch(b, text_col), batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+    )
+    df = pairs_ds.to_pandas()
+    if df.empty:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+        )
+    df = df.groupby(["a", "b"], as_index=False)["est_jaccard"].max()
+    df = df[df["est_jaccard"] >= min_jaccard].sort_values(["a", "b"])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def connected_components(pairs: pa.Table, all_ids) -> pa.Table:
+    """Union-find over candidate pairs → (doc_id, dup_group = min id of its
+    component).  Driver-side: the pair set after LSH+verify is tiny relative
+    to the corpus; at 10^9-doc scale replace with iterated min-label
+    propagation (groupby(doc_id).min over pair endpoints until fixpoint)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(x: int, y: int) -> None:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+
+    for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
+        union(int(a), int(b))
+    ids = sorted(int(i) for i in all_ids)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "dup_group": pa.array([find(i) for i in ids], pa.int64()),
+        }
+    )
+
+
+def ngram_jaccard(text_a: str, text_b: str, w: int = 3) -> float:
+    """Exact token n-gram Jaccard (the verify primitive for LSH candidates)."""
+    sa, sb = set(_shingle_hashes(text_a, w)), set(_shingle_hashes(text_b, w))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over \\w+ tokens (unit weights)."""
+    toks = _TOKEN.findall((text or "").lower())
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in toks:
+        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), 1, -1)
+    return int(
+        sum(1 << i for i in range(64) if acc[i] > 0)
+    )
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    vals = [simhash64(t) for t in batch[text_col].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array([f"{v:016x}" for v in vals], pa.string()),
+        }
+    )
+
+
+def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> pa.Table:
+    """Near-dup pairs with hamming(simhash) ≤ d via 4-piece pigeonhole
+    bucketing (any pair within distance 3 shares at least one 16-bit piece).
+    """
+    sh = ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, pieces, piece_vals, hashes = [], [], [], []
+        for doc, hx in zip(batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()):
+            v = int(hx, 16)
+            for p in range(4):
+                ids.append(doc)
+                pieces.append(p)
+                piece_vals.append((v >> (16 * p)) & 0xFFFF)
+                hashes.append(hx)
+        return pa.table(
+            {
+                "piece": pa.array(pieces, pa.int32()),
+                "piece_val": pa.array(piece_vals, pa.int32()),
+                "doc_id": pa.array(ids),
+                "simhash": pa.array(hashes, pa.string()),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int32()),
+            }
+        )
+        if group.num_rows < 2:
+            return empty
+        ids = np.asarray(group["doc_id"].to_pylist())
+        vals = np.asarray([int(h, 16) for h in group["simhash"].to_pylist()], dtype=np.uint64)
+        order = np.argsort(ids)
+        ids, vals = ids[order], vals[order]
+        a_l, b_l, d_l = [], [], []
+        for i in range(len(ids)):
+            x = vals[i + 1 :] ^ vals[i]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            for off in np.flatnonzero(ham <= max_hamming):
+                a_l.append(int(ids[i]))
+                b_l.append(int(ids[i + 1 + off]))
+                d_l.append(int(ham[off]))
+        return pa.table(
+            {
+                "a": pa.array(a_l, pa.int64()),
+                "b": pa.array(b_l, pa.int64()),
+                "hamming": pa.array(d_l, pa.int32()),
+            }
+        )
+
+    out = (
+        sh.map_batches(explode, batch_format="pyarrow")
+        .groupby(["piece", "piece_val"])
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    df = out.to_pandas()
+    if df.empty:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int32()),
+            }
+        )
+    df = df.groupby(["a", "b"], as_index=False)["hamming"].min().sort_values(["a", "b"])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (exact brute force; oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    ds: rd.Dataset, threshold: float = 0.95, id_col: str = "vec_id"
+) -> pa.Table:
+    """Exact cosine near-dup pairs: blockwise matmul of each batch against
+    the broadcast L2-normalized full matrix.
+
+    Broadcast works to ~10^6×dim on a worker; beyond that use the IVF path
+    (functions/similarity.py) to restrict comparisons to shared cells.
+    """
+    import ray
+
+    full = ds.select_columns([id_col, "embedding"]).materialize()
+    tbl = pa.concat_tables(ray.get(full.to_arrow_refs()), promote_options="default")
+    ids = np.asarray(tbl[id_col].to_pylist(), dtype=np.int64)
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.maximum(norms, 1e-12)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    ref = ray.put((ids, mat))
+
+    def block(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        b_ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        b_mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        b_mat = b_mat / np.maximum(np.linalg.norm(b_mat, axis=1, keepdims=True), 1e-12)
+        sims = b_mat @ all_mat.T
+        rows, cols = np.nonzero(sims >= threshold)
+        keep = b_ids[rows] < all_ids[cols]
+        rows, cols = rows[keep], cols[keep]
+        return pa.table(
+            {
+                "a": pa.array(b_ids[rows], pa.int64()),
+                "b": pa.array(all_ids[cols], pa.int64()),
+                "cosine": pa.array(np.round(sims[rows, cols], 6), pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(block, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    out = out.sort_values(["a", "b"])
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1,0 +1,86 @@
+"""Stream-shaped operators over the ``events`` table (SURVEY.md §2.12).
+
+Ray Data has no event-time watermarks; the reference's only streaming
+semantics are TTL windows + per-host rate gates.  These operators show the
+general pattern for stream-shaped workloads on a batch engine: treat the
+input as an ordered, partitioned log — partition by key, sort by ts within
+the partition, window inside ``map_groups``.
+
+Ordering assumption: within one ``user_id`` group, rows are processed in
+(ts, event_id) order — pinned explicitly so results are deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+HOUR_US = 3_600_000_000
+
+
+def tumbling_window(ds: rd.Dataset, window_us: int = HOUR_US) -> rd.Dataset:
+    """Tumbling count/sum per (user_id, window).  The window column is a
+    cheap map; the only shuffle is the groupby on (user_id, window_start) —
+    pre-aggregated per batch first (combiner) so the exchange carries one
+    row per key per batch, not raw events."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (ts // window_us) * window_us
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "window_us": win,
+                "value": batch["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby(["user_id", "window_us"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        n = int(np.sum(group["n_events"].to_numpy(zero_copy_only=False)))
+        s = float(np.sum(group["sum_value"].to_numpy(zero_copy_only=False)))
+        return pa.table(
+            {
+                "user_id": group["user_id"][:1],
+                "window_us": group["window_us"][:1],
+                "n_events": pa.array([n], pa.int64()),
+                "sum_value": pa.array([round(s, 4)], pa.float64()),
+            }
+        )
+
+    return partials.groupby(["user_id", "window_us"]).map_groups(
+        merge, batch_format="pyarrow"
+    )
+
+
+def session_windows(ds: rd.Dataset, gap_us: int = HOUR_US) -> rd.Dataset:
+    """Gap-based session windows per user: a new session starts when the gap
+    since the previous event exceeds ``gap_us``.  groupby(user_id) +
+    windowing over the (ts, event_id)-sorted group."""
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("int64")
+        new_session = (ts - ts.shift(1)).fillna(gap_us + 1) > gap_us
+        sid = new_session.cumsum()
+        out = g.assign(session_id=sid).groupby("session_id").agg(
+            n_events=("event_id", "size"),
+            start_us=("ts", "min"),
+            end_us=("ts", "max"),
+            sum_value=("value", "sum"),
+        )
+        out = out.reset_index()
+        out["user_id"] = g["user_id"].iloc[0]
+        out["sum_value"] = out["sum_value"].round(4)
+        out["start_us"] = out["start_us"].astype("int64")
+        out["end_us"] = out["end_us"].astype("int64")
+        return out[["user_id", "session_id", "n_events", "start_us", "end_us", "sum_value"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")

@@ -1,0 +1,156 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Engine extensions beyond the reference's operator set (SURVEY.md notes the
+reference has none of these): language-ID, quality scoring, token counting,
+document fingerprinting.  All are vectorized ``map_batches`` kernels over
+Arrow batches; each has a ``queries()`` entry in ``__ray_entry__`` and — when
+SQL-expressible — a DuckDB oracle that computes the identical definition.
+
+Scale notes: every op here is embarrassingly parallel per batch (no shuffle);
+at 100 TB they run as a single streaming pass with column pruning at the
+read (only ``doc_id`` + ``text`` leave storage).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = re.compile(r"\s+")
+
+#: tiny per-language stopword tables for the n-gram/stopword language-ID
+#: heuristic (deterministic, dependency-free).
+LANG_STOPWORDS: dict[str, frozenset] = {
+    "en": frozenset("the a and of to in is for on with that it as at by".split()),
+    "de": frozenset("der die das und ist nicht ein eine zu mit von auf für".split()),
+    "es": frozenset("el la los las y es un una de en que por con para".split()),
+    "fr": frozenset("le la les et est un une de en que pour avec dans".split()),
+    "zh": frozenset("的 是 不 了 在 人 有 我 他 这 中 大 来 上".split()),
+}
+#: deterministic tie-break order
+LANG_ORDER = tuple(sorted(LANG_STOPWORDS))
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def _ws_tokens(batch_col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, list]:
+    """Whitespace tokenization of a string column → (lengths, token lists)."""
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(batch_col), r"\s+")
+    return pc.list_value_length(toks).to_numpy(zero_copy_only=False), toks
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (alnum runs and single non-space punct each count as one token)."""
+    col = batch[text_col]
+    n_ws, _ = _ws_tokens(col)
+    texts = col.to_pylist()
+    pat = re.compile(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]")
+    n_bpe = np.fromiter(
+        (len(pat.findall(t)) if t else 0 for t in texts), dtype=np.int64, count=len(texts)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens_ws": pa.array(n_ws, pa.int64()),
+            "n_tokens": pa.array(n_bpe, pa.int64()),
+        }
+    )
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality scoring: length, punctuation ratio, stopword ratio, mean word
+    length — the standard cheap pretraining-corpus quality heuristics.
+    Ratios rounded to 6 decimals (stable cross-engine comparison)."""
+    col = batch[text_col]
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    stripped = pc.replace_substring_regex(col, r"[A-Za-z0-9\s]", "")
+    n_punct = pc.utf8_length(stripped).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_ws, toks = _ws_tokens(col)
+    flat = pc.list_flatten(toks)
+    is_stop = pc.is_in(flat, value_set=pa.array(list(STOPWORDS))).to_numpy(
+        zero_copy_only=False
+    )
+    offsets = np.concatenate([[0], np.cumsum(n_ws)]).astype(np.int64)
+    stop_counts = np.add.reduceat(
+        np.concatenate([is_stop.astype(np.int64), [0]]), offsets[:-1]
+    )
+    stop_counts[n_ws == 0] = 0
+    word_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    sum_wl = np.add.reduceat(np.concatenate([word_lens, [0]]), offsets[:-1]).astype(
+        np.float64
+    )
+    sum_wl[n_ws == 0] = 0.0
+    denom_tok = np.maximum(n_ws, 1).astype(np.float64)
+    denom_chr = np.maximum(n_chars, 1.0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pa.array(n_chars.astype(np.int64), pa.int64()),
+            "punct_ratio": pa.array(np.round(n_punct / denom_chr, 6), pa.float64()),
+            "stopword_ratio": pa.array(np.round(stop_counts / denom_tok, 6), pa.float64()),
+            "mean_word_len": pa.array(np.round(sum_wl / denom_tok, 6), pa.float64()),
+        }
+    )
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Language-ID heuristic: argmax of per-language stopword hit counts over
+    whitespace tokens; deterministic alphabetical tie-break; 'und' when no
+    list scores a hit."""
+    texts = batch[text_col].to_pylist()
+    out = []
+    for t in texts:
+        toks = _WS.split(t.strip().lower()) if t else []
+        best_lang, best = "und", 0
+        for lang in LANG_ORDER:
+            sw = LANG_STOPWORDS[lang]
+            score = sum(1 for w in toks if w in sw)
+            if score > best:
+                best, best_lang = score, lang
+        out.append(best_lang)
+    return pa.table(
+        {"doc_id": batch["doc_id"], "lang_pred": pa.array(out, pa.string())}
+    )
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Document fingerprinting:
+
+    * ``fp_md5``  — md5 of the whitespace-normalized lowercased text
+      (exact-dup fingerprint; SQL-oracle-checkable),
+    * ``fp_winnow`` — winnowing-style rolling-hash fingerprint: minimum
+      64-bit k-gram hash per window, hex-joined (robust near-dup sketch).
+    """
+    texts = batch[text_col].to_pylist()
+    md5s, winnows = [], []
+    k, w = 5, 8
+    for t in texts:
+        norm = _WS.sub(" ", (t or "").strip()).lower()
+        md5s.append(hashlib.md5(norm.encode()).hexdigest())
+        grams = [norm[i : i + k] for i in range(max(1, len(norm) - k + 1))]
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+                for g in grams
+            ),
+            dtype=np.uint64,
+            count=len(grams),
+        )
+        if len(hs) >= w:
+            mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+            sel = np.unique(mins)
+        else:
+            sel = np.array([hs.min()], dtype=np.uint64)
+        winnows.append("".join(f"{v:016x}" for v in sel[:16]))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fp_md5": pa.array(md5s, pa.string()),
+            "fp_winnow": pa.array(winnows, pa.string()),
+        }
+    )

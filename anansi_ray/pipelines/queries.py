@@ -1,0 +1,577 @@
+"""Driver-contract query registry: every implemented operator/pipeline from
+SURVEY.md §2 (plus the training-data extensions) as a callable over a
+``sf_dir`` of parquet tables, paired — where SQL-expressible — with a DuckDB
+oracle computing the identical definition.
+
+Column names and rounding are pinned IDENTICALLY on both sides (the driver
+hash-compares values after sorting columns by name).  Float aggregates are
+rounded on both sides to make the comparison independent of summation
+order.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from anansi_ray.canon import canon_batch, normalize_content_type
+from anansi_ray.functions import dedup as fdedup
+from anansi_ray.functions import events as fevents
+from anansi_ray.functions import multimodal as fmedia
+from anansi_ray.functions import similarity as fsim
+from anansi_ray.functions import text as ftext
+from anansi_ray.model import CrawlConfig
+from anansi_ray.stages.policies import scheme_policy
+
+
+def _read(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# URL-kernel queries (M1-M4, M9, F1) — URLs synthesized deterministically
+# from doc_id so the DuckDB oracle can derive the identical input.
+# ---------------------------------------------------------------------------
+
+URL_EXPR_SQL = (
+    "'http://h' || (doc_id % 50) || '.example.org/doc/' || doc_id || "
+    "(CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+def _synth_urls(batch: pa.Table) -> list[str]:
+    ids = batch["doc_id"].to_pylist()
+    return [
+        f"http://h{d % 50}.example.org/doc/{d}" + ("#frag" if d % 7 == 0 else "")
+        for d in ids
+    ]
+
+
+def q_url_cache_key(sf_dir: str):
+    """M1-M3: canonicalize + truncated-SHA-256 cache key + shorthash/tinyhash
+    (cache.c:103-129, db.c:836-838, db.c:1252)."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        urls = _synth_urls(batch)
+        c = canon_batch(urls)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "url": pa.array(c["url"], pa.string()),
+                "url_hash": pa.array(c["url_hash"], pa.string()),
+                "shorthash": pa.array(c["shorthash"].astype(np.int64), pa.int64()),
+                "tinyhash": pa.array(c["tinyhash"].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+
+SQL_URL_CACHE_KEY = f"""
+WITH u AS (SELECT doc_id, {URL_EXPR_SQL} AS raw_url FROM documents)
+SELECT doc_id,
+       split_part(raw_url, '#', 1) AS url,
+       substr(sha256(split_part(raw_url, '#', 1)), 1, 32) AS url_hash,
+       (('0x' || substr(sha256(split_part(raw_url, '#', 1)), 1, 8))::UBIGINT)::BIGINT AS shorthash,
+       ((('0x' || substr(sha256(split_part(raw_url, '#', 1)), 1, 8))::UBIGINT) % 256)::BIGINT AS tinyhash
+FROM u
+"""
+
+
+def q_url_root(sf_dir: str):
+    """M4: host-root derivation (db.c:840-854)."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        urls = _synth_urls(batch)
+        c = canon_batch(urls)
+        root_urls = [f"http://{h}/" for h in c["host"]]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "host": pa.array(c["host"], pa.string()),
+                "root_url": pa.array(root_urls, pa.string()),
+                "root_hash": pa.array(c["root_hash"], pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+
+SQL_URL_ROOT = """
+WITH u AS (SELECT doc_id, 'h' || (doc_id % 50) || '.example.org' AS host FROM documents)
+SELECT doc_id, host,
+       'http://' || host || '/' AS root_url,
+       substr(sha256('http://' || host || '/'), 1, 32) AS root_hash
+FROM u
+"""
+
+
+def q_content_type_normalize(sf_dir: str):
+    """M9: media-type parameter stripping (content-types.c:170-190)."""
+    cts = [
+        "text/turtle",
+        "application/rdf+xml; charset=utf-8",
+        " Text/HTML ;q=0.9",
+        "application/n-quads",
+    ]
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        raw = [cts[d % 4] for d in ids]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "content_type": pa.array(raw, pa.string()),
+                "normalized": pa.array(
+                    [normalize_content_type(c) for c in raw], pa.string()
+                ),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+
+SQL_CONTENT_TYPE = """
+WITH u AS (SELECT doc_id,
+    CASE doc_id % 4 WHEN 0 THEN 'text/turtle'
+                    WHEN 1 THEN 'application/rdf+xml; charset=utf-8'
+                    WHEN 2 THEN ' Text/HTML ;q=0.9'
+                    ELSE 'application/n-quads' END AS content_type
+  FROM documents)
+SELECT doc_id, content_type,
+       lower(trim(split_part(content_type, ';', 1))) AS normalized
+FROM u
+"""
+
+
+def q_scheme_policy(sf_dir: str):
+    """F1: scheme whitelist/blacklist policy (schemes.c:133-170)."""
+    schemes = ["https", "http", "ftp", "mailto", "javascript"]
+    cfg = CrawlConfig(scheme_blacklist=("javascript",))
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out_scheme, out_state = [], []
+        for d in ids:
+            s = schemes[d % 5]
+            st = scheme_policy(f"{s}://x.example/p", cfg)
+            out_scheme.append(s)
+            out_state.append("PASS" if st is None else st.name)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "scheme": pa.array(out_scheme, pa.string()),
+                "decision": pa.array(out_state, pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+
+SQL_SCHEME_POLICY = """
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 'https' WHEN 1 THEN 'http' WHEN 2 THEN 'ftp'
+                       WHEN 3 THEN 'mailto' ELSE 'javascript' END AS scheme,
+       CASE CASE doc_id % 5 WHEN 0 THEN 'https' WHEN 1 THEN 'http' WHEN 2 THEN 'ftp'
+                            WHEN 3 THEN 'mailto' ELSE 'javascript' END
+            WHEN 'javascript' THEN 'REJECTED'
+            WHEN 'https' THEN 'PASS'
+            WHEN 'http' THEN 'PASS'
+            ELSE 'SKIPPED' END AS decision
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis / dedup queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    return fdedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DEDUP_EXACT = """
+SELECT substr(sha256(text), 1, 32) AS text_hash, min(doc_id) AS doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_count(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ftext.token_count_batch, batch_format="pyarrow"
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]'))::BIGINT AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_score(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ftext.quality_score_batch, batch_format="pyarrow"
+    )
+
+
+SQL_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+         string_split_regex(trim(text), '\s+') AS toks
+  FROM documents)
+SELECT doc_id,
+       n_chars::BIGINT AS n_chars,
+       round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in')))
+             / greatest(len(toks), 1), 6) AS stopword_ratio,
+       round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+             / greatest(len(toks), 1), 6) AS mean_word_len
+FROM t
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ftext.fingerprint_batch, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "fp_md5"])
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
+FROM documents
+"""
+
+
+def q_lang_id(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ftext.lang_id_batch, batch_format="pyarrow"
+    )
+
+
+def q_minhash_near_dup(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = fdedup.minhash_candidate_pairs(ds, min_jaccard=0.5)
+    ids = _read(sf_dir, "documents", ["doc_id"]).to_pandas()["doc_id"]
+    return fdedup.connected_components(pairs, ids)
+
+
+def q_simhash(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fdedup.simhash_batch, batch_format="pyarrow"
+    )
+
+
+def q_simhash_near_dup(sf_dir: str):
+    return fdedup.simhash_near_dup_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding queries
+# ---------------------------------------------------------------------------
+
+KNN_QUERIES = list(range(10))
+KNN_K = 10
+# synthetic embeddings peak at ~0.51 off-diagonal cosine; 0.45 keeps the
+# "near-dup" predicate non-trivial on this data while exercising the exact
+# threshold-pair machinery
+NEAR_DUP_TAU = 0.45
+
+
+def q_knn_cosine(sf_dir: str):
+    return fsim.knn_brute(_read(sf_dir, "embeddings"), KNN_QUERIES, k=KNN_K)
+
+
+SQL_KNN = f"""
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS emb,
+         sqrt(list_aggregate(list_transform(embedding, x -> (x::DOUBLE)*(x::DOUBLE)), 'sum')) AS nrm
+  FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         round(list_aggregate(list_transform(range(len(q.emb)),
+               i -> q.emb[(i+1)::int] * e.emb[(i+1)::int]), 'sum')
+               / greatest(q.nrm * e.nrm, 1e-12), 6) AS cosine
+  FROM n q JOIN n e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {len(KNN_QUERIES)}),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM sims)
+SELECT query_id, rank::BIGINT AS rank, vec_id, cosine
+FROM ranked WHERE rank <= {KNN_K}
+ORDER BY query_id, rank
+"""
+
+
+def q_embedding_near_dup(sf_dir: str):
+    return fdedup.embedding_near_dup_pairs(
+        _read(sf_dir, "embeddings"), threshold=NEAR_DUP_TAU
+    )
+
+
+SQL_EMB_NEAR_DUP = f"""
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS emb,
+         sqrt(list_aggregate(list_transform(embedding, x -> (x::DOUBLE)*(x::DOUBLE)), 'sum')) AS nrm
+  FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_aggregate(list_transform(range(len(a.emb)),
+             i -> a.emb[(i+1)::int] * b.emb[(i+1)::int]), 'sum')
+             / greatest(a.nrm * b.nrm, 1e-12), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_aggregate(list_transform(range(len(a.emb)),
+      i -> a.emb[(i+1)::int] * b.emb[(i+1)::int]), 'sum')
+      / greatest(a.nrm * b.nrm, 1e-12) >= {NEAR_DUP_TAU}
+ORDER BY a, b
+"""
+
+
+def q_knn_ivf(sf_dir: str):
+    idx = fsim.IvfIndex(n_cells=8, n_iter=5, seed=42).build(_read(sf_dir, "embeddings"))
+    return idx.search(KNN_QUERIES, k=KNN_K, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# Event-stream queries (windowed aggregates)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(sf_dir: str):
+    return fevents.tumbling_window(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT user_id,
+       (epoch_us(ts) // 3600000000) * 3600000000 AS window_us,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessions(sf_dir: str):
+    return fevents.session_windows(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH g AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_id, value, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational engine primitives (groupby/aggregate, broadcast join, top-k)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_agg(sf_dir: str):
+    """Grouped aggregate with pre-aggregation semantics (TPC-H Q1 shape)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    from ray.data.aggregate import Count, Mean, Sum
+
+    out = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_base_price"] = out["sum_base_price"].round(2)
+    out["avg_disc"] = out["avg_disc"].round(6)
+    out["count_order"] = out["count_order"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values(["l_returnflag", "l_linestatus"]), preserve_index=False
+    )
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_segment_revenue(sf_dir: str):
+    """Broadcast hash join (small side via ray.put) + grouped aggregate."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_by_key = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    ref = ray.put(seg_by_key)
+
+    def join(batch: pa.Table) -> pa.Table:
+        seg = ray.get(ref)
+        keys = batch["o_custkey"].to_pylist()
+        return pa.table(
+            {
+                "c_mktsegment": pa.array([seg.get(k, "") for k in keys], pa.string()),
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(join, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("o_totalprice", alias_name="revenue"),
+            Count(alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("c_mktsegment"), preserve_index=False
+    )
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*)::BIGINT AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_orders_topk(sf_dir: str):
+    """Distributed sort + limit (O2/O3 analogue)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(100)
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_ORDERS_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal + crawl pipeline queries (rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def q_media_features(sf_dir: str):
+    ds = rd.from_arrow(fmedia.synthesize_media_table(n=256, seed=42))
+    out = fmedia.extract_media_features(ds).to_pandas()
+    return pa.Table.from_pandas(out.sort_values("media_id"), preserve_index=False)
+
+
+_CRAWL_MEMO: dict = {}
+
+
+def _crawl_results(scale: str = "tiny", seed: int = 42):
+    key = (scale, seed)
+    if key not in _CRAWL_MEMO:
+        from anansi_ray import fixtures
+        from anansi_ray.pipelines.crawl import CrawlPipeline
+
+        tables = fixtures.generate(scale, seed=seed)
+        _CRAWL_MEMO[key] = CrawlPipeline(tables, CrawlConfig(), budget=None).run()
+    return _CRAWL_MEMO[key]
+
+
+def q_crawl_order(sf_dir: str):
+    """The flagship: full crawl of the deterministic synthetic LOD web;
+    returns the dequeue-order ledger (seq, clock, url, state, status).
+    Conformance vs the reference-semantics oracle is asserted in
+    tests/test_crawl_pipeline.py."""
+    return _crawl_results()["expected_crawl"]
+
+
+def q_crawl_documents(sf_dir: str):
+    """Interleaved text+media documents produced by the crawl (input_hint
+    shape; per-row span-sequence invariant tested against ground truth)."""
+    res = _crawl_results()["documents"]
+    order = pc.sort_indices(res, sort_keys=[("doc_id", "ascending")])
+    return res.take(order)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
+    "url_root": (q_url_root, SQL_URL_ROOT),
+    "content_type_normalize": (q_content_type_normalize, SQL_CONTENT_TYPE),
+    "scheme_policy": (q_scheme_policy, SQL_SCHEME_POLICY),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "quality_score": (q_quality_score, SQL_QUALITY),
+    "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "lang_id": (q_lang_id, None),
+    "minhash_near_dup": (q_minhash_near_dup, None),
+    "simhash": (q_simhash, None),
+    "simhash_near_dup": (q_simhash_near_dup, None),
+    "knn_cosine": (q_knn_cosine, SQL_KNN),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
+    "knn_ivf": (q_knn_ivf, None),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
+    "orders_topk": (q_orders_topk, SQL_ORDERS_TOPK),
+    "media_features": (q_media_features, None),
+    "crawl_order": (q_crawl_order, None),
+    "crawl_documents": (q_crawl_documents, None),
+}
