@@ -53,6 +53,9 @@ SCALES = {
     "tiny": dict(n_urls=200, n_hosts=5),
     "small": dict(n_urls=20_000, n_hosts=50),
     "bench": dict(n_urls=200_000, n_hosts=500),
+    # xl exists for the scaling-efficiency measurement: at 200k URLs a
+    # 32-way run finishes in ~2 s and fixed overhead dominates the ratio
+    "xl": dict(n_urls=1_000_000, n_hosts=2000),
 }
 
 RDF_TYPES = (

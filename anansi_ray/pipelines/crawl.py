@@ -315,7 +315,9 @@ class CrawlPipeline:
         self.checkpoint_every = checkpoint_every
         self.compact_every = compact_every
 
-        self.web_ref = ray.put(_webrow_dicts(tables["web"]))
+        # broadcast the web table as Arrow (plasma zero-copy across workers);
+        # combine chunks ONCE here so workers never copy it
+        self.web_ref = ray.put(tables["web"].combine_chunks())
         robots = {
             r["host"]: r.get("robots_disallow") or []
             for r in tables["hosts"].to_pylist()

@@ -22,6 +22,7 @@ from urllib.parse import urlsplit
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from anansi_ray.canon import canonicalize, DEFAULT_PORTS
 from anansi_ray.model import CrawlConfig, CrawlState, SPAN_TYPE, state_name
@@ -220,15 +221,70 @@ class Fetcher:
 _BROADCAST_CACHE: dict = {}
 
 
-def _cached_get(ref):
+def _cached_get(ref, convert=None):
     import ray
 
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     val = _BROADCAST_CACHE.get(key)
     if val is None:
         val = ray.get(ref)
+        if convert is not None:
+            val = convert(val)
         _BROADCAST_CACHE[key] = val
     return val
+
+
+class _WebTable:
+    """Zero-copy keyed view of the broadcast web fixture table.
+
+    Lookup is vectorized: ``pc.index_in(batch_urls, web_urls)`` + ``take`` —
+    no per-worker python index build (which would serialize scaling: every
+    added worker would pay the full build before doing useful work).  The
+    plasma-backed Arrow buffers are shared across workers on a node.
+    """
+
+    def __init__(self, tbl: pa.Table):
+        # combine_chunks copies the whole table — callers must broadcast a
+        # single-chunk table (combine ONCE on the driver before ray.put;
+        # 32 workers each copying a multi-GB table saturates memory
+        # bandwidth and kills scaling)
+        if tbl.column("url").num_chunks != 1:
+            tbl = tbl.combine_chunks()
+        self.tbl = tbl
+        self.lm_ms = pc.divide(tbl["last_modified"].cast(pa.int64()), 1000)
+        # one-time url -> row-position index per worker process.  This is a
+        # key-only dict (NOT a full-row materialization) — ~60 B/URL — and
+        # beats pc.index_in, which would rebuild its value-set hash table on
+        # EVERY batch call (O(|web|) per batch ⇒ quadratic over a pass).
+        self.pos = {u: i for i, u in enumerate(tbl["url"].to_pylist())}
+
+    def lookup(self, batch_urls: list[str]):
+        """Returns (valid mask, hit-position map, matched columns aligned to
+        the hit positions)."""
+        import numpy as np
+
+        pos = self.pos
+        idx = [pos.get(u, -1) for u in batch_urls]
+        valid = np.asarray([i >= 0 for i in idx], dtype=bool)
+        hits = pa.array([i for i in idx if i >= 0], pa.int64())
+        sub = self.tbl.take(hits)
+        cols = {
+            "status": sub["status"].to_pylist(),
+            "content_type": sub["content_type"].to_pylist(),
+            "redirect": sub["redirect"].to_pylist(),
+            "content_location": sub["content_location"].to_pylist(),
+            "link_headers": sub["link_headers"].to_pylist(),
+            "payload": sub["payload"].to_pylist(),
+            "last_modified_ms": self.lm_ms.take(hits).to_pylist(),
+        }
+        hit_pos = np.cumsum(valid) - 1  # position into `cols` for each hit
+        return valid, hit_pos, cols
+
+
+def _as_web_index(obj):
+    """Accept a prebuilt dict (oracle/unit-test path) or a (zero-copy
+    plasma) Arrow table (pipeline path)."""
+    return obj if isinstance(obj, dict) else _WebTable(obj)
 
 
 def make_fetch_fn(web_ref, robots_ref, cfg: CrawlConfig):
@@ -237,7 +293,7 @@ def make_fetch_fn(web_ref, robots_ref, cfg: CrawlConfig):
     dominate small rounds."""
 
     def fetch(batch: pa.Table) -> pa.Table:
-        web = _cached_get(web_ref)
+        web = _cached_get(web_ref, convert=_as_web_index)
         robots = _cached_get(robots_ref)
         return fetch_batch(batch, web, robots, cfg)
 
@@ -269,10 +325,33 @@ def fetch_batch(
     fresh = np.ones(n, dtype=bool)
     unchanged = np.zeros(n, dtype=bool)
 
+    if isinstance(web, _WebTable):
+        valid, hit_pos, cols = web.lookup(urls)
+        keys = (
+            "status",
+            "content_type",
+            "redirect",
+            "content_location",
+            "link_headers",
+            "payload",
+            "last_modified_ms",
+        )
+
+        def get_webrow(i: int):
+            if not valid[i]:
+                return None
+            j = int(hit_pos[i])
+            return {k: cols[k][j] for k in keys}
+
+    else:
+
+        def get_webrow(i: int):
+            return web.get(urls[i])
+
     for i in range(n):
         # previously-fetched rows carry updated_ms for If-Modified-Since
         prev = prev_upd[i] if prev_states[i] not in ("NEW", "FORCE") else None
-        rec = process_fetch(urls[i], web.get(urls[i]), robots.get(hosts[i]), cfg, prev)
+        rec = process_fetch(urls[i], get_webrow(i), robots.get(hosts[i]), cfg, prev)
         status[i] = rec["status"]
         ctype[i] = rec["content_type"]
         redirect[i] = rec["redirect"]
