@@ -154,8 +154,12 @@ class CrawlConfig:
     fetch_batch_size: int = 256
     # politeness (db.c:300: default root rate = 1000 ms)
     default_rate_ms: int = 1000
-    #: per-host fetch budget per round (O2 top-k); higher = bigger rounds
-    per_host_budget: int = 8
+    #: per-host fetch budget per round (O2 top-k); None = unlimited (each
+    #: round drains every eligible row — BFS-wave rounds).  A finite budget
+    #: bounds per-round memory per host but multiplies round count for hub
+    #: hosts (a 10^6-URL hub at budget 8 = 125k rounds), so the default is
+    #: unlimited and skew is handled by slot *timestamps*, not row caps.
+    per_host_budget: int | None = None
     # [policy:schemes] whitelist/blacklist (schemes.c:133-170)
     scheme_whitelist: tuple[str, ...] = ("http", "https")
     scheme_blacklist: tuple[str, ...] = ()

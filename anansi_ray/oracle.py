@@ -8,14 +8,17 @@ this crawl order, final URL-seen set and per-document span sequences exactly.
 Semantics:
 
 * eligibility: state ∈ {NEW, FORCE} and host rate > 0 (db.c:687 requires
-  ``rate > 0``); ready_at = max(row.next_fetch, host.earliest_update).
-* clock: advances to the global minimum ready_at when nothing is due
-  (simulated — timestamps are computed, never slept).
+  ``rate > 0``).
+* new rows are inserted with ``next_fetch = discovery time`` (mirroring the
+  reference's insert-with-NOW, db.c:906-926); all timestamps are simulated
+  — computed, never slept.
 * per round, per host: rows ordered by the O1 key (state='NEW' first, then
   next_fetch, then url_hash as the pinned tie-break — db.c:691 plus SURVEY
-  §7.4), up to ``budget`` rows, fetch slots chained at ``rate_ms`` intervals
-  (politeness enforced inside the dequeue step, db.c:762-790; the round
-  model makes the issue-#41 race structurally impossible).
+  §7.4), up to ``budget`` rows, fetch slots chained causally:
+  ``t_j = max(t_{j-1} + rate_ms, next_fetch_j)`` — at least ``rate`` between
+  same-host fetches and never before discovery (politeness enforced inside
+  the dequeue step, db.c:762-790; the round model makes the issue-#41 race
+  structurally impossible).
 * fetch/process/transition: the exact same pure kernels as the pipeline
   (stages.fetch.process_fetch, stages.transitions.transition_batch).
 * links discovered in round r are merged into the frontier at end of round
@@ -73,25 +76,30 @@ def reference_crawl(
             hosts[host] = h
         return h
 
-    pending: dict[str, tuple[str, int]] = {}  # url_hash -> (url, min depth)
+    # url_hash -> (url, next_fetch_ms, depth); merge keeps min (nf, depth)
+    pending: dict[str, tuple[str, int, int]] = {}
 
-    def enqueue(raw_url: str, base: str | None, depth: int):
+    def enqueue(raw_url: str, base: str | None, depth: int, discovered_ms: int):
         """Collect a round's candidate; merged into the ledger at round end
-        with the min-depth rule (matches the pipeline's groupby merge)."""
+        keeping the earliest (next_fetch_ms, depth) per hash — the same
+        deterministic rule the pipeline's groupby merge applies.  New rows
+        carry next_fetch = discovery time, mirroring the reference's
+        insert-with-NOW (db.c:906-926)."""
         c = canonicalize(raw_url, base)
         if c is None or "://" not in c or depth > cfg.max_depth:
             return
         h = cache_key(c)
         prev = pending.get(h)
-        if prev is None or depth < prev[1]:
-            pending[h] = (c, depth)
+        if prev is None or (discovered_ms, depth) < (prev[1], prev[2]):
+            pending[h] = (c, discovered_ms, depth)
 
-    def insert_new(h: str, c: str, depth: int, rnd: int, force: bool = False):
+    def insert_new(
+        h: str, c: str, depth: int, rnd: int, nf_ms: int, force: bool = False
+    ):
         row = ledger.get(h)
         if row is not None:
             if force:
                 row["state"] = "FORCE"
-                row["next_fetch_ms"] = clock
             return
         _, rh, host = root_of(c)
         ensure_host(host)
@@ -103,7 +111,7 @@ def reference_crawl(
             "depth": depth,
             "state": "FORCE" if force else "NEW",
             "status": 0,
-            "next_fetch_ms": 0,
+            "next_fetch_ms": nf_ms,
             "error_count": 0,
             "soft_error_count": 0,
             "last_ttl_s": 0,
@@ -112,38 +120,30 @@ def reference_crawl(
         }
 
     def merge_pending(rnd: int):
-        for h, (c, depth) in pending.items():
-            insert_new(h, c, depth, rnd)
+        for h, (c, nf, depth) in pending.items():
+            insert_new(h, c, depth, rnd, nf)
         pending.clear()
 
-    clock = 0
     for s in tables["seeds"].to_pylist():
         c = canonicalize(s["url"])
         if c is None or "://" not in c:
             continue
-        insert_new(cache_key(c), c, 0, 0, force=bool(s["force"]))
+        insert_new(cache_key(c), c, 0, 0, 0, force=bool(s["force"]))
 
     records: list[tuple] = []
     documents: list[tuple] = []
     rounds = 0
 
     for rnd in range(max_rounds):
-        eligible = [
-            r
-            for r in ledger.values()
-            if r["state"] in ("NEW", "FORCE") and hosts[r["host"]]["rate_ms"] > 0
-        ]
-        if not eligible:
-            break
-        ready = [max(r["next_fetch_ms"], hosts[r["host"]]["eu"]) for r in eligible]
-        t_min = min(ready)
-        clock = max(clock, t_min)
+        # every eligible row of every politeness-enabled host is scheduled
+        # each round; causality comes from per-row next_fetch (discovery
+        # time) folded into the chained slot times below
         due_by_host: dict[str, list[dict]] = {}
-        for r, ra in zip(eligible, ready):
-            if ra <= clock:
+        for r in ledger.values():
+            if r["state"] in ("NEW", "FORCE") and hosts[r["host"]]["rate_ms"] > 0:
                 due_by_host.setdefault(r["host"], []).append(r)
         if not due_by_host:
-            continue
+            break
         rounds += 1
 
         scheduled: list[tuple[dict, int]] = []
@@ -155,10 +155,17 @@ def reference_crawl(
             if budget:
                 rows = rows[:budget]
             hstate = hosts[host]
-            t0 = max(clock, hstate["eu"])
-            for j, r in enumerate(rows):
-                scheduled.append((r, t0 + j * hstate["rate_ms"]))
-            hstate["eu"] = t0 + len(rows) * hstate["rate_ms"]
+            # chained politeness slots: t_j = max(t_{j-1} + rate,
+            # row.next_fetch) — ≥rate between same-host fetches AND never
+            # before the row was discovered (db.c:762-790 politeness +
+            # next_fetch time gate db.c:689)
+            t = hstate["eu"]
+            rate = hstate["rate_ms"]
+            for r in rows:
+                t = max(t, r["next_fetch_ms"])
+                scheduled.append((r, t))
+                t += rate
+            hstate["eu"] = t
 
         for row, t in scheduled:
             prev_upd = row["updated_ms"] if row["state"] not in ("NEW", "FORCE") else None
@@ -189,9 +196,9 @@ def reference_crawl(
             if rec["accepted"]:
                 documents.append((row["url_hash"], rec["spans"]))
             if rec["redirect"]:
-                enqueue(rec["redirect"], None, row["depth"] + 1)
+                enqueue(rec["redirect"], None, row["depth"] + 1, t)
             for link in rec["out_links"]:
-                enqueue(link, row["url"], row["depth"] + 1)
+                enqueue(link, row["url"], row["depth"] + 1, t)
         merge_pending(rnd + 1)
 
     records.sort(key=lambda r: (r[0], r[1]))

@@ -136,10 +136,11 @@ def _make_due_filter(due_hosts_ref, removed_ref):
     return due_filter
 
 
-def _make_scheduler(clock: int, budget: int | None, eu_rate_ref):
-    """groupby(host).map_groups body: O1 ordering + chained politeness slots
-    (≙ the dequeue txn's ORDER BY + earliest_update write, db.c:691,
-    762-790). Tie-break pinned on url_hash (SURVEY §7.4)."""
+def _make_scheduler(budget: int | None, eu_rate_ref):
+    """groupby(host).map_groups body: O1 ordering + causally-chained
+    politeness slots ``t_j = max(t_{j-1} + rate, next_fetch_j)`` (≙ the
+    dequeue txn's ORDER BY + earliest_update write + next_fetch time gate,
+    db.c:689-691, 762-790). Tie-break pinned on url_hash (SURVEY §7.4)."""
 
     def schedule(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -158,8 +159,14 @@ def _make_scheduler(clock: int, budget: int | None, eu_rate_ref):
         if budget:
             order = order[:budget]
         g = g.take(order).drop_columns(["_old"])
-        t0 = max(clock, eu)
-        slots = t0 + np.arange(g.num_rows, dtype=np.int64) * int(rate)
+        nf = g["next_fetch_ms"].to_numpy(zero_copy_only=False)
+        slots = np.empty(len(nf), dtype=np.int64)
+        t = int(eu)
+        rate = int(rate)
+        for j in range(len(nf)):
+            t = max(t, int(nf[j]))
+            slots[j] = t
+            t += rate
         return g.append_column("fetch_clock_ms", pa.array(slots, pa.int64()))
 
     return schedule
@@ -211,31 +218,38 @@ class _ExpandLinks:
         raw: list[str] = []
         bases: list[str | None] = []
         depths: list[int] = []
+        discovered: list[int] = []
         urls = batch["url"].to_pylist()
         redirects = batch["redirect"].to_pylist()
         links = batch["out_links"].to_pylist()
         parent_depth = batch["depth"].to_pylist()
+        clocks = batch["fetch_clock_ms"].to_pylist()
         for i in range(batch.num_rows):
             d = parent_depth[i] + 1
+            t = clocks[i]
             if redirects[i]:
                 raw.append(redirects[i])
                 bases.append(None)
                 depths.append(d)
+                discovered.append(t)
             for l in links[i] or ():
                 raw.append(l)
                 bases.append(urls[i])
                 depths.append(d)
+                discovered.append(t)
         if not raw:
             return _empty_candidates()
         c = canon_batch(raw, bases)
         depth_arr = np.array(depths, dtype=np.int32)
+        disc_arr = np.array(discovered, dtype=np.int64)
         keep = c["valid"] & (depth_arr <= self.cfg.max_depth)
+        # in-batch pre-dedup keeping min (next_fetch, depth) per hash
         best: dict[str, int] = {}
         hashes = c["url_hash"]
         for i in np.flatnonzero(keep):
             h = hashes[i]
             j = best.get(h)
-            if j is None or depth_arr[i] < depth_arr[j]:
+            if j is None or (disc_arr[i], depth_arr[i]) < (disc_arr[j], depth_arr[j]):
                 best[h] = i
         idx = np.fromiter(best.values(), dtype=np.int64, count=len(best))
         return pa.table(
@@ -245,6 +259,7 @@ class _ExpandLinks:
                 "host": pa.array(c["host"][idx], pa.string()),
                 "root_hash": pa.array(c["root_hash"][idx], pa.string()),
                 "depth": pa.array(depth_arr[idx], pa.int32()),
+                "next_fetch_ms": pa.array(disc_arr[idx], pa.int64()),
             }
         )
 
@@ -257,14 +272,21 @@ def _empty_candidates() -> pa.Table:
             ("host", pa.string()),
             ("root_hash", pa.string()),
             ("depth", pa.int32()),
+            ("next_fetch_ms", pa.int64()),
         ]
     ).empty_table()
 
 
 def _min_depth_group(group: pa.Table) -> pa.Table:
-    m = pc.min_max(group["depth"])["min"]
-    idx = group["depth"].index(m).as_py()
-    return group.slice(idx, 1)
+    """Candidate merge rule: earliest (next_fetch_ms, depth) wins — the same
+    deterministic rule the oracle's pending-merge applies."""
+    if group.num_rows == 1:
+        return group
+    order = pc.sort_indices(
+        group,
+        sort_keys=[("next_fetch_ms", "ascending"), ("depth", "ascending")],
+    )
+    return group.take(order[:1])
 
 
 def _new_ledger_rows(batch: pa.Table, rnd: int) -> pa.Table:
@@ -278,7 +300,7 @@ def _new_ledger_rows(batch: pa.Table, rnd: int) -> pa.Table:
             "depth": batch["depth"],
             "state": pa.array(["NEW"] * n, pa.string()),
             "status": pa.array(np.zeros(n, np.int32), pa.int32()),
-            "next_fetch_ms": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "next_fetch_ms": batch["next_fetch_ms"],
             "error_count": pa.array(np.zeros(n, np.int32), pa.int32()),
             "soft_error_count": pa.array(np.zeros(n, np.int32), pa.int32()),
             "last_ttl_s": pa.array(np.zeros(n, np.int64), pa.int64()),
@@ -383,19 +405,14 @@ class CrawlPipeline:
         """Execute one round; returns the number of fetches performed."""
         cfg = self.cfg
 
-        # clock advance + due-host selection: pure driver bookkeeping over
-        # per-host politeness state (≙ the dequeue query's time gates,
-        # db.c:683-692). Valid because every frontier row has
-        # next_fetch_ms == 0 (NEW/FORCE rows are inserted due immediately).
-        ready = [st[0] for st in self.host_state.values() if st[2] > 0 and st[1] > 0]
-        if not ready:
-            return 0
-        self.clock = max(self.clock, min(ready))
-        clock = self.clock
+        # due-host selection: pure driver bookkeeping over per-host
+        # eligibility counters (≙ the dequeue query's WHERE gates,
+        # db.c:683-692).  Every host with eligible rows is scheduled each
+        # round; causality/politeness live in the per-row slot timestamps.
         due_hosts = {
             h: (st[0], st[1])
             for h, st in self.host_state.items()
-            if st[2] > 0 and st[1] > 0 and st[0] <= clock
+            if st[2] > 0 and st[1] > 0
         }
         if not due_hosts:
             return 0
@@ -407,7 +424,7 @@ class CrawlPipeline:
             _make_due_filter(due_ref, removed_ref), batch_format="pyarrow"
         )
         scheduled = due.groupby("host").map_groups(
-            _make_scheduler(clock, self.budget, due_ref), batch_format="pyarrow"
+            _make_scheduler(self.budget, due_ref), batch_format="pyarrow"
         )
         fetched = scheduled.map_batches(
             make_fetch_fn(self.web_ref, self.robots_ref, cfg),
@@ -476,7 +493,9 @@ class CrawlPipeline:
         ) > 0 or pc.any(pc.not_equal(trans_tbl["redirect"], "")).as_py()
         if has_links:
             cand_src = rd.from_arrow(
-                trans_tbl.select(["url", "redirect", "out_links", "depth"])
+                trans_tbl.select(
+                    ["url", "redirect", "out_links", "depth", "fetch_clock_ms"]
+                )
             )
             rnd = self.round + 1
             fresh = (
