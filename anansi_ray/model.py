@@ -151,7 +151,7 @@ class CrawlConfig:
 
     # [crawler] — parallelism; maps thread count -> actor-pool size
     fetch_concurrency: int = 4
-    fetch_batch_size: int = 256
+    fetch_batch_size: int = 1024
     # politeness (db.c:300: default root rate = 1000 ms)
     default_rate_ms: int = 1000
     #: per-host fetch budget per round (O2 top-k); None = unlimited (each

@@ -277,6 +277,70 @@ def _empty_candidates() -> pa.Table:
     ).empty_table()
 
 
+def _schedule_on_driver(
+    due_tbl: pa.Table, due_hosts: dict, budget: int | None
+) -> pa.Table:
+    """Driver-plane variant of the groupby(host) scheduler: identical O1
+    ordering + causal slot chaining, vectorized sort + one linear pass."""
+    is_old = pc.not_equal(due_tbl["state"], "NEW")
+    g = due_tbl.append_column("_old", is_old)
+    order = pc.sort_indices(
+        g,
+        sort_keys=[
+            ("host", "ascending"),
+            ("_old", "ascending"),
+            ("next_fetch_ms", "ascending"),
+            ("url_hash", "ascending"),
+        ],
+    )
+    g = g.take(order).drop_columns(["_old"])
+    hosts = g["host"].to_pylist()
+    nf = g["next_fetch_ms"].to_numpy(zero_copy_only=False)
+    n = len(hosts)
+    slots = np.empty(n, dtype=np.int64)
+    keep = np.ones(n, dtype=bool)
+    cur = None
+    t = rate = 0
+    k = 0
+    for i in range(n):
+        h = hosts[i]
+        if h != cur:
+            cur = h
+            t, rate = due_hosts[h]
+            k = 0
+        k += 1
+        if budget and k > budget:
+            keep[i] = False
+            continue
+        t = max(t, int(nf[i]))
+        slots[i] = t
+        t += rate
+    g = g.append_column("fetch_clock_ms", pa.array(slots, pa.int64()))
+    if not keep.all():
+        g = g.filter(pa.array(keep))
+    return g
+
+
+def _merge_candidates_on_driver(cand_tbl: pa.Table) -> pa.Table:
+    """Driver-plane variant of the groupby(url_hash) candidate merge:
+    earliest (next_fetch_ms, depth) per hash wins."""
+    order = pc.sort_indices(
+        cand_tbl,
+        sort_keys=[
+            ("url_hash", "ascending"),
+            ("next_fetch_ms", "ascending"),
+            ("depth", "ascending"),
+        ],
+    )
+    t = cand_tbl.take(order)
+    hashes = t["url_hash"].to_pylist()
+    keep = np.ones(len(hashes), dtype=bool)
+    for i in range(1, len(hashes)):
+        if hashes[i] == hashes[i - 1]:
+            keep[i] = False
+    return t.filter(pa.array(keep))
+
+
 def _min_depth_group(group: pa.Table) -> pa.Table:
     """Candidate merge rule: earliest (next_fetch_ms, depth) wins — the same
     deterministic rule the oracle's pending-merge applies."""
@@ -330,12 +394,14 @@ class CrawlPipeline:
         output_dir: str | None = None,
         checkpoint_every: int = 0,
         compact_every: int = 16,
+        driver_plane_threshold: int = 500_000,
     ):
         self.cfg = cfg or CrawlConfig()
         self.budget = budget if budget is not None else self.cfg.per_host_budget
         self.output_dir = output_dir
         self.checkpoint_every = checkpoint_every
         self.compact_every = compact_every
+        self.driver_plane_threshold = driver_plane_threshold
 
         # broadcast the web table as Arrow (plasma zero-copy across workers);
         # combine chunks ONCE here so workers never copy it
@@ -423,9 +489,33 @@ class CrawlPipeline:
         due = self.frontier.map_batches(
             _make_due_filter(due_ref, removed_ref), batch_format="pyarrow"
         )
-        scheduled = due.groupby("host").map_groups(
-            _make_scheduler(self.budget, due_ref), batch_format="pyarrow"
+        # control-plane sizing: the scheduling/merge steps are metadata-only
+        # (no payloads), so below `driver_plane_threshold` eligible rows they
+        # run vectorized on the driver — Ray's sort-based groupby costs ~5 s
+        # of fixed latency per round, which dwarfs small/medium waves.  Above
+        # the threshold the distributed groupby paths take over (the 10^10
+        # shape); both implement the identical ordering/merge rules.
+        eligible_total = sum(
+            st[2] for st in self.host_state.values() if st[1] > 0
         )
+        driver_plane = eligible_total <= self.driver_plane_threshold
+        if driver_plane:
+            due_tbl = _ds_to_table(due)
+            if due_tbl is None:
+                return 0
+            sched_tbl = _schedule_on_driver(due_tbl, due_hosts, self.budget)
+            nslices = max(1, min(64, sched_tbl.num_rows // 512 or 1))
+            step = (sched_tbl.num_rows + nslices - 1) // nslices
+            scheduled = rd.from_arrow(
+                [
+                    sched_tbl.slice(i, step)
+                    for i in range(0, sched_tbl.num_rows, step)
+                ]
+            )
+        else:
+            scheduled = due.groupby("host").map_groups(
+                _make_scheduler(self.budget, due_ref), batch_format="pyarrow"
+            )
         fetched = scheduled.map_batches(
             make_fetch_fn(self.web_ref, self.robots_ref, cfg),
             batch_format="pyarrow",
@@ -436,8 +526,10 @@ class CrawlPipeline:
             batch_format="pyarrow",
         )
 
+        trans = trans.materialize()
+        if getattr(self, "debug_stats", False):
+            print(trans.stats()[:3000], flush=True)
         if self.output_dir:
-            trans = trans.materialize()
             trans.filter(lambda r: r["state"] == "ACCEPTED").map_batches(
                 lambda b: pa.table({"doc_id": b["url_hash"], "spans": b["spans"]}),
                 batch_format="pyarrow",
@@ -450,12 +542,15 @@ class CrawlPipeline:
                 ),
                 batch_format="pyarrow",
             ).write_parquet(os.path.join(self.output_dir, f"cache/round={self.round}"))
-            trans_tbl = _ds_to_table(trans.select_columns(
-                LEDGER_COLS + ["fetch_clock_ms", "redirect", "out_links"]
-            ))
-        else:
-            trans_tbl = _ds_to_table(trans)
 
+        parts = [
+            t.select(LEDGER_COLS + ["fetch_clock_ms", "redirect", "out_links", "spans"])
+            for t in ray.get(trans.to_arrow_refs())
+            if t.num_rows > 0
+        ]
+        trans_tbl = (
+            pa.concat_tables(parts, promote_options="default") if parts else None
+        )
         if trans_tbl is None:
             return 0
         n_fetched = trans_tbl.num_rows
@@ -492,22 +587,31 @@ class CrawlPipeline:
             pc.sum(pc.list_value_length(trans_tbl["out_links"])).as_py() or 0
         ) > 0 or pc.any(pc.not_equal(trans_tbl["redirect"], "")).as_py()
         if has_links:
-            cand_src = rd.from_arrow(
-                trans_tbl.select(
-                    ["url", "redirect", "out_links", "depth", "fetch_clock_ms"]
-                )
-            )
             rnd = self.round + 1
-            fresh = (
-                cand_src.map_batches(_ExpandLinks(cfg), batch_format="pyarrow")
-                .groupby("url_hash")
-                .map_groups(_min_depth_group, batch_format="pyarrow")
-                .map_batches(make_seen_filter(self.seen.shards), batch_format="pyarrow")
-                .map_batches(
-                    lambda b, r=rnd: _new_ledger_rows(b, r), batch_format="pyarrow"
+            if driver_plane:
+                cand_tbl = _ds_to_table(
+                    trans.map_batches(_ExpandLinks(cfg), batch_format="pyarrow")
                 )
-            )
-            new_tbl = _ds_to_table(fresh)
+                new_tbl = None
+                if cand_tbl is not None and cand_tbl.num_rows:
+                    merged = _merge_candidates_on_driver(cand_tbl)
+                    keep = self.seen.add_if_new(merged["url_hash"].to_pylist())
+                    merged = merged.filter(pa.array(keep))
+                    if merged.num_rows:
+                        new_tbl = _new_ledger_rows(merged, rnd)
+            else:
+                fresh = (
+                    trans.map_batches(_ExpandLinks(cfg), batch_format="pyarrow")
+                    .groupby("url_hash")
+                    .map_groups(_min_depth_group, batch_format="pyarrow")
+                    .map_batches(
+                        make_seen_filter(self.seen.shards), batch_format="pyarrow"
+                    )
+                    .map_batches(
+                        lambda b, r=rnd: _new_ledger_rows(b, r), batch_format="pyarrow"
+                    )
+                )
+                new_tbl = _ds_to_table(fresh)
             if new_tbl is not None:
                 for host in pc.unique(new_tbl["host"]).to_pylist():
                     self._ensure_host(host)

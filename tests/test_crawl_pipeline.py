@@ -87,3 +87,22 @@ class TestConformance:
         assert got.num_rows == exp.num_rows
         for col in ("seq", "url_hash", "fetch_clock_ms", "state", "status"):
             assert got[col].to_pylist() == exp[col].to_pylist(), col
+
+    def test_distributed_plane_conformance(self, tiny):
+        """Force the distributed groupby scheduling/merge path (the 10^10
+        shape) and assert it matches the oracle exactly too."""
+        from anansi_ray.pipelines.crawl import CrawlPipeline
+
+        oracle = reference_crawl(tiny, CrawlConfig())
+        pipe = CrawlPipeline(
+            tiny, CrawlConfig(), driver_plane_threshold=0
+        ).run()
+        exp, got = oracle["expected_crawl"], pipe["expected_crawl"]
+        assert got.num_rows == exp.num_rows
+        for col in ("seq", "url_hash", "fetch_clock_ms", "state", "status"):
+            assert got[col].to_pylist() == exp[col].to_pylist(), col
+        exp_l = {
+            (r["url_hash"], r["state"]) for r in oracle["ledger"].to_pylist()
+        }
+        got_l = {(r["url_hash"], r["state"]) for r in pipe["ledger"].to_pylist()}
+        assert got_l == exp_l
