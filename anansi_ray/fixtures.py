@@ -309,9 +309,15 @@ def generate_sized(n_urls: int, n_hosts: int, seed: int = 42) -> dict[str, pa.Ta
         if spans is not None:
             out_links_col[i] = expected_out_links(urls[i], spans, links, AN, lic)
 
+    # last_modified drives the If-Modified-Since / 304 path (fetch.c:89-95):
+    # ~30% of pages were "modified long ago" (tiny offset ⇒ unchanged on
+    # re-fetch ⇒ 304); the rest carry large offsets (changed ⇒ fresh refetch)
+    lm_offset_ms = rng.integers(0, 10**9, n_urls)
+    stale = rng.random(n_urls) < 0.3
+    lm_offset_ms[stale] = rng.integers(0, 5000, int(stale.sum()))
     last_modified = (
         np.datetime64("2020-01-01T00:00:00", "us")
-        + rng.integers(0, 10**6, n_urls) * np.timedelta64(1000000, "us")
+        + lm_offset_ms * np.timedelta64(1000, "us")
     )
 
     from anansi_ray.model import SPAN_TYPE
@@ -370,7 +376,7 @@ def write_fixture(tables: dict[str, pa.Table], out_dir: str) -> None:
 
 def ensure_fixture(scale: str, base_dir: str = "/tmp/anansi_fixtures", seed: int = 42) -> str:
     """Generate-once cache of a fixture scale under /tmp; returns its dir."""
-    out = os.path.join(base_dir, f"{scale}_s{seed}")
+    out = os.path.join(base_dir, f"{scale}_s{seed}_v2")
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):
         write_fixture(generate(scale, seed), out)

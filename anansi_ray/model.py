@@ -182,6 +182,11 @@ class CrawlConfig:
     # limits
     max_depth: int = 64
     max_rounds: int = 1000
+    #: incremental re-crawl horizon (simulated ms): when set, rows whose
+    #: next_fetch falls on or before the horizon are re-fetched after their
+    #: TTL elapses (the reference's unbounded incremental loop, bounded for
+    #: batch execution); None = single-pass crawl.
+    refetch_horizon_ms: int | None = None
     #: dedup / seen-set shards (ST1); shard = shorthash % n
     seen_shards: int = 8
     #: salt width for skewed-host groupby spread (SURVEY §4)

@@ -138,9 +138,14 @@ def reference_crawl(
         # every eligible row of every politeness-enabled host is scheduled
         # each round; causality comes from per-row next_fetch (discovery
         # time) folded into the chained slot times below
+        horizon = cfg.refetch_horizon_ms
         due_by_host: dict[str, list[dict]] = {}
         for r in ledger.values():
-            if r["state"] in ("NEW", "FORCE") and hosts[r["host"]]["rate_ms"] > 0:
+            if hosts[r["host"]]["rate_ms"] <= 0:
+                continue
+            if r["state"] in ("NEW", "FORCE") or (
+                horizon is not None and r["next_fetch_ms"] <= horizon
+            ):
                 due_by_host.setdefault(r["host"], []).append(r)
         if not due_by_host:
             break
@@ -172,7 +177,8 @@ def reference_crawl(
             rec = process_fetch(
                 row["url"], web.get(row["url"]), hosts[row["host"]]["robots"], cfg, prev_upd
             )
-            pstate = state_name(rec["state"])
+            # A2 unchanged leaves the persisted state untouched
+            pstate = row["state"] if rec["unchanged"] else state_name(rec["state"])
             tr = transition_batch(
                 np.array([pstate], dtype=object),
                 np.array([rec["status"]]),

@@ -109,17 +109,19 @@ def _empty_ledger_table() -> pa.Table:
     return LEDGER_SCHEMA.empty_table()
 
 
-def _make_due_filter(due_hosts_ref, removed_ref):
+def _make_due_filter(due_hosts_ref, removed_ref, refetch: bool = False):
     """map_batches fn: keep frontier rows that are due this round — state
-    NEW/FORCE, host in the politeness-ready set, not already fetched
-    (lazy removal) — ≙ the dequeue WHERE clause (db.c:681-692).  Stateless
-    task (not an actor pool): the broadcast refs resolve from the local
-    object store per task."""
+    NEW/FORCE (plus, in refetch mode, any TTL-due row the merge cycled back
+    into the frontier), host in the politeness-ready set, not already
+    fetched (lazy removal) — ≙ the dequeue WHERE clause (db.c:681-692).
+    Stateless task (not an actor pool): the broadcast refs resolve from the
+    local object store per task."""
 
     def due_filter(batch: pa.Table) -> pa.Table:
-        states = batch["state"]
-        mask = pc.or_(pc.equal(states, "NEW"), pc.equal(states, "FORCE"))
-        batch = batch.filter(mask)
+        if not refetch:
+            states = batch["state"]
+            mask = pc.or_(pc.equal(states, "NEW"), pc.equal(states, "FORCE"))
+            batch = batch.filter(mask)
         if batch.num_rows == 0:
             return batch
         due = ray.get(due_hosts_ref)
@@ -487,7 +489,10 @@ class CrawlPipeline:
         removed_ref = ray.put(self.removed)
 
         due = self.frontier.map_batches(
-            _make_due_filter(due_ref, removed_ref), batch_format="pyarrow"
+            _make_due_filter(
+                due_ref, removed_ref, refetch=cfg.refetch_horizon_ms is not None
+            ),
+            batch_format="pyarrow",
         )
         # control-plane sizing: the scheduling/merge steps are metadata-only
         # (no payloads), so below `driver_plane_threshold` eligible rows they
@@ -558,7 +563,19 @@ class CrawlPipeline:
         self.records.append(
             trans_tbl.select(["fetch_clock_ms", "url_hash", "url", "state", "status"])
         )
-        self.archive.append(trans_tbl.select(LEDGER_COLS))
+        horizon = cfg.refetch_horizon_ms
+        back = None
+        if horizon is None:
+            self.archive.append(trans_tbl.select(LEDGER_COLS))
+        else:
+            # incremental mode: rows due again before the horizon cycle back
+            # into the frontier; only beyond-horizon rows retire to the
+            # archive (the reference's unbounded TTL loop, bounded)
+            nf = trans_tbl["next_fetch_ms"]
+            done = trans_tbl.filter(pc.greater(nf, horizon))
+            back = trans_tbl.filter(pc.less_equal(nf, horizon)).select(LEDGER_COLS)
+            if done.num_rows:
+                self.archive.append(done.select(LEDGER_COLS))
         if not self.output_dir and "spans" in trans_tbl.column_names:
             acc = trans_tbl.filter(pc.equal(trans_tbl["state"], "ACCEPTED"))
             if acc.num_rows:
@@ -581,6 +598,17 @@ class CrawlPipeline:
             st[0] = int(tmax) + st[1]
             st[2] -= int(cnt)
         self.removed.update(trans_tbl["url_hash"].to_pylist())
+
+        if back is not None and back.num_rows:
+            # drop the superseded copies now, then re-admit the transitioned
+            # rows that are due again before the horizon
+            self._compact()
+            cnts = back.select(["host"]).group_by("host").aggregate([([], "count_all")])
+            for host, cnt in zip(
+                cnts["host"].to_pylist(), cnts["count_all"].to_pylist()
+            ):
+                self.host_state[host][2] += int(cnt)
+            self.frontier = self.frontier.union(rd.from_arrow(back))
 
         # frontier expansion: links → canonicalize → round-dedup → seen-filter
         has_links = (

@@ -172,6 +172,13 @@ def process_fetch(
 # ---------------------------------------------------------------------------
 
 
+#: fixture timestamps are absolute (2020 epoch); the crawl's simulated clock
+#: starts at 0, so last_modified is normalized onto the same axis — ms since
+#: the fixture's own epoch — making the If-Modified-Since comparison
+#: (fetch.c:89-95) meaningful under simulation.
+FIXTURE_EPOCH_US = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z
+
+
 def _webrow_dicts(tbl: pa.Table) -> dict[str, dict]:
     """Index the web fixture table by canonical URL for O(1) lookup."""
     cols = tbl.to_pydict()
@@ -185,7 +192,9 @@ def _webrow_dicts(tbl: pa.Table) -> dict[str, dict]:
             "content_location": cols["content_location"][i],
             "link_headers": cols["link_headers"][i],
             "payload": cols["payload"][i],
-            "last_modified_ms": None if lm[i] is None else lm[i] // 1000,
+            "last_modified_ms": None
+            if lm[i] is None
+            else (lm[i] - FIXTURE_EPOCH_US) // 1000,
         }
     return out
 
@@ -251,7 +260,9 @@ class _WebTable:
         if tbl.column("url").num_chunks != 1:
             tbl = tbl.combine_chunks()
         self.tbl = tbl
-        self.lm_ms = pc.divide(tbl["last_modified"].cast(pa.int64()), 1000)
+        self.lm_ms = pc.divide(
+            pc.subtract(tbl["last_modified"].cast(pa.int64()), FIXTURE_EPOCH_US), 1000
+        )
         # one-time url -> row-position index per worker process.  This is a
         # key-only dict (NOT a full-row materialization) — ~60 B/URL — and
         # beats pc.index_in, which would rebuild its value-set hash table on
@@ -359,7 +370,9 @@ def fetch_batch(
         payloads[i] = rec["payload"] if rec["fresh"] else None
         spans[i] = rec["spans"]
         out_links[i] = rec["out_links"]
-        states[i] = state_name(rec["state"])
+        # A2 unchanged path leaves the persisted state untouched
+        # (db_unchanged_uristr updates only time/error columns)
+        states[i] = prev_states[i] if rec["unchanged"] else state_name(rec["state"])
         fresh[i] = rec["fresh"]
         unchanged[i] = rec["unchanged"]
 
