@@ -1,0 +1,78 @@
+"""URL-seen set: exact shard pool + cuckoo-filter backend."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from anansi_ray.state.cuckoo import CuckooFilter
+
+
+def _hashes(n, tag=""):
+    return [hashlib.sha256(f"{tag}{i}".encode()).hexdigest()[:32] for i in range(n)]
+
+
+class TestCuckoo:
+    def test_no_false_negatives(self):
+        f = CuckooFilter(capacity=5000)
+        hs = _hashes(4000)
+        for h in hs:
+            assert f.add(h)
+        assert all(f.contains(h) for h in hs)
+
+    def test_add_if_new_contract(self):
+        f = CuckooFilter(capacity=2000)
+        hs = _hashes(1000)
+        first = f.add_if_new(hs)
+        again = f.add_if_new(hs)
+        assert first.sum() >= 995  # tiny FP allowance
+        assert not again.any()
+
+    def test_false_positive_rate_bounded(self):
+        f = CuckooFilter(capacity=20000)
+        f.add_if_new(_hashes(15000, "in"))
+        probe = _hashes(20000, "out")
+        fp = sum(f.contains(h) for h in probe)
+        assert fp / len(probe) < 0.01
+
+    def test_memory_compact(self):
+        f = CuckooFilter(capacity=1_000_000)
+        # 2 B/slot, 4 slots/bucket, power-of-two buckets ⇒ ≤ ~4.4 B/URL
+        assert f.bytes_used <= 4.5 * 1_000_000
+
+    def test_dump_restore(self):
+        f = CuckooFilter(capacity=1000)
+        hs = _hashes(500)
+        f.add_if_new(hs)
+        blob = f.dump()
+        g = CuckooFilter(capacity=1000)
+        g.restore(blob)
+        assert all(g.contains(h) for h in hs)
+        assert g.count == f.count
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactShards:
+    def test_scatter_gather(self):
+        from anansi_ray.state.seen import SeenSet
+
+        s = SeenSet(num_shards=4)
+        hs = _hashes(200)
+        first = s.add_if_new(hs)
+        assert first.all()
+        assert not s.add_if_new(hs).any()
+        assert s.contains(hs).all()
+        assert not s.contains(_hashes(50, "other")).any()
+        assert s.size() == 200
+
+    def test_dump_restore_roundtrip(self):
+        from anansi_ray.state.seen import SeenSet
+
+        s = SeenSet(num_shards=2)
+        hs = _hashes(100)
+        s.add_if_new(hs)
+        blobs = s.dump()
+        t = SeenSet(num_shards=2)
+        t.restore(blobs)
+        assert not t.add_if_new(hs).any()
+        assert t.size() == 100
