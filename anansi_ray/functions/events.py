@@ -43,21 +43,29 @@ def tumbling_window(ds: rd.Dataset, window_us: int = HOUR_US) -> rd.Dataset:
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def merge(group: pa.Table) -> pa.Table:
-        n = int(np.sum(group["n_events"].to_numpy(zero_copy_only=False)))
-        s = float(np.sum(group["sum_value"].to_numpy(zero_copy_only=False)))
+    from ray.data.aggregate import Sum
+
+    merged = partials.groupby(["user_id", "window_us"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "user_id": group["user_id"][:1],
-                "window_us": group["window_us"][:1],
-                "n_events": pa.array([n], pa.int64()),
-                "sum_value": pa.array([round(s, 4)], pa.float64()),
+                "user_id": batch["user_id"],
+                "window_us": batch["window_us"],
+                "n_events": batch["n_events"].cast(pa.int64()),
+                "sum_value": pa.array(
+                    np.round(
+                        batch["sum_value"].to_numpy(zero_copy_only=False), 4
+                    ),
+                    pa.float64(),
+                ),
             }
         )
 
-    return partials.groupby(["user_id", "window_us"]).map_groups(
-        merge, batch_format="pyarrow"
-    )
+    return merged.map_batches(finalize, batch_format="pyarrow")
 
 
 def session_windows(ds: rd.Dataset, gap_us: int = HOUR_US) -> rd.Dataset:
