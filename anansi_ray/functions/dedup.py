@@ -114,12 +114,26 @@ def minhash_signature(text: str) -> np.ndarray:
     return vals.min(axis=1)
 
 
+def minhash_sig_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per batch: one MinHash signature row per doc."""
+    ids = batch["doc_id"].to_pylist()
+    sigs = [minhash_signature(t).astype(np.int64) for t in batch[text_col].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "sig": pa.array(sigs, pa.list_(pa.int64())),
+        }
+    )
+
+
 def minhash_bands_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Per batch: signature per doc, exploded to (band_id, band_hash, doc_id,
-    sig) rows — the pre-shuffle partial of the LSH bucketing."""
+    """Per batch: signatures exploded to (band_id, band_hash, doc_id) rows —
+    the pre-shuffle partial of the LSH bucketing.  Keys only: shipping the
+    full 128-perm signature with every band row would inflate the shuffle
+    32×; verification joins signatures back afterwards."""
     ids = batch["doc_id"].to_pylist()
     sigs = [minhash_signature(t) for t in batch[text_col].to_pylist()]
-    band_ids, band_hashes, doc_ids, sig_col = [], [], [], []
+    band_ids, band_hashes, doc_ids = [], [], []
     for doc, sig in zip(ids, sigs):
         bands = sig.reshape(N_BANDS, ROWS_PER_BAND)
         for b in range(N_BANDS):
@@ -128,46 +142,27 @@ def minhash_bands_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
                 hashlib.blake2b(bands[b].tobytes(), digest_size=8).hexdigest()
             )
             doc_ids.append(doc)
-            sig_col.append(sig.astype(np.int64))
     return pa.table(
         {
             "band_id": pa.array(band_ids, pa.int32()),
             "band_hash": pa.array(band_hashes, pa.string()),
             "doc_id": pa.array(doc_ids),
-            "sig": pa.array(sig_col, pa.list_(pa.int64())),
         }
     )
 
 
 def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Within one LSH bucket: all candidate pairs + signature-estimated
-    Jaccard (the verify step — sig agreement is the standard estimator)."""
+    """Within one LSH bucket: emit candidate pairs (ids only, a < b)."""
     n = group.num_rows
-    empty = pa.table(
-        {
-            "a": pa.array([], pa.int64()),
-            "b": pa.array([], pa.int64()),
-            "est_jaccard": pa.array([], pa.float64()),
-        }
-    )
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     if n < 2:
         return empty
-    ids = np.asarray(group["doc_id"].to_pylist())
-    sigs = np.asarray(group["sig"].to_pylist())  # (n, N_PERM)
-    order = np.argsort(ids)
-    ids, sigs = ids[order], sigs[order]
-    a_l, b_l, j_l = [], [], []
-    for i in range(n):
-        eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-        for off, jac in enumerate(eq):
-            a_l.append(int(ids[i]))
-            b_l.append(int(ids[i + 1 + off]))
-            j_l.append(round(float(jac), 6))
+    ids = np.sort(np.asarray(group["doc_id"].to_pylist(), dtype=np.int64))
+    a_idx, b_idx = np.triu_indices(n, k=1)
     return pa.table(
         {
-            "a": pa.array(a_l, pa.int64()),
-            "b": pa.array(b_l, pa.int64()),
-            "est_jaccard": pa.array(j_l, pa.float64()),
+            "a": pa.array(ids[a_idx], pa.int64()),
+            "b": pa.array(ids[b_idx], pa.int64()),
         }
     )
 
@@ -175,24 +170,75 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
 def minhash_candidate_pairs(
     ds: rd.Dataset, text_col: str = "text", min_jaccard: float = 0.5
 ) -> pa.Table:
-    """MinHash-LSH near-dup candidate pairs (deduped, est_jaccard ≥ τ)."""
+    """MinHash-LSH near-dup pairs: shingle → signature → band buckets →
+    candidate pairs → verify by signature agreement (estimated Jaccard) ≥ τ.
+
+    Verification joins candidates against the signature table via a
+    broadcast (``ray.put`` once) — fine to ~10^7 docs; beyond that the
+    verify becomes a repartition join of (pair → sig) on doc_id, same
+    groupby machinery."""
+    import ray
+
+    sig_ds = ds.map_batches(
+        lambda b: minhash_sig_batch(b, text_col), batch_format="pyarrow"
+    ).materialize()
+
     pairs_ds = (
-        ds.map_batches(lambda b: minhash_bands_batch(b, text_col), batch_format="pyarrow")
+        sig_ds.map_batches(_sigs_to_bands, batch_format="pyarrow")
         .groupby(["band_id", "band_hash"])
         .map_groups(_bucket_pairs, batch_format="pyarrow")
     )
     df = pairs_ds.to_pandas()
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
     if df.empty:
-        return pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "est_jaccard": pa.array([], pa.float64()),
-            }
-        )
-    df = df.groupby(["a", "b"], as_index=False)["est_jaccard"].max()
+        return empty
+    df = df.drop_duplicates(["a", "b"])
+
+    sig_tbl = pa.concat_tables(ray.get(sig_ds.to_arrow_refs()))
+    sig_map = {
+        d: np.asarray(s)
+        for d, s in zip(sig_tbl["doc_id"].to_pylist(), sig_tbl["sig"].to_pylist())
+    }
+    est = np.fromiter(
+        (
+            float((sig_map[a] == sig_map[b]).mean())
+            for a, b in zip(df["a"], df["b"])
+        ),
+        dtype=np.float64,
+        count=len(df),
+    )
+    df = df.assign(est_jaccard=np.round(est, 6))
     df = df[df["est_jaccard"] >= min_jaccard].sort_values(["a", "b"])
+    if df.empty:
+        return empty
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _sigs_to_bands(batch: pa.Table) -> pa.Table:
+    """Explode precomputed signatures to band-key rows."""
+    ids = batch["doc_id"].to_pylist()
+    band_ids, band_hashes, doc_ids = [], [], []
+    for doc, sig in zip(ids, batch["sig"].to_pylist()):
+        bands = np.asarray(sig, dtype=np.uint64).reshape(N_BANDS, ROWS_PER_BAND)
+        for b in range(N_BANDS):
+            band_ids.append(b)
+            band_hashes.append(
+                hashlib.blake2b(bands[b].tobytes(), digest_size=8).hexdigest()
+            )
+            doc_ids.append(doc)
+    return pa.table(
+        {
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(band_hashes, pa.string()),
+            "doc_id": pa.array(doc_ids),
+        }
+    )
 
 
 def connected_components(pairs: pa.Table, all_ids) -> pa.Table:

@@ -1,0 +1,102 @@
+"""Dedup operator tests: exact, MinHash-LSH (planted near-dups), SimHash,
+n-gram Jaccard, connected components."""
+
+import pyarrow as pa
+import pytest
+
+from anansi_ray.functions import dedup as D
+
+
+def _docs_with_planted_dups():
+    base = (
+        "linked open data crawl frontier spider resource graph triple node "
+        "archive media stream fetch cache index shard bucket token host queue "
+        "ledger round manifest checkpoint politeness scheduler actor arrow"
+    )
+    words = base.split()
+    rows = []
+    # 0/1: near-identical (one word changed)
+    rows.append(" ".join(words))
+    rows.append(" ".join(words[:-1] + ["zebra"]))
+    # 2: exact duplicate of 0
+    rows.append(" ".join(words))
+    # 3/4: unrelated
+    rows.append("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    rows.append("one two three four five six seven eight nine ten eleven")
+    # 5: near-dup of 3 (prefix shared)
+    rows.append("alpha beta gamma delta epsilon zeta eta theta iota lambda")
+    return pa.table({"doc_id": list(range(len(rows))), "text": rows})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinhash:
+    def test_planted_pairs_found(self):
+        import ray.data as rd
+
+        ds = rd.from_arrow(_docs_with_planted_dups())
+        pairs = D.minhash_candidate_pairs(ds, min_jaccard=0.5)
+        got = {(a, b) for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist())}
+        assert (0, 2) in got  # exact dup: est_jaccard == 1
+        assert (0, 1) in got or (1, 2) in got  # near dup
+        assert (3, 5) in got
+        assert (3, 4) not in got and (0, 4) not in got
+
+    def test_exact_dup_estimate_is_one(self):
+        import ray.data as rd
+
+        ds = rd.from_arrow(_docs_with_planted_dups())
+        pairs = D.minhash_candidate_pairs(ds, min_jaccard=0.5)
+        by_pair = {
+            (a, b): j
+            for a, b, j in zip(
+                pairs["a"].to_pylist(),
+                pairs["b"].to_pylist(),
+                pairs["est_jaccard"].to_pylist(),
+            )
+        }
+        assert by_pair[(0, 2)] == 1.0
+
+    def test_connected_components(self):
+        pairs = pa.table(
+            {"a": pa.array([0, 1, 3], pa.int64()), "b": pa.array([1, 2, 5], pa.int64())}
+        )
+        cc = D.connected_components(pairs, range(6))
+        groups = dict(zip(cc["doc_id"].to_pylist(), cc["dup_group"].to_pylist()))
+        assert groups[0] == groups[1] == groups[2] == 0
+        assert groups[3] == groups[5] == 3
+        assert groups[4] == 4
+
+
+class TestSignatures:
+    def test_minhash_jaccard_estimate_tracks_truth(self):
+        a = "the quick brown fox jumps over the lazy dog again and again ok"
+        b = "the quick brown fox jumps over the lazy cat again and again ok"
+        sa, sb = D.minhash_signature(a), D.minhash_signature(b)
+        est = (sa == sb).mean()
+        true = D.ngram_jaccard(a, b)
+        assert abs(est - true) < 0.25
+        assert (D.minhash_signature(a) == sa).all()  # deterministic
+
+    def test_simhash_near_for_near_texts(self):
+        a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+        ha, hb = D.simhash64(a), D.simhash64(b)
+        assert bin(ha ^ hb).count("1") <= 16
+        c = "totally different words everywhere nothing shared here at all"
+        assert bin(ha ^ D.simhash64(c)).count("1") > 16
+
+    def test_ngram_jaccard_bounds(self):
+        assert D.ngram_jaccard("a b c d", "a b c d") == 1.0
+        assert D.ngram_jaccard("a b c d", "x y z w") == 0.0
+        assert D.ngram_jaccard("", "") == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_idempotent_on_real_table():
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    once = D.exact_dedup(ds).to_pandas().sort_values("text_hash", ignore_index=True)
+    # dedup of the dedup output keyed the same way is identity-sized
+    assert len(once) == len(once.drop_duplicates("text_hash"))
+    assert once["doc_id"].is_unique
