@@ -518,9 +518,14 @@ class CrawlPipeline:
                 ]
             )
         else:
-            scheduled = due.groupby("host").map_groups(
-                _make_scheduler(self.budget, due_ref), batch_format="pyarrow"
-            )
+            # distributed plane: segmented-scan scheduler — same O1 order and
+            # causal slots, but per-task memory is one batch regardless of
+            # hub-host skew (a groupby(host).map_groups would pin a hub's
+            # whole due set to one task; _make_scheduler remains for that
+            # simpler shape)
+            from anansi_ray.pipelines.scan_scheduler import schedule_scan
+
+            scheduled = schedule_scan(due, due_hosts, self.budget)
         fetched = scheduled.map_batches(
             make_fetch_fn(self.web_ref, self.robots_ref, cfg),
             batch_format="pyarrow",
