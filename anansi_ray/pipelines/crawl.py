@@ -419,12 +419,12 @@ class CrawlPipeline:
             r["host"]: [0, int(r["rate_ms"]), 0] for r in tables["hosts"].to_pylist()
         }
         self.seen = SeenSet(self.cfg.seen_shards)
-        self.clock = 0
         self.round = 0
         self.records: list[pa.Table] = []
         self.docs: list[pa.Table] = []
         self.archive: list[pa.Table] = []  # transitioned ledger rows
         self.removed: set[str] = set()  # fetched hashes pending compaction
+        self.round_metrics: list[dict] = []  # per-round lineage/metrics (A5)
 
         # bootstrap: seeds → frontier rows (S1/S2, ≙ crawler-add, add.c:117-177)
         boot: dict[str, dict] = {}
@@ -471,6 +471,9 @@ class CrawlPipeline:
     # ------------------------------------------------------------------
     def run_round(self) -> int:
         """Execute one round; returns the number of fetches performed."""
+        import time as _time
+
+        _t0 = _time.monotonic()
         cfg = self.cfg
 
         # due-host selection: pure driver bookkeeping over per-host
@@ -616,6 +619,7 @@ class CrawlPipeline:
             self.frontier = self.frontier.union(rd.from_arrow(back))
 
         # frontier expansion: links → canonicalize → round-dedup → seen-filter
+        new_tbl = None
         has_links = (
             pc.sum(pc.list_value_length(trans_tbl["out_links"])).as_py() or 0
         ) > 0 or pc.any(pc.not_equal(trans_tbl["redirect"], "")).as_py()
@@ -625,7 +629,6 @@ class CrawlPipeline:
                 cand_tbl = _ds_to_table(
                     trans.map_batches(_ExpandLinks(cfg), batch_format="pyarrow")
                 )
-                new_tbl = None
                 if cand_tbl is not None and cand_tbl.num_rows:
                     merged = _merge_candidates_on_driver(cand_tbl)
                     keep = self.seen.add_if_new(merged["url_hash"].to_pylist())
@@ -654,6 +657,23 @@ class CrawlPipeline:
                 ):
                     self.host_state[host][2] += int(cnt)
                 self.frontier = self.frontier.union(rd.from_arrow(new_tbl))
+
+        # per-round lineage/metrics row (A5; ≙ thread liveness counters —
+        # here: what a monitoring plane would scrape per round)
+        from collections import Counter as _Counter
+
+        state_counts = _Counter(trans_tbl["state"].to_pylist())
+        self.round_metrics.append(
+            {
+                "round": self.round,
+                "fetches": n_fetched,
+                "new_urls": 0 if new_tbl is None else new_tbl.num_rows,
+                "states": dict(state_counts),
+                "hosts_touched": agg.num_rows,
+                "plane": "driver" if driver_plane else "distributed",
+                "duration_s": round(_time.monotonic() - _t0, 3),
+            }
+        )
 
         self.round += 1
         if self.compact_every and self.round % self.compact_every == 0:
@@ -710,6 +730,7 @@ class CrawlPipeline:
             "ledger": self.ledger_table(),
             "rounds": self.round,
             "fetches": total_fetches,
+            "metrics": list(self.round_metrics),
         }
 
     # ------------------------------------------------------------------
@@ -736,11 +757,11 @@ class CrawlPipeline:
                 f.write(blob)
         manifest = {
             "round": self.round,
-            "clock": self.clock,
             "frontier_rows": frontier_tbl.num_rows,
             "host_state": self.host_state,
             "removed": sorted(self.removed),
             "seen_shards": self.cfg.seen_shards,
+            "round_metrics": self.round_metrics,
         }
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f)
@@ -755,7 +776,7 @@ class CrawlPipeline:
         with open(os.path.join(ckdir, "manifest.json")) as f:
             manifest = json.load(f)
         self.round = manifest["round"]
-        self.clock = manifest["clock"]
+        self.round_metrics = manifest.get("round_metrics", [])
         self.host_state = {h: list(v) for h, v in manifest["host_state"].items()}
         self.removed = set(manifest["removed"])
         self.frontier = rd.from_arrow(
