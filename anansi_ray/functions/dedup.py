@@ -439,3 +439,99 @@ def embedding_near_dup_pairs(
         )
     out = out.sort_values(["a", "b"])
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def embedding_near_dup_lsh(
+    ds: rd.Dataset,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    n_bits: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> pa.Table:
+    """Scale path for embedding near-dup: random-hyperplane LSH bucketing.
+
+    Each vector gets ``n_tables`` signatures of ``n_bits`` sign bits
+    (broadcast projection matrix); vectors sharing a (table, signature)
+    bucket become candidates; candidates are verified by exact cosine
+    within the bucket group.  No all-pairs pass — the only shuffle is the
+    groupby on bucket keys, so this survives corpora where the broadcast
+    matrix of :func:`embedding_near_dup_pairs` cannot fit.
+
+    Approximate: pairs whose vectors collide in no table are missed
+    (recall rises with n_tables; p_miss = (1 - p_same_bucket)^n_tables).
+    """
+    import ray
+
+    # deterministic projection planes; dim inferred from the first row
+    first = ds.limit(1).to_pandas()
+    dim = len(first["embedding"].iloc[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        out_t, out_sig, out_id, out_vec = [], [], [], []
+        for t in range(pl.shape[0]):
+            bits = (mat @ pl[t].T) > 0  # (n, n_bits)
+            sig = bits @ (1 << np.arange(pl.shape[1], dtype=np.int64))
+            out_t.extend([t] * len(ids))
+            out_sig.extend(int(s) for s in sig)
+            out_id.extend(int(i) for i in ids)
+            out_vec.extend(mat.tolist())
+        return pa.table(
+            {
+                "table_id": pa.array(out_t, pa.int32()),
+                "sig": pa.array(out_sig, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "vec": pa.array(out_vec, pa.list_(pa.float64())),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        n = group.num_rows
+        if n < 2:
+            return empty
+        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        mat = np.asarray(group["vec"].to_pylist(), dtype=np.float64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        sims = mat @ mat.T
+        iu, ju = np.triu_indices(n, k=1)
+        hit = sims[iu, ju] >= threshold
+        return pa.table(
+            {
+                "a": pa.array(ids[iu[hit]], pa.int64()),
+                "b": pa.array(ids[ju[hit]], pa.int64()),
+                "cosine": pa.array(np.round(sims[iu[hit], ju[hit]], 6), pa.float64()),
+            }
+        )
+
+    df = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["table_id", "sig"])
+        .map_groups(verify, batch_format="pyarrow")
+        .to_pandas()
+    )
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+    if df.empty:
+        return empty
+    df = df.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -348,6 +348,44 @@ ORDER BY a, b
 """
 
 
+def q_embedding_near_dup_lsh(sf_dir: str):
+    """LSH-bucketed near-dup (scale path; approximate — recall tested vs
+    the exact variant in tests/test_dedup.py)."""
+    return fdedup.embedding_near_dup_lsh(
+        _read(sf_dir, "embeddings"), threshold=NEAR_DUP_TAU
+    )
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact token-3-gram Jaccard verification of the MinHash-LSH candidate
+    pairs (the D-series near-dup verify primitive)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = fdedup.minhash_candidate_pairs(ds, min_jaccard=0.3)
+    texts = dict(
+        zip(
+            *[
+                _read(sf_dir, "documents", ["doc_id", "text"])
+                .to_pandas()[c]
+                .tolist()
+                for c in ("doc_id", "text")
+            ]
+        )
+    )
+    import numpy as np
+
+    jac = [
+        round(fdedup.ngram_jaccard(texts[a], texts[b]), 6)
+        for a, b in zip(cand["a"].to_pylist(), cand["b"].to_pylist())
+    ]
+    return pa.table(
+        {
+            "a": cand["a"],
+            "b": cand["b"],
+            "jaccard": pa.array(jac, pa.float64()),
+        }
+    )
+
+
 def q_knn_ivf(sf_dir: str):
     idx = fsim.IvfIndex(n_cells=8, n_iter=5, seed=42).build(_read(sf_dir, "embeddings"))
     return idx.search(KNN_QUERIES, k=KNN_K, n_probe=4)
@@ -565,6 +603,8 @@ QUERIES = {
     "simhash_near_dup": (q_simhash_near_dup, None),
     "knn_cosine": (q_knn_cosine, SQL_KNN),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
+    "embedding_near_dup_lsh": (q_embedding_near_dup_lsh, None),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, None),
     "knn_ivf": (q_knn_ivf, None),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),

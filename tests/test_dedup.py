@@ -92,6 +92,21 @@ class TestSignatures:
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_embedding_lsh_recall_vs_exact():
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = D.embedding_near_dup_pairs(ds, threshold=0.45)
+    approx = D.embedding_near_dup_lsh(ds, threshold=0.45, n_tables=8, n_bits=6)
+    exact_pairs = set(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
+    approx_pairs = set(zip(approx["a"].to_pylist(), approx["b"].to_pylist()))
+    assert approx_pairs <= exact_pairs  # verify step ⇒ no false positives
+    if exact_pairs:
+        recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
+        assert recall >= 0.7, recall
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_exact_dedup_idempotent_on_real_table():
     import ray.data as rd
 
