@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "media_features",
 ]
 
-CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "small")   # 20k URLs / 50 hosts
+CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
 STAGE_SCALE = os.environ.get("GRAFT_STAGE_SCALE", "bench")   # 200k URLs / 500 hosts
 
 
