@@ -189,8 +189,6 @@ class CrawlConfig:
     refetch_horizon_ms: int | None = None
     #: dedup / seen-set shards (ST1); shard = shorthash % n
     seen_shards: int = 8
-    #: salt width for skewed-host groupby spread (SURVEY §4)
-    host_salt_buckets: int = 4
     # checkpointing
     checkpoint_dir: str = "/tmp/anansi_ray_ckpt"
     # robots.txt handling (engine extension; reference policy hook F3/F4)

@@ -526,6 +526,120 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_events_props(sf_dir: str):
+    """Scalar JSON extraction (the header-dict JSON analogue, §2.10) +
+    grouped aggregate over the extracted value."""
+    import json as _json
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ks = [
+            int(_json.loads(p).get("k", 0)) if p else 0
+            for p in batch["props"].to_pylist()
+        ]
+        return pa.table(
+            {"event_type": batch["event_type"], "k": pa.array(ks, pa.int64())}
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        _read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["sum_k"] = out["sum_k"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out.sort_values("event_type"), preserve_index=False)
+
+
+SQL_EVENTS_PROPS = """
+SELECT event_type,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_order_lineitem_join(sf_dir: str):
+    """Co-partitioned large-large hash join: both sides bucketed on the join
+    key (hash % B), per-bucket pandas merge inside map_groups, partial
+    aggregation inside the bucket, small final combine — the explicit
+    partitioned-join pattern for when neither side fits a broadcast."""
+    B = 32
+
+    def tag_lineitem(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        key = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": b["l_orderkey"],
+                "bucket": pa.array((key % B).astype(np.int32), pa.int32()),
+                "revenue": rev,
+                "o_orderstatus": pa.array([None] * b.num_rows, pa.string()),
+                "side": pa.array(["l"] * b.num_rows, pa.string()),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        key = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": b["o_orderkey"],
+                "bucket": pa.array((key % B).astype(np.int32), pa.int32()),
+                "revenue": pa.array([None] * b.num_rows, pa.float64()),
+                "o_orderstatus": b["o_orderstatus"],
+                "side": pa.array(["o"] * b.num_rows, pa.string()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        tag_lineitem, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        tag_orders, batch_format="pyarrow"
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        left = df[df["side"] == "l"][["key", "revenue"]]
+        right = df[df["side"] == "o"][["key", "o_orderstatus"]]
+        merged = left.merge(right, on="key", how="inner")
+        agg = merged.groupby("o_orderstatus", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("revenue", "size")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = (
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = partials.groupby("o_orderstatus", as_index=False).agg(
+        revenue=("revenue", "sum"), n_items=("n_items", "sum")
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("o_orderstatus"), preserve_index=False
+    )
+
+
+SQL_ORDER_LINEITEM_JOIN = """
+SELECT o_orderstatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_orders_topk(sf_dir: str):
     """Distributed sort + limit (O2/O3 analogue)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
@@ -610,6 +724,8 @@ QUERIES = {
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
+    "order_lineitem_join": (q_order_lineitem_join, SQL_ORDER_LINEITEM_JOIN),
+    "events_props": (q_events_props, SQL_EVENTS_PROPS),
     "orders_topk": (q_orders_topk, SQL_ORDERS_TOPK),
     "media_features": (q_media_features, None),
     "crawl_order": (q_crawl_order, None),
