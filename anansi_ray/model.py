@@ -189,6 +189,9 @@ class CrawlConfig:
     refetch_horizon_ms: int | None = None
     #: dedup / seen-set shards (ST1); shard = shorthash % n
     seen_shards: int = 8
+    #: seen-set backend: "exact" (conformance-grade) or "cuckoo" (compact
+    #: approximate filter, ~2-4 B/URL; rare false positives drop new URLs)
+    seen_backend: str = "exact"
     # checkpointing
     checkpoint_dir: str = "/tmp/anansi_ray_ckpt"
     # robots.txt handling (engine extension; reference policy hook F3/F4)

@@ -418,7 +418,7 @@ class CrawlPipeline:
         self.host_state: dict[str, list[int]] = {
             r["host"]: [0, int(r["rate_ms"]), 0] for r in tables["hosts"].to_pylist()
         }
-        self.seen = SeenSet(self.cfg.seen_shards)
+        self.seen = SeenSet(self.cfg.seen_shards, backend=self.cfg.seen_backend)
         self.round = 0
         self.records: list[pa.Table] = []
         self.docs: list[pa.Table] = []

@@ -25,15 +25,32 @@ import ray
 
 @ray.remote(num_cpus=0)
 class SeenShard:
-    """One shard of the URL-seen set; owns hashes with shorthash % n == id."""
+    """One shard of the URL-seen set; owns hashes with shorthash % n == id.
 
-    def __init__(self, shard_id: int):
+    ``backend="exact"`` (default) keeps exact 16-byte fingerprints — the
+    conformance-grade store.  ``backend="cuckoo"`` swaps in the compact
+    cuckoo filter (state/cuckoo.py, ~2-4 B/URL) for memory-bound frontiers;
+    its rare false positives drop genuinely-new URLs, so it is the
+    approximate option (SURVEY ST1's "cuckoo-filter actors; exact fallback").
+    """
+
+    def __init__(self, shard_id: int, backend: str = "exact", capacity: int = 1_000_000):
         self.shard_id = shard_id
-        self._set: set[bytes] = set()
+        self.backend = backend
+        if backend == "cuckoo":
+            from anansi_ray.state.cuckoo import CuckooFilter
+
+            self._cuckoo = CuckooFilter(capacity=capacity, seed=42 + shard_id)
+            self._set = None
+        else:
+            self._cuckoo = None
+            self._set: set[bytes] | None = set()
 
     def add_if_new(self, fingerprints: list[bytes]) -> np.ndarray:
         """Insert-if-absent (db.c:1210-1234): returns per-item True when the
         fingerprint was new. First occurrence in the list wins."""
+        if self._cuckoo is not None:
+            return self._cuckoo.add_if_new([fp.hex() for fp in fingerprints])
         s = self._set
         out = np.zeros(len(fingerprints), dtype=bool)
         for i, fp in enumerate(fingerprints):
@@ -43,18 +60,31 @@ class SeenShard:
         return out
 
     def contains(self, fingerprints: list[bytes]) -> np.ndarray:
+        if self._cuckoo is not None:
+            return np.fromiter(
+                (self._cuckoo.contains(fp.hex()) for fp in fingerprints),
+                dtype=bool,
+                count=len(fingerprints),
+            )
         s = self._set
         return np.fromiter((fp in s for fp in fingerprints), dtype=bool,
                            count=len(fingerprints))
 
     def size(self) -> int:
+        if self._cuckoo is not None:
+            return self._cuckoo.count
         return len(self._set)
 
     def dump(self) -> bytes:
         """Serialized shard state for round checkpoints."""
+        if self._cuckoo is not None:
+            return self._cuckoo.dump()
         return b"".join(sorted(self._set))
 
     def restore(self, blob: bytes) -> int:
+        if self._cuckoo is not None:
+            self._cuckoo.restore(blob)
+            return self._cuckoo.count
         self._set = {blob[i : i + 16] for i in range(0, len(blob), 16)}
         return len(self._set)
 
@@ -62,9 +92,17 @@ class SeenShard:
 class SeenSet:
     """Driver-side facade over the shard pool."""
 
-    def __init__(self, num_shards: int = 8):
+    def __init__(
+        self,
+        num_shards: int = 8,
+        backend: str = "exact",
+        capacity_per_shard: int = 1_000_000,
+    ):
         self.num_shards = num_shards
-        self.shards = [SeenShard.remote(i) for i in range(num_shards)]
+        self.shards = [
+            SeenShard.remote(i, backend, capacity_per_shard)
+            for i in range(num_shards)
+        ]
 
     def _route(self, url_hashes) -> tuple[list[list[bytes]], list[list[int]]]:
         per_shard_fp: list[list[bytes]] = [[] for _ in range(self.num_shards)]

@@ -76,3 +76,33 @@ class TestExactShards:
         t.restore(blobs)
         assert not t.add_if_new(hs).any()
         assert t.size() == 100
+
+    def test_cuckoo_backend_shards(self):
+        from anansi_ray.state.seen import SeenSet
+
+        s = SeenSet(num_shards=4, backend="cuckoo", capacity_per_shard=10_000)
+        hs = _hashes(2000)
+        first = s.add_if_new(hs)
+        assert first.sum() >= 1990  # tiny FP allowance
+        assert not s.add_if_new(hs).any()
+        blobs = s.dump()
+        t = SeenSet(num_shards=4, backend="cuckoo", capacity_per_shard=10_000)
+        t.restore(blobs)
+        assert not t.add_if_new(hs).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cuckoo_crawl_close_to_exact():
+    """Crawl with the approximate seen backend: fetched set is a subset of
+    the exact crawl's and covers ≥99% of it."""
+    from anansi_ray import fixtures
+    from anansi_ray.model import CrawlConfig
+    from anansi_ray.pipelines.crawl import CrawlPipeline
+
+    tiny = fixtures.generate("tiny", seed=42)
+    exact = CrawlPipeline(tiny, CrawlConfig()).run()
+    approx = CrawlPipeline(tiny, CrawlConfig(seen_backend="cuckoo")).run()
+    e = set(exact["expected_crawl"]["url_hash"].to_pylist())
+    a = set(approx["expected_crawl"]["url_hash"].to_pylist())
+    assert a <= e
+    assert len(a) >= 0.99 * len(e)
