@@ -43,8 +43,10 @@ BENCH_QUERIES = [
     "knn_ivf",
     "events_hourly",
     "events_sessions",
+    "events_props",
     "lineitem_agg",
     "segment_revenue",
+    "order_lineitem_join",
     "orders_topk",
     "media_features",
 ]

@@ -88,6 +88,20 @@ class TestConformance:
         for col in ("seq", "url_hash", "fetch_clock_ms", "state", "status"):
             assert got[col].to_pylist() == exp[col].to_pylist(), col
 
+    def test_plane_crossing_mid_crawl(self, tiny):
+        """Frontier growth crosses the driver/distributed plane threshold
+        mid-crawl; the switch must be seamless (identical rules both sides)."""
+        from anansi_ray.pipelines.crawl import CrawlPipeline
+
+        oracle = reference_crawl(tiny, CrawlConfig())
+        pipe = CrawlPipeline(tiny, CrawlConfig(), driver_plane_threshold=20).run()
+        planes = {m["plane"] for m in pipe["metrics"]}
+        assert planes == {"driver", "distributed"}  # both exercised
+        exp, got = oracle["expected_crawl"], pipe["expected_crawl"]
+        assert got.num_rows == exp.num_rows
+        for col in ("seq", "url_hash", "fetch_clock_ms", "state", "status"):
+            assert got[col].to_pylist() == exp[col].to_pylist(), col
+
     def test_distributed_plane_conformance(self, tiny):
         """Force the distributed groupby scheduling/merge path (the 10^10
         shape) and assert it matches the oracle exactly too."""
