@@ -698,6 +698,29 @@ def q_crawl_documents(sf_dir: str):
     return res.take(order)
 
 
+def q_crawl_doc_pipeline(sf_dir: str):
+    """End-to-end: crawl → interleaved spans → flatten → text quality +
+    token counts + exact-dup fingerprint — the full 'crawl to training
+    data' pipeline over the engine's own output."""
+    from anansi_ray.functions.spans import flatten_spans_batch
+
+    docs = _crawl_results()["documents"]
+    flat = flatten_spans_batch(docs)
+    ds = rd.from_arrow(flat)
+    quality = ds.map_batches(ftext.quality_score_batch, batch_format="pyarrow").to_pandas()
+    tokens = ds.map_batches(ftext.token_count_batch, batch_format="pyarrow").to_pandas()
+    fps = ds.map_batches(ftext.fingerprint_batch, batch_format="pyarrow").to_pandas()
+    out = (
+        flat.select(["doc_id", "n_spans", "n_text_spans", "n_media_spans"])
+        .to_pandas()
+        .merge(quality, on="doc_id")
+        .merge(tokens, on="doc_id")
+        .merge(fps[["doc_id", "fp_md5"]], on="doc_id")
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -730,4 +753,5 @@ QUERIES = {
     "media_features": (q_media_features, None),
     "crawl_order": (q_crawl_order, None),
     "crawl_documents": (q_crawl_documents, None),
+    "crawl_doc_pipeline": (q_crawl_doc_pipeline, None),
 }
