@@ -68,6 +68,65 @@ def tumbling_window(ds: rd.Dataset, window_us: int = HOUR_US) -> rd.Dataset:
     return merged.map_batches(finalize, batch_format="pyarrow")
 
 
+def sliding_window(
+    ds: rd.Dataset, window_us: int = HOUR_US, hop_us: int = HOUR_US // 2
+) -> rd.Dataset:
+    """Sliding (hopping) windows: each event lands in window_us/hop_us
+    overlapping windows; explode per batch, then the same pre-aggregated
+    groupby as the tumbling case."""
+    k = window_us // hop_us
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        vals = batch["value"].to_numpy(zero_copy_only=False)
+        base = (ts // hop_us) * hop_us
+        frames = []
+        for i in range(k):
+            start = base - i * hop_us
+            keep = start >= 0
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": users[keep],
+                        "window_us": start[keep],
+                        "value": vals[keep],
+                    }
+                )
+            )
+        df = pd.concat(frames, ignore_index=True)
+        agg = df.groupby(["user_id", "window_us"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["user_id", "window_us"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "window_us": batch["window_us"],
+                "n_events": batch["n_events"].cast(pa.int64()),
+                "sum_value": pa.array(
+                    np.round(batch["sum_value"].to_numpy(zero_copy_only=False), 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
 def session_windows(ds: rd.Dataset, gap_us: int = HOUR_US) -> rd.Dataset:
     """Gap-based session windows per user: a new session starts when the gap
     since the previous event exceeds ``gap_us``.  groupby(user_id) +

@@ -411,6 +411,23 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_sliding(sf_dir: str):
+    return fevents.sliding_window(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    )
+
+
+SQL_EVENTS_SLIDING = """
+SELECT user_id,
+       ((epoch_us(ts) // 1800000000) - i) * 1800000000 AS window_us,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events, range(2) t(i)
+WHERE ((epoch_us(ts) // 1800000000) - i) * 1800000000 >= 0
+GROUP BY 1, 2
+"""
+
+
 def q_events_sessions(sf_dir: str):
     return fevents.session_windows(
         _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
@@ -744,6 +761,7 @@ QUERIES = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, None),
     "knn_ivf": (q_knn_ivf, None),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
