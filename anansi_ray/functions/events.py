@@ -39,7 +39,7 @@ def tumbling_window(ds: rd.Dataset, window_us: int = HOUR_US) -> rd.Dataset:
         agg = df.groupby(["user_id", "window_us"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum")
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -98,7 +98,7 @@ def sliding_window(
         agg = df.groupby(["user_id", "window_us"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum")
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
 
