@@ -102,6 +102,44 @@ class TestConformance:
         for col in ("seq", "url_hash", "fetch_clock_ms", "state", "status"):
             assert got[col].to_pylist() == exp[col].to_pylist(), col
 
+    def test_license_filter_crawl_conformance(self, tiny):
+        """F7 enabled end-to-end: only whitelisted-license docs ACCEPTED;
+        pipeline still order-exact vs oracle under the altered config."""
+        from anansi_ray.fixtures import LICENSES_OK
+        from anansi_ray.pipelines.crawl import CrawlPipeline
+
+        cfg = CrawlConfig(
+            license_filter_enabled=True, license_whitelist=(LICENSES_OK[0],)
+        )
+        oracle = reference_crawl(tiny, cfg)
+        pipe = CrawlPipeline(tiny, cfg).run()
+        exp, got = oracle["expected_crawl"], pipe["expected_crawl"]
+        assert got.num_rows == exp.num_rows
+        for col in ("seq", "url_hash", "state", "status"):
+            assert got[col].to_pylist() == exp[col].to_pylist(), col
+        states = got["state"].to_pylist()
+        assert states.count("REJECTED") > states.count("ACCEPTED") * 0  # present
+        assert "REJECTED" in states and "ACCEPTED" in states
+        # strictly fewer ACCEPTED than the unfiltered crawl
+        base = reference_crawl(tiny, CrawlConfig())["expected_crawl"]
+        assert states.count("ACCEPTED") < base["state"].to_pylist().count("ACCEPTED")
+
+    def test_content_type_policy_crawl_conformance(self, tiny):
+        """F2 whitelist end-to-end: non-whitelisted types get synthesized
+        406 + SKIPPED; pipeline order-exact vs oracle."""
+        from anansi_ray.pipelines.crawl import CrawlPipeline
+
+        cfg = CrawlConfig(
+            content_type_whitelist=("text/turtle", "application/rdf+xml")
+        )
+        oracle = reference_crawl(tiny, cfg)
+        pipe = CrawlPipeline(tiny, cfg).run()
+        exp, got = oracle["expected_crawl"], pipe["expected_crawl"]
+        assert got.num_rows == exp.num_rows
+        for col in ("seq", "url_hash", "state", "status"):
+            assert got[col].to_pylist() == exp[col].to_pylist(), col
+        assert 406 in got["status"].to_pylist()
+
     def test_distributed_plane_conformance(self, tiny):
         """Force the distributed groupby scheduling/merge path (the 10^10
         shape) and assert it matches the oracle exactly too."""
