@@ -108,6 +108,38 @@ def _payload_ntriples(url, spans, links, license_uri, quads=False) -> str:
     return "\n".join(lines) + "\n"
 
 
+def _ttl_literal(s: str) -> str:
+    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def _payload_turtle(url, spans, links, license_uri) -> str:
+    """Real Turtle with @prefix declarations, prefixed names and ``;``/``,``
+    predicate/object lists — the shape librdf's turtle parser sees in the
+    wild (and the shape of /root/reference/t/wwwroot/index.ttl).  Triple
+    emission order matches the N-Triples layout so the M13 extraction
+    ground truth (expected_out_links) is identical across serializations."""
+    out = [
+        f"@prefix v: <{AN}> .",
+        "@prefix dct: <http://purl.org/dc/terms/> .",
+        "",
+    ]
+    for i, sp in enumerate(spans):
+        out.append(f"<{url}#span-{i}> v:kind {_ttl_literal(sp['kind'])} ;")
+        if sp["text"]:
+            out.append(f"    v:text {_ttl_literal(sp['text'])} ;")
+        if sp["media_ref"]:
+            out.append(f"    v:media_ref {_ttl_literal(sp['media_ref'])} ;")
+        out.append(f"    v:offset {sp['offset']} .")
+    props = []
+    if links:
+        props.append("dct:references " + ", ".join(f"<{l}>" for l in links))
+    if license_uri:
+        props.append(f"dct:license <{license_uri}>")
+    if props:
+        out.append(f"<{url}> " + " ;\n    ".join(props) + " .")
+    return "\n".join(out) + "\n"
+
+
 def _payload_rdfxml(url, spans, links, license_uri) -> str:
     out = [
         '<?xml version="1.0"?>',
@@ -296,7 +328,9 @@ def generate_sized(n_urls: int, n_hosts: int, seed: int = 42) -> dict[str, pa.Ta
         licenses[i] = lic
         ct = ctypes[i].split(";")[0].strip()
         spans = _spans_for(rng, host_of_url[i])
-        if ct in ("text/turtle", "application/n-triples"):
+        if ct == "text/turtle":
+            payloads[i] = _payload_turtle(urls[i], spans, links, lic).encode()
+        elif ct == "application/n-triples":
             payloads[i] = _payload_ntriples(urls[i], spans, links, lic).encode()
         elif ct == "application/n-quads":
             payloads[i] = _payload_ntriples(urls[i], spans, links, lic, quads=True).encode()
@@ -308,6 +342,39 @@ def generate_sized(n_urls: int, n_hosts: int, seed: int = 42) -> dict[str, pa.Ta
         spans_col[i] = spans
         if spans is not None:
             out_links_col[i] = expected_out_links(urls[i], spans, links, AN, lic)
+
+    # raw response header blocks (M5/S4/M8): the wire form every fetch
+    # parses under the 8 KiB cap (fetch.c:28, 497-552).  Built from the
+    # structured columns, which stay as ground truth; formatting variety
+    # (name case, missing space after colon, colon-less lines, repeated
+    # headers) exercises the parser's reference edge rules.
+    _REASON = {
+        200: "OK",
+        301: "Moved Permanently",
+        302: "Found",
+        404: "Not Found",
+        500: "Internal Server Error",
+    }
+    raw_headers: list[str] = []
+    for i in range(n_urls):
+        lines = [f"HTTP/1.1 {status[i]} {_REASON.get(int(status[i]), 'Status')}"]
+        if ctypes[i]:
+            name = "content-type" if i % 9 == 0 else "Content-Type"
+            sep = ":" if i % 11 == 0 else ": "  # exactly-one-space rule
+            lines.append(f"{name}{sep}{ctypes[i]}")
+        if redirect[i]:
+            lines.append(f"Location: {redirect[i]}")
+        if content_location[i]:
+            lines.append(f"Content-Location: {content_location[i]}")
+        for lh in link_headers[i]:
+            lines.append(f"Link: {lh}")
+        lines.append("SERVER: anansi-fixture/1.0" if i % 5 == 0 else "Server: anansi-fixture/1.0")
+        lines.append(f"X-Fixture-Seq: {i}")
+        if i % 7 == 0:
+            lines.append(f"X-Fixture-Seq: {i + 1}")  # repeated header → array
+        if i % 13 == 0:
+            lines.append("malformed-noncolon-line")  # skipped by the parser
+        raw_headers.append("\r\n".join(lines) + "\r\n\r\n")
 
     # last_modified drives the If-Modified-Since / 304 path (fetch.c:89-95):
     # ~30% of pages were "modified long ago" (tiny offset ⇒ unchanged on
@@ -331,6 +398,7 @@ def generate_sized(n_urls: int, n_hosts: int, seed: int = 42) -> dict[str, pa.Ta
             "redirect": pa.array(redirect, pa.string()),
             "content_location": pa.array(content_location, pa.string()),
             "link_headers": pa.array(link_headers, pa.list_(pa.string())),
+            "raw_headers": pa.array(raw_headers, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
             "out_links": pa.array(out_links_col, pa.list_(pa.string())),
             "license": pa.array(licenses, pa.string()),
@@ -376,7 +444,7 @@ def write_fixture(tables: dict[str, pa.Table], out_dir: str) -> None:
 
 def ensure_fixture(scale: str, base_dir: str = "/tmp/anansi_fixtures", seed: int = 42) -> str:
     """Generate-once cache of a fixture scale under /tmp; returns its dir."""
-    out = os.path.join(base_dir, f"{scale}_s{seed}_v2")
+    out = os.path.join(base_dir, f"{scale}_s{seed}_v3")
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):
         write_fixture(generate(scale, seed), out)

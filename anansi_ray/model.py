@@ -102,6 +102,12 @@ DOCUMENT_SCHEMA = pa.schema(
     ]
 )
 
+#: Response header map (M5/S4/M8): the JSON sidecar's ``headers`` member
+#: (p_libcrawl.h:63-74) — status line under the special key ":", one
+#: value-array per as-sent header name, built from the raw header block
+#: with the 8 KiB cap (fetch.c:28, 497-552).
+HEADERS_TYPE = pa.map_(pa.string(), pa.list_(pa.string()))
+
 #: Fetched-object metadata — the Ray-Data equivalent of the JSON sidecar
 #: (/root/reference/libcrawl/p_libcrawl.h:47-75) plus crawl bookkeeping.
 FETCHED_SCHEMA = pa.schema(
@@ -118,6 +124,7 @@ FETCHED_SCHEMA = pa.schema(
         pa.field("redirect", pa.string()),       # canonicalized Location
         pa.field("content_location", pa.string()),  # same-origin checked
         pa.field("link_headers", pa.list_(pa.string())),
+        pa.field("headers", HEADERS_TYPE),
         pa.field("payload", pa.binary()),
         pa.field("spans", pa.list_(SPAN_TYPE)),
         pa.field("state", pa.string()),
@@ -177,6 +184,9 @@ class CrawlConfig:
     ttl_unchanged_error_s: int = 604800  # db.c:1101-1111: error => now+7d
     ttl_accepted_s: int = 86400          # processor.c:213-222
     ttl_not_accepted_s: int = 604800     # processor.c:213-222
+    #: TTL passed by the failed-callback path (uri-policy reject, checkpoint
+    #: reject with nothing cached) — processor.c:261 hardcodes 86400
+    ttl_failed_s: int = 86400
     #: root gate bump after any update: earliest_update = now + 2 s (db.c:1005ff)
     root_gate_bump_ms: int = 2000
     # limits

@@ -177,10 +177,12 @@ def reference_crawl(
             rec = process_fetch(
                 row["url"], web.get(row["url"]), hosts[row["host"]]["robots"], cfg, prev_upd
             )
-            # A2 unchanged leaves the persisted state untouched
+            # A2 unchanged leaves the persisted state AND status untouched
+            # (db_unchanged_uristr, db.c:1077-1126)
             pstate = row["state"] if rec["unchanged"] else state_name(rec["state"])
+            pstatus = row["status"] if rec["unchanged"] else rec["status"]
             tr = transition_batch(
-                np.array([pstate], dtype=object),
+                np.array([rec["ttl_base_s"]], dtype=np.int64),
                 np.array([rec["status"]]),
                 np.array([rec["unchanged"]]),
                 np.array([t], dtype=np.int64),
@@ -191,7 +193,7 @@ def reference_crawl(
             )
             row.update(
                 state=pstate,
-                status=rec["status"],
+                status=pstatus,
                 next_fetch_ms=int(tr["next_fetch_ms"][0]),
                 error_count=int(tr["error_count"][0]),
                 soft_error_count=int(tr["soft_error_count"][0]),

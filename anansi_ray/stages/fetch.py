@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from anansi_ray.canon import canonicalize, DEFAULT_PORTS
-from anansi_ray.model import CrawlConfig, CrawlState, SPAN_TYPE, state_name
+from anansi_ray.model import CrawlConfig, CrawlState, HEADERS_TYPE, SPAN_TYPE, state_name
 from anansi_ray.stages.parse import (
     decompose_spans,
     doc_licenses,
@@ -34,6 +34,7 @@ from anansi_ray.stages.parse import (
     parse_triples,
     parser_for,
 )
+from anansi_ray.stages.turtle import TurtleError
 from anansi_ray.stages.policies import (
     content_type_checkpoint,
     license_policy,
@@ -56,6 +57,81 @@ def is_same_origin(a: str, b: str) -> bool:
     return da == db
 
 
+#: states the failed callback accepts; anything else coerces to FAILED
+#: (processor.c:247-261)
+_FAILED_STATES = (CrawlState.FAILED, CrawlState.REJECTED, CrawlState.SKIPPED)
+
+#: raw header-block byte cap (fetch.c:28 MAX_HEADERS_SIZE); libcurl aborts
+#: the transfer when the accumulated block would exceed it (the header
+#: callback returns 0, fetch.c:270-273), which surfaces as a transport error
+MAX_HEADERS_SIZE = 8192
+
+
+def parse_header_block(raw: str | bytes | None, cap: int = MAX_HEADERS_SIZE):
+    """M5 — raw response header text → ordered (name, [values]) pairs.
+
+    Mirrors ``crawl_generate_info_`` (fetch.c:497-552): the first line is
+    stored under the special key ``":"``; lines without a colon are
+    skipped; exactly ONE whitespace character after the colon is trimmed
+    (fetch.c:532-535); names keep their as-sent case and repeat headers
+    append to the same key's value array.
+
+    Returns ``None`` when the block exceeds ``cap`` bytes — the reference
+    aborts such transfers (fetch.c:270-273), i.e. transport-error
+    semantics, not truncation.
+    """
+    if raw is None:
+        return None
+    data = raw.decode("utf-8", "replace") if isinstance(raw, (bytes, bytearray)) else raw
+    if len(data.encode("utf-8", "surrogateescape")) > cap:
+        return None
+    pairs: list[tuple[str, list[str]]] = []
+    index: dict[str, list[str]] = {}
+    first = True
+    for line in data.split("\n"):
+        line = line.rstrip("\r")
+        if not line:
+            first = False  # blank line: below it would be a next block/body
+            continue
+        if first:
+            pairs.append((":", [line]))
+            index[":"] = pairs[-1][1]
+            first = False
+            continue
+        name, sep, value = line.partition(":")
+        if not sep:
+            continue
+        if value[:1] in (" ", "\t"):
+            value = value[1:]
+        vals = index.get(name)
+        if vals is None:
+            vals = []
+            pairs.append((name, vals))
+            index[name] = vals
+        vals.append(value)
+    return pairs
+
+
+def _header_get(pairs, name: str) -> list[str]:
+    """Case-insensitive multi-value lookup (fetch.c:536-543 strcasecmp)."""
+    low = name.lower()
+    out: list[str] = []
+    for k, vals in pairs:
+        if k.lower() == low:
+            out.extend(vals)
+    return out
+
+
+def _status_from_line(pairs) -> int | None:
+    """HTTP status from the ``":"`` status line (``HTTP/1.1 200 OK``)."""
+    for k, vals in pairs:
+        if k == ":" and vals:
+            parts = vals[0].split()
+            if len(parts) >= 2 and parts[1][:3].isdigit():
+                return int(parts[1][:3])
+    return None
+
+
 def process_fetch(
     url: str,
     webrow: dict | None,
@@ -66,9 +142,23 @@ def process_fetch(
     """Simulate one fetch+process cycle; returns the fetched-record dict.
 
     ``webrow`` is the matching ``web`` fixture row (None = network miss ⇒
-    synthesized 504, fetch.c:148).  ``prev_updated_ms`` is the previous
-    successful fetch clock for the If-Modified-Since / 304 path
-    (fetch.c:72-95, 160-164).
+    synthesized 504, fetch.c:145-151).  ``prev_updated_ms`` is the previous
+    successful fetch clock — non-None means a cached copy exists, driving
+    the If-Modified-Since / rollback protocol (fetch.c:71-95, 155-171).
+
+    The result routes through the reference's three queue paths exactly:
+
+    * **failed callback** (processor.c:247-261): pre-fetch policy reject, or
+      checkpoint reject / rollback with nothing cached — ``ttl_base_s`` =
+      86400, state coerced into {FAILED, REJECTED, SKIPPED}.
+    * **unchanged callback** (fetch.c:239-246 → processor.c:226-240, always
+      error=0): 304, or ≥500 / checkpoint-reject with a cached copy —
+      ``unchanged=True``, ledger state/status untouched by the caller.
+    * **updated callback** (processor.c:156-224): everything committed
+      fresh — 301-303 enqueue their redirect and become SKIPPED; other
+      non-2xx / unknown media types are SKIPPED by the rdf_preprocess gates
+      (rdf.c:161-241); parsed docs pass the LOD license filter to become
+      ACCEPTED (ttl 86400) or REJECTED (ttl 604800).
     """
     rec = {
         "status": 0,
@@ -82,88 +172,146 @@ def process_fetch(
         "fresh": True,
         "unchanged": False,
         "accepted": False,
+        "ttl_base_s": cfg.ttl_not_accepted_s,
+        "headers": None,  # ordered (name, [values]) pairs, ":" = status line
     }
+    cached = prev_updated_ms is not None
 
-    # pre-fetch URI policies (F1 + robots via the F4 hook)
+    # pre-fetch URI policies (F1 + robots via the F4 hook) → failed callback
     st = scheme_policy(url, cfg)
     if st is None:
         st = robots_policy(url, robots_disallow, cfg)
     if st is not None:
-        rec["state"] = st
+        rec["state"] = st if st in _FAILED_STATES else CrawlState.FAILED
+        rec["ttl_base_s"] = cfg.ttl_failed_s
         return rec
 
+    # derive the wire view: raw header block when the fixture carries one
+    # (M5/S4/M8 — parsed with the 8 KiB cap), else the structured columns
+    loc_raw = cl_raw = None
+    link_values: list[str] | None = None
+    payload = None
     if webrow is None:
-        rec["status"] = 504  # synthesized transport error (fetch.c:148)
-        rec["state"] = CrawlState.FAILED
-        return rec
+        # transport error: no headers arrive, status synthesized (fetch.c:148)
+        status = 504
+        rec["content_type"] = ""
+    else:
+        headers = parse_header_block(webrow.get("raw_headers"))
+        if webrow.get("raw_headers") is not None and headers is None:
+            # oversized header block aborts the transfer (fetch.c:270-273)
+            status = 504
+            rec["content_type"] = ""
+            webrow = None
+        else:
+            if headers is not None:
+                rec["headers"] = headers
+                status = _status_from_line(headers)
+                if status is None:
+                    status = int(webrow["status"])
+                ct = _header_get(headers, "Content-Type")
+                rec["content_type"] = ct[0] if ct else ""
+                locs = _header_get(headers, "Location")
+                loc_raw = locs[0] if locs else None
+                cls = _header_get(headers, "Content-Location")
+                cl_raw = cls[0] if cls else None
+                link_values = _header_get(headers, "Link")
+            else:
+                status = int(webrow["status"])
+                rec["content_type"] = webrow.get("content_type") or ""
+                loc_raw = webrow.get("redirect")
+                cl_raw = webrow.get("content_location")
+                link_values = webrow.get("link_headers")
+            payload = webrow.get("payload")
+            # If-Modified-Since → server 304 (fetch.c:89-95 request header,
+            # fetch.c:155-159 rollback on response)
+            lm = webrow.get("last_modified_ms")
+            if cached and lm is not None and status == 200 and lm <= prev_updated_ms:
+                status = 304
+    rec["status"] = status
 
-    status = int(webrow["status"])
-    rec["content_type"] = webrow.get("content_type") or ""
-
-    # If-Modified-Since → 304 unchanged path (C4 rollback: not fresh)
-    lm = webrow.get("last_modified_ms")
-    if (
-        prev_updated_ms is not None
-        and lm is not None
-        and status == 200
-        and lm <= prev_updated_ms
-    ):
-        rec["status"] = 304
+    # C4 rollback protocol: 304, or ≥500 with a cached copy, rolls back to
+    # the cache → unchanged callback (fetch.c:155-171, 239-246)
+    if status == 304 or (status >= 500 and cached):
+        if not cached:  # rollback with nothing cached (fetch.c:219-225)
+            rec["state"] = CrawlState.FAILED
+            rec["ttl_base_s"] = cfg.ttl_failed_s
+            return rec
         rec["fresh"] = False
         rec["unchanged"] = True
+        rec["state"] = CrawlState.SKIPPED  # caller persists the PREVIOUS state
+        return rec
+
+    # checkpoint: content-type policy; 3xx ⇒ SKIPPED_COMMIT (F2)
+    st, status = content_type_checkpoint(status, rec["content_type"], cfg)
+    rec["status"] = status
+    if st is not None and st != CrawlState.SKIPPED_COMMIT:
+        if cached:
+            # checkpoint reject rolls back; a cached copy makes it the
+            # unchanged path (fetch.c:361-366 sets rollback, fetch.c:239-246)
+            rec["fresh"] = False
+            rec["unchanged"] = True
+            rec["state"] = CrawlState.SKIPPED
+            return rec
+        rec["state"] = st if st in _FAILED_STATES else CrawlState.FAILED
+        rec["ttl_base_s"] = cfg.ttl_failed_s
+        return rec
+
+    # committed fresh: the payload is cached whatever the status
+    rec["payload"] = payload
+
+    # updated callback: 301-303 enqueue the redirect target when it differs
+    # from the source URI (processor.c:177-192), then SKIPPED
+    if 300 < status < 304:
+        loc = loc_raw
+        if loc:
+            c = canonicalize(loc, base=url)
+            if c and c != url:
+                rec["redirect"] = c
+        rec["state"] = CrawlState.SKIPPED_COMMIT  # persists as SKIPPED
+        return rec
+
+    # rdf_preprocess gates (F6, rdf.c:161-241): non-2xx and unknown media
+    # types are SKIPPED (ttl 604800), never FAILED
+    if status < 200 or status > 299:
         rec["state"] = CrawlState.SKIPPED
         return rec
 
-    rec["status"] = status
-
-    # checkpoint: content-type policy; 3xx kept for redirect following (F2)
-    st, status = content_type_checkpoint(status, rec["content_type"], cfg)
-    rec["status"] = status
-    if st is not None:
-        if st == CrawlState.SKIPPED_COMMIT:
-            loc = webrow.get("redirect")
-            if loc:
-                c = canonicalize(loc, base=url)
-                rec["redirect"] = c or ""
-            rec["state"] = CrawlState.SKIPPED_COMMIT
-        else:
-            rec["state"] = st
-        return rec
-
-    if status >= 400 or status < 200:
-        rec["state"] = CrawlState.FAILED
-        return rec
-
     # same-origin-checked Content-Location (M6/M7, fetch.c:418-449)
-    cl = webrow.get("content_location")
+    cl = cl_raw
     if cl:
         c = canonicalize(cl, base=url)
         if c and is_same_origin(c, url):
             rec["content_location"] = c
 
-    # processing gates (F6): only 2xx with a known RDF type is parsed
-    rec["payload"] = webrow.get("payload")
     if parser_for(rec["content_type"]) is None:
         rec["state"] = CrawlState.SKIPPED
         return rec
 
-    triples = parse_triples(rec["payload"], rec["content_type"]) or []
+    try:
+        triples = parse_triples(rec["payload"], rec["content_type"], base_url=url) or []
+    except TurtleError:
+        # librdf parse failure ⇒ COS_ERR ⇒ FAILED, no links (rdf.c:295-300,
+        # processor.c:200-203); the payload stays committed
+        rec["state"] = CrawlState.FAILED
+        return rec
     header_triples = parse_link_headers(
-        webrow.get("link_headers"), url, rec["content_location"] or None
+        link_values, url, rec["content_location"] or None
     )
     all_triples = triples + header_triples
 
-    rec["out_links"] = extract_resource_nodes(all_triples)
-    rec["spans"] = decompose_spans(triples, url)
-
+    # the LOD filter runs BEFORE link collection (rdf.c:311-320):
+    # a license-rejected document contributes NO frontier links
     if not license_policy(
         doc_licenses(all_triples, url, rec["content_location"] or None), cfg
     ):
         rec["state"] = CrawlState.REJECTED
         return rec
 
+    rec["out_links"] = extract_resource_nodes(all_triples)
+    rec["spans"] = decompose_spans(triples, url)
     rec["state"] = CrawlState.ACCEPTED
     rec["accepted"] = True
+    rec["ttl_base_s"] = cfg.ttl_accepted_s
     return rec
 
 
@@ -183,6 +331,7 @@ def _webrow_dicts(tbl: pa.Table) -> dict[str, dict]:
     """Index the web fixture table by canonical URL for O(1) lookup."""
     cols = tbl.to_pydict()
     lm = tbl["last_modified"].cast(pa.int64()).to_pylist()  # µs since epoch
+    raw_headers = cols.get("raw_headers", [None] * tbl.num_rows)
     out = {}
     for i, url in enumerate(cols["url"]):
         out[url] = {
@@ -192,6 +341,7 @@ def _webrow_dicts(tbl: pa.Table) -> dict[str, dict]:
             "content_location": cols["content_location"][i],
             "link_headers": cols["link_headers"][i],
             "payload": cols["payload"][i],
+            "raw_headers": raw_headers[i],
             "last_modified_ms": None
             if lm[i] is None
             else (lm[i] - FIXTURE_EPOCH_US) // 1000,
@@ -286,6 +436,11 @@ class _WebTable:
             "content_location": sub["content_location"].to_pylist(),
             "link_headers": sub["link_headers"].to_pylist(),
             "payload": sub["payload"].to_pylist(),
+            "raw_headers": (
+                sub["raw_headers"].to_pylist()
+                if "raw_headers" in sub.column_names
+                else [None] * sub.num_rows
+            ),
             "last_modified_ms": self.lm_ms.take(hits).to_pylist(),
         }
         hit_pos = np.cumsum(valid) - 1  # position into `cols` for each hit
@@ -324,6 +479,9 @@ def fetch_batch(
     prev_states = (
         batch["state"].to_pylist() if "state" in batch.column_names else ["NEW"] * n
     )
+    prev_status = (
+        batch["status"].to_pylist() if "status" in batch.column_names else [0] * n
+    )
 
     status = np.zeros(n, dtype=np.int32)
     ctype = [""] * n
@@ -335,6 +493,9 @@ def fetch_batch(
     states = [""] * n
     fresh = np.ones(n, dtype=bool)
     unchanged = np.zeros(n, dtype=bool)
+    ttl_base = np.zeros(n, dtype=np.int64)
+    ledger_status = np.zeros(n, dtype=np.int32)
+    headers_col: list = [None] * n
 
     if isinstance(web, _WebTable):
         valid, hit_pos, cols = web.lookup(urls)
@@ -345,6 +506,7 @@ def fetch_batch(
             "content_location",
             "link_headers",
             "payload",
+            "raw_headers",
             "last_modified_ms",
         )
 
@@ -370,11 +532,14 @@ def fetch_batch(
         payloads[i] = rec["payload"] if rec["fresh"] else None
         spans[i] = rec["spans"]
         out_links[i] = rec["out_links"]
-        # A2 unchanged path leaves the persisted state untouched
+        # A2 unchanged path leaves the persisted state AND status untouched
         # (db_unchanged_uristr updates only time/error columns)
         states[i] = prev_states[i] if rec["unchanged"] else state_name(rec["state"])
+        ledger_status[i] = prev_status[i] if rec["unchanged"] else rec["status"]
         fresh[i] = rec["fresh"]
         unchanged[i] = rec["unchanged"]
+        ttl_base[i] = rec["ttl_base_s"]
+        headers_col[i] = rec["headers"]
 
     cols = {name: batch[name] for name in batch.column_names}
     cols.update(
@@ -392,6 +557,9 @@ def fetch_batch(
             "state": pa.array(states, pa.string()),
             "fresh": pa.array(fresh, pa.bool_()),
             "unchanged": pa.array(unchanged, pa.bool_()),
+            "ttl_base_s": pa.array(ttl_base, pa.int64()),
+            "ledger_status": pa.array(ledger_status, pa.int32()),
+            "headers": pa.array(headers_col, HEADERS_TYPE),
         }
     )
     return pa.table(cols)

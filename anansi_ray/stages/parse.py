@@ -90,13 +90,30 @@ def parser_for(content_type: str | None) -> str | None:
     return RDF_PARSER_BY_TYPE.get(normalize_content_type(content_type))
 
 
-def parse_triples(payload: bytes | str | None, content_type: str | None) -> list[Triple] | None:
-    """M11 — parse a payload by media type; None when no parser applies."""
+def parse_triples(
+    payload: bytes | str | None,
+    content_type: str | None,
+    base_url: str | None = None,
+) -> list[Triple] | None:
+    """M11 — parse a payload by media type; None when no parser applies.
+
+    ``turtle`` (text/turtle, text/n3) uses the real Turtle parser
+    (stages/turtle.py — prefixes, pname expansion, ``;``/``,`` lists, blank
+    nodes, collections, typed/lang literals), matching librdf's dispatch
+    (rdf.c:208-239); ``ntriples``/``nquads`` keep the regex line parser
+    fast path.  A malformed document raises :class:`TurtleError`, which the
+    fetch kernel maps to COS_FAILED like librdf's parse failure
+    (rdf.c:295-300 → processor.c:200-203).
+    """
     name = parser_for(content_type)
     if name is None or payload is None:
         return None
     text = payload.decode("utf-8", "replace") if isinstance(payload, (bytes, bytearray)) else payload
-    if name in ("turtle", "ntriples", "nquads"):
+    if name == "turtle":
+        from anansi_ray.stages.turtle import parse_turtle
+
+        return parse_turtle(text, base=base_url)
+    if name in ("ntriples", "nquads"):
         return parse_ntriples(text)
     if name == "rdfxml":
         return parse_rdfxml(text)
@@ -149,11 +166,13 @@ def parse_link_headers(
 
 def extract_resource_nodes(triples: list[Triple]) -> list[str]:
     """M13 — every resource-node URI in s/p/o position, deduped keeping the
-    first occurrence in document order (rdf.c:601-635 dedup scan).
+    first occurrence in document order (rdf.c:601-635 dedup scan).  Blank
+    nodes are not resources and never enqueue (rdf.c:607-611 checks
+    ``librdf_node_is_resource``).
     """
     seen: dict[str, None] = {}
     for s, p, o, o_res in triples:
-        if s not in seen:
+        if s not in seen and not s.startswith("_:"):
             seen[s] = None
         if p not in seen:
             seen[p] = None

@@ -28,12 +28,17 @@ from anansi_ray.model import CrawlConfig, CrawlState
 
 
 def scheme_policy(url: str, cfg: CrawlConfig) -> CrawlState | None:
-    """F1 — returns a terminal state, or None to continue."""
+    """F1 — returns a terminal state, or None to continue.
+
+    Whitelist is evaluated BEFORE blacklist (schemes.c:141-168): a scheme
+    that is blacklisted but also missing from a non-empty whitelist yields
+    SKIPPED, not REJECTED.
+    """
     scheme = url.split(":", 1)[0].lower()
-    if scheme in (s.lower() for s in cfg.scheme_blacklist):
-        return CrawlState.REJECTED
     if cfg.scheme_whitelist and scheme not in (s.lower() for s in cfg.scheme_whitelist):
         return CrawlState.SKIPPED
+    if scheme in (s.lower() for s in cfg.scheme_blacklist):
+        return CrawlState.REJECTED
     return None
 
 
@@ -54,17 +59,21 @@ def content_type_checkpoint(
     """F2 — returns (terminal state or None, possibly-overridden status).
 
     3xx ⇒ SKIPPED_COMMIT (redirect kept, body not processed); whitelist miss
-    ⇒ (SKIPPED, 406); blacklist hit ⇒ (REJECTED, 406).
+    ⇒ (SKIPPED, 406); blacklist hit ⇒ (REJECTED, 406).  Whitelist is
+    evaluated BEFORE blacklist (content-types.c:191-224).  Deliberate
+    deviation: the reference's ``n = c`` bookkeeping makes a whitelist
+    match at index 0 count as a miss (content-types.c:196-203); we treat
+    any whitelist match as a pass.
     """
     if 300 <= status < 400:
         return CrawlState.SKIPPED_COMMIT, status
     ct = normalize_content_type(content_type)
-    if ct and ct in (t.lower() for t in cfg.content_type_blacklist):
-        return CrawlState.REJECTED, 406
     if cfg.content_type_whitelist and ct not in (
         t.lower() for t in cfg.content_type_whitelist
     ):
         return CrawlState.SKIPPED, 406
+    if ct and ct in (t.lower() for t in cfg.content_type_blacklist):
+        return CrawlState.REJECTED, 406
     return None, status
 
 

@@ -22,6 +22,20 @@ _SLOTS = 4
 _MAX_KICKS = 500
 
 
+#: standard cuckoo-filter stash: kick-exhausted victims park here instead of
+#: being dropped (which would create FALSE NEGATIVES — an already-seen URL
+#: passing add_if_new and being re-crawled).  A handful of entries suffices
+#: at 95% load; beyond this the filter reports over-full and the owning
+#: shard falls back to exact storage.
+_MAX_STASH = 64
+
+#: 64-bit odd mixing constant for the partner-index hash of a fingerprint
+#: (plain Python ints — numpy uint64 scalar multiplies emit overflow
+#: RuntimeWarnings even though wraparound is intended)
+_MIX = 0x9E3779B97F4A7C15
+_MASK64 = (1 << 64) - 1
+
+
 class CuckooFilter:
     def __init__(self, capacity: int, seed: int = 42):
         n_buckets = 1
@@ -31,8 +45,9 @@ class CuckooFilter:
         self.table = np.zeros((n_buckets, _SLOTS), dtype=np.uint16)
         self.count = 0
         self._rng = np.random.default_rng(seed)
-        # mixing constant for the partner-index hash of a fingerprint
-        self._mix = np.uint64(0x9E3779B97F4A7C15)
+        #: (bucket_index, fingerprint) pairs whose insertion exhausted the
+        #: kick budget; membership checks consult this alongside the table
+        self.stash: set[tuple[int, int]] = set()
 
     # -- key decomposition ------------------------------------------------
     def _parts(self, url_hash_hex: str) -> tuple[int, int]:
@@ -43,17 +58,24 @@ class CuckooFilter:
         return fp, i1
 
     def _partner(self, i: int, fp: int) -> int:
-        h = (np.uint64(fp) * self._mix) >> np.uint64(32)
-        return (i ^ int(h)) & (self.n_buckets - 1)
+        h = ((fp * _MIX) & _MASK64) >> 32
+        return (i ^ h) & (self.n_buckets - 1)
 
     # -- single-item ops --------------------------------------------------
     def contains(self, url_hash_hex: str) -> bool:
         fp, i1 = self._parts(url_hash_hex)
         i2 = self._partner(i1, fp)
-        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+        if (self.table[i1] == fp).any() or (self.table[i2] == fp).any():
+            return True
+        # a stashed victim's recorded index is one of ITS buckets, which for
+        # an equal fingerprint is one of {i1, i2} (partner() is an involution)
+        return bool(self.stash) and (
+            (i1, fp) in self.stash or (i2, fp) in self.stash
+        )
 
     def add(self, url_hash_hex: str) -> bool:
-        """Insert; returns False only if the filter is over-full."""
+        """Insert; returns False only if the filter is over-full (table AND
+        stash exhausted)."""
         fp, i1 = self._parts(url_hash_hex)
         i2 = self._partner(i1, fp)
         for i in (i1, i2):
@@ -75,6 +97,12 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.count += 1
                 return True
+        # kick budget exhausted: park the last evicted victim in the stash
+        # so no previously-inserted key ever reads as absent
+        if len(self.stash) < _MAX_STASH:
+            self.stash.add((i, fp))
+            self.count += 1
+            return True
         return False
 
     def add_if_new(self, url_hashes: list[str]) -> np.ndarray:
@@ -88,14 +116,21 @@ class CuckooFilter:
 
     # -- persistence ------------------------------------------------------
     def dump(self) -> bytes:
-        return self.table.tobytes()
+        # layout: [uint64 n_stash][n_stash × (uint64 idx, uint64 fp)][table]
+        head = np.array([len(self.stash)], dtype=np.uint64).tobytes()
+        stash = np.array(sorted(self.stash), dtype=np.uint64).tobytes()
+        return head + stash + self.table.tobytes()
 
     def restore(self, blob: bytes) -> None:
-        self.table = np.frombuffer(blob, dtype=np.uint16).reshape(
+        n_stash = int(np.frombuffer(blob[:8], dtype=np.uint64)[0])
+        off = 8 + n_stash * 16
+        pairs = np.frombuffer(blob[8:off], dtype=np.uint64).reshape(-1, 2)
+        self.stash = {(int(i), int(fp)) for i, fp in pairs}
+        self.table = np.frombuffer(blob[off:], dtype=np.uint16).reshape(
             -1, _SLOTS
         ).copy()
         self.n_buckets = self.table.shape[0]
-        self.count = int((self.table != 0).sum())
+        self.count = int((self.table != 0).sum()) + len(self.stash)
 
     @property
     def bytes_used(self) -> int:

@@ -66,7 +66,7 @@ class TestEdges:
         pipe = CrawlPipeline(t, CrawlConfig()).run()
         # seed + extracted predicate URI + extracted object URI
         assert pipe["fetches"] == oracle["expected_crawl"].num_rows == 3
-        # unknown.example + p host fetched (miss ⇒ 504 FAILED)
+        # unknown.example + p host fetched (miss ⇒ 504, committed → SKIPPED)
         states = dict(
             zip(
                 pipe["expected_crawl"]["url"].to_pylist(),
@@ -94,5 +94,7 @@ class TestEdges:
         res = CrawlPipeline(t, CrawlConfig()).run()
         assert res["fetches"] == 2
         assert res["documents"] is None
+        # plain HTTP errors commit fresh and are SKIPPED by the
+        # rdf_preprocess gates (rdf.c:169-174), never FAILED
         states = set(res["expected_crawl"]["state"].to_pylist())
-        assert states == {"FAILED"}
+        assert states == {"SKIPPED"}

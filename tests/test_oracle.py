@@ -69,7 +69,10 @@ class TestOracle:
 
     def test_states_present(self, crawl):
         states = set(crawl["expected_crawl"]["state"].to_pylist())
-        assert {"ACCEPTED", "FAILED", "SKIPPED"} <= states
+        # FAILED is deliberately absent: plain HTTP errors are SKIPPED via
+        # the rdf_preprocess gates (rdf.c:169-174); FAILED needs an I/O-level
+        # commit failure, which the table-backed fetch cannot produce
+        assert {"ACCEPTED", "REJECTED", "SKIPPED"} <= states
 
     def test_seq_is_clock_then_hash(self, crawl):
         rows = crawl["expected_crawl"].to_pylist()

@@ -161,3 +161,148 @@ class TestFixtureConsistency:
         hosts = tiny["web"]["host"].to_pylist()
         hub = sum(1 for h in hosts if h in ("h0.example.org", "h1.example.org"))
         assert hub >= tiny["web"].num_rows * 0.4
+
+
+class TestTurtle:
+    """Real Turtle parser (M11) — table-driven cases pinned to librdf's
+    turtle grammar surface (rdf.c:208-239 dispatches text/turtle and
+    text/n3 here)."""
+
+    def test_prefix_only_doc_yields_zero_triples(self):
+        # shaped like the reference's own fixture (t/wwwroot/index.ttl:1-6)
+        doc = (
+            "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n"
+            "@prefix dct: <http://purl.org/dc/terms/> .\n"
+        )
+        from anansi_ray.stages.turtle import parse_turtle
+
+        assert parse_turtle(doc) == []
+        ref = "/root/reference/t/wwwroot/index.ttl"
+        import os
+
+        if os.path.exists(ref):
+            with open(ref) as f:
+                assert parse_turtle(f.read()) == []
+
+    @pytest.mark.parametrize(
+        "doc,expected",
+        [
+            # prefixed names + 'a' keyword
+            (
+                "@prefix ex: <http://e/> . ex:s a ex:T .",
+                [("http://e/s", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://e/T", True)],
+            ),
+            # SPARQL-style PREFIX (no dot)
+            (
+                "PREFIX ex: <http://e/>\nex:s ex:p ex:o .",
+                [("http://e/s", "http://e/p", "http://e/o", True)],
+            ),
+            # predicate list ';' and object list ','
+            (
+                "@prefix e: <http://e/> . e:s e:p e:a, e:b ; e:q \"x\" .",
+                [
+                    ("http://e/s", "http://e/p", "http://e/a", True),
+                    ("http://e/s", "http://e/p", "http://e/b", True),
+                    ("http://e/s", "http://e/q", "x", False),
+                ],
+            ),
+            # typed / lang literals keep the lexical form
+            (
+                '@prefix e: <http://e/> . e:s e:p "5"^^<http://www.w3.org/2001/XMLSchema#int> ; e:q "hi"@en-GB .',
+                [
+                    ("http://e/s", "http://e/p", "5", False),
+                    ("http://e/s", "http://e/q", "hi", False),
+                ],
+            ),
+            # bare numerics and booleans
+            (
+                "@prefix e: <http://e/> . e:s e:p 42 ; e:q 3.14 ; e:r true .",
+                [
+                    ("http://e/s", "http://e/p", "42", False),
+                    ("http://e/s", "http://e/q", "3.14", False),
+                    ("http://e/s", "http://e/r", "true", False),
+                ],
+            ),
+            # @base resolution of relative IRIs
+            (
+                "@base <http://b.org/dir/> . <x> <p> <../y> .",
+                [("http://b.org/dir/x", "http://b.org/dir/p", "http://b.org/y", True)],
+            ),
+            # blank node label + anonymous property list (inner first)
+            (
+                "@prefix e: <http://e/> . _:m e:p [ e:q e:o ] .",
+                [
+                    ("_:b1", "http://e/q", "http://e/o", True),
+                    ("_:m", "http://e/p", "_:b1", False),
+                ],
+            ),
+            # long literal with embedded newline + escaped quote
+            (
+                '@prefix e: <http://e/> . e:s e:p """l1\n"l2""" .',
+                [("http://e/s", "http://e/p", 'l1\n"l2', False)],
+            ),
+            # comments anywhere
+            (
+                "# top\n@prefix e: <http://e/> . # mid\ne:s e:p e:o . # end",
+                [("http://e/s", "http://e/p", "http://e/o", True)],
+            ),
+            # N-Triples is a Turtle subset
+            (
+                "<http://a/> <http://p/> <http://b/> .\n",
+                [("http://a/", "http://p/", "http://b/", True)],
+            ),
+        ],
+    )
+    def test_table_driven(self, doc, expected):
+        from anansi_ray.stages.turtle import parse_turtle
+
+        assert parse_turtle(doc) == expected
+
+    def test_collection_emits_rdf_list(self):
+        from anansi_ray.stages.turtle import RDF_FIRST, RDF_NIL, RDF_REST, parse_turtle
+
+        got = parse_turtle("@prefix e: <http://e/> . e:s e:p ( e:a e:b ) .")
+        firsts = [t for t in got if t[1] == RDF_FIRST]
+        rests = [t for t in got if t[1] == RDF_REST]
+        assert [t[2] for t in firsts] == ["http://e/a", "http://e/b"]
+        assert rests[-1][2] == RDF_NIL
+
+    def test_malformed_raises(self):
+        from anansi_ray.stages.turtle import TurtleError, parse_turtle
+
+        for doc in (
+            "ex:s ex:p ex:o .",            # undefined prefix
+            "@prefix e: <http://e/> . e:s e:p .",  # missing object
+            "<http://a/> <http://p/> <http://b/>",  # missing final dot
+        ):
+            with pytest.raises(TurtleError):
+                parse_turtle(doc)
+
+    def test_malformed_payload_maps_to_failed(self):
+        # librdf parse failure ⇒ COS_ERR ⇒ FAILED (rdf.c:295-300)
+        from anansi_ray.model import CrawlConfig, CrawlState
+        from anansi_ray.stages.fetch import process_fetch
+
+        rec = process_fetch(
+            "http://x/",
+            {
+                "status": 200,
+                "content_type": "text/turtle",
+                "redirect": None,
+                "content_location": None,
+                "link_headers": [],
+                "payload": b"@prefix broken",
+                "last_modified_ms": None,
+            },
+            None,
+            CrawlConfig(),
+        )
+        assert rec["state"] == CrawlState.FAILED
+        assert rec["out_links"] == [] and rec["payload"] is not None
+
+    def test_turtle_dispatch_via_content_type(self):
+        # text/turtle and text/n3 route to the real parser now
+        doc = b"@prefix e: <http://e/> . e:s e:p e:o ."
+        for ct in ("text/turtle", "text/n3", "text/turtle; charset=utf-8"):
+            got = parse_triples(doc, ct)
+            assert got == [("http://e/s", "http://e/p", "http://e/o", True)], ct

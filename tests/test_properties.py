@@ -58,7 +58,7 @@ class TestCanonProperties:
 
 class TestTransitionProperties:
     @given(
-        st.sampled_from(["ACCEPTED", "FAILED", "REJECTED", "SKIPPED"]),
+        st.sampled_from([86400, 604800]),  # A3 base / failed-callback base
         st.integers(0, 599),
         st.booleans(),
         st.integers(0, 10**9),
@@ -67,10 +67,10 @@ class TestTransitionProperties:
     )
     @settings(max_examples=300, deadline=None)
     def test_next_fetch_always_future_and_counters_bounded(
-        self, state, status, unchanged, clock, pe, ps
+        self, ttl_base, status, unchanged, clock, pe, ps
     ):
         tr = transition_batch(
-            np.array([state], dtype=object),
+            np.array([ttl_base], dtype=np.int64),
             np.array([status]),
             np.array([unchanged]),
             np.array([clock], dtype=np.int64),
