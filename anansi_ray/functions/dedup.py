@@ -167,57 +167,179 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
     )
 
 
+def _dedup_pairs(pairs_ds: rd.Dataset) -> rd.Dataset:
+    """Distributed pair dedup: the same (a, b) may surface from several LSH
+    buckets; keep one row per pair (groupby on the pair key)."""
+
+    def first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return pairs_ds.groupby(["a", "b"]).map_groups(first, batch_format="pyarrow")
+
+
+def attach_pair_values(
+    pairs_ds: rd.Dataset, values_ds: rd.Dataset, key_col: str, val_col: str, val_type
+) -> rd.Dataset:
+    """Repartition join of candidate pairs against a per-doc value table.
+
+    ``pairs_ds`` rows are ``(a, b)``; ``values_ds`` rows are
+    ``(key_col, val_col)``.  Returns ``(a, b, val_a, val_b)``.
+
+    Distributed shape (the ~10^9-doc path — nothing touches the driver):
+
+    1. explode each pair to two endpoint rows ``(k=a, slot=0)`` /
+       ``(k=b, slot=1)`` carrying the pair identity,
+    2. union with the value table tagged ``slot=-1``,
+    3. ``groupby(k)`` — each group holds one value row + every endpoint
+       row of that doc; stamp the value onto the endpoints,
+    4. ``groupby(a, b)`` — the two stamped endpoints reunite into one
+       ``(a, b, val_a, val_b)`` row.
+
+    Both shuffle keys (doc id, pair id) are uniform by construction.
+    Values of any Arrow type work (unlike Acero hash joins, which reject
+    list-typed payloads).
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        a, b = batch["a"], batch["b"]
+        return pa.table(
+            {
+                "k": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "a": pa.concat_arrays([a.combine_chunks()] * 2),
+                "b": pa.concat_arrays([b.combine_chunks()] * 2),
+                "slot": pa.array([0] * n + [1] * n, pa.int8()),
+                "val": pa.nulls(2 * n, val_type),
+            }
+        )
+
+    def tag_values(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "k": batch[key_col],
+                "a": pa.nulls(n, pa.int64()),
+                "b": pa.nulls(n, pa.int64()),
+                "slot": pa.array(np.full(n, -1, np.int8()), pa.int8()),
+                "val": batch[val_col].cast(val_type),
+            }
+        )
+
+    def stamp(group: pa.Table) -> pa.Table:
+        slots = group["slot"].to_numpy(zero_copy_only=False)
+        val_rows = np.flatnonzero(slots == -1)
+        pair_rows = np.flatnonzero(slots >= 0)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "slot": pa.array([], pa.int8()),
+                "val": pa.nulls(0, val_type),
+            }
+        )
+        if len(val_rows) == 0 or len(pair_rows) == 0:
+            return empty
+        val = group["val"].take(pa.array([val_rows[0]] * len(pair_rows), pa.int64()))
+        sub = group.take(pa.array(pair_rows, pa.int64()))
+        return pa.table(
+            {"a": sub["a"], "b": sub["b"], "slot": sub["slot"], "val": val}
+        )
+
+    def reunite(group: pa.Table) -> pa.Table:
+        slots = group["slot"].to_pylist()
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "val_a": pa.nulls(0, val_type),
+                "val_b": pa.nulls(0, val_type),
+            }
+        )
+        try:
+            i0, i1 = slots.index(0), slots.index(1)
+        except ValueError:
+            return empty  # endpoint missing from the value table
+        return pa.table(
+            {
+                "a": group["a"].slice(0, 1),
+                "b": group["b"].slice(0, 1),
+                "val_a": group["val"].take(pa.array([i0], pa.int64())),
+                "val_b": group["val"].take(pa.array([i1], pa.int64())),
+            }
+        )
+
+    endpoints = pairs_ds.map_batches(explode, batch_format="pyarrow")
+    tagged = values_ds.map_batches(tag_values, batch_format="pyarrow")
+    stamped = endpoints.union(tagged).groupby("k").map_groups(
+        stamp, batch_format="pyarrow"
+    )
+    return stamped.groupby(["a", "b"]).map_groups(reunite, batch_format="pyarrow")
+
+
 def minhash_candidate_pairs(
     ds: rd.Dataset, text_col: str = "text", min_jaccard: float = 0.5
 ) -> pa.Table:
     """MinHash-LSH near-dup pairs: shingle → signature → band buckets →
     candidate pairs → verify by signature agreement (estimated Jaccard) ≥ τ.
 
-    Verification joins candidates against the signature table via a
-    broadcast (``ray.put`` once) — fine to ~10^7 docs; beyond that the
-    verify becomes a repartition join of (pair → sig) on doc_id, same
-    groupby machinery."""
-    import ray
-
+    Fully distributed: bucket pairs dedup via ``groupby(a, b)`` and the
+    verification joins signatures back via :func:`attach_pair_values` —
+    a repartition join on doc_id, NOT a driver-side signature dict, so the
+    path survives corpora whose signature table exceeds driver memory.
+    """
     sig_ds = ds.map_batches(
         lambda b: minhash_sig_batch(b, text_col), batch_format="pyarrow"
     ).materialize()
 
-    pairs_ds = (
+    pairs_ds = _dedup_pairs(
         sig_ds.map_batches(_sigs_to_bands, batch_format="pyarrow")
         .groupby(["band_id", "band_hash"])
         .map_groups(_bucket_pairs, batch_format="pyarrow")
     )
-    df = pairs_ds.to_pandas()
-    empty = pa.table(
-        {
-            "a": pa.array([], pa.int64()),
-            "b": pa.array([], pa.int64()),
-            "est_jaccard": pa.array([], pa.float64()),
-        }
-    )
-    if df.empty:
-        return empty
-    df = df.drop_duplicates(["a", "b"])
 
-    sig_tbl = pa.concat_tables(ray.get(sig_ds.to_arrow_refs()))
-    sig_map = {
-        d: np.asarray(s)
-        for d, s in zip(sig_tbl["doc_id"].to_pylist(), sig_tbl["sig"].to_pylist())
-    }
-    est = np.fromiter(
-        (
-            float((sig_map[a] == sig_map[b]).mean())
-            for a, b in zip(df["a"], df["b"])
-        ),
-        dtype=np.float64,
-        count=len(df),
+    sig_type = pa.list_(pa.int64())
+    joined = attach_pair_values(pairs_ds, sig_ds, "doc_id", "sig", sig_type)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        est = np.empty(n, dtype=np.float64)
+        va, vb = batch["val_a"].to_pylist(), batch["val_b"].to_pylist()
+        for i in range(n):
+            sa, sb = np.asarray(va[i]), np.asarray(vb[i])
+            est[i] = float((sa == sb).mean())
+        out = pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "est_jaccard": pa.array(np.round(est, 6), pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["est_jaccard"], min_jaccard))
+
+    tbl = _collect_sorted(
+        joined.map_batches(verify, batch_format="pyarrow"), ["a", "b"]
     )
-    df = df.assign(est_jaccard=np.round(est, 6))
-    df = df[df["est_jaccard"] >= min_jaccard].sort_values(["a", "b"])
-    if df.empty:
-        return empty
-    return pa.Table.from_pandas(df, preserve_index=False)
+    if tbl is None:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+        )
+    return tbl
+
+
+def _collect_sorted(ds: rd.Dataset, keys: list[str]) -> pa.Table | None:
+    """Materialize a (small, post-filter) result Dataset into one sorted
+    Arrow table — the query-result boundary, not a mid-pipeline pull."""
+    import ray
+
+    parts = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return None
+    tbl = pa.concat_tables(parts, promote_options="default")
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[(k, "ascending") for k in keys]))
 
 
 def _sigs_to_bands(batch: pa.Table) -> pa.Table:
@@ -241,11 +363,124 @@ def _sigs_to_bands(batch: pa.Table) -> pa.Table:
     )
 
 
+def connected_components_distributed(
+    pairs: pa.Table | rd.Dataset,
+    ids_ds: rd.Dataset,
+    id_col: str = "doc_id",
+    max_iters: int = 64,
+) -> pa.Table:
+    """Iterated min-label propagation over the dup-pair graph →
+    ``(doc_id, dup_group = min id of its component)`` for EVERY id in
+    ``ids_ds`` (singletons keep their own id).
+
+    The 10^9-doc scale path: labels and edges live in Datasets throughout;
+    each iteration is one ``groupby(src)`` (stamp each edge's source label)
+    + one ``groupby(node).min`` (nodes adopt the smallest label heard),
+    both on uniform keys.  Convergence when the label sum stops falling
+    (labels only ever decrease).  LSH dup clusters are near-cliques, so
+    practical iteration counts are 2-4; ``max_iters`` bounds adversarial
+    chains.  The only driver traffic is the per-iteration label-sum scalar
+    and the final result table.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    if isinstance(pairs, pa.Table):
+        pairs = rd.from_arrow(pairs)
+
+    def sym_edges(batch: pa.Table) -> pa.Table:
+        a = batch["a"].combine_chunks()
+        b = batch["b"].combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+            }
+        )
+
+    edges = pairs.map_batches(sym_edges, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        return pa.table({"node": ids, "label": ids})
+
+    labels = ids_ds.map_batches(init_labels, batch_format="pyarrow").materialize()
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "src": batch["src"],
+                "dst": batch["dst"],
+                "label": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "src": batch["node"],
+                "dst": pa.nulls(n, pa.int64()),
+                "label": batch["label"],
+            }
+        )
+
+    def stamp_and_emit(group: pa.Table) -> pa.Table:
+        """One src group: its current label row + its out-edges → message
+        (dst, label) per edge plus (src, label) to retain the node's own."""
+        lbl_col = group["label"]
+        valid = pc.is_valid(lbl_col)
+        idx = np.flatnonzero(valid.to_numpy(zero_copy_only=False))
+        empty = pa.table(
+            {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+        )
+        if len(idx) == 0:
+            return empty  # edge endpoints absent from ids_ds
+        label = lbl_col[int(idx[0])].as_py()
+        dsts = group["dst"].drop_null()
+        nodes = [group["src"][0].as_py()] + dsts.to_pylist()
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "label": pa.array([label] * len(nodes), pa.int64()),
+            }
+        )
+
+    for _ in range(max_iters):
+        msgs = (
+            edges.map_batches(tag_edges, batch_format="pyarrow")
+            .union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+            .groupby("src")
+            .map_groups(stamp_and_emit, batch_format="pyarrow")
+        )
+        labels = (
+            msgs.groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(
+                lambda b: pa.table({"node": b["node"], "label": b["label"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    tbl = _collect_sorted(labels, ["node"])
+    if tbl is None:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "dup_group": pa.array([], pa.int64())}
+        )
+    return tbl.rename_columns(["doc_id", "dup_group"])
+
+
 def connected_components(pairs: pa.Table, all_ids) -> pa.Table:
     """Union-find over candidate pairs → (doc_id, dup_group = min id of its
-    component).  Driver-side: the pair set after LSH+verify is tiny relative
-    to the corpus; at 10^9-doc scale replace with iterated min-label
-    propagation (groupby(doc_id).min over pair endpoints until fixpoint)."""
+    component).  Driver-side small-scale reference implementation — the
+    pipeline path is :func:`connected_components_distributed`; a pytest
+    asserts their outputs are identical."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

@@ -45,6 +45,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import tempfile
 
 import numpy as np
 import pyarrow as pa
@@ -184,7 +186,7 @@ class _Transition:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tr = transition_batch(
-            np.array(batch["state"].to_pylist(), dtype=object),
+            np.asarray(batch["ttl_base_s"].to_numpy(zero_copy_only=False)),
             np.asarray(batch["status"].to_numpy(zero_copy_only=False)),
             np.asarray(batch["unchanged"].to_numpy(zero_copy_only=False)),
             np.asarray(batch["fetch_clock_ms"].to_numpy(zero_copy_only=False)),
@@ -376,6 +378,61 @@ def _new_ledger_rows(batch: pa.Table, rnd: int) -> pa.Table:
     )
 
 
+def _meta_project(batch: pa.Table) -> pa.Table:
+    """Driver-bookkeeping projection: the ONLY per-row data the round loop
+    pulls to the driver (politeness counters, lazy removal, metrics)."""
+    has_link = pc.or_(
+        pc.greater(pc.list_value_length(batch["out_links"]), 0),
+        pc.not_equal(batch["redirect"], ""),
+    )
+    return pa.table(
+        {
+            "url_hash": batch["url_hash"],
+            "host": batch["host"],
+            "state": batch["state"],
+            "fetch_clock_ms": batch["fetch_clock_ms"],
+            "next_fetch_ms": batch["next_fetch_ms"],
+            "has_link": has_link,
+        }
+    )
+
+
+def _make_spool_project(horizon):
+    """Per-round spool row: the persisted ledger snapshot (status =
+    ledger_status — db_unchanged leaves the status column untouched,
+    db.c:1077-1126) + the wire status for the dequeue-order records + the
+    retirement flag + document spans."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        if horizon is None:
+            retired = pa.array(np.ones(batch.num_rows, dtype=bool))
+        else:
+            retired = pc.greater(batch["next_fetch_ms"], horizon)
+        cols = {c: batch[c] for c in LEDGER_COLS}
+        cols["status"] = batch["ledger_status"]
+        cols["wire_status"] = batch["status"]
+        cols["fetch_clock_ms"] = batch["fetch_clock_ms"]
+        cols["retired"] = retired
+        cols["has_doc"] = pc.equal(batch["state"], "ACCEPTED")
+        cols["spans"] = batch["spans"]
+        return pa.table(cols)
+
+    return project
+
+
+def _make_back_project(horizon):
+    """Rows due again before the refetch horizon, as frontier-schema rows
+    (ledger status), cycled back distributedly."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in LEDGER_COLS}
+        cols["status"] = batch["ledger_status"]
+        t = pa.table(cols)
+        return t.filter(pc.less_equal(batch["next_fetch_ms"], horizon))
+
+    return project
+
+
 def _make_drop_removed(removed_ref):
     def drop_removed(batch: pa.Table) -> pa.Table:
         rm = ray.get(removed_ref)
@@ -385,8 +442,35 @@ def _make_drop_removed(removed_ref):
     return drop_removed
 
 
+def _default_driver_plane_threshold() -> int:
+    """Rows the metadata-only scheduling/merge steps may pull to the driver
+    before the distributed plane takes over — derived from physical memory
+    (~500 B/row of driver-side Arrow + sort scratch, capped at 2% of RAM)
+    instead of a hard-coded constant."""
+    try:
+        mem = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        mem = 8 << 30
+    return max(100_000, int(mem * 0.02 / 500))
+
+
+#: spool columns beyond the ledger snapshot: the wire status (dequeue-order
+#: records keep 304/406/..., the ledger keeps the pre-rollback status), the
+#: politeness slot, the retirement flag and the document spans
+SPOOL_EXTRA_COLS = ["wire_status", "fetch_clock_ms", "retired", "has_doc", "spans"]
+
+
 class CrawlPipeline:
-    """Driver for the round loop (≙ crawl_perform, libcrawl/crawler.c:28-71)."""
+    """Driver for the round loop (≙ crawl_perform, libcrawl/crawler.c:28-71).
+
+    Driver-memory contract (the 10^10 design): per-round outputs stream to
+    partitioned parquet under ``spool_dir`` (``round=<r>/`` per round — the
+    resumable-output layout); the driver holds ONLY per-host politeness
+    counters (≙ crawl_root), the bounded lazy-removal hash set (cleared at
+    every compaction), and per-round metric dicts.  Crawl records, the
+    ledger archive and the document table are never accumulated in driver
+    lists; ``results()`` re-reads the spool.
+    """
 
     def __init__(
         self,
@@ -396,34 +480,61 @@ class CrawlPipeline:
         output_dir: str | None = None,
         checkpoint_every: int = 0,
         compact_every: int = 16,
-        driver_plane_threshold: int = 500_000,
+        driver_plane_threshold: int | None = None,
+        spool_dir: str | None = None,
+        web_store_dir: str | None = None,
+        web_store_buckets: int = 16,
     ):
         self.cfg = cfg or CrawlConfig()
         self.budget = budget if budget is not None else self.cfg.per_host_budget
         self.output_dir = output_dir
         self.checkpoint_every = checkpoint_every
         self.compact_every = compact_every
-        self.driver_plane_threshold = driver_plane_threshold
+        self.driver_plane_threshold = (
+            driver_plane_threshold
+            if driver_plane_threshold is not None
+            else _default_driver_plane_threshold()
+        )
+        if spool_dir is None:
+            base = output_dir or tempfile.mkdtemp(prefix="anansi_spool_")
+            spool_dir = os.path.join(base, "spool")
+        self.spool_dir = spool_dir
+        self.spooled_rounds: list[int] = []
 
-        # broadcast the web table as Arrow (plasma zero-copy across workers);
-        # combine chunks ONCE here so workers never copy it
-        self.web_ref = ray.put(tables["web"].combine_chunks())
         robots = {
             r["host"]: r.get("robots_disallow") or []
             for r in tables["hosts"].to_pylist()
             if r.get("robots_disallow")
         }
+        self.robots = robots
         self.robots_ref = ray.put(robots)
+        # fetch-side web access: the bucketed partitioned store (S6-S8
+        # layout — scheduled METADATA hash-exchanges to the bucket owning
+        # its cache key, payloads never move; the 10^10 shape) when
+        # ``web_store_dir`` is set, else the broadcast Arrow table (plasma
+        # zero-copy across a node's workers; fine to ~10^6 URLs/node)
+        self.web_store_dir = None
+        self.web_ref = None
+        if web_store_dir is not None:
+            from anansi_ray.sources.webstore import bucketize_web
+
+            if not os.path.exists(os.path.join(web_store_dir, "_META")):
+                bucketize_web(tables["web"], web_store_dir, n_buckets=web_store_buckets)
+            self.web_store_dir = web_store_dir
+        else:
+            # combine chunks ONCE here so workers never copy it
+            self.web_ref = ray.put(tables["web"].combine_chunks())
         # ≙ crawl_root: host -> [earliest_update_ms, rate_ms, eligible_count]
         self.host_state: dict[str, list[int]] = {
             r["host"]: [0, int(r["rate_ms"]), 0] for r in tables["hosts"].to_pylist()
         }
         self.seen = SeenSet(self.cfg.seen_shards, backend=self.cfg.seen_backend)
         self.round = 0
-        self.records: list[pa.Table] = []
-        self.docs: list[pa.Table] = []
-        self.archive: list[pa.Table] = []  # transitioned ledger rows
         self.removed: set[str] = set()  # fetched hashes pending compaction
+        #: force a compaction (clearing `removed`) beyond this size even
+        #: between compact_every boundaries — bounds driver memory at
+        #: ~50 B/hash regardless of round sizes
+        self.removed_cap = 2_000_000
         self.round_metrics: list[dict] = []  # per-round lineage/metrics (A5)
 
         # bootstrap: seeds → frontier rows (S1/S2, ≙ crawler-add, add.c:117-177)
@@ -529,11 +640,16 @@ class CrawlPipeline:
             from anansi_ray.pipelines.scan_scheduler import schedule_scan
 
             scheduled = schedule_scan(due, due_hosts, self.budget)
-        fetched = scheduled.map_batches(
-            make_fetch_fn(self.web_ref, self.robots_ref, cfg),
-            batch_format="pyarrow",
-            batch_size=cfg.fetch_batch_size,
-        )
+        if self.web_store_dir is not None:
+            from anansi_ray.sources.webstore import fetch_bucketed
+
+            fetched = fetch_bucketed(scheduled, self.web_store_dir, self.robots, cfg)
+        else:
+            fetched = scheduled.map_batches(
+                make_fetch_fn(self.web_ref, self.robots_ref, cfg),
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+            )
         trans = fetched.map_batches(
             _Transition(cfg, keep_payload=bool(self.output_dir)),
             batch_format="pyarrow",
@@ -543,57 +659,58 @@ class CrawlPipeline:
         if getattr(self, "debug_stats", False):
             print(trans.stats()[:3000], flush=True)
         if self.output_dir:
-            trans.filter(lambda r: r["state"] == "ACCEPTED").map_batches(
-                lambda b: pa.table({"doc_id": b["url_hash"], "spans": b["spans"]}),
+            trans.map_batches(
+                lambda b: pa.table({"doc_id": b["url_hash"], "spans": b["spans"]}).filter(
+                    pc.equal(b["state"], "ACCEPTED")
+                ),
                 batch_format="pyarrow",
             ).write_parquet(
                 os.path.join(self.output_dir, f"documents/round={self.round}")
             )
             trans.map_batches(
                 lambda b: b.select(
-                    ["url_hash", "url", "status", "content_type", "fresh", "payload"]
+                    [
+                        "url_hash",
+                        "url",
+                        "status",
+                        "content_type",
+                        "headers",
+                        "fresh",
+                        "payload",
+                    ]
                 ),
                 batch_format="pyarrow",
             ).write_parquet(os.path.join(self.output_dir, f"cache/round={self.round}"))
 
-        parts = [
-            t.select(LEDGER_COLS + ["fetch_clock_ms", "redirect", "out_links", "spans"])
-            for t in ray.get(trans.to_arrow_refs())
-            if t.num_rows > 0
-        ]
-        trans_tbl = (
-            pa.concat_tables(parts, promote_options="default") if parts else None
-        )
-        if trans_tbl is None:
-            return 0
-        n_fetched = trans_tbl.num_rows
-
-        self.records.append(
-            trans_tbl.select(["fetch_clock_ms", "url_hash", "url", "state", "status"])
-        )
         horizon = cfg.refetch_horizon_ms
-        back = None
-        if horizon is None:
-            self.archive.append(trans_tbl.select(LEDGER_COLS))
-        else:
-            # incremental mode: rows due again before the horizon cycle back
-            # into the frontier; only beyond-horizon rows retire to the
-            # archive (the reference's unbounded TTL loop, bounded)
-            nf = trans_tbl["next_fetch_ms"]
-            done = trans_tbl.filter(pc.greater(nf, horizon))
-            back = trans_tbl.filter(pc.less_equal(nf, horizon)).select(LEDGER_COLS)
-            if done.num_rows:
-                self.archive.append(done.select(LEDGER_COLS))
-        if not self.output_dir and "spans" in trans_tbl.column_names:
-            acc = trans_tbl.filter(pc.equal(trans_tbl["state"], "ACCEPTED"))
-            if acc.num_rows:
-                self.docs.append(
-                    pa.table({"doc_id": acc["url_hash"], "spans": acc["spans"]})
-                )
+
+        # ---- driver bookkeeping: pull ONLY the small metadata columns ----
+        # (url_hash for lazy removal, host/clock for politeness counters,
+        # state for metrics, next_fetch for horizon cycling, has_link flag);
+        # payloads / spans / links never reach the driver
+        meta = _ds_to_table(
+            trans.map_batches(_meta_project, batch_format="pyarrow")
+        )
+        if meta is None:
+            return 0
+        n_fetched = meta.num_rows
+
+        # ---- spool sink: ONE distributed partitioned-parquet write/round --
+        # (ledger snapshot with the unchanged-preserving status, the wire
+        # status for the dequeue-order records, the retirement flag and the
+        # document spans — results()/ledger_table() re-read these instead of
+        # the driver accumulating them)
+        rdir = os.path.join(self.spool_dir, f"round={self.round}")
+        if os.path.exists(rdir):
+            shutil.rmtree(rdir)  # stale copy from a pre-crash run
+        trans.map_batches(
+            _make_spool_project(horizon), batch_format="pyarrow"
+        ).write_parquet(rdir)
+        self.spooled_rounds.append(self.round)
 
         # politeness + eligibility bookkeeping (≙ crawl_root updates)
         agg = (
-            trans_tbl.select(["host", "fetch_clock_ms"])
+            meta.select(["host", "fetch_clock_ms"])
             .group_by("host")
             .aggregate([("fetch_clock_ms", "max"), ("fetch_clock_ms", "count")])
         )
@@ -605,24 +722,33 @@ class CrawlPipeline:
             st = self.host_state[host]
             st[0] = int(tmax) + st[1]
             st[2] -= int(cnt)
-        self.removed.update(trans_tbl["url_hash"].to_pylist())
+        self.removed.update(meta["url_hash"].to_pylist())
 
-        if back is not None and back.num_rows:
-            # drop the superseded copies now, then re-admit the transitioned
-            # rows that are due again before the horizon
-            self._compact()
-            cnts = back.select(["host"]).group_by("host").aggregate([([], "count_all")])
-            for host, cnt in zip(
-                cnts["host"].to_pylist(), cnts["count_all"].to_pylist()
-            ):
-                self.host_state[host][2] += int(cnt)
-            self.frontier = self.frontier.union(rd.from_arrow(back))
+        if horizon is not None:
+            # incremental mode: rows due again before the horizon cycle back
+            # into the frontier (distributed projection — never a driver
+            # table); only beyond-horizon rows retired to the spool above
+            back_meta = meta.filter(pc.less_equal(meta["next_fetch_ms"], horizon))
+            if back_meta.num_rows:
+                # drop the superseded copies first, then re-admit
+                self._compact()
+                cnts = (
+                    back_meta.select(["host"])
+                    .group_by("host")
+                    .aggregate([([], "count_all")])
+                )
+                for host, cnt in zip(
+                    cnts["host"].to_pylist(), cnts["count_all"].to_pylist()
+                ):
+                    self.host_state[host][2] += int(cnt)
+                back_ds = trans.map_batches(
+                    _make_back_project(horizon), batch_format="pyarrow"
+                )
+                self.frontier = self.frontier.union(back_ds)
 
         # frontier expansion: links → canonicalize → round-dedup → seen-filter
         new_tbl = None
-        has_links = (
-            pc.sum(pc.list_value_length(trans_tbl["out_links"])).as_py() or 0
-        ) > 0 or pc.any(pc.not_equal(trans_tbl["redirect"], "")).as_py()
+        has_links = pc.any(meta["has_link"]).as_py()
         if has_links:
             rnd = self.round + 1
             if driver_plane:
@@ -662,7 +788,7 @@ class CrawlPipeline:
         # here: what a monitoring plane would scrape per round)
         from collections import Counter as _Counter
 
-        state_counts = _Counter(trans_tbl["state"].to_pylist())
+        state_counts = _Counter(meta["state"].to_pylist())
         self.round_metrics.append(
             {
                 "round": self.round,
@@ -676,7 +802,9 @@ class CrawlPipeline:
         )
 
         self.round += 1
-        if self.compact_every and self.round % self.compact_every == 0:
+        if (self.compact_every and self.round % self.compact_every == 0) or len(
+            self.removed
+        ) > self.removed_cap:
             self._compact()
         if self.checkpoint_every and self.round % self.checkpoint_every == 0:
             self.checkpoint()
@@ -704,17 +832,59 @@ class CrawlPipeline:
             fetches += n
         return self.results(total_fetches=fetches)
 
+    # ------------------------------------------------------------------
+    # spool readers — the driver-side views over the per-round parquet
+    # ------------------------------------------------------------------
+    def _read_spool(self, columns=None, filt=None) -> pa.Table | None:
+        """Column-pruned read over exactly the rounds this crawl spooled
+        (stale round dirs from an earlier run of the same spool are
+        ignored; re-run rounds overwrite their dir)."""
+        import pyarrow.dataset as pads
+
+        dirs = [
+            os.path.join(self.spool_dir, f"round={r}") for r in self.spooled_rounds
+        ]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            return None
+        ds = pads.dataset([pads.dataset(d) for d in dirs])
+        return ds.to_table(columns=columns, filter=filt)
+
     def ledger_table(self) -> pa.Table:
-        """Full ledger = remaining frontier ∪ transitioned archive."""
+        """Full ledger = remaining frontier ∪ retired spool rows.
+
+        A hash appears retired at most once (retirement means its
+        next_fetch left the refetch horizon, so it never re-enters the
+        frontier), making the union exact."""
+        import pyarrow.dataset as pads
+
         self._compact()
-        parts = [t for t in ([_ds_to_table(self.frontier)] + self.archive) if t is not None]
+        parts = [_ds_to_table(self.frontier)]
+        retired = self._read_spool(
+            columns=LEDGER_COLS, filt=pads.field("retired")
+        )
+        parts.append(retired)
+        parts = [t for t in parts if t is not None and t.num_rows]
         if not parts:
             return _empty_ledger_table()
         return pa.concat_tables(parts, promote_options="default")
 
     def results(self, total_fetches: int = 0) -> dict:
-        if self.records:
-            rec = pa.concat_tables(self.records)
+        """Assemble the crawl outputs from the spool.
+
+        This is the small-scale/test materialization; at production scale
+        consumers read the ``spool_dir`` parquet directly (partitioned by
+        round — the resumable-output layout) instead of driver tables.
+        """
+        import pyarrow.dataset as pads
+
+        rec = self._read_spool(
+            columns=["fetch_clock_ms", "url_hash", "url", "state", "wire_status"]
+        )
+        if rec is not None and rec.num_rows:
+            rec = rec.rename_columns(
+                ["fetch_clock_ms", "url_hash", "url", "state", "status"]
+            )
             order = pc.sort_indices(
                 rec,
                 sort_keys=[("fetch_clock_ms", "ascending"), ("url_hash", "ascending")],
@@ -723,7 +893,13 @@ class CrawlPipeline:
             rec = rec.add_column(0, "seq", pa.array(range(rec.num_rows), pa.int64()))
         else:
             rec = None
-        docs = pa.concat_tables(self.docs) if self.docs else None
+        docs = self._read_spool(
+            columns=["url_hash", "spans"], filt=pads.field("has_doc")
+        )
+        if docs is not None and docs.num_rows:
+            docs = docs.rename_columns(["doc_id", "spans"])
+        else:
+            docs = None
         return {
             "expected_crawl": rec,
             "documents": docs,
@@ -742,19 +918,12 @@ class CrawlPipeline:
         os.makedirs(tmp, exist_ok=True)
         frontier_tbl = _ds_to_table(self.frontier) or _empty_ledger_table()
         pq.write_table(frontier_tbl, os.path.join(tmp, "frontier.parquet"))
-        if self.archive:
-            pq.write_table(
-                pa.concat_tables(self.archive), os.path.join(tmp, "archive.parquet")
-            )
-        if self.records:
-            pq.write_table(
-                pa.concat_tables(self.records), os.path.join(tmp, "records.parquet")
-            )
-        if self.docs:
-            pq.write_table(pa.concat_tables(self.docs), os.path.join(tmp, "docs.parquet"))
         for i, blob in enumerate(self.seen.dump()):
             with open(os.path.join(tmp, f"seen_{i}.bin"), "wb") as f:
                 f.write(blob)
+        # the per-round spool IS the durable bulk state; the manifest only
+        # references it (per-partition lineage: round dirs are immutable
+        # once written, re-run rounds overwrite their whole dir)
         manifest = {
             "round": self.round,
             "frontier_rows": frontier_tbl.num_rows,
@@ -762,12 +931,12 @@ class CrawlPipeline:
             "removed": sorted(self.removed),
             "seen_shards": self.cfg.seen_shards,
             "round_metrics": self.round_metrics,
+            "spool_dir": os.path.abspath(self.spool_dir),
+            "spooled_rounds": list(self.spooled_rounds),
         }
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f)
         if os.path.exists(ckdir):
-            import shutil
-
             shutil.rmtree(ckdir)
         os.rename(tmp, ckdir)  # atomic commit (≙ tmpfile+rename, disk.c:144-170)
         return ckdir
@@ -782,17 +951,8 @@ class CrawlPipeline:
         self.frontier = rd.from_arrow(
             pq.read_table(os.path.join(ckdir, "frontier.parquet"))
         ).materialize()
-        self.archive = []
-        self.records = []
-        self.docs = []
-        for name, dest in (
-            ("archive.parquet", self.archive),
-            ("records.parquet", self.records),
-            ("docs.parquet", self.docs),
-        ):
-            p = os.path.join(ckdir, name)
-            if os.path.exists(p):
-                dest.append(pq.read_table(p))
+        self.spool_dir = manifest["spool_dir"]
+        self.spooled_rounds = list(manifest["spooled_rounds"])
         blobs = []
         for i in range(manifest["seen_shards"]):
             with open(os.path.join(ckdir, f"seen_{i}.bin"), "rb") as f:

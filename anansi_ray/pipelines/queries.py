@@ -28,8 +28,19 @@ from anansi_ray.model import CrawlConfig
 from anansi_ray.stages.policies import scheme_policy
 
 
+def _strip_meta(batch: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (the driver's parquet carries a b'pandas'
+    entry): pa.Schema with metadata is unhashable, which defeats Ray's
+    shuffle-reduce schema deduplication (transform_pyarrow.py warns
+    'Failed to hash the schemas' and falls back to full unify per reduce).
+    Zero-copy — only the schema object changes."""
+    return batch.replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, name: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    ).map_batches(_strip_meta, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -267,10 +278,13 @@ def q_lang_id(sf_dir: str):
 
 
 def q_minhash_near_dup(sf_dir: str):
+    """MinHash-LSH near-dup groups, fully distributed: repartition-join
+    signature verification + iterated min-label propagation — no driver
+    dict / to_pandas anywhere in the path."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = fdedup.minhash_candidate_pairs(ds, min_jaccard=0.5)
-    ids = _read(sf_dir, "documents", ["doc_id"]).to_pandas()["doc_id"]
-    return fdedup.connected_components(pairs, ids)
+    ids_ds = _read(sf_dir, "documents", ["doc_id"])
+    return fdedup.connected_components_distributed(pairs, ids_ds)
 
 
 def q_simhash(sf_dir: str):
@@ -358,32 +372,40 @@ def q_embedding_near_dup_lsh(sf_dir: str):
 
 def q_ngram_jaccard_pairs(sf_dir: str):
     """Exact token-3-gram Jaccard verification of the MinHash-LSH candidate
-    pairs (the D-series near-dup verify primitive)."""
+    pairs (the D-series near-dup verify primitive).  The texts join back to
+    the pairs via the distributed repartition join on doc_id — never a
+    driver-side {doc_id: text} dict."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     cand = fdedup.minhash_candidate_pairs(ds, min_jaccard=0.3)
-    texts = dict(
-        zip(
-            *[
-                _read(sf_dir, "documents", ["doc_id", "text"])
-                .to_pandas()[c]
-                .tolist()
-                for c in ("doc_id", "text")
-            ]
-        )
+    joined = fdedup.attach_pair_values(
+        rd.from_arrow(cand.select(["a", "b"])),
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        "doc_id",
+        "text",
+        pa.string(),
     )
-    import numpy as np
 
-    jac = [
-        round(fdedup.ngram_jaccard(texts[a], texts[b]), 6)
-        for a, b in zip(cand["a"].to_pylist(), cand["b"].to_pylist())
-    ]
-    return pa.table(
-        {
-            "a": cand["a"],
-            "b": cand["b"],
-            "jaccard": pa.array(jac, pa.float64()),
-        }
+    def verify(batch: pa.Table) -> pa.Table:
+        jac = [
+            round(fdedup.ngram_jaccard(ta, tb), 6)
+            for ta, tb in zip(batch["val_a"].to_pylist(), batch["val_b"].to_pylist())
+        ]
+        return pa.table(
+            {"a": batch["a"], "b": batch["b"], "jaccard": pa.array(jac, pa.float64())}
+        )
+
+    out = fdedup._collect_sorted(
+        joined.map_batches(verify, batch_format="pyarrow"), ["a", "b"]
     )
+    if out is None:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    return out
 
 
 def q_knn_ivf(sf_dir: str):

@@ -108,8 +108,12 @@ class TestConformance:
         from anansi_ray.fixtures import LICENSES_OK
         from anansi_ray.pipelines.crawl import CrawlPipeline
 
+        # both OK licenses whitelisted: with the reference's filter-before-
+        # link-collection order (rdf.c:311-320) REJECTED docs contribute no
+        # frontier links, so a narrower whitelist starves the crawl at the
+        # seed set
         cfg = CrawlConfig(
-            license_filter_enabled=True, license_whitelist=(LICENSES_OK[0],)
+            license_filter_enabled=True, license_whitelist=LICENSES_OK
         )
         oracle = reference_crawl(tiny, cfg)
         pipe = CrawlPipeline(tiny, cfg).run()
@@ -158,3 +162,31 @@ class TestConformance:
         }
         got_l = {(r["url_hash"], r["state"]) for r in pipe["ledger"].to_pylist()}
         assert got_l == exp_l
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_store_distributed_plane_conformance(tmp_path):
+    """The at-scale fetch path end-to-end: distributed scheduling plane +
+    bucketed web store (frontier metadata hash-exchanged on the cache-bucket
+    key, per-bucket partition-pruned lookups — no whole-web broadcast) must
+    match the oracle exactly."""
+    from anansi_ray import fixtures
+    from anansi_ray.oracle import reference_crawl
+    from anansi_ray.pipelines.crawl import CrawlPipeline
+
+    tiny = fixtures.generate("tiny", seed=42)
+    oracle = reference_crawl(tiny, CrawlConfig())
+    pipe = CrawlPipeline(
+        tiny,
+        CrawlConfig(),
+        driver_plane_threshold=0,
+        web_store_dir=str(tmp_path / "webstore"),
+        web_store_buckets=8,
+    ).run()
+    exp, got = oracle["expected_crawl"], pipe["expected_crawl"]
+    assert got.num_rows == exp.num_rows
+    for col in ("seq", "url_hash", "fetch_clock_ms", "state", "status"):
+        assert got[col].to_pylist() == exp[col].to_pylist(), col
+    exp_l = {(r["url_hash"], r["state"]) for r in oracle["ledger"].to_pylist()}
+    got_l = {(r["url_hash"], r["state"]) for r in pipe["ledger"].to_pylist()}
+    assert got_l == exp_l

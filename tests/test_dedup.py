@@ -115,3 +115,51 @@ def test_exact_dedup_idempotent_on_real_table():
     # dedup of the dedup output keyed the same way is identity-sized
     assert len(once) == len(once.drop_duplicates("text_hash"))
     assert once["doc_id"].is_unique
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedCC:
+    def test_matches_driver_union_find_planted(self):
+        import ray.data as rd
+
+        pairs = pa.table(
+            {"a": pa.array([0, 1, 3], pa.int64()), "b": pa.array([1, 2, 5], pa.int64())}
+        )
+        ids = rd.from_arrow(pa.table({"doc_id": pa.array(range(6), pa.int64())}))
+        got = D.connected_components_distributed(pairs, ids)
+        exp = D.connected_components(pairs, range(6))
+        assert got.to_pylist() == exp.to_pylist()
+
+    def test_matches_driver_union_find_chain(self):
+        # a long chain forces multiple propagation iterations
+        import ray.data as rd
+
+        n = 40
+        pairs = pa.table(
+            {
+                "a": pa.array(list(range(n - 1)), pa.int64()),
+                "b": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+        ids = rd.from_arrow(pa.table({"doc_id": pa.array(range(n + 5), pa.int64())}))
+        got = D.connected_components_distributed(pairs, ids)
+        exp = D.connected_components(pairs, range(n + 5))
+        assert got.to_pylist() == exp.to_pylist()
+
+    def test_matches_on_real_minhash_pairs(self):
+        # end-to-end over the testdata documents table: the distributed
+        # min-label propagation must equal the driver union-find exactly
+        import ray.data as rd
+
+        sf = "/root/testdata/sf0.001"
+        ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        pairs = D.minhash_candidate_pairs(ds, min_jaccard=0.5)
+        ids_ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+        got = D.connected_components_distributed(pairs, ids_ds)
+        import pyarrow.parquet as pq
+
+        all_ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_pylist()
+        exp = D.connected_components(pairs, all_ids)
+        assert got.to_pylist() == exp.to_pylist()
