@@ -44,4 +44,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # materialize the oracle side-tables (pure-Python reference crawl,
+    # media table, LSH candidate keys) that some SQL strings read via
+    # read_parquet() — independent of whichever order the driver evaluates
+    # queries vs oracles
+    from anansi_ray.pipelines.queries import ensure_oracle_artifacts
+
+    ensure_oracle_artifacts()
     return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

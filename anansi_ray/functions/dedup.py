@@ -524,13 +524,18 @@ def ngram_jaccard(text_a: str, text_b: str, w: int = 3) -> float:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over \\w+ tokens (unit weights)."""
+    """64-bit SimHash over \\w+ tokens (unit weights).
+
+    Token hash = first 8 bytes of SHA-256, big-endian — chosen (over
+    blake2b) so a DuckDB oracle can recompute the identical signature with
+    ``('0x' || substr(sha256(tok), 1, 16))::UBIGINT``.
+    """
     toks = _TOKEN.findall((text or "").lower())
     if not toks:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     for t in toks:
-        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        h = int.from_bytes(hashlib.sha256(t.encode()).digest()[:8], "big")
         bits = (h >> np.arange(64, dtype=np.uint64)) & 1
         acc += np.where(bits.astype(bool), 1, -1)
     return int(

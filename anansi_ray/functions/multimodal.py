@@ -84,10 +84,13 @@ def decode_real(payload: bytes, kind: str):
 
 def _fake_features(payload: bytes, kind: str) -> np.ndarray:
     """Deterministic fake 'decode + feature-extract': FEATURE_DIM floats
-    derived from a keyed blake2b of the payload.  Stands in for e.g. a CLIP
-    embedding; stable across processes/machines."""
-    d = hashlib.blake2b(payload, key=kind.encode(), digest_size=FEATURE_DIM * 4).digest()
-    arr = np.frombuffer(d, dtype=np.uint32).astype(np.float64)
+    derived from SHA-256 over ``kind || hex(payload)``.  Stands in for e.g.
+    a CLIP embedding; stable across processes/machines, and — because
+    DuckDB's ``sha256`` accepts only VARCHAR — recomputable by the SQL
+    oracle as ``sha256(kind || lower(to_hex(payload)))``."""
+    base = (kind + payload.hex()).encode()
+    d = hashlib.sha256(base).digest() + hashlib.sha256(base + b"\x01").digest()
+    arr = np.frombuffer(d[: FEATURE_DIM * 4], dtype=">u4").astype(np.float64)
     return np.round(arr / np.float64(2**32), 6)
 
 

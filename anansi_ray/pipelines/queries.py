@@ -166,9 +166,15 @@ FROM u
 
 
 def q_scheme_policy(sf_dir: str):
-    """F1: scheme whitelist/blacklist policy (schemes.c:133-170)."""
+    """F1: scheme whitelist/blacklist policy (schemes.c:133-170) —
+    whitelist first: mailto (not whitelisted) SKIPs before any blacklist
+    look; javascript (whitelisted AND blacklisted) reaches the blacklist
+    and REJECTs."""
     schemes = ["https", "http", "ftp", "mailto", "javascript"]
-    cfg = CrawlConfig(scheme_blacklist=("javascript",))
+    cfg = CrawlConfig(
+        scheme_whitelist=("https", "http", "ftp", "javascript"),
+        scheme_blacklist=("javascript",),
+    )
 
     def kernel(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -197,10 +203,9 @@ SELECT doc_id,
                        WHEN 3 THEN 'mailto' ELSE 'javascript' END AS scheme,
        CASE CASE doc_id % 5 WHEN 0 THEN 'https' WHEN 1 THEN 'http' WHEN 2 THEN 'ftp'
                             WHEN 3 THEN 'mailto' ELSE 'javascript' END
-            WHEN 'javascript' THEN 'REJECTED'
-            WHEN 'https' THEN 'PASS'
-            WHEN 'http' THEN 'PASS'
-            ELSE 'SKIPPED' END AS decision
+            WHEN 'mailto' THEN 'SKIPPED'         -- whitelist miss, checked first
+            WHEN 'javascript' THEN 'REJECTED'    -- whitelisted, then blacklisted
+            ELSE 'PASS' END AS decision
 FROM documents
 """
 
@@ -275,6 +280,90 @@ def q_lang_id(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         ftext.lang_id_batch, batch_format="pyarrow"
     )
+
+
+def _sql_lang_id() -> str:
+    """CASE-ladder oracle for the stopword-count language ID: strictly-
+    greater updates over alphabetical language order ⇒ the FIRST language
+    attaining the max wins; all-zero ⇒ 'und'."""
+    scores = ",\n       ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS s_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(ftext.LANG_STOPWORDS[lang])), lang
+        )
+        for lang in ftext.LANG_ORDER
+    )
+    mx = "greatest({})".format(", ".join(f"s_{l}" for l in ftext.LANG_ORDER))
+    ladder = "\n            ".join(
+        f"WHEN s_{l} = mx THEN '{l}'" for l in ftext.LANG_ORDER[:-1]
+    )
+    return rf"""
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR text = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+  FROM documents),
+sc AS (SELECT doc_id,
+       {scores}
+  FROM tk),
+m AS (SELECT *, {mx} AS mx FROM sc)
+SELECT doc_id,
+       CASE WHEN mx = 0 THEN 'und'
+            {ladder}
+            ELSE '{ftext.LANG_ORDER[-1]}' END AS lang_pred
+FROM m
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+#: shared CTE: per-doc 64-bit SimHash recomputed entirely in SQL — token
+#: hash = first 8 bytes of sha256 (matching dedup.simhash64), bit
+#: accumulation over range(64), value assembled with HUGEINT shifts
+_SIMHASH_CTE = r"""
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS t
+  FROM documents),
+hv AS (SELECT doc_id, ('0x' || substr(sha256(t), 1, 16))::UBIGINT AS h FROM tok),
+bits AS (
+  SELECT doc_id, i,
+         CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END AS v
+  FROM hv, range(64) r(i)),
+acc AS (SELECT doc_id, i, sum(v) AS s FROM bits GROUP BY 1, 2),
+sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::HUGEINT << i::INTEGER) ELSE 0::HUGEINT END) AS v
+  FROM acc GROUP BY 1)
+"""
+
+SQL_SIMHASH = f"""
+WITH {_SIMHASH_CTE}
+SELECT d.doc_id,
+       lpad(lower(to_hex(coalesce(sim.v, 0)::UBIGINT)), 16, '0') AS simhash
+FROM documents d LEFT JOIN sim ON d.doc_id = sim.doc_id
+"""
+
+#: near-dup oracle replicates the SAME 4-piece pigeonhole bucketing the
+#: Ray operator uses (candidates = docs sharing any 16-bit piece), then
+#: exact hamming via bit_count(xor) — so the approximate semantics match
+#: bit-for-bit, not just approximately
+SQL_SIMHASH_NEAR_DUP = f"""
+WITH {_SIMHASH_CTE},
+v AS (
+  SELECT d.doc_id, coalesce(sim.v, 0)::UBIGINT AS v
+  FROM documents d LEFT JOIN sim ON d.doc_id = sim.doc_id),
+p AS (
+  SELECT doc_id, v, i AS piece, (v >> (16 * i)::INTEGER) & 65535 AS piece_val
+  FROM v, range(4) r(i)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.v AS va, r.v AS vb
+  FROM p l JOIN p r
+    ON l.piece = r.piece AND l.piece_val = r.piece_val AND l.doc_id < r.doc_id)
+SELECT a, b, bit_count(xor(va, vb))::INTEGER AS hamming
+FROM cand
+WHERE bit_count(xor(va, vb)) <= 6
+ORDER BY a, b
+"""
 
 
 def q_minhash_near_dup(sf_dir: str):
@@ -697,13 +786,202 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 
 
 # ---------------------------------------------------------------------------
-# Multimodal + crawl pipeline queries (rows-only checks)
+# Oracle side-tables: deterministic artifacts DuckDB reads via
+# read_parquet() for queries whose INPUTS are not SQL-derivable (the crawl
+# fixture web, the synthetic media table, LSH candidate pair keys).  The
+# artifacts are produced by INDEPENDENT single-threaded code (the pure-
+# Python reference crawler, numpy MinHash) — never by the Ray pipeline
+# under test.  Generated inside oracle_sql() so they exist regardless of
+# the order the driver evaluates queries vs oracles.
+# ---------------------------------------------------------------------------
+
+ORACLE_DIR = "/tmp/anansi_oracle"
+_ORACLE_VERSION = "v1"
+
+
+def _minhash_pairs_local(tbl: pa.Table, min_est: float) -> pa.Table:
+    """Single-threaded numpy MinHash-LSH candidate pairs (band buckets +
+    signature-agreement filter) — the driver-side twin of the distributed
+    band/verify path, used only to materialize oracle pair KEYS; the pair
+    VALUES (exact n-gram Jaccard) are then recomputed by DuckDB itself."""
+    import hashlib
+
+    ids = tbl["doc_id"].to_pylist()
+    texts = tbl["text"].to_pylist()
+    sigs = {d: fdedup.minhash_signature(t) for d, t in zip(ids, texts)}
+    buckets: dict = {}
+    for d, sig in sigs.items():
+        bands = sig.reshape(fdedup.N_BANDS, fdedup.ROWS_PER_BAND)
+        for b in range(fdedup.N_BANDS):
+            key = (b, hashlib.blake2b(bands[b].tobytes(), digest_size=8).hexdigest())
+            buckets.setdefault(key, []).append(d)
+    cand = set()
+    for members in buckets.values():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cand.add((members[i], members[j]))
+    keep = sorted(
+        (a, b) for a, b in cand if float((sigs[a] == sigs[b]).mean()) >= min_est
+    )
+    return pa.table(
+        {
+            "a": pa.array([p[0] for p in keep], pa.int64()),
+            "b": pa.array([p[1] for p in keep], pa.int64()),
+        }
+    )
+
+
+def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Idempotent build of the oracle side-tables under ORACLE_DIR."""
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(ORACLE_DIR, f"_COMPLETE_{_ORACLE_VERSION}")
+    if os.path.exists(marker):
+        return ORACLE_DIR
+    os.makedirs(ORACLE_DIR, exist_ok=True)
+
+    # 1. reference-semantics crawl of the deterministic tiny fixture
+    #    (pure Python, no Ray — the same oracle the conformance tests use)
+    from anansi_ray import fixtures
+    from anansi_ray.functions.spans import flatten_spans_batch
+    from anansi_ray.oracle import reference_crawl
+
+    tables = fixtures.generate("tiny", seed=42)
+    res = reference_crawl(tables, CrawlConfig(), budget=None)
+    pq.write_table(res["expected_crawl"], os.path.join(ORACLE_DIR, "crawl_order.parquet"))
+    docs = res["documents"]
+    docs = docs.take(pc.sort_indices(docs, sort_keys=[("doc_id", "ascending")]))
+    flat = flatten_spans_batch(docs)
+    pq.write_table(
+        flat.select(["doc_id", "text", "n_spans", "n_text_spans", "n_media_spans"]),
+        os.path.join(ORACLE_DIR, "crawl_docs_flat.parquet"),
+    )
+
+    # 2. the synthetic media table (payloads included: DuckDB recomputes
+    #    the fake-decode features from the blobs)
+    pq.write_table(
+        fmedia.synthesize_media_table(n=256, seed=42),
+        os.path.join(ORACLE_DIR, "media.parquet"),
+    )
+
+    # 3. MinHash-LSH candidate pair keys over the driver's sf0.01 documents
+    sfdoc = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(sfdoc):
+        t = pq.read_table(sfdoc, columns=["doc_id", "text"])
+        pq.write_table(
+            _minhash_pairs_local(t, 0.3),
+            os.path.join(ORACLE_DIR, "ngram_cand.parquet"),
+        )
+
+    with open(marker, "w") as f:
+        f.write("ok")
+    return ORACLE_DIR
+
+
+SQL_NGRAM_JACCARD = rf"""
+WITH cand AS (SELECT a, b FROM read_parquet('{ORACLE_DIR}/ngram_cand.parquet')),
+tok AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\w+') AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(len(toks) - 2),
+                   i -> toks[(i+1)::INT] || ' ' || toks[(i+2)::INT] || ' ' || toks[(i+3)::INT]))
+              ELSE [array_to_string(toks, ' ')] END AS gs
+  FROM tok)
+SELECT c.a, c.b,
+       round(len(list_intersect(ga.gs, gb.gs))
+             / greatest(len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)), 1), 6)
+           AS jaccard
+FROM cand c
+JOIN grams ga ON ga.doc_id = c.a
+JOIN grams gb ON gb.doc_id = c.b
+ORDER BY c.a, c.b
+"""
+
+SQL_CRAWL_ORDER = f"""
+SELECT seq, fetch_clock_ms, url_hash, url, state, status
+FROM read_parquet('{ORACLE_DIR}/crawl_order.parquet')
+ORDER BY seq
+"""
+
+SQL_CRAWL_DOC_PIPELINE = rf"""
+WITH t AS (SELECT * FROM read_parquet('{ORACLE_DIR}/crawl_docs_flat.parquet')),
+q AS (
+  SELECT doc_id, n_spans, n_text_spans, n_media_spans,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+         string_split_regex(trim(text), '\s+') AS toks,
+         text
+  FROM t)
+SELECT doc_id, n_spans, n_text_spans, n_media_spans,
+       n_chars::BIGINT AS n_chars,
+       round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in')))
+             / greatest(len(toks), 1), 6) AS stopword_ratio,
+       round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+             / greatest(len(toks), 1), 6) AS mean_word_len,
+       len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]'))::BIGINT AS n_tokens,
+       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
+FROM q ORDER BY doc_id
+"""
+
+#: fake-decode features recomputed in SQL: 16 big-endian uint32 words from
+#: sha256(kind || hex) || sha256(kind || hex || chr(1)), each /2^32,
+#: rounded to 6 — signature = md5 over the '%.6f'-formatted vector
+SQL_MEDIA_FEATURES = f"""
+WITH m AS (
+  SELECT media_id, kind, payload, kind || lower(to_hex(payload)) AS base
+  FROM read_parquet('{ORACLE_DIR}/media.parquet')),
+h AS (
+  SELECT media_id, kind, octet_length(payload)::BIGINT AS payload_bytes,
+         sha256(base) || sha256(base || chr(1)) AS hex128
+  FROM m),
+f AS (
+  SELECT media_id, kind, payload_bytes,
+         list_transform(range(16),
+           i -> round((('0x' || substr(hex128, (8*i+1)::INT, 8))::UBIGINT)::DOUBLE
+                      / 4294967296.0, 6)) AS feats
+  FROM h)
+SELECT media_id, kind, payload_bytes,
+       md5(array_to_string(list_transform(feats, x -> printf('%.6f', x)), ',')) AS feature_sig
+FROM f ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal + crawl pipeline queries
 # ---------------------------------------------------------------------------
 
 
 def q_media_features(sf_dir: str):
+    """Actor-pool media decode/feature stage over the synthetic media table;
+    projected to (media_id, kind, payload_bytes, feature_sig) — the md5 of
+    the '%.6f'-rendered feature vector — so the DuckDB oracle can verify
+    every feature value through a hashable scalar column."""
     ds = rd.from_arrow(fmedia.synthesize_media_table(n=256, seed=42))
-    out = fmedia.extract_media_features(ds).to_pandas()
+    feats = fmedia.extract_media_features(ds)
+
+    def project(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        sigs = [
+            hashlib.md5(",".join(f"{v:.6f}" for v in f).encode()).hexdigest()
+            for f in batch["feature"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload_bytes": batch["payload_bytes"],
+                "feature_sig": pa.array(sigs, pa.string()),
+            }
+        )
+
+    out = feats.map_batches(project, batch_format="pyarrow").to_pandas()
     return pa.Table.from_pandas(out.sort_values("media_id"), preserve_index=False)
 
 
@@ -773,14 +1051,14 @@ QUERIES = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "quality_score": (q_quality_score, SQL_QUALITY),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
-    "lang_id": (q_lang_id, None),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
     "minhash_near_dup": (q_minhash_near_dup, None),
-    "simhash": (q_simhash, None),
-    "simhash_near_dup": (q_simhash_near_dup, None),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "knn_cosine": (q_knn_cosine, SQL_KNN),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
     "embedding_near_dup_lsh": (q_embedding_near_dup_lsh, None),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, None),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
     "knn_ivf": (q_knn_ivf, None),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
@@ -790,8 +1068,8 @@ QUERIES = {
     "order_lineitem_join": (q_order_lineitem_join, SQL_ORDER_LINEITEM_JOIN),
     "events_props": (q_events_props, SQL_EVENTS_PROPS),
     "orders_topk": (q_orders_topk, SQL_ORDERS_TOPK),
-    "media_features": (q_media_features, None),
-    "crawl_order": (q_crawl_order, None),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    "crawl_order": (q_crawl_order, SQL_CRAWL_ORDER),
     "crawl_documents": (q_crawl_documents, None),
-    "crawl_doc_pipeline": (q_crawl_doc_pipeline, None),
+    "crawl_doc_pipeline": (q_crawl_doc_pipeline, SQL_CRAWL_DOC_PIPELINE),
 }
