@@ -167,6 +167,12 @@ class CrawlConfig:
     #: hosts (a 10^6-URL hub at budget 8 = 125k rounds), so the default is
     #: unlimited and skew is handled by slot *timestamps*, not row caps.
     per_host_budget: int | None = None
+    #: ordered policy-name chain resolved via anansi_ray.registry
+    #: (≙ spider_add_policy calls, context.c:822-851; ≤8 per p_libspider.h:41)
+    policies: tuple[str, ...] = ("schemes", "robots", "content-types")
+    #: processor name (processor.c:40-67); "" = auto: "lod" when the
+    #: license filter is enabled, else "rdf"
+    processor_name: str = ""
     # [policy:schemes] whitelist/blacklist (schemes.c:133-170)
     scheme_whitelist: tuple[str, ...] = ("http", "https")
     scheme_blacklist: tuple[str, ...] = ()

@@ -378,6 +378,32 @@ def _new_ledger_rows(batch: pa.Table, rnd: int) -> pa.Table:
     )
 
 
+def _due_filter_table(
+    frontier: pa.Table, due_hosts: dict, removed: set, refetch: bool
+) -> pa.Table:
+    """Driver-plane due selection over the driver-resident frontier table —
+    the vectorized twin of :func:`_make_due_filter` (same WHERE clause,
+    db.c:681-692), with zero Ray executions."""
+    if frontier.num_rows == 0:
+        return frontier
+    mask = None
+    if not refetch:
+        states = frontier["state"]
+        mask = pc.or_(pc.equal(states, "NEW"), pc.equal(states, "FORCE"))
+    host_mask = pc.is_in(
+        frontier["host"], value_set=pa.array(list(due_hosts), pa.string())
+    )
+    mask = host_mask if mask is None else pc.and_(mask, host_mask)
+    if removed:
+        not_removed = pc.invert(
+            pc.is_in(
+                frontier["url_hash"], value_set=pa.array(list(removed), pa.string())
+            )
+        )
+        mask = pc.and_(mask, not_removed)
+    return frontier.filter(mask)
+
+
 def _meta_project(batch: pa.Table) -> pa.Table:
     """Driver-bookkeeping projection: the ONLY per-row data the round loop
     pulls to the driver (politeness counters, lazy removal, metrics)."""
@@ -573,7 +599,11 @@ class CrawlPipeline:
             if boot
             else _empty_ledger_table()
         )
-        self.frontier = rd.from_arrow(seed_tbl).materialize()
+        #: dual-plane frontier: a driver-resident Arrow table while the
+        #: eligible set fits `driver_plane_threshold` (metadata-only rows,
+        #: memory-derived bound — zero Ray executions to plan a round), a
+        #: Dataset once it crosses (the 10^10 shape; the switch is monotone)
+        self.frontier: pa.Table | rd.Dataset = seed_tbl
 
     def _ensure_host(self, host: str) -> None:
         if host not in self.host_state:
@@ -599,28 +629,30 @@ class CrawlPipeline:
         if not due_hosts:
             return 0
 
-        due_ref = ray.put(due_hosts)
-        removed_ref = ray.put(self.removed)
-
-        due = self.frontier.map_batches(
-            _make_due_filter(
-                due_ref, removed_ref, refetch=cfg.refetch_horizon_ms is not None
-            ),
-            batch_format="pyarrow",
-        )
         # control-plane sizing: the scheduling/merge steps are metadata-only
         # (no payloads), so below `driver_plane_threshold` eligible rows they
-        # run vectorized on the driver — Ray's sort-based groupby costs ~5 s
-        # of fixed latency per round, which dwarfs small/medium waves.  Above
-        # the threshold the distributed groupby paths take over (the 10^10
-        # shape); both implement the identical ordering/merge rules.
+        # run vectorized on the driver over the driver-resident frontier
+        # table — zero Ray executions to plan a round (Ray's per-execution
+        # latency otherwise dominates small/medium waves).  Above the
+        # threshold the frontier converts to a Dataset (monotone) and the
+        # distributed scan-scheduler takes over (the 10^10 shape); both
+        # implement the identical ordering/merge rules.
         eligible_total = sum(
             st[2] for st in self.host_state.values() if st[1] > 0
         )
         driver_plane = eligible_total <= self.driver_plane_threshold
+        if not driver_plane and isinstance(self.frontier, pa.Table):
+            self.frontier = rd.from_arrow(self.frontier)
+        if driver_plane and isinstance(self.frontier, rd.Dataset):
+            # stay distributed once crossed — converting back would thrash
+            driver_plane = False
+
+        refetch = cfg.refetch_horizon_ms is not None
         if driver_plane:
-            due_tbl = _ds_to_table(due)
-            if due_tbl is None:
+            due_tbl = _due_filter_table(
+                self.frontier, due_hosts, self.removed, refetch
+            )
+            if due_tbl.num_rows == 0:
                 return 0
             sched_tbl = _schedule_on_driver(due_tbl, due_hosts, self.budget)
             nslices = max(1, min(64, sched_tbl.num_rows // 512 or 1))
@@ -639,7 +671,14 @@ class CrawlPipeline:
             # simpler shape)
             from anansi_ray.pipelines.scan_scheduler import schedule_scan
 
+            due_ref = ray.put(due_hosts)
+            removed_ref = ray.put(self.removed)
+            due = self.frontier.map_batches(
+                _make_due_filter(due_ref, removed_ref, refetch=refetch),
+                batch_format="pyarrow",
+            )
             scheduled = schedule_scan(due, due_hosts, self.budget)
+        _t_sched = _time.monotonic()
         if self.web_store_dir is not None:
             from anansi_ray.sources.webstore import fetch_bucketed
 
@@ -656,6 +695,7 @@ class CrawlPipeline:
         )
 
         trans = trans.materialize()
+        _t_fetch = _time.monotonic()
         if getattr(self, "debug_stats", False):
             print(trans.stats()[:3000], flush=True)
         if self.output_dir:
@@ -694,6 +734,7 @@ class CrawlPipeline:
         if meta is None:
             return 0
         n_fetched = meta.num_rows
+        _t_meta = _time.monotonic()
 
         # ---- spool sink: ONE distributed partitioned-parquet write/round --
         # (ledger snapshot with the unchanged-preserving status, the wire
@@ -707,6 +748,7 @@ class CrawlPipeline:
             _make_spool_project(horizon), batch_format="pyarrow"
         ).write_parquet(rdir)
         self.spooled_rounds.append(self.round)
+        _t_spool = _time.monotonic()
 
         # politeness + eligibility bookkeeping (≙ crawl_root updates)
         agg = (
@@ -722,16 +764,23 @@ class CrawlPipeline:
             st = self.host_state[host]
             st[0] = int(tmax) + st[1]
             st[2] -= int(cnt)
-        self.removed.update(meta["url_hash"].to_pylist())
+        if isinstance(self.frontier, pa.Table):
+            # driver plane compacts eagerly: drop the fetched rows now
+            # (vectorized is_in over ≤ threshold rows), no lazy-removal set
+            fetched_mask = pc.is_in(
+                self.frontier["url_hash"],
+                value_set=meta["url_hash"].combine_chunks(),
+            )
+            self.frontier = self.frontier.filter(pc.invert(fetched_mask))
+        else:
+            self.removed.update(meta["url_hash"].to_pylist())
 
         if horizon is not None:
             # incremental mode: rows due again before the horizon cycle back
-            # into the frontier (distributed projection — never a driver
-            # table); only beyond-horizon rows retired to the spool above
+            # into the frontier; only beyond-horizon rows retired to the
+            # spool above
             back_meta = meta.filter(pc.less_equal(meta["next_fetch_ms"], horizon))
             if back_meta.num_rows:
-                # drop the superseded copies first, then re-admit
-                self._compact()
                 cnts = (
                     back_meta.select(["host"])
                     .group_by("host")
@@ -741,10 +790,25 @@ class CrawlPipeline:
                     cnts["host"].to_pylist(), cnts["count_all"].to_pylist()
                 ):
                     self.host_state[host][2] += int(cnt)
-                back_ds = trans.map_batches(
-                    _make_back_project(horizon), batch_format="pyarrow"
-                )
-                self.frontier = self.frontier.union(back_ds)
+                if isinstance(self.frontier, pa.Table):
+                    # the just-written spool round already holds the ledger
+                    # rows; a local column-pruned read beats another Ray pass
+                    import pyarrow.dataset as pads
+
+                    back_tbl = pads.dataset(rdir).to_table(
+                        columns=LEDGER_COLS, filter=~pads.field("retired")
+                    )
+                    self.frontier = pa.concat_tables(
+                        [self.frontier, back_tbl], promote_options="default"
+                    )
+                else:
+                    # drop the superseded copies first, then re-admit
+                    # (distributed projection — never a driver table)
+                    self._compact()
+                    back_ds = trans.map_batches(
+                        _make_back_project(horizon), batch_format="pyarrow"
+                    )
+                    self.frontier = self.frontier.union(back_ds)
 
         # frontier expansion: links → canonicalize → round-dedup → seen-filter
         new_tbl = None
@@ -782,7 +846,12 @@ class CrawlPipeline:
                     counts["host"].to_pylist(), counts["count_all"].to_pylist()
                 ):
                     self.host_state[host][2] += int(cnt)
-                self.frontier = self.frontier.union(rd.from_arrow(new_tbl))
+                if isinstance(self.frontier, pa.Table):
+                    self.frontier = pa.concat_tables(
+                        [self.frontier, new_tbl], promote_options="default"
+                    )
+                else:
+                    self.frontier = self.frontier.union(rd.from_arrow(new_tbl))
 
         # per-round lineage/metrics row (A5; ≙ thread liveness counters —
         # here: what a monitoring plane would scrape per round)
@@ -798,6 +867,13 @@ class CrawlPipeline:
                 "hosts_touched": agg.num_rows,
                 "plane": "driver" if driver_plane else "distributed",
                 "duration_s": round(_time.monotonic() - _t0, 3),
+                "phase_s": {
+                    "schedule": round(_t_sched - _t0, 3),
+                    "fetch": round(_t_fetch - _t_sched, 3),
+                    "meta": round(_t_meta - _t_fetch, 3),
+                    "spool": round(_t_spool - _t_meta, 3),
+                    "expand": round(_time.monotonic() - _t_spool, 3),
+                },
             }
         )
 
@@ -811,7 +887,13 @@ class CrawlPipeline:
         return n_fetched
 
     def _compact(self) -> None:
-        """Physically drop lazily-removed rows from the frontier (LSM merge)."""
+        """Physically drop lazily-removed rows from the frontier (LSM merge).
+
+        The driver-plane table compacts eagerly per round, so this only has
+        work to do on the distributed plane."""
+        if isinstance(self.frontier, pa.Table):
+            self.removed = set()
+            return
         if not self.removed:
             self.frontier = self.frontier.materialize()
             return
@@ -850,6 +932,11 @@ class CrawlPipeline:
         ds = pads.dataset([pads.dataset(d) for d in dirs])
         return ds.to_table(columns=columns, filter=filt)
 
+    def _frontier_table(self) -> pa.Table:
+        if isinstance(self.frontier, pa.Table):
+            return self.frontier
+        return _ds_to_table(self.frontier) or _empty_ledger_table()
+
     def ledger_table(self) -> pa.Table:
         """Full ledger = remaining frontier ∪ retired spool rows.
 
@@ -859,7 +946,7 @@ class CrawlPipeline:
         import pyarrow.dataset as pads
 
         self._compact()
-        parts = [_ds_to_table(self.frontier)]
+        parts = [self._frontier_table()]
         retired = self._read_spool(
             columns=LEDGER_COLS, filt=pads.field("retired")
         )
@@ -916,7 +1003,7 @@ class CrawlPipeline:
         ckdir = os.path.join(self.cfg.checkpoint_dir, f"round={self.round}")
         tmp = ckdir + ".tmp"
         os.makedirs(tmp, exist_ok=True)
-        frontier_tbl = _ds_to_table(self.frontier) or _empty_ledger_table()
+        frontier_tbl = self._frontier_table()
         pq.write_table(frontier_tbl, os.path.join(tmp, "frontier.parquet"))
         for i, blob in enumerate(self.seen.dump()):
             with open(os.path.join(tmp, f"seen_{i}.bin"), "wb") as f:
@@ -948,9 +1035,13 @@ class CrawlPipeline:
         self.round_metrics = manifest.get("round_metrics", [])
         self.host_state = {h: list(v) for h, v in manifest["host_state"].items()}
         self.removed = set(manifest["removed"])
-        self.frontier = rd.from_arrow(
-            pq.read_table(os.path.join(ckdir, "frontier.parquet"))
-        ).materialize()
+        frontier_tbl = pq.read_table(os.path.join(ckdir, "frontier.parquet"))
+        # resume on the plane the size dictates: driver table below the
+        # threshold, Dataset above
+        if frontier_tbl.num_rows <= self.driver_plane_threshold:
+            self.frontier = frontier_tbl
+        else:
+            self.frontier = rd.from_arrow(frontier_tbl).materialize()
         self.spool_dir = manifest["spool_dir"]
         self.spooled_rounds = list(manifest["spooled_rounds"])
         blobs = []

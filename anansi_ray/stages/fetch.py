@@ -26,21 +26,12 @@ import pyarrow.compute as pc
 
 from anansi_ray.canon import canonicalize, DEFAULT_PORTS
 from anansi_ray.model import CrawlConfig, CrawlState, HEADERS_TYPE, SPAN_TYPE, state_name
-from anansi_ray.stages.parse import (
-    decompose_spans,
-    doc_licenses,
-    extract_resource_nodes,
-    parse_link_headers,
-    parse_triples,
-    parser_for,
+from anansi_ray.registry import (
+    apply_checkpoint_policies,
+    apply_uri_policies,
+    get_processor,
 )
-from anansi_ray.stages.turtle import TurtleError
-from anansi_ray.stages.policies import (
-    content_type_checkpoint,
-    license_policy,
-    robots_policy,
-    scheme_policy,
-)
+from anansi_ray.stages.parse import parser_for
 
 
 def is_same_origin(a: str, b: str) -> bool:
@@ -177,10 +168,9 @@ def process_fetch(
     }
     cached = prev_updated_ms is not None
 
-    # pre-fetch URI policies (F1 + robots via the F4 hook) → failed callback
-    st = scheme_policy(url, cfg)
-    if st is None:
-        st = robots_policy(url, robots_disallow, cfg)
+    # pre-fetch URI policy chain (F1/F3/F4 — name-resolved via the
+    # registry, first non-None verdict wins) → failed callback
+    st = apply_uri_policies(url, cfg, {"robots_disallow": robots_disallow})
     if st is not None:
         rec["state"] = st if st in _FAILED_STATES else CrawlState.FAILED
         rec["ttl_base_s"] = cfg.ttl_failed_s
@@ -241,8 +231,8 @@ def process_fetch(
         rec["state"] = CrawlState.SKIPPED  # caller persists the PREVIOUS state
         return rec
 
-    # checkpoint: content-type policy; 3xx ⇒ SKIPPED_COMMIT (F2)
-    st, status = content_type_checkpoint(status, rec["content_type"], cfg)
+    # checkpoint policy chain: content-type etc.; 3xx ⇒ SKIPPED_COMMIT (F2)
+    st, status = apply_checkpoint_policies(status, rec["content_type"], cfg)
     rec["status"] = status
     if st is not None and st != CrawlState.SKIPPED_COMMIT:
         if cached:
@@ -287,31 +277,30 @@ def process_fetch(
         rec["state"] = CrawlState.SKIPPED
         return rec
 
-    try:
-        triples = parse_triples(rec["payload"], rec["content_type"], base_url=url) or []
-    except TurtleError:
-        # librdf parse failure ⇒ COS_ERR ⇒ FAILED, no links (rdf.c:295-300,
-        # processor.c:200-203); the payload stays committed
-        rec["state"] = CrawlState.FAILED
-        return rec
-    header_triples = parse_link_headers(
-        link_values, url, rec["content_location"] or None
+    # name-resolved processor ("rdf" / "lod" / user-registered,
+    # processor.c:40-67): parse failure ⇒ FAILED; the lod license filter
+    # verdict lands before link collection (rdf.c:311-320)
+    pstate, out_links, spans = get_processor(cfg)(
+        rec["payload"],
+        url,
+        rec["content_type"],
+        link_values,
+        rec["content_location"] or None,
+        cfg,
     )
-    all_triples = triples + header_triples
-
-    # the LOD filter runs BEFORE link collection (rdf.c:311-320):
-    # a license-rejected document contributes NO frontier links
-    if not license_policy(
-        doc_licenses(all_triples, url, rec["content_location"] or None), cfg
+    if pstate not in (
+        CrawlState.ACCEPTED,
+        CrawlState.REJECTED,
+        CrawlState.SKIPPED,
+        CrawlState.FAILED,
     ):
-        rec["state"] = CrawlState.REJECTED
-        return rec
-
-    rec["out_links"] = extract_resource_nodes(all_triples)
-    rec["spans"] = decompose_spans(triples, url)
-    rec["state"] = CrawlState.ACCEPTED
-    rec["accepted"] = True
-    rec["ttl_base_s"] = cfg.ttl_accepted_s
+        pstate = CrawlState.FAILED  # COS_NEW/ERR coercion (processor.c:204-211)
+    rec["state"] = pstate
+    rec["out_links"] = out_links
+    rec["spans"] = spans
+    if pstate == CrawlState.ACCEPTED:
+        rec["accepted"] = True
+        rec["ttl_base_s"] = cfg.ttl_accepted_s
     return rec
 
 

@@ -1,0 +1,133 @@
+"""User-extension registries (§2.11): name-keyed policy/processor
+registration and the ≤8-policy chain — a custom policy/processor must plug
+into ``process_fetch`` via config alone, without touching engine code
+(≙ spider_add_policy / spider_set_processor_name, context.c:822-851,
+processor.c:40-67)."""
+
+import pytest
+
+from anansi_ray import registry
+from anansi_ray.model import CrawlConfig, CrawlState
+from anansi_ray.stages.fetch import process_fetch
+
+
+def webrow(**kw):
+    base = {
+        "status": 200,
+        "content_type": "application/n-triples",
+        "redirect": None,
+        "content_location": None,
+        "link_headers": [],
+        "payload": b"<http://a/> <http://p/> <http://b/> .\n",
+        "last_modified_ms": 10,
+    }
+    base.update(kw)
+    return base
+
+
+class TestPolicyRegistry:
+    def test_custom_uri_policy_injected_by_name(self):
+        registry.register_policy(
+            "block-evil",
+            uri=lambda url, cfg, ctx: CrawlState.REJECTED if "/evil" in url else None,
+        )
+        try:
+            cfg = CrawlConfig(
+                policies=("schemes", "block-evil", "robots", "content-types")
+            )
+            rec = process_fetch("http://x/evil/a", webrow(), None, cfg)
+            assert rec["state"] == CrawlState.REJECTED
+            assert rec["ttl_base_s"] == cfg.ttl_failed_s  # failed-callback path
+            # non-matching URLs flow through the rest of the chain unchanged
+            rec = process_fetch("http://x/good", webrow(), None, cfg)
+            assert rec["state"] == CrawlState.ACCEPTED
+        finally:
+            registry.unregister_policy("block-evil")
+
+    def test_chain_order_first_verdict_wins(self):
+        registry.register_policy(
+            "always-skip", uri=lambda url, cfg, ctx: CrawlState.SKIPPED
+        )
+        try:
+            cfg = CrawlConfig(policies=("always-skip", "schemes"))
+            # schemes would REJECT javascript, but always-skip runs first
+            cfg2 = CrawlConfig(
+                policies=("always-skip", "schemes"),
+                scheme_whitelist=(),
+                scheme_blacklist=("javascript",),
+            )
+            assert (
+                process_fetch("javascript://x/", webrow(), None, cfg2)["state"]
+                == CrawlState.SKIPPED
+            )
+            assert (
+                process_fetch("http://x/", webrow(), None, cfg)["state"]
+                == CrawlState.SKIPPED
+            )
+        finally:
+            registry.unregister_policy("always-skip")
+
+    def test_custom_checkpoint_policy(self):
+        registry.register_policy(
+            "no-xml",
+            checkpoint=lambda status, ct, cfg: (
+                (CrawlState.REJECTED, 406)
+                if ct and "xml" in ct
+                else (None, status)
+            ),
+        )
+        try:
+            cfg = CrawlConfig(policies=("schemes", "no-xml", "content-types"))
+            rec = process_fetch(
+                "http://x/", webrow(content_type="application/rdf+xml"), None, cfg
+            )
+            assert rec["state"] == CrawlState.REJECTED and rec["status"] == 406
+        finally:
+            registry.unregister_policy("no-xml")
+
+    def test_chain_length_capped_at_8(self):
+        cfg = CrawlConfig(policies=("schemes",) * 9)
+        with pytest.raises(ValueError, match="MAX_POLICIES"):
+            registry.policy_chain(cfg)
+
+    def test_unknown_policy_name_errors(self):
+        cfg = CrawlConfig(policies=("no-such-policy",))
+        with pytest.raises(KeyError, match="no-such-policy"):
+            registry.policy_chain(cfg)
+
+
+class TestProcessorRegistry:
+    def test_custom_processor_by_name(self):
+        def shouty(payload, url, ct, links, cl, cfg):
+            return CrawlState.ACCEPTED, ["http://custom.example/"], [
+                {"kind": "text", "text": "HI", "media_ref": "", "offset": 0}
+            ]
+
+        registry.register_processor("shouty", shouty)
+        cfg = CrawlConfig(processor_name="shouty")
+        rec = process_fetch("http://x/", webrow(), None, cfg)
+        assert rec["out_links"] == ["http://custom.example/"]
+        assert rec["spans"][0]["text"] == "HI"
+
+    def test_auto_select_lod_iff_license_filter(self):
+        assert registry.get_processor(CrawlConfig()).__name__ == "process_rdf"
+        assert (
+            registry.get_processor(
+                CrawlConfig(license_filter_enabled=True)
+            ).__name__
+            == "process_lod"
+        )
+
+    def test_unknown_processor_errors(self):
+        with pytest.raises(KeyError, match="nope"):
+            registry.get_processor(CrawlConfig(processor_name="nope"))
+
+    def test_rdf_processor_skips_license_filter(self):
+        # plain "rdf" never rejects on license, even with lists configured
+        cfg = CrawlConfig(
+            processor_name="rdf",
+            license_whitelist=("http://only/",),
+            license_filter_enabled=True,
+        )
+        rec = process_fetch("http://x/", webrow(), None, cfg)
+        assert rec["state"] == CrawlState.ACCEPTED
