@@ -161,6 +161,12 @@ class CrawlConfig:
     fetch_batch_size: int = 1024
     # politeness (db.c:300: default root rate = 1000 ms)
     default_rate_ms: int = 1000
+    #: engine-extension dequeue order (north_star: "priority queue keyed by
+    #: crawl depth + RDF link score"): when True, within each host NEW rows
+    #: order by (link-score desc, depth asc) before the O1 tail; the ledger
+    #: carries the in-degree score in the ``priority`` column.  False (the
+    #: default) reproduces the reference's O1 order exactly (db.c:691).
+    use_priority: bool = False
     #: per-host fetch budget per round (O2 top-k); None = unlimited (each
     #: round drains every eligible row — BFS-wave rounds).  A finite budget
     #: bounds per-round memory per host but multiplies round count for hub

@@ -76,8 +76,9 @@ def reference_crawl(
             hosts[host] = h
         return h
 
-    # url_hash -> (url, next_fetch_ms, depth); merge keeps min (nf, depth)
-    pending: dict[str, tuple[str, int, int]] = {}
+    # url_hash -> [url, next_fetch_ms, depth, score]; merge keeps min
+    # (nf, depth) and SUMS the link score (in-degree)
+    pending: dict[str, list] = {}
 
     def enqueue(raw_url: str, base: str | None, depth: int, discovered_ms: int):
         """Collect a round's candidate; merged into the ledger at round end
@@ -90,11 +91,21 @@ def reference_crawl(
             return
         h = cache_key(c)
         prev = pending.get(h)
-        if prev is None or (discovered_ms, depth) < (prev[1], prev[2]):
-            pending[h] = (c, discovered_ms, depth)
+        if prev is None:
+            pending[h] = [c, discovered_ms, depth, 1.0]
+        else:
+            prev[3] += 1.0
+            if (discovered_ms, depth) < (prev[1], prev[2]):
+                prev[0], prev[1], prev[2] = c, discovered_ms, depth
 
     def insert_new(
-        h: str, c: str, depth: int, rnd: int, nf_ms: int, force: bool = False
+        h: str,
+        c: str,
+        depth: int,
+        rnd: int,
+        nf_ms: int,
+        force: bool = False,
+        priority: float = 0.0,
     ):
         row = ledger.get(h)
         if row is not None:
@@ -109,6 +120,7 @@ def reference_crawl(
             "host": host,
             "root_hash": rh,
             "depth": depth,
+            "priority": priority,
             "state": "FORCE" if force else "NEW",
             "status": 0,
             "next_fetch_ms": nf_ms,
@@ -120,8 +132,8 @@ def reference_crawl(
         }
 
     def merge_pending(rnd: int):
-        for h, (c, nf, depth) in pending.items():
-            insert_new(h, c, depth, rnd, nf)
+        for h, (c, nf, depth, score) in pending.items():
+            insert_new(h, c, depth, rnd, nf, priority=score)
         pending.clear()
 
     for s in tables["seeds"].to_pylist():
@@ -153,10 +165,24 @@ def reference_crawl(
 
         scheduled: list[tuple[dict, int]] = []
         for host in due_by_host:
-            rows = sorted(
-                due_by_host[host],
-                key=lambda r: (r["state"] != "NEW", r["next_fetch_ms"], r["url_hash"]),
-            )
+            if cfg.use_priority:
+                # engine-extension priority order: NEW first, link score
+                # desc, depth asc, then the O1 tail
+                rows = sorted(
+                    due_by_host[host],
+                    key=lambda r: (
+                        r["state"] != "NEW",
+                        -r["priority"],
+                        r["depth"],
+                        r["next_fetch_ms"],
+                        r["url_hash"],
+                    ),
+                )
+            else:
+                rows = sorted(
+                    due_by_host[host],
+                    key=lambda r: (r["state"] != "NEW", r["next_fetch_ms"], r["url_hash"]),
+                )
             if budget:
                 rows = rows[:budget]
             hstate = hosts[host]
@@ -229,6 +255,7 @@ def reference_crawl(
                 "host",
                 "root_hash",
                 "depth",
+                "priority",
                 "state",
                 "status",
                 "next_fetch_ms",

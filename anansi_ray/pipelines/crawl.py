@@ -67,6 +67,7 @@ LEDGER_COLS = [
     "host",
     "root_hash",
     "depth",
+    "priority",
     "state",
     "status",
     "next_fetch_ms",
@@ -84,6 +85,7 @@ LEDGER_SCHEMA = pa.schema(
         ("host", pa.string()),
         ("root_hash", pa.string()),
         ("depth", pa.int32()),
+        ("priority", pa.float64()),
         ("state", pa.string()),
         ("status", pa.int32()),
         ("next_fetch_ms", pa.int64()),
@@ -140,11 +142,34 @@ def _make_due_filter(due_hosts_ref, removed_ref, refetch: bool = False):
     return due_filter
 
 
-def _make_scheduler(budget: int | None, eu_rate_ref):
+#: the reference's O1 dequeue order (db.c:691) with the pinned tie-break
+ORDER_REFERENCE = [
+    ("_old", "ascending"),
+    ("next_fetch_ms", "ascending"),
+    ("url_hash", "ascending"),
+]
+#: engine-extension priority order (BASELINE.json north_star: "priority
+#: queue keyed by crawl depth + RDF link score"): NEW rows first, higher
+#: in-degree link score first, shallower depth first, then the O1 tail
+ORDER_PRIORITY = [
+    ("_old", "ascending"),
+    ("priority", "descending"),
+    ("depth", "ascending"),
+    ("next_fetch_ms", "ascending"),
+    ("url_hash", "ascending"),
+]
+
+
+def order_keys(cfg: CrawlConfig) -> list[tuple[str, str]]:
+    return ORDER_PRIORITY if cfg.use_priority else ORDER_REFERENCE
+
+
+def _make_scheduler(budget: int | None, eu_rate_ref, keys=None):
     """groupby(host).map_groups body: O1 ordering + causally-chained
     politeness slots ``t_j = max(t_{j-1} + rate, next_fetch_j)`` (≙ the
     dequeue txn's ORDER BY + earliest_update write + next_fetch time gate,
     db.c:689-691, 762-790). Tie-break pinned on url_hash (SURVEY §7.4)."""
+    keys = keys or ORDER_REFERENCE
 
     def schedule(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -152,14 +177,7 @@ def _make_scheduler(budget: int | None, eu_rate_ref):
         host = group["host"][0].as_py()
         eu, rate = ray.get(eu_rate_ref)[host]
         g = group.append_column("_old", pc.not_equal(group["state"], "NEW"))
-        order = pc.sort_indices(
-            g,
-            sort_keys=[
-                ("_old", "ascending"),
-                ("next_fetch_ms", "ascending"),
-                ("url_hash", "ascending"),
-            ],
-        )
+        order = pc.sort_indices(g, sort_keys=keys)
         if budget:
             order = order[:budget]
         g = g.take(order).drop_columns(["_old"])
@@ -247,11 +265,15 @@ class _ExpandLinks:
         depth_arr = np.array(depths, dtype=np.int32)
         disc_arr = np.array(discovered, dtype=np.int64)
         keep = c["valid"] & (depth_arr <= self.cfg.max_depth)
-        # in-batch pre-dedup keeping min (next_fetch, depth) per hash
+        # in-batch pre-dedup keeping min (next_fetch, depth) per hash while
+        # SUMMING the RDF link score (in-degree: one point per referring
+        # occurrence) — the partial-aggregate before the groupby shuffle
         best: dict[str, int] = {}
+        score: dict[str, int] = {}
         hashes = c["url_hash"]
         for i in np.flatnonzero(keep):
             h = hashes[i]
+            score[h] = score.get(h, 0) + 1
             j = best.get(h)
             if j is None or (disc_arr[i], depth_arr[i]) < (disc_arr[j], depth_arr[j]):
                 best[h] = i
@@ -264,6 +286,9 @@ class _ExpandLinks:
                 "root_hash": pa.array(c["root_hash"][idx], pa.string()),
                 "depth": pa.array(depth_arr[idx], pa.int32()),
                 "next_fetch_ms": pa.array(disc_arr[idx], pa.int64()),
+                "score": pa.array(
+                    [float(score[h]) for h in best], pa.float64()
+                ),
             }
         )
 
@@ -277,26 +302,21 @@ def _empty_candidates() -> pa.Table:
             ("root_hash", pa.string()),
             ("depth", pa.int32()),
             ("next_fetch_ms", pa.int64()),
+            ("score", pa.float64()),
         ]
     ).empty_table()
 
 
 def _schedule_on_driver(
-    due_tbl: pa.Table, due_hosts: dict, budget: int | None
+    due_tbl: pa.Table, due_hosts: dict, budget: int | None, keys=None
 ) -> pa.Table:
     """Driver-plane variant of the groupby(host) scheduler: identical O1
-    ordering + causal slot chaining, vectorized sort + one linear pass."""
+    (or priority) ordering + causal slot chaining, vectorized sort + one
+    linear pass."""
+    keys = keys or ORDER_REFERENCE
     is_old = pc.not_equal(due_tbl["state"], "NEW")
     g = due_tbl.append_column("_old", is_old)
-    order = pc.sort_indices(
-        g,
-        sort_keys=[
-            ("host", "ascending"),
-            ("_old", "ascending"),
-            ("next_fetch_ms", "ascending"),
-            ("url_hash", "ascending"),
-        ],
-    )
+    order = pc.sort_indices(g, sort_keys=[("host", "ascending")] + keys)
     g = g.take(order).drop_columns(["_old"])
     hosts = g["host"].to_pylist()
     nf = g["next_fetch_ms"].to_numpy(zero_copy_only=False)
@@ -327,7 +347,7 @@ def _schedule_on_driver(
 
 def _merge_candidates_on_driver(cand_tbl: pa.Table) -> pa.Table:
     """Driver-plane variant of the groupby(url_hash) candidate merge:
-    earliest (next_fetch_ms, depth) per hash wins."""
+    earliest (next_fetch_ms, depth) per hash wins; link scores SUM."""
     order = pc.sort_indices(
         cand_tbl,
         sort_keys=[
@@ -338,23 +358,34 @@ def _merge_candidates_on_driver(cand_tbl: pa.Table) -> pa.Table:
     )
     t = cand_tbl.take(order)
     hashes = t["url_hash"].to_pylist()
-    keep = np.ones(len(hashes), dtype=bool)
-    for i in range(1, len(hashes)):
-        if hashes[i] == hashes[i - 1]:
+    scores = t["score"].to_numpy(zero_copy_only=False).copy()
+    n = len(hashes)
+    keep = np.ones(n, dtype=bool)
+    first = 0
+    for i in range(1, n):
+        if hashes[i] == hashes[first]:
             keep[i] = False
+            scores[first] += scores[i]
+        else:
+            first = i
+    t = t.set_column(t.column_names.index("score"), "score", pa.array(scores, pa.float64()))
     return t.filter(pa.array(keep))
 
 
 def _min_depth_group(group: pa.Table) -> pa.Table:
     """Candidate merge rule: earliest (next_fetch_ms, depth) wins — the same
-    deterministic rule the oracle's pending-merge applies."""
+    deterministic rule the oracle's pending-merge applies; scores SUM."""
     if group.num_rows == 1:
         return group
+    total = pc.sum(group["score"]).as_py() or 0.0
     order = pc.sort_indices(
         group,
         sort_keys=[("next_fetch_ms", "ascending"), ("depth", "ascending")],
     )
-    return group.take(order[:1])
+    out = group.take(order[:1])
+    return out.set_column(
+        out.column_names.index("score"), "score", pa.array([float(total)], pa.float64())
+    )
 
 
 def _new_ledger_rows(batch: pa.Table, rnd: int) -> pa.Table:
@@ -366,6 +397,7 @@ def _new_ledger_rows(batch: pa.Table, rnd: int) -> pa.Table:
             "host": batch["host"],
             "root_hash": batch["root_hash"],
             "depth": batch["depth"],
+            "priority": batch["score"],
             "state": pa.array(["NEW"] * n, pa.string()),
             "status": pa.array(np.zeros(n, np.int32), pa.int32()),
             "next_fetch_ms": batch["next_fetch_ms"],
@@ -583,6 +615,7 @@ class CrawlPipeline:
                 "host": host,
                 "root_hash": rh,
                 "depth": 0,
+                "priority": 0.0,
                 "state": "FORCE" if s["force"] else "NEW",
                 "status": 0,
                 "next_fetch_ms": 0,
@@ -654,7 +687,9 @@ class CrawlPipeline:
             )
             if due_tbl.num_rows == 0:
                 return 0
-            sched_tbl = _schedule_on_driver(due_tbl, due_hosts, self.budget)
+            sched_tbl = _schedule_on_driver(
+                due_tbl, due_hosts, self.budget, keys=order_keys(cfg)
+            )
             nslices = max(1, min(64, sched_tbl.num_rows // 512 or 1))
             step = (sched_tbl.num_rows + nslices - 1) // nslices
             scheduled = rd.from_arrow(
@@ -677,7 +712,7 @@ class CrawlPipeline:
                 _make_due_filter(due_ref, removed_ref, refetch=refetch),
                 batch_format="pyarrow",
             )
-            scheduled = schedule_scan(due, due_hosts, self.budget)
+            scheduled = schedule_scan(due, due_hosts, self.budget, keys=order_keys(cfg))
         _t_sched = _time.monotonic()
         if self.web_store_dir is not None:
             from anansi_ray.sources.webstore import fetch_bucketed

@@ -42,12 +42,25 @@ _SEG_META_SCHEMA = pa.schema(
     [
         ("host", pa.string()),
         ("first_old", pa.bool_()),
+        ("first_priority", pa.float64()),
+        ("first_depth", pa.int32()),
         ("first_nf", pa.int64()),
         ("first_hash", pa.string()),
         ("n", pa.int64()),
         ("g_max_local", pa.int64()),
     ]
 )
+
+#: mapping from order-key column name to its first-row meta field — the
+#: driver combine re-orders segments by the SAME key the distributed sort
+#: used (any total order works; both passes and the combine must agree)
+_META_FIELD = {
+    "_old": "first_old",
+    "priority": "first_priority",
+    "depth": "first_depth",
+    "next_fetch_ms": "first_nf",
+    "url_hash": "first_hash",
+}
 
 
 def _add_old(batch: pa.Table) -> pa.Table:
@@ -75,6 +88,16 @@ def _make_meta_pass(rate_ref):
             g = nf[s:e] - rate * np.arange(e - s, dtype=np.int64)
             rows["host"].append(host)
             rows["first_old"].append(bool(batch["_old"][s].as_py()))
+            rows["first_priority"].append(
+                float(batch["priority"][s].as_py())
+                if "priority" in batch.column_names
+                else 0.0
+            )
+            rows["first_depth"].append(
+                int(batch["depth"][s].as_py())
+                if "depth" in batch.column_names
+                else 0
+            )
             rows["first_nf"].append(int(nf[s]))
             rows["first_hash"].append(batch["url_hash"][s].as_py())
             rows["n"].append(e - s)
@@ -84,18 +107,14 @@ def _make_meta_pass(rate_ref):
     return meta
 
 
-def _combine_on_driver(meta: pa.Table, eu_rate: dict) -> dict:
+def _combine_on_driver(meta: pa.Table, eu_rate: dict, keys) -> dict:
     """Order each host's segments by their first sort key; accumulate row
     offsets and prefix-max carries.  Returns {(host, first_hash): (offset,
     carry)} where carry = max(eu, rebased g-max of all earlier segments)."""
     order = pc.sort_indices(
         meta,
-        sort_keys=[
-            ("host", "ascending"),
-            ("first_old", "ascending"),
-            ("first_nf", "ascending"),
-            ("first_hash", "ascending"),
-        ],
+        sort_keys=[("host", "ascending")]
+        + [(_META_FIELD[name], direction) for name, direction in keys],
     )
     meta = meta.take(order)
     out: dict = {}
@@ -144,13 +163,26 @@ def _make_finalize_pass(rate_ref, seg_ref, budget: int | None):
 
 
 def schedule_scan(
-    due: rd.Dataset, eu_rate: dict, budget: int | None = None
+    due: rd.Dataset, eu_rate: dict, budget: int | None = None, keys=None
 ) -> rd.Dataset:
-    """Schedule a due Dataset: returns rows + exact ``fetch_clock_ms``."""
+    """Schedule a due Dataset: returns rows + exact ``fetch_clock_ms``.
+
+    ``keys`` is the within-host order (default: the reference O1 key; the
+    priority extension passes its own) — the segmented scan itself is
+    order-agnostic as long as sort, meta pass and combine agree."""
+    if keys is None:
+        keys = [
+            ("_old", "ascending"),
+            ("next_fetch_ms", "ascending"),
+            ("url_hash", "ascending"),
+        ]
     rate_ref = ray.put(eu_rate)
     srt = (
         due.map_batches(_add_old, batch_format="pyarrow")
-        .sort(["host", "_old", "next_fetch_ms", "url_hash"])
+        .sort(
+            ["host"] + [name for name, _d in keys],
+            descending=[False] + [d == "descending" for _n, d in keys],
+        )
         .materialize()
     )
     # batch_size=None ⇒ one batch per block on BOTH passes, so segment keys
@@ -174,7 +206,7 @@ def schedule_scan(
             batch_format="pyarrow",
         )
     meta = pa.concat_tables(meta_tables)
-    seg_info = _combine_on_driver(meta, eu_rate)
+    seg_info = _combine_on_driver(meta, eu_rate, keys)
     seg_ref = ray.put(seg_info)
     return srt.map_batches(
         _make_finalize_pass(rate_ref, seg_ref, budget),

@@ -190,3 +190,51 @@ def test_bucketed_store_distributed_plane_conformance(tmp_path):
     exp_l = {(r["url_hash"], r["state"]) for r in oracle["ledger"].to_pylist()}
     got_l = {(r["url_hash"], r["state"]) for r in pipe["ledger"].to_pylist()}
     assert got_l == exp_l
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPriorityOrder:
+    """Engine-extension priority queue (north_star: 'priority queue keyed
+    by crawl depth + RDF link score'): NEW rows dequeue by in-degree link
+    score desc, then depth asc, then the O1 tail; pipeline order-exact vs
+    the oracle under the same mode, on BOTH control planes."""
+
+    def test_priority_conformance_driver_plane(self, tiny):
+        from anansi_ray.pipelines.crawl import CrawlPipeline
+
+        cfg = CrawlConfig(use_priority=True)
+        oracle = reference_crawl(tiny, cfg)
+        pipe = CrawlPipeline(tiny, cfg).run()
+        exp, got = oracle["expected_crawl"], pipe["expected_crawl"]
+        assert got.num_rows == exp.num_rows
+        for col in ("seq", "url_hash", "fetch_clock_ms", "state", "status"):
+            assert got[col].to_pylist() == exp[col].to_pylist(), col
+
+    def test_priority_conformance_distributed_plane(self, tiny):
+        from anansi_ray.pipelines.crawl import CrawlPipeline
+
+        cfg = CrawlConfig(use_priority=True)
+        oracle = reference_crawl(tiny, cfg)
+        pipe = CrawlPipeline(tiny, cfg, driver_plane_threshold=0).run()
+        exp, got = oracle["expected_crawl"], pipe["expected_crawl"]
+        assert got.num_rows == exp.num_rows
+        for col in ("seq", "url_hash", "fetch_clock_ms", "state", "status"):
+            assert got[col].to_pylist() == exp[col].to_pylist(), col
+
+    def test_priority_changes_order_not_seen_set(self, tiny):
+        base = reference_crawl(tiny, CrawlConfig())
+        prio = reference_crawl(tiny, CrawlConfig(use_priority=True))
+        assert set(prio["expected_crawl"]["url_hash"].to_pylist()) == set(
+            base["expected_crawl"]["url_hash"].to_pylist()
+        )
+        # link scores populated: some discovered row has in-degree > 1
+        assert max(prio["ledger"]["priority"].to_pylist()) > 1.0
+
+    def test_hub_pages_scored_higher(self, tiny):
+        prio = reference_crawl(tiny, CrawlConfig(use_priority=True))
+        led = prio["ledger"].to_pylist()
+        scored = [r for r in led if r["depth"] > 0]
+        assert scored
+        # priority equals the number of referring occurrences accumulated
+        # at discovery; all non-seed rows have at least one referrer
+        assert all(r["priority"] >= 1.0 for r in scored if r["added_round"] > 0)
