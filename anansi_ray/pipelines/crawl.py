@@ -782,6 +782,20 @@ class CrawlPipeline:
         trans.map_batches(
             _make_spool_project(horizon), batch_format="pyarrow"
         ).write_parquet(rdir)
+        # per-partition lineage marker (rows + state mix): a round dir is
+        # complete iff its _MANIFEST exists — a killed writer leaves no
+        # marker and the re-run overwrites the whole dir
+        from collections import Counter as _C
+
+        with open(os.path.join(rdir, "_MANIFEST.json"), "w") as f:
+            json.dump(
+                {
+                    "round": self.round,
+                    "rows": n_fetched,
+                    "states": dict(_C(meta["state"].to_pylist())),
+                },
+                f,
+            )
         self.spooled_rounds.append(self.round)
         _t_spool = _time.monotonic()
 
