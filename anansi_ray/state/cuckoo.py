@@ -85,6 +85,12 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.count += 1
                 return True
+        if len(self.stash) >= _MAX_STASH:
+            # over-full: refuse WITHOUT kicking — an eviction chain that
+            # cannot park its final victim would silently lose a
+            # previously-inserted key (a false negative); refusing only
+            # drops the NEW key, the documented false-positive direction
+            return False
         # cuckoo kicks
         i = i1 if self._rng.integers(0, 2) else i2
         for _ in range(_MAX_KICKS):
@@ -98,12 +104,11 @@ class CuckooFilter:
                 self.count += 1
                 return True
         # kick budget exhausted: park the last evicted victim in the stash
-        # so no previously-inserted key ever reads as absent
-        if len(self.stash) < _MAX_STASH:
-            self.stash.add((i, fp))
-            self.count += 1
-            return True
-        return False
+        # so no previously-inserted key ever reads as absent (capacity was
+        # reserved above)
+        self.stash.add((i, fp))
+        self.count += 1
+        return True
 
     def add_if_new(self, url_hashes: list[str]) -> np.ndarray:
         """Same contract as the exact shard: True where newly inserted.

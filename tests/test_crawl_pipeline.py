@@ -238,3 +238,76 @@ class TestPriorityOrder:
         # priority equals the number of referring occurrences accumulated
         # at discovery; all non-seed rows have at least one referrer
         assert all(r["priority"] >= 1.0 for r in scored if r["added_round"] > 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_actor_pool_fetcher_and_groupby_scheduler_variants(tiny):
+    """The documented alternates produce identical results: the Fetcher
+    ACTOR-POOL stage vs the cached stateless task, and the
+    groupby(host).map_groups scheduler vs the vectorized driver plane."""
+    import ray
+    import ray.data as rd
+
+    from anansi_ray.pipelines.crawl import (
+        _make_scheduler,
+        _schedule_on_driver,
+    )
+    from anansi_ray.stages.fetch import Fetcher, _webrow_dicts, make_fetch_fn
+    from anansi_ray.canon import canon_batch
+
+    cfg = CrawlConfig()
+    web_ref = ray.put(_webrow_dicts(tiny["web"]))
+    robots = {
+        r["host"]: r.get("robots_disallow") or []
+        for r in tiny["hosts"].to_pylist()
+        if r.get("robots_disallow")
+    }
+    robots_ref = ray.put(robots)
+
+    c = canon_batch(tiny["web"]["url"].to_pylist()[:64])
+    due = pa.table(
+        {
+            "url": pa.array(c["url"]),
+            "url_hash": pa.array(c["url_hash"]),
+            "host": pa.array(c["host"]),
+            "state": pa.array(["NEW"] * len(c["url"])),
+            "status": pa.array([0] * len(c["url"]), pa.int32()),
+            "next_fetch_ms": pa.array([0] * len(c["url"]), pa.int64()),
+            "updated_ms": pa.array([0] * len(c["url"]), pa.int64()),
+        }
+    )
+    hosts = {h: (0, 1000) for h in set(c["host"])}
+
+    # scheduler variants agree on slots
+    sched_a = _schedule_on_driver(due, hosts, budget=None)
+    eu_ref = ray.put(hosts)
+    sched_b_ds = (
+        rd.from_arrow(due)
+        .groupby("host")
+        .map_groups(_make_scheduler(None, eu_ref), batch_format="pyarrow")
+    )
+    slots_a = dict(zip(sched_a["url_hash"].to_pylist(), sched_a["fetch_clock_ms"].to_pylist()))
+    b = sched_b_ds.to_pandas()
+    slots_b = dict(zip(b["url_hash"], b["fetch_clock_ms"]))
+    assert slots_a == slots_b
+
+    # fetch variants agree row-for-row
+    out_task = (
+        rd.from_arrow(sched_a)
+        .map_batches(make_fetch_fn(web_ref, robots_ref, cfg), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("url_hash")
+    )
+    out_actor = (
+        rd.from_arrow(sched_a)
+        .map_batches(
+            Fetcher,
+            fn_constructor_args=(web_ref, robots_ref, cfg),
+            concurrency=2,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("url_hash")
+    )
+    for col in ("url_hash", "state", "status", "content_type"):
+        assert out_task[col].tolist() == out_actor[col].tolist(), col

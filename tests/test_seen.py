@@ -106,3 +106,34 @@ def test_cuckoo_crawl_close_to_exact():
     a = set(approx["expected_crawl"]["url_hash"].to_pylist())
     assert a <= e
     assert len(a) >= 0.99 * len(e)
+
+
+class TestCuckooStash:
+    def test_no_false_negatives_at_overfill(self):
+        """Kick-exhausted victims park in the stash: every key ever added
+        must still read as present (false POSITIVES are the documented
+        failure mode, false negatives never)."""
+        import hashlib
+
+        from anansi_ray.state.cuckoo import CuckooFilter
+
+        f = CuckooFilter(capacity=64)  # tiny: forces kicks + stash quickly
+        keys = [hashlib.sha256(str(i).encode()).hexdigest()[:32] for i in range(200)]
+        inserted = [k for k in keys if f.add(k)]
+        assert len(inserted) >= 64  # filled past nominal capacity
+        missing = [k for k in inserted if not f.contains(k)]
+        assert missing == []
+
+    def test_stash_survives_dump_restore(self):
+        import hashlib
+
+        from anansi_ray.state.cuckoo import CuckooFilter
+
+        f = CuckooFilter(capacity=64)
+        keys = [hashlib.sha256(str(i).encode()).hexdigest()[:32] for i in range(200)]
+        inserted = [k for k in keys if f.add(k)]
+        blob = f.dump()
+        g = CuckooFilter(capacity=64)
+        g.restore(blob)
+        assert g.count == f.count
+        assert all(g.contains(k) for k in inserted)
