@@ -112,18 +112,18 @@ class MediaFeatureExtractor:
             _fake_features(p, k)
             for p, k in zip(batch["payload"].to_pylist(), batch["kind"].to_pylist())
         ]
-        return pa.table(
-            {
-                "media_id": batch["media_id"],
-                "kind": batch["kind"],
-                "payload_bytes": pa.array(
-                    [len(p) for p in batch["payload"].to_pylist()], pa.int64()
-                ),
-                "feature": pa.array(
-                    [f.tolist() for f in feats], pa.list_(pa.float64())
-                ),
-            }
+        # pass through every non-payload column (doc_id joins, positions,
+        # ...); the binary payload never flows downstream of the decode
+        cols = {
+            name: batch[name]
+            for name in batch.column_names
+            if name not in ("payload", "meta_width", "meta_height", "meta_sample_rate")
+        }
+        cols["payload_bytes"] = pa.array(
+            [len(p) for p in batch["payload"].to_pylist()], pa.int64()
         )
+        cols["feature"] = pa.array([f.tolist() for f in feats], pa.list_(pa.float64()))
+        return pa.table(cols)
 
 
 def extract_media_features(ds: rd.Dataset, concurrency: int = 2) -> rd.Dataset:

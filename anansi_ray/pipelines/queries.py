@@ -796,7 +796,7 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v1"
+_ORACLE_VERSION = "v2"  # bump whenever artifact-affecting code changes
 
 
 def _minhash_pairs_local(tbl: pa.Table, min_est: float) -> pa.Table:
@@ -854,7 +854,9 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
     docs = docs.take(pc.sort_indices(docs, sort_keys=[("doc_id", "ascending")]))
     flat = flatten_spans_batch(docs)
     pq.write_table(
-        flat.select(["doc_id", "text", "n_spans", "n_text_spans", "n_media_spans"]),
+        flat.select(
+            ["doc_id", "text", "media_refs", "n_spans", "n_text_spans", "n_media_spans"]
+        ),
         os.path.join(ORACLE_DIR, "crawl_docs_flat.parquet"),
     )
 
@@ -985,6 +987,94 @@ def q_media_features(sf_dir: str):
     return pa.Table.from_pandas(out.sort_values("media_id"), preserve_index=False)
 
 
+def q_crawl_media_pipeline(sf_dir: str):
+    """End-to-end multimodal path: crawl → interleaved spans → media_refs
+    exploded → deterministic payload synthesis → actor-pool decode/feature
+    stage — 'crawl to multimodal training data' over the engine's own
+    output.  Payload synthesis is a pure function of the ref (kind by
+    length parity, payload = 'media:<ref>' repeated) so the DuckDB oracle
+    recomputes byte counts AND feature signatures from the reference
+    crawler's documents alone."""
+    from anansi_ray.functions.spans import flatten_spans_batch
+
+    docs = _crawl_results()["documents"]
+    flat = flatten_spans_batch(docs)
+
+    def explode_refs(batch: pa.Table) -> pa.Table:
+        doc_ids, refs = [], []
+        for d, rs in zip(batch["doc_id"].to_pylist(), batch["media_refs"].to_pylist()):
+            for r in rs or ():
+                doc_ids.append(d)
+                refs.append(r)
+        kinds = ["image" if len(r) % 2 == 0 else "audio" for r in refs]
+        payloads = [("media:" + r) * (len(r) % 5 + 1) for r in refs]
+        return pa.table(
+            {
+                "media_id": pa.array(refs, pa.string()),
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "payload": pa.array([p.encode() for p in payloads], pa.binary()),
+            }
+        )
+
+    media = rd.from_arrow(flat.select(["doc_id", "media_refs"])).map_batches(
+        explode_refs, batch_format="pyarrow"
+    )
+    feats = fmedia.extract_media_features(media)
+
+    def project(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        sigs = [
+            hashlib.md5(",".join(f"{v:.6f}" for v in f).encode()).hexdigest()
+            for f in batch["feature"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media_ref": batch["media_id"],
+                "kind": batch["kind"],
+                "payload_bytes": batch["payload_bytes"],
+                "feature_sig": pa.array(sigs, pa.string()),
+            }
+        )
+
+    out = feats.map_batches(project, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values(["doc_id", "media_ref"]), preserve_index=False
+    )
+
+
+SQL_CRAWL_MEDIA_PIPELINE = f"""
+WITH refs AS (
+  SELECT doc_id, unnest(media_refs) AS media_ref
+  FROM read_parquet('{ORACLE_DIR}/crawl_docs_flat.parquet')),
+p AS (
+  SELECT doc_id, media_ref,
+         CASE WHEN length(media_ref) % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         repeat('media:' || media_ref, length(media_ref) % 5 + 1) AS payload_str
+  FROM refs),
+h AS (
+  SELECT doc_id, media_ref, kind,
+         length(payload_str)::BIGINT AS payload_bytes,
+         kind || lower(to_hex(encode(payload_str))) AS base
+  FROM p),
+x AS (
+  SELECT doc_id, media_ref, kind, payload_bytes,
+         sha256(base) || sha256(base || chr(1)) AS hex128
+  FROM h),
+f AS (
+  SELECT doc_id, media_ref, kind, payload_bytes,
+         list_transform(range(16),
+           i -> round((('0x' || substr(hex128, (8*i+1)::INT, 8))::UBIGINT)::DOUBLE
+                      / 4294967296.0, 6)) AS feats
+  FROM x)
+SELECT doc_id, media_ref, kind, payload_bytes,
+       md5(array_to_string(list_transform(feats, x -> printf('%.6f', x)), ',')) AS feature_sig
+FROM f ORDER BY doc_id, media_ref
+"""
+
+
 _CRAWL_MEMO: dict = {}
 
 
@@ -1072,4 +1162,5 @@ QUERIES = {
     "crawl_order": (q_crawl_order, SQL_CRAWL_ORDER),
     "crawl_documents": (q_crawl_documents, None),
     "crawl_doc_pipeline": (q_crawl_doc_pipeline, SQL_CRAWL_DOC_PIPELINE),
+    "crawl_media_pipeline": (q_crawl_media_pipeline, SQL_CRAWL_MEDIA_PIPELINE),
 }
