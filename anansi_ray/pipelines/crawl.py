@@ -927,6 +927,13 @@ class CrawlPipeline:
         )
 
         self.round += 1
+        if isinstance(self.frontier, rd.Dataset):
+            # bound plan depth: an unmaterialized union chain makes every
+            # subsequent execution replay all prior rounds' unions — the
+            # per-round materialize is one linear pass over frontier-size
+            # blocks (the due filter already pays that) and keeps the DAG
+            # a single source
+            self.frontier = self.frontier.materialize()
         if (self.compact_every and self.round % self.compact_every == 0) or len(
             self.removed
         ) > self.removed_cap:
