@@ -498,8 +498,12 @@ def q_ngram_jaccard_pairs(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
+    """IVF index searched with n_probe = n_cells (full probe ⇒ exact):
+    the partition/assignment/pruned-scan machinery is verified value-exact
+    against the same SQL as brute-force top-k; cell-PRUNED recall
+    (n_probe < n_cells) is asserted in tests/test_similarity.py."""
     idx = fsim.IvfIndex(n_cells=8, n_iter=5, seed=42).build(_read(sf_dir, "embeddings"))
-    return idx.search(KNN_QUERIES, k=KNN_K, n_probe=4)
+    return idx.search(KNN_QUERIES, k=KNN_K, n_probe=8)
 
 
 # ---------------------------------------------------------------------------
@@ -1149,7 +1153,7 @@ QUERIES = {
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
     "embedding_near_dup_lsh": (q_embedding_near_dup_lsh, None),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
-    "knn_ivf": (q_knn_ivf, None),
+    "knn_ivf": (q_knn_ivf, SQL_KNN),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
