@@ -99,22 +99,33 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Language-ID heuristic: argmax of per-language stopword hit counts over
-    whitespace tokens; deterministic alphabetical tie-break; 'und' when no
-    list scores a hit."""
-    texts = batch[text_col].to_pylist()
-    out = []
-    for t in texts:
-        toks = _WS.split(t.strip().lower()) if t else []
-        best_lang, best = "und", 0
-        for lang in LANG_ORDER:
-            sw = LANG_STOPWORDS[lang]
-            score = sum(1 for w in toks if w in sw)
-            if score > best:
-                best, best_lang = score, lang
-        out.append(best_lang)
+    """Language-ID heuristic: argmax of per-language stopword hit counts
+    over whitespace tokens; deterministic alphabetical tie-break (argmax
+    returns the FIRST language at the max over LANG_ORDER); 'und' when no
+    list scores a hit.  Fully vectorized: one tokenization, one
+    ``pc.is_in`` + ``reduceat`` per language."""
+    col = pc.fill_null(batch[text_col], "")
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.utf8_trim_whitespace(col)), r"\s+"
+    )
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    n = batch.num_rows
+    scores = np.zeros((len(LANG_ORDER), n), dtype=np.int64)
+    for li, lang in enumerate(LANG_ORDER):
+        hit = pc.is_in(
+            flat, value_set=pa.array(sorted(LANG_STOPWORDS[lang]))
+        ).to_numpy(zero_copy_only=False)
+        s = np.add.reduceat(np.concatenate([hit.astype(np.int64), [0]]), offsets[:-1])
+        s[lens == 0] = 0
+        scores[li] = s
+    mx = scores.max(axis=0)
+    win = scores.argmax(axis=0)  # first index at max ⇒ alphabetical winner
+    langs = np.array(LANG_ORDER, dtype=object)
+    out = np.where(mx > 0, langs[win], "und")
     return pa.table(
-        {"doc_id": batch["doc_id"], "lang_pred": pa.array(out, pa.string())}
+        {"doc_id": batch["doc_id"], "lang_pred": pa.array(list(out), pa.string())}
     )
 
 

@@ -168,6 +168,7 @@ def _register_builtins() -> None:
     )
     register_processor("rdf", PR.process_rdf)
     register_processor("lod", PR.process_lod)
+    register_processor("html", PR.process_html)  # M14 (crawl-mirror.c:265-291)
 
 
 _register_builtins()

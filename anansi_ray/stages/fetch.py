@@ -273,14 +273,24 @@ def process_fetch(
         if c and is_same_origin(c, url):
             rec["content_location"] = c
 
-    if parser_for(rec["content_type"]) is None:
+    # media-type acceptance gate: RDF processors gate on the parser table
+    # (rdf_preprocess, rdf.c:208-239); a processor may override via an
+    # ``accepts(content_type)`` attribute (e.g. the html processor)
+    proc = get_processor(cfg)
+    accepts = getattr(proc, "accepts", None)
+    known_type = (
+        accepts(rec["content_type"])
+        if accepts is not None
+        else parser_for(rec["content_type"]) is not None
+    )
+    if not known_type:
         rec["state"] = CrawlState.SKIPPED
         return rec
 
-    # name-resolved processor ("rdf" / "lod" / user-registered,
+    # name-resolved processor ("rdf" / "lod" / "html" / user-registered,
     # processor.c:40-67): parse failure ⇒ FAILED; the lod license filter
     # verdict lands before link collection (rdf.c:311-320)
-    pstate, out_links, spans = get_processor(cfg)(
+    pstate, out_links, spans = proc(
         rec["payload"],
         url,
         rec["content_type"],

@@ -55,6 +55,51 @@ def process_rdf(
     )
 
 
+import re
+
+_HREF = re.compile(
+    r"""<(?:a|link|area)\b[^>]*?\bhref\s*=\s*["']([^"'>\s]+)["']|"""
+    r"""<(?:img|script|iframe|source|audio|video)\b[^>]*?\bsrc\s*=\s*["']([^"'>\s]+)["']""",
+    re.I,
+)
+
+
+def process_html(
+    payload, url, content_type, link_values, content_location, cfg: CrawlConfig
+):
+    """The ``html`` processor (M14): anchor/resource link extraction from
+    HTML payloads — the reference sketches this in its crawl-mirror example
+    (utils/crawl-mirror.c:265-291, a libxml2 anchor-recursion stub); here a
+    compiled-regex extractor with in-document first-occurrence dedup
+    (matching the M13 dedup rule) plus the RFC 5988 Link headers.  No RDF
+    model ⇒ no interleaved spans."""
+    text = (
+        payload.decode("utf-8", "replace")
+        if isinstance(payload, (bytes, bytearray))
+        else (payload or "")
+    )
+    seen: dict[str, None] = {}
+    for m in _HREF.finditer(text):
+        target = m.group(1) or m.group(2)
+        if target and target not in seen:
+            seen[target] = None
+    for _s, _p, o, is_res in parse_link_headers(
+        link_values, url, content_location or None
+    ):
+        if is_res and o not in seen:
+            seen[o] = None
+    return CrawlState.ACCEPTED, list(seen), None
+
+
+def _accepts_html(content_type: str | None) -> bool:
+    from anansi_ray.canon import normalize_content_type
+
+    return normalize_content_type(content_type) in ("text/html", "application/xhtml+xml")
+
+
+process_html.accepts = _accepts_html
+
+
 def process_lod(
     payload, url, content_type, link_values, content_location, cfg: CrawlConfig
 ):

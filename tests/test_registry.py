@@ -131,3 +131,65 @@ class TestProcessorRegistry:
         )
         rec = process_fetch("http://x/", webrow(), None, cfg)
         assert rec["state"] == CrawlState.ACCEPTED
+
+
+class TestHtmlProcessor:
+    """M14 — the html processor extracts anchor/resource links from HTML
+    payloads (≙ the crawl-mirror example's libxml2 anchor recursion,
+    crawl-mirror.c:265-291), selected purely by config."""
+
+    HTML = (
+        b"<html><body>"
+        b'<a href="/rel/one">one</a>'
+        b"<A HREF='http://other.example/two#frag'>two</A>"
+        b'<img src="/img/pic.png">'
+        b'<a href="/rel/one">dup</a>'
+        b"<a href=\"javascript:void(0)x\">js</a>"
+        b"</body></html>"
+    )
+
+    def test_html_links_extracted_in_doc_order(self):
+        cfg = CrawlConfig(processor_name="html")
+        rec = process_fetch(
+            "http://x/page",
+            webrow(content_type="text/html; charset=utf-8", payload=self.HTML),
+            None,
+            cfg,
+        )
+        assert rec["state"] == CrawlState.ACCEPTED
+        # raw targets, fragment intact — canonicalization (incl. fragment
+        # strip) happens at enqueue time like every extracted link
+        assert rec["out_links"] == [
+            "/rel/one",
+            "http://other.example/two#frag",
+            "/img/pic.png",
+            "javascript:void(0)x",
+        ]
+        assert rec["spans"] is None  # no RDF model, no interleaved doc
+
+    def test_html_type_gate(self):
+        # rdf types are NOT accepted by the html processor and vice versa
+        cfg = CrawlConfig(processor_name="html")
+        rec = process_fetch(
+            "http://x/", webrow(content_type="application/n-triples"), None, cfg
+        )
+        assert rec["state"] == CrawlState.SKIPPED
+        rec = process_fetch(
+            "http://x/", webrow(content_type="text/html", payload=self.HTML), None,
+            CrawlConfig(),  # default rdf processor
+        )
+        assert rec["state"] == CrawlState.SKIPPED
+
+    def test_html_link_headers_merged(self):
+        cfg = CrawlConfig(processor_name="html")
+        rec = process_fetch(
+            "http://x/page",
+            webrow(
+                content_type="text/html",
+                payload=b"<a href='/a'>a</a>",
+                link_headers=['<http://x/next>; rel="next"'],
+            ),
+            None,
+            cfg,
+        )
+        assert rec["out_links"] == ["/a", "http://x/next"]
