@@ -185,6 +185,10 @@ class CrawlConfig:
     # [policy:content-types] (content-types.c:155-226); empty whitelist = allow all
     content_type_whitelist: tuple[str, ...] = ()
     content_type_blacklist: tuple[str, ...] = ()
+    #: F8 mirror-prefix policy (crawl-mirror.c:119-139): when non-empty,
+    #: only URLs string-prefixed by one of these proceed (add
+    #: "mirror-prefix" to `policies` to activate the hook)
+    mirror_prefixes: tuple[str, ...] = ()
     # [lod:licenses] whitelist/blacklist (crawl.conf:78-84, lod.c:139-198)
     license_whitelist: tuple[str, ...] = ()
     license_blacklist: tuple[str, ...] = ()

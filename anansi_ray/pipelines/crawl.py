@@ -959,11 +959,22 @@ class CrawlPipeline:
         ).materialize()
         self.removed = set()
 
+    def request_stop(self) -> None:
+        """F9 terminate gate (≙ the crawld kill flag checked by
+        thread_prefetch_ before each fetch, crawler/thread.c:356-370): the
+        round loop finishes the in-flight round, checkpoints if configured,
+        and returns — resume continues from the last checkpoint."""
+        self.stop_requested = True
+
     # ------------------------------------------------------------------
     def run(self, max_rounds: int | None = None) -> dict:
         max_rounds = max_rounds or self.cfg.max_rounds
         fetches = 0
         for _ in range(max_rounds):
+            if getattr(self, "stop_requested", False):
+                if self.checkpoint_every:
+                    self.checkpoint()
+                break
             n = self.run_round()
             if n == 0:
                 break

@@ -166,6 +166,10 @@ def _register_builtins() -> None:
         "content-types",
         checkpoint=lambda status, ct, cfg: P.content_type_checkpoint(status, ct, cfg),
     )
+    # F8 — the crawl-mirror example's prefix policy (crawl-mirror.c:119-139):
+    # only http/https URLs string-prefixed by one of cfg.mirror_prefixes
+    # proceed; everything else is SKIPPED.  Inert unless prefixes are set.
+    register_policy("mirror-prefix", uri=lambda url, cfg, ctx: P.mirror_prefix_policy(url, cfg))
     register_processor("rdf", PR.process_rdf)
     register_processor("lod", PR.process_lod)
     register_processor("html", PR.process_html)  # M14 (crawl-mirror.c:265-291)

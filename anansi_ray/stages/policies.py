@@ -77,6 +77,22 @@ def content_type_checkpoint(
     return None, status
 
 
+def mirror_prefix_policy(url: str, cfg: CrawlConfig) -> CrawlState | None:
+    """F8 — the crawl-mirror example's root-prefix gate
+    (utils/crawl-mirror.c:119-139): http/https only, and the URL must be
+    string-prefixed by one of ``cfg.mirror_prefixes``.  No-op when no
+    prefixes are configured."""
+    if not cfg.mirror_prefixes:
+        return None
+    scheme = url.split(":", 1)[0].lower()
+    if scheme not in ("http", "https"):
+        return CrawlState.SKIPPED
+    for prefix in cfg.mirror_prefixes:
+        if url.startswith(prefix):
+            return None
+    return CrawlState.SKIPPED
+
+
 def license_policy(license_uris, cfg: CrawlConfig) -> bool:
     """F7 — True iff the document passes the LOD license filter."""
     if not cfg.license_filter_enabled:

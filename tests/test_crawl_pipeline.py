@@ -311,3 +311,30 @@ def test_actor_pool_fetcher_and_groupby_scheduler_variants(tiny):
     )
     for col in ("url_hash", "state", "status", "content_type"):
         assert out_task[col].tolist() == out_actor[col].tolist(), col
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_terminate_gate_stops_between_rounds(tiny, tmp_path):
+    """F9 — request_stop() ends the loop at the next round boundary and the
+    checkpoint allows seamless resume to the same final state."""
+    from anansi_ray.pipelines.crawl import CrawlPipeline
+
+    cfg = CrawlConfig(checkpoint_dir=str(tmp_path / "ck"))
+    full = reference_crawl(tiny, cfg)
+
+    p1 = CrawlPipeline(tiny, cfg, checkpoint_every=1)
+    for _ in range(3):
+        p1.run_round()
+    p1.request_stop()
+    res1 = p1.run()  # returns immediately, in-flight state checkpointed
+    assert res1["rounds"] == 3
+    assert res1["fetches"] == 0  # no rounds ran after the stop
+
+    latest = CrawlPipeline.latest_checkpoint(str(tmp_path / "ck"))
+    p2 = CrawlPipeline(tiny, cfg)
+    p2.restore(latest)
+    res2 = p2.run()
+    exp, got = full["expected_crawl"], res2["expected_crawl"]
+    assert got.num_rows == exp.num_rows
+    for col in ("seq", "url_hash", "state", "status"):
+        assert got[col].to_pylist() == exp[col].to_pylist(), col

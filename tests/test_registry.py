@@ -193,3 +193,28 @@ class TestHtmlProcessor:
             cfg,
         )
         assert rec["out_links"] == ["/a", "http://x/next"]
+
+
+class TestMirrorPrefixPolicy:
+    """F8 — the crawl-mirror prefix gate (crawl-mirror.c:119-139), plugged
+    into the chain by name."""
+
+    def test_prefix_gate(self):
+        cfg = CrawlConfig(
+            policies=("mirror-prefix", "schemes", "robots", "content-types"),
+            mirror_prefixes=("http://x/site/",),
+        )
+        ok = process_fetch("http://x/site/page", webrow(), None, cfg)
+        assert ok["state"] == CrawlState.ACCEPTED
+        off = process_fetch("http://x/other/page", webrow(), None, cfg)
+        assert off["state"] == CrawlState.SKIPPED
+
+    def test_non_http_skipped_even_if_prefixed(self):
+        from anansi_ray.stages.policies import mirror_prefix_policy
+
+        cfg = CrawlConfig(mirror_prefixes=("ftp://x/",))
+        assert mirror_prefix_policy("ftp://x/a", cfg) == CrawlState.SKIPPED
+
+    def test_inert_without_prefixes(self):
+        cfg = CrawlConfig(policies=("mirror-prefix", "schemes", "robots", "content-types"))
+        assert process_fetch("http://x/a", webrow(), None, cfg)["state"] == CrawlState.ACCEPTED
