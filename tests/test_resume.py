@@ -53,3 +53,31 @@ def test_resume_matches_uninterrupted(tmp_path):
     assert got_ledger == exp_ledger
 
     shutil.rmtree(ckdir, ignore_errors=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stale_spool_round_overwritten(tmp_path):
+    """Per-partition lineage: a round dir left by a killed writer (no
+    _MANIFEST, junk content) is wholly overwritten when the round re-runs —
+    results never mix stale and fresh files."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from anansi_ray.pipelines.crawl import CrawlPipeline
+
+    tiny = fixtures.generate("tiny", seed=42)
+    spool = str(tmp_path / "spool")
+    junk_dir = os.path.join(spool, "round=0")
+    os.makedirs(junk_dir)
+    pq.write_table(
+        pa.table({"garbage": [1, 2, 3]}), os.path.join(junk_dir, "junk.parquet")
+    )
+
+    pipe = CrawlPipeline(tiny, CrawlConfig(), spool_dir=spool)
+    res = pipe.run()
+    oracle = reference_crawl(tiny, CrawlConfig())
+    assert res["expected_crawl"].num_rows == oracle["expected_crawl"].num_rows
+    assert not os.path.exists(os.path.join(junk_dir, "junk.parquet"))
+    assert os.path.exists(os.path.join(junk_dir, "_MANIFEST.json"))
