@@ -81,23 +81,35 @@ def register_processor(name: str, fn: Callable) -> Callable:
 
 def policy_chain(cfg: CrawlConfig) -> list[Policy]:
     """Resolve the config's ordered policy-name chain (≤ MAX_POLICIES);
-    cached per (names, registry version)."""
+    cached per (names, registry version).
+
+    Names resolve against config-local objects FIRST
+    (``cfg.extra["policy_objects"]: {name: Policy}``), then the process
+    registry.  Config-local policies matter for distribution: the config is
+    cloudpickled into every fetch task, so their callables reach Ray
+    workers that never ran the driver's ``register_policy`` calls."""
     names = tuple(cfg.policies)
-    cached = _CHAIN_CACHE.get(names)
-    if cached is not None:
-        return cached
+    local = cfg.extra.get("policy_objects") if cfg.extra else None
+    if not local:
+        cached = _CHAIN_CACHE.get(names)
+        if cached is not None:
+            return cached
     if len(names) > MAX_POLICIES:
         raise ValueError(
             f"policy chain length {len(names)} exceeds MAX_POLICIES={MAX_POLICIES} "
             "(p_libspider.h:41)"
         )
-    try:
-        chain = [_POLICIES[n] for n in names]
-    except KeyError as e:
-        raise KeyError(
-            f"unknown policy {e.args[0]!r}; registered: {sorted(_POLICIES)}"
-        ) from None
-    _CHAIN_CACHE[names] = chain
+    chain = []
+    for n in names:
+        pol = (local or {}).get(n) or _POLICIES.get(n)
+        if pol is None:
+            raise KeyError(
+                f"unknown policy {n!r}; registered: {sorted(_POLICIES)}"
+                + (f" + config-local {sorted(local)}" if local else "")
+            )
+        chain.append(pol)
+    if not local:
+        _CHAIN_CACHE[names] = chain
     return chain
 
 
@@ -134,12 +146,14 @@ def get_processor(cfg: CrawlConfig) -> Callable:
     the license filter is enabled, plain ``rdf`` otherwise.
     """
     name = cfg.processor_name or ("lod" if cfg.license_filter_enabled else "rdf")
-    try:
-        return _PROCESSORS[name]
-    except KeyError:
+    local = cfg.extra.get("processor_objects") if cfg.extra else None
+    proc = (local or {}).get(name) or _PROCESSORS.get(name)
+    if proc is None:
         raise KeyError(
             f"unknown processor {name!r}; registered: {sorted(_PROCESSORS)}"
-        ) from None
+            + (f" + config-local {sorted(local)}" if local else "")
+        )
+    return proc
 
 
 # ---------------------------------------------------------------------------

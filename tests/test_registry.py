@@ -218,3 +218,34 @@ class TestMirrorPrefixPolicy:
     def test_inert_without_prefixes(self):
         cfg = CrawlConfig(policies=("mirror-prefix", "schemes", "robots", "content-types"))
         assert process_fetch("http://x/a", webrow(), None, cfg)["state"] == CrawlState.ACCEPTED
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_config_local_policy_reaches_ray_workers():
+    """Distribution-safe extension: a policy shipped inside the config
+    (cfg.extra['policy_objects']) executes inside Ray worker processes
+    that never ran register_policy — the whole crawl stays conformant."""
+    from anansi_ray import fixtures
+    from anansi_ray.oracle import reference_crawl
+    from anansi_ray.pipelines.crawl import CrawlPipeline
+
+    block = registry.Policy(
+        name="block-r7",
+        uri=lambda url, cfg, ctx: (
+            CrawlState.REJECTED if url.endswith("/r/7") else None
+        ),
+    )
+    cfg = CrawlConfig(
+        policies=("schemes", "block-r7", "robots", "content-types"),
+        extra={"policy_objects": {"block-r7": block}},
+    )
+    tiny = fixtures.generate("tiny", seed=42)
+    oracle = reference_crawl(tiny, cfg)
+    pipe = CrawlPipeline(tiny, cfg).run()
+    exp, got = oracle["expected_crawl"], pipe["expected_crawl"]
+    assert got.num_rows == exp.num_rows
+    for col in ("seq", "url_hash", "state", "status"):
+        assert got[col].to_pylist() == exp[col].to_pylist(), col
+    by_url = dict(zip(got["url"].to_pylist(), got["state"].to_pylist()))
+    blocked = [u for u in by_url if u.endswith("/r/7")]
+    assert blocked and all(by_url[u] == "REJECTED" for u in blocked)
