@@ -167,16 +167,6 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
     )
 
 
-def _dedup_pairs(pairs_ds: rd.Dataset) -> rd.Dataset:
-    """Distributed pair dedup: the same (a, b) may surface from several LSH
-    buckets; keep one row per pair (groupby on the pair key)."""
-
-    def first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    return pairs_ds.groupby(["a", "b"]).map_groups(first, batch_format="pyarrow")
-
-
 def attach_pair_values(
     pairs_ds: rd.Dataset, values_ds: rd.Dataset, key_col: str, val_col: str, val_type
 ) -> rd.Dataset:
@@ -246,6 +236,9 @@ def attach_pair_values(
         )
 
     def reunite(group: pa.Table) -> pa.Table:
+        # duplicate pair rows (the same (a,b) surfacing from several LSH
+        # buckets) collapse here for free: first slot-0 + first slot-1 win,
+        # so callers need no separate pair-dedup shuffle
         slots = group["slot"].to_pylist()
         empty = pa.table(
             {
@@ -291,7 +284,10 @@ def minhash_candidate_pairs(
         lambda b: minhash_sig_batch(b, text_col), batch_format="pyarrow"
     ).materialize()
 
-    pairs_ds = _dedup_pairs(
+    # duplicate (a, b) rows from different buckets are NOT pre-deduped:
+    # the verify join's reunite step collapses them per pair key anyway,
+    # saving a whole groupby exchange
+    pairs_ds = (
         sig_ds.map_batches(_sigs_to_bands, batch_format="pyarrow")
         .groupby(["band_id", "band_hash"])
         .map_groups(_bucket_pairs, batch_format="pyarrow")

@@ -57,7 +57,7 @@ import ray.data as rd
 
 from anansi_ray.canon import canon_batch, canonicalize, cache_key, root_of
 from anansi_ray.model import CrawlConfig
-from anansi_ray.stages.fetch import Fetcher, _webrow_dicts, make_fetch_fn
+from anansi_ray.stages.fetch import make_fetch_fn
 from anansi_ray.stages.transitions import transition_batch
 from anansi_ray.state.seen import SeenRouter, SeenSet, make_seen_filter
 
