@@ -16,11 +16,13 @@ All expressed Ray-Data-first:
                matrix (exact; the SQL-oracle-checkable path) — the IVF/LSH
                scale path lives in functions/similarity.py
 
-Scale notes: the only shuffles are on uniformly-distributed hash keys
-(text_hash, band_hash) — the same pattern as the crawl dedup (SURVEY §2.8).
-Candidate-pair connected components run driver-side union-find here (pair
-sets are tiny after LSH); at 10^9-doc scale swap in iterated min-label
-propagation over a pairs Dataset (same groupby machinery, noted inline).
+Scale notes: every shuffle is on a uniformly-distributed hash key
+(text_hash, band_hash, doc_id, pair id) — the same pattern as the crawl
+dedup (SURVEY §2.8).  MinHash verification joins signatures back through
+the distributed repartition join (:func:`attach_pair_values`) and
+connected components run as iterated min-label propagation over Datasets
+(:func:`connected_components_distributed`); the driver-side union-find
+remains only as the small-scale reference the equality tests pin against.
 """
 
 from __future__ import annotations

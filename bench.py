@@ -37,7 +37,9 @@ BENCH_QUERIES = [
     "lang_id",
     "doc_fingerprint",
     "minhash_near_dup",
+    "simhash",
     "simhash_near_dup",
+    "ngram_jaccard_pairs",
     "knn_cosine",
     "embedding_near_dup",
     "knn_ivf",
@@ -49,6 +51,7 @@ BENCH_QUERIES = [
     "order_lineitem_join",
     "orders_topk",
     "media_features",
+    "crawl_media_pipeline",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
