@@ -800,7 +800,7 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v2"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v3"  # bump whenever artifact-affecting code changes
 
 
 def _minhash_pairs_local(tbl: pa.Table, min_est: float) -> pa.Table:
@@ -871,7 +871,13 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
         os.path.join(ORACLE_DIR, "media.parquet"),
     )
 
-    # 3. MinHash-LSH candidate pair keys over the driver's sf0.01 documents
+    # 3. MinHash-LSH artifacts over the driver's sf0.01 documents:
+    #    candidate pair keys (τ=0.3) for the ngram-Jaccard oracle, and the
+    #    full near-dup groups (τ=0.5 pairs → driver union-find) — the
+    #    single-threaded twin the DISTRIBUTED banding/repartition-join/
+    #    label-propagation pipeline must reproduce exactly (shared
+    #    per-record math, fully independent orchestration — the same
+    #    check structure as the crawl-order oracle)
     sfdoc = os.path.join(sf_dir, "documents.parquet")
     if os.path.exists(sfdoc):
         t = pq.read_table(sfdoc, columns=["doc_id", "text"])
@@ -879,6 +885,11 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
             _minhash_pairs_local(t, 0.3),
             os.path.join(ORACLE_DIR, "ngram_cand.parquet"),
         )
+        pairs_05 = _minhash_pairs_local(t, 0.5)
+        groups = fdedup.connected_components(
+            pairs_05, pq.read_table(sfdoc, columns=["doc_id"])["doc_id"].to_pylist()
+        )
+        pq.write_table(groups, os.path.join(ORACLE_DIR, "minhash_groups.parquet"))
 
     with open(marker, "w") as f:
         f.write("ok")
@@ -905,6 +916,12 @@ FROM cand c
 JOIN grams ga ON ga.doc_id = c.a
 JOIN grams gb ON gb.doc_id = c.b
 ORDER BY c.a, c.b
+"""
+
+SQL_MINHASH_NEAR_DUP = f"""
+SELECT doc_id, dup_group
+FROM read_parquet('{ORACLE_DIR}/minhash_groups.parquet')
+ORDER BY doc_id
 """
 
 SQL_CRAWL_ORDER = f"""
@@ -1146,7 +1163,7 @@ QUERIES = {
     "quality_score": (q_quality_score, SQL_QUALITY),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "lang_id": (q_lang_id, SQL_LANG_ID),
-    "minhash_near_dup": (q_minhash_near_dup, None),
+    "minhash_near_dup": (q_minhash_near_dup, SQL_MINHASH_NEAR_DUP),
     "simhash": (q_simhash, SQL_SIMHASH),
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "knn_cosine": (q_knn_cosine, SQL_KNN),
