@@ -17,28 +17,38 @@ One crawl round r (SURVEY.md §3.4):
 Design decisions for a 10^10-URL frontier on a multi-node cluster (verified
 single-node):
 
-* the frontier Dataset holds ONLY undecided rows (state NEW/FORCE);
-  transitioned rows stream out to the partitioned ledger archive and are
-  never rescanned — the reference equivalently touches fetched rows only
-  via indexed point updates (db.c:944-1059).
+* the frontier holds ONLY undecided rows (state NEW/FORCE, plus
+  horizon-cycled TTL rows): transitioned rows stream OUT each round to the
+  partitioned parquet spool (``spool_dir/round=N`` with a lineage
+  manifest) and are never rescanned — the reference equivalently touches
+  fetched rows only via indexed point updates (db.c:944-1059).  The
+  driver accumulates nothing but per-host counters, a size-capped removal
+  set and per-round metric dicts; ``results()``/``ledger_table()`` re-read
+  the spool (driver-RSS flatness measured in tools/measure_driver_rss.py).
+* dual-plane control: below the memory-derived ``driver_plane_threshold``
+  the frontier is a driver-resident Arrow table — due-filter, O1/priority
+  scheduling and the candidate merge are vectorized driver ops costing
+  ZERO Ray executions to plan a round (Ray's per-execution latency
+  dominates small/medium waves).  Crossing the threshold converts it
+  (monotonically) to a Dataset: the segmented-scan scheduler and groupby
+  merges take over — the 10^10 shape, where per-round fixed costs
+  amortize over 10^8-row waves.  Both planes implement identical rules;
+  conformance tests run both.
 * per-host politeness + eligibility counters are O(#hosts) driver state
-  (≙ crawl_root), broadcast via ``ray.put`` per round; this replaces a
-  per-round full-frontier aggregate for the clock advance with pure
-  bookkeeping off metadata the driver already receives.  At 10^8+ hosts
-  this dict shards into the same actor layout as the seen set.
-* fetched rows are removed from the frontier lazily (broadcast hash set in
-  the due filter) and physically dropped by a compaction rewrite every
-  ``compact_every`` rounds — an LSM-style merge instead of a per-round
-  full rewrite.
-* per-round driver traffic is fetch *metadata*; payloads are written
-  straight to partitioned parquet (``cache/round=r``) and never shuffled
-  (SURVEY §7.4).
-* the only all-to-all exchanges are groupby(host) of the DUE subset and
-  groupby(url_hash) of batch-pre-deduped candidate links — both keys are
-  the reference's own partitioning keys (db.c:687, db.c:1210).
+  (≙ crawl_root).  At 10^8+ hosts this dict shards into the same actor
+  layout as the seen set.
+* per-round driver traffic is fetch *metadata* (url_hash/host/clock/state
+  — ``_meta_project``); payloads and spans go straight to partitioned
+  parquet sinks and never shuffle (SURVEY §7.4).
+* the only all-to-all exchanges are the distributed plane's sort/groupby
+  of the DUE subset, groupby(url_hash) of batch-pre-deduped candidate
+  links, and (bucketed-store mode) the hash exchange of scheduled
+  metadata on the cache-bucket key — all the reference's own partitioning
+  keys (db.c:687, db.c:1210, db.c:1235-1250).
 * hub-host skew: politeness slots are computed (not slept), so the fetch
-  actor pool runs decoupled from host grouping and a hub's giant group
-  costs one ordered take, not a serialized fetch lane.
+  pool runs decoupled from host grouping, and the segmented-scan
+  scheduler bounds per-task memory to one batch regardless of a hub's due
+  set size.
 """
 
 from __future__ import annotations
