@@ -215,6 +215,10 @@ class CrawlConfig:
     refetch_horizon_ms: int | None = None
     #: dedup / seen-set shards (ST1); shard = shorthash % n
     seen_shards: int = 8
+    #: per-host politeness state backend (≙ crawl_root): "driver" dict
+    #: (default, right to ~10^7 hosts) or "sharded" actor pool for 10^8+
+    host_state_backend: str = "driver"
+    host_state_shards: int = 8
     #: seen-set backend: "exact" (conformance-grade) or "cuckoo" (compact
     #: approximate filter, ~2-4 B/URL; rare false positives drop new URLs)
     seen_backend: str = "exact"

@@ -34,9 +34,11 @@ single-node):
   merges take over — the 10^10 shape, where per-round fixed costs
   amortize over 10^8-row waves.  Both planes implement identical rules;
   conformance tests run both.
-* per-host politeness + eligibility counters are O(#hosts) driver state
-  (≙ crawl_root).  At 10^8+ hosts this dict shards into the same actor
-  layout as the seen set.
+* per-host politeness + eligibility counters (≙ crawl_root) live behind
+  the state/hoststate.py facade: a driver dict by default, or sharded
+  actors (cfg.host_state_backend="sharded") with batch RPCs per round for
+  10^8+-host universes — the driver then holds only each round's due-host
+  view, bounded by actual work.
 * per-round driver traffic is fetch *metadata* (url_hash/host/clock/state
   — ``_meta_project``); payloads and spans go straight to partitioned
   parquet sinks and never shuffle (SURVEY §7.4).
@@ -69,6 +71,7 @@ from anansi_ray.canon import canon_batch, canonicalize, cache_key, root_of
 from anansi_ray.model import CrawlConfig
 from anansi_ray.stages.fetch import make_fetch_fn
 from anansi_ray.stages.transitions import transition_batch
+from anansi_ray.state.hoststate import make_host_state
 from anansi_ray.state.seen import SeenRouter, SeenSet, make_seen_filter
 
 LEDGER_COLS = [
@@ -576,6 +579,17 @@ class CrawlPipeline:
         }
         self.robots = robots
         self.robots_ref = ray.put(robots)
+        # ≙ crawl_root: host -> (earliest_update_ms, rate_ms, eligible);
+        # driver-dict backend by default, sharded actors for 10^8+ hosts
+        # (cfg.host_state_backend) — identical five-op surface either way
+        self.hosts = make_host_state(
+            self.cfg.host_state_backend,
+            self.cfg.default_rate_ms,
+            self.cfg.host_state_shards,
+        )
+        self.hosts.ensure_hosts(
+            [(r["host"], int(r["rate_ms"])) for r in tables["hosts"].to_pylist()]
+        )
         # fetch-side web access: the bucketed partitioned store (S6-S8
         # layout — scheduled METADATA hash-exchanges to the bucket owning
         # its cache key, payloads never move; the 10^10 shape) when
@@ -592,10 +606,6 @@ class CrawlPipeline:
         else:
             # combine chunks ONCE here so workers never copy it
             self.web_ref = ray.put(tables["web"].combine_chunks())
-        # ≙ crawl_root: host -> [earliest_update_ms, rate_ms, eligible_count]
-        self.host_state: dict[str, list[int]] = {
-            r["host"]: [0, int(r["rate_ms"]), 0] for r in tables["hosts"].to_pylist()
-        }
         self.seen = SeenSet(self.cfg.seen_shards, backend=self.cfg.seen_backend)
         self.round = 0
         self.removed: set[str] = set()  # fetched hashes pending compaction
@@ -617,8 +627,6 @@ class CrawlPipeline:
                     boot[h]["state"] = "FORCE"
                 continue
             _, rh, host = root_of(c)
-            self._ensure_host(host)
-            self.host_state[host][2] += 1
             boot[h] = {
                 "url": c,
                 "url_hash": h,
@@ -637,6 +645,13 @@ class CrawlPipeline:
             }
         if boot:
             self.seen.add_if_new(list(boot.keys()))
+            from collections import Counter as _C
+
+            boot_hosts = _C(v["host"] for v in boot.values())
+            self.hosts.ensure_hosts(
+                [(h, self.cfg.default_rate_ms) for h in boot_hosts]
+            )
+            self.hosts.add_eligible(list(boot_hosts.items()))
         seed_tbl = (
             pa.Table.from_pylist(list(boot.values()), schema=LEDGER_SCHEMA)
             if boot
@@ -647,10 +662,6 @@ class CrawlPipeline:
         #: memory-derived bound — zero Ray executions to plan a round), a
         #: Dataset once it crosses (the 10^10 shape; the switch is monotone)
         self.frontier: pa.Table | rd.Dataset = seed_tbl
-
-    def _ensure_host(self, host: str) -> None:
-        if host not in self.host_state:
-            self.host_state[host] = [0, self.cfg.default_rate_ms, 0]
 
     # ------------------------------------------------------------------
     def run_round(self) -> int:
@@ -664,11 +675,7 @@ class CrawlPipeline:
         # eligibility counters (≙ the dequeue query's WHERE gates,
         # db.c:683-692).  Every host with eligible rows is scheduled each
         # round; causality/politeness live in the per-row slot timestamps.
-        due_hosts = {
-            h: (st[0], st[1])
-            for h, st in self.host_state.items()
-            if st[2] > 0 and st[1] > 0
-        }
+        due_hosts = self.hosts.due_hosts()
         if not due_hosts:
             return 0
 
@@ -680,9 +687,7 @@ class CrawlPipeline:
         # threshold the frontier converts to a Dataset (monotone) and the
         # distributed scan-scheduler takes over (the 10^10 shape); both
         # implement the identical ordering/merge rules.
-        eligible_total = sum(
-            st[2] for st in self.host_state.values() if st[1] > 0
-        )
+        eligible_total = self.hosts.eligible_total()
         driver_plane = eligible_total <= self.driver_plane_threshold
         if not driver_plane and isinstance(self.frontier, pa.Table):
             self.frontier = rd.from_arrow(self.frontier)
@@ -815,14 +820,15 @@ class CrawlPipeline:
             .group_by("host")
             .aggregate([("fetch_clock_ms", "max"), ("fetch_clock_ms", "count")])
         )
-        for host, tmax, cnt in zip(
-            agg["host"].to_pylist(),
-            agg["fetch_clock_ms_max"].to_pylist(),
-            agg["fetch_clock_ms_count"].to_pylist(),
-        ):
-            st = self.host_state[host]
-            st[0] = int(tmax) + st[1]
-            st[2] -= int(cnt)
+        self.hosts.apply_fetch(
+            list(
+                zip(
+                    agg["host"].to_pylist(),
+                    (int(t) for t in agg["fetch_clock_ms_max"].to_pylist()),
+                    (int(c) for c in agg["fetch_clock_ms_count"].to_pylist()),
+                )
+            )
+        )
         if isinstance(self.frontier, pa.Table):
             # driver plane compacts eagerly: drop the fetched rows now
             # (vectorized is_in over ≤ threshold rows), no lazy-removal set
@@ -845,10 +851,14 @@ class CrawlPipeline:
                     .group_by("host")
                     .aggregate([([], "count_all")])
                 )
-                for host, cnt in zip(
-                    cnts["host"].to_pylist(), cnts["count_all"].to_pylist()
-                ):
-                    self.host_state[host][2] += int(cnt)
+                self.hosts.add_eligible(
+                    list(
+                        zip(
+                            cnts["host"].to_pylist(),
+                            (int(c) for c in cnts["count_all"].to_pylist()),
+                        )
+                    )
+                )
                 if isinstance(self.frontier, pa.Table):
                     # the just-written spool round already holds the ledger
                     # rows; a local column-pruned read beats another Ray pass
@@ -898,13 +908,17 @@ class CrawlPipeline:
                 )
                 new_tbl = _ds_to_table(fresh)
             if new_tbl is not None:
-                for host in pc.unique(new_tbl["host"]).to_pylist():
-                    self._ensure_host(host)
                 counts = new_tbl.select(["host"]).group_by("host").aggregate([([], "count_all")])
-                for host, cnt in zip(
-                    counts["host"].to_pylist(), counts["count_all"].to_pylist()
-                ):
-                    self.host_state[host][2] += int(cnt)
+                pairs = list(
+                    zip(
+                        counts["host"].to_pylist(),
+                        (int(c) for c in counts["count_all"].to_pylist()),
+                    )
+                )
+                self.hosts.ensure_hosts(
+                    [(h, self.cfg.default_rate_ms) for h, _n in pairs]
+                )
+                self.hosts.add_eligible(pairs)
                 if isinstance(self.frontier, pa.Table):
                     self.frontier = pa.concat_tables(
                         [self.frontier, new_tbl], promote_options="default"
@@ -1091,7 +1105,7 @@ class CrawlPipeline:
         manifest = {
             "round": self.round,
             "frontier_rows": frontier_tbl.num_rows,
-            "host_state": self.host_state,
+            "host_state": self.hosts.snapshot(),
             "removed": sorted(self.removed),
             "seen_shards": self.cfg.seen_shards,
             "round_metrics": self.round_metrics,
@@ -1110,7 +1124,7 @@ class CrawlPipeline:
             manifest = json.load(f)
         self.round = manifest["round"]
         self.round_metrics = manifest.get("round_metrics", [])
-        self.host_state = {h: list(v) for h, v in manifest["host_state"].items()}
+        self.hosts.restore(manifest["host_state"])
         self.removed = set(manifest["removed"])
         frontier_tbl = pq.read_table(os.path.join(ckdir, "frontier.parquet"))
         # resume on the plane the size dictates: driver table below the

@@ -338,3 +338,18 @@ def test_terminate_gate_stops_between_rounds(tiny, tmp_path):
     assert got.num_rows == exp.num_rows
     for col in ("seq", "url_hash", "state", "status"):
         assert got[col].to_pylist() == exp[col].to_pylist(), col
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sharded_host_state_conformance(tiny):
+    """ST2 at the 10^8-host shape: the sharded crawl_root actor backend
+    must reproduce the driver-dict crawl exactly (order, states, ledger)."""
+    from anansi_ray.pipelines.crawl import CrawlPipeline
+
+    cfg = CrawlConfig(host_state_backend="sharded", host_state_shards=4)
+    oracle = reference_crawl(tiny, CrawlConfig())
+    pipe = CrawlPipeline(tiny, cfg).run()
+    exp, got = oracle["expected_crawl"], pipe["expected_crawl"]
+    assert got.num_rows == exp.num_rows
+    for col in ("seq", "url_hash", "fetch_clock_ms", "state", "status"):
+        assert got[col].to_pylist() == exp[col].to_pylist(), col
