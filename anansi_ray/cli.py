@@ -80,9 +80,21 @@ def cmd_crawl(args) -> int:
     tables = _load_fixture(args.fixture)
     if args.seeds and os.path.exists(args.seeds):
         tables["seeds"] = pq.read_table(args.seeds)
-    cfg = CrawlConfig(checkpoint_dir=os.path.join(args.out, "checkpoints"))
+    cfg = CrawlConfig(
+        checkpoint_dir=os.path.join(args.out, "checkpoints"),
+        use_priority=bool(args.priority),
+        host_state_backend=args.host_state,
+    )
+    if args.processor:
+        cfg.processor_name = args.processor
+    if args.policies:
+        cfg.policies = tuple(args.policies.split(","))
     pipe = CrawlPipeline(
-        tables, cfg, output_dir=args.out, checkpoint_every=args.checkpoint_every
+        tables,
+        cfg,
+        output_dir=args.out,
+        checkpoint_every=args.checkpoint_every,
+        web_store_dir=args.web_store,
     )
     if args.resume:
         latest = CrawlPipeline.latest_checkpoint(cfg.checkpoint_dir)
@@ -175,6 +187,27 @@ def main(argv=None) -> int:
     c.add_argument("--out", required=True)
     c.add_argument("--checkpoint-every", type=int, default=8)
     c.add_argument("--resume", action="store_true")
+    c.add_argument(
+        "--priority",
+        action="store_true",
+        help="dequeue by link score + depth instead of the reference O1 order",
+    )
+    c.add_argument(
+        "--processor", help='payload processor name ("rdf", "lod", "html", ...)'
+    )
+    c.add_argument(
+        "--policies", help="comma-separated policy chain (default schemes,robots,content-types)"
+    )
+    c.add_argument(
+        "--web-store",
+        help="bucketed web store dir (built on first use): no whole-web broadcast",
+    )
+    c.add_argument(
+        "--host-state",
+        choices=("driver", "sharded"),
+        default="driver",
+        help="politeness-state backend (sharded = crawl_root actor shards)",
+    )
     c.set_defaults(fn=cmd_crawl)
 
     l = sub.add_parser("locate", help="cache lookup by key (≙ crawl-locate)")
