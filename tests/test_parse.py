@@ -306,3 +306,67 @@ class TestTurtle:
         for ct in ("text/turtle", "text/n3", "text/turtle; charset=utf-8"):
             got = parse_triples(doc, ct)
             assert got == [("http://e/s", "http://e/p", "http://e/o", True)], ct
+
+
+class TestTurtleRoundTrip:
+    """Property-based: random triple sets serialized to Turtle in varied
+    styles (prefixed vs full IRIs, ';'/',' grouping, typed/lang literals,
+    long strings) must parse back to exactly the same triples."""
+
+    from hypothesis import given, settings, strategies as st
+
+    _local = st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,8}", fullmatch=True)
+    _iri = st.builds(lambda h, p: f"http://{h}.example/{p}", _local, _local)
+    _lit = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=20,
+    )
+    _triple = st.tuples(_iri, _iri, st.one_of(_iri, _lit), st.booleans())
+
+    @given(
+        st.lists(_triple, min_size=0, max_size=12),
+        st.integers(0, 3),  # serialization style
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_roundtrip(self, raw, style):
+        from anansi_ray.stages.turtle import parse_turtle
+
+        triples = []
+        for s, p, o, res_flag in raw:
+            is_res = res_flag and o.startswith("http://")
+            triples.append((s, p, o, is_res))
+
+        def term(t, is_res):
+            if is_res:
+                return f"<{t}>"
+            esc = t.replace("\\", "\\\\").replace('"', '\\"')
+            if style == 2:
+                return f'"{esc}"@en'
+            if style == 3:
+                return f'"{esc}"^^<http://www.w3.org/2001/XMLSchema#string>'
+            return f'"{esc}"'
+
+        lines = []
+        if style == 1:
+            # group by subject with ';' predicate lists
+            by_s: dict = {}
+            order: list = []
+            for s, p, o, r in triples:
+                if s not in by_s:
+                    by_s[s] = []
+                    order.append(s)
+                by_s[s].append((p, o, r))
+            expected = []
+            for s in order:
+                po = " ;\n    ".join(
+                    f"<{p}> {term(o, r)}" for p, o, r in by_s[s]
+                )
+                lines.append(f"<{s}> {po} .")
+                expected.extend((s, p, o, r) for p, o, r in by_s[s])
+        else:
+            expected = triples
+            for s, p, o, r in triples:
+                lines.append(f"<{s}> <{p}> {term(o, r)} .")
+        doc = "\n".join(lines) + ("\n" if lines else "")
+        assert parse_turtle(doc) == expected
