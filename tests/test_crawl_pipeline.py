@@ -353,3 +353,39 @@ def test_sharded_host_state_conformance(tiny):
     assert got.num_rows == exp.num_rows
     for col in ("seq", "url_hash", "fetch_clock_ms", "state", "status"):
         assert got[col].to_pylist() == exp[col].to_pylist(), col
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_all_scale_paths_on_conformance(tiny, tmp_path):
+    """Everything-on integration: distributed control plane + bucketed web
+    store + sharded host state + priority dequeue, all at once, must still
+    be order-exact vs the oracle."""
+    from anansi_ray.pipelines.crawl import CrawlPipeline
+
+    cfg = CrawlConfig(
+        use_priority=True,
+        host_state_backend="sharded",
+        host_state_shards=4,
+    )
+    oracle = reference_crawl(tiny, cfg)
+    pipe = CrawlPipeline(
+        tiny,
+        cfg,
+        driver_plane_threshold=0,
+        web_store_dir=str(tmp_path / "store"),
+        web_store_buckets=8,
+        spool_dir=str(tmp_path / "spool"),
+    ).run()
+    exp, got = oracle["expected_crawl"], pipe["expected_crawl"]
+    assert got.num_rows == exp.num_rows
+    for col in ("seq", "url_hash", "fetch_clock_ms", "state", "status"):
+        assert got[col].to_pylist() == exp[col].to_pylist(), col
+    exp_l = {
+        (r["url_hash"], r["state"], r["priority"])
+        for r in oracle["ledger"].to_pylist()
+    }
+    got_l = {
+        (r["url_hash"], r["state"], r["priority"])
+        for r in pipe["ledger"].to_pylist()
+    }
+    assert got_l == exp_l
