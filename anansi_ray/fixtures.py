@@ -56,6 +56,10 @@ SCALES = {
     # xl exists for the scaling-efficiency measurement: at 200k URLs a
     # 32-way run finishes in ~2 s and fixed overhead dominates the ratio
     "xl": dict(n_urls=1_000_000, n_hosts=2000),
+    # xxl exists for scaling-efficiency evidence at high parallelism: at
+    # 1M URLs a 32-way stage pass finishes in ~7 s and fixed pipeline
+    # latency plus host CPU-steal dominate the 8→32 ratio
+    "xxl": dict(n_urls=4_000_000, n_hosts=4000),
 }
 
 RDF_TYPES = (

@@ -418,3 +418,40 @@ class TestHeaderBlock:
         assert out.schema.field("headers").type == HEADERS_TYPE
         hdrs = out["headers"].to_pylist()[0]
         assert (":", ["HTTP/1.1 200 OK"]) in hdrs
+
+
+class TestHeaderBlockFuzz:
+    """Property-based: the header parser never crashes and preserves the
+    reference's structural invariants on arbitrary header-shaped input."""
+
+    from hypothesis import given, settings, strategies as st
+
+    _line = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=40,
+    )
+
+    @given(st.lists(_line, min_size=0, max_size=12), st.sampled_from(["\r\n", "\n"]))
+    @settings(max_examples=200, deadline=None)
+    def test_never_crashes_and_invariants(self, lines, eol):
+        from anansi_ray.stages.fetch import parse_header_block
+
+        raw = eol.join(["HTTP/1.1 200 OK"] + lines) + eol
+        h = parse_header_block(raw)
+        assert h is not None
+        d = dict(h)
+        # status line under ':'; every other key came from a line WITH a
+        # colon; values never carry the EOL
+        assert d[":"] == ["HTTP/1.1 200 OK"]
+        for k, vals in h:
+            assert "\n" not in k and all("\n" not in v and "\r" not in v for v in vals)
+            if k != ":":
+                assert vals  # at least one value per surviving key
+
+    @given(st.binary(min_size=0, max_size=200))
+    @settings(max_examples=100, deadline=None)
+    def test_bytes_input_tolerated(self, blob):
+        from anansi_ray.stages.fetch import parse_header_block
+
+        parse_header_block(blob)  # must not raise, whatever the bytes
