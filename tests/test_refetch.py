@@ -82,3 +82,19 @@ def test_refetch_pipeline_conformance(tiny, oracle_run):
         for r in pipe["ledger"].to_pylist()
     }
     assert got_l == exp_l
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_refetch_with_priority_order_conformance(tiny):
+    """Incremental re-crawl under the priority dequeue order: old rows sort
+    behind NEW ones, then by link score — pipeline must match the oracle
+    through multiple TTL cycles."""
+    from anansi_ray.pipelines.crawl import CrawlPipeline
+
+    cfg = CrawlConfig(use_priority=True, **REFETCH_CFG)
+    oracle = reference_crawl(tiny, cfg)
+    pipe = CrawlPipeline(tiny, cfg).run()
+    exp, got = oracle["expected_crawl"], pipe["expected_crawl"]
+    assert got.num_rows == exp.num_rows
+    for col in ("seq", "fetch_clock_ms", "url_hash", "state", "status"):
+        assert got[col].to_pylist() == exp[col].to_pylist(), col
