@@ -135,3 +135,147 @@ def extract_media_features(ds: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
         batch_size=64,
         concurrency=(1, concurrency),
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize + frame-sample stages (the remaining multimodal verbs of the
+# training-data brief).  The Ray-side plumbing — schemas, batch protocol,
+# actor state, output layout — is real and tested; only the codec byte
+# work is a clearly-marked deterministic fake (decode_real documents why).
+# ---------------------------------------------------------------------------
+
+
+def fit_box(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
+    """Aspect-preserving fit of (w, h) into (max_w, max_h): the real resize
+    arithmetic every image pipeline needs, independent of the codec.
+    Never upscales; floors to ≥1 px."""
+    if w <= 0 or h <= 0:
+        return 0, 0
+    scale = min(max_w / w, max_h / h, 1.0)
+    return max(1, int(w * scale)), max(1, int(h * scale))
+
+
+class MediaResizer:
+    """Actor-pool stage: 'decode → resize → re-encode' for image rows.
+
+    Real parts: aspect-preserving geometry, per-actor setup, small-batch
+    binary handling, non-image passthrough.  Fake part: the re-encoded
+    payload is a deterministic sha256 stream sized ~w*h/16 (a plausible
+    thumbnail byte count), since no image codec exists in this container.
+    """
+
+    def __init__(self, max_w: int = 256, max_h: int = 256, use_fake: bool = True):
+        if not use_fake:
+            decode_real(b"", "image")  # raises: real codecs unavailable here
+        self.max_w = max_w
+        self.max_h = max_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        ws = batch["meta_width"].to_pylist()
+        hs = batch["meta_height"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_w, out_h, out_p = [], [], []
+        for kind, w, h, p in zip(kinds, ws, hs, payloads):
+            if kind != "image":
+                out_w.append(w)
+                out_h.append(h)
+                out_p.append(p)
+                continue
+            nw, nh = fit_box(w, h, self.max_w, self.max_h)
+            out_w.append(nw)
+            out_h.append(nh)
+            want = max(16, (nw * nh) // 16)
+            seed = hashlib.sha256(p).digest()
+            out_p.append((seed * (want // 32 + 1))[:want])
+        cols = {n: batch[n] for n in batch.column_names if n != "payload"}
+        cols["meta_width"] = pa.array(out_w, pa.int32())
+        cols["meta_height"] = pa.array(out_h, pa.int32())
+        cols["payload"] = pa.array(out_p, pa.binary())
+        return pa.table(cols)
+
+
+def resize_media(ds: rd.Dataset, max_w: int = 256, max_h: int = 256, concurrency: int = 2) -> rd.Dataset:
+    return ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"max_w": max_w, "max_h": max_h},
+        batch_format="pyarrow",
+        batch_size=64,          # binary payloads: keep batch × concurrency small
+        concurrency=(1, concurrency),
+    )
+
+
+class FrameSampler:
+    """Actor-pool stage: video rows → N evenly-spaced frame rows.
+
+    Real parts: the 1→N row expansion inside map_batches (rows carry
+    (media_id, frame_idx, t_ms)), even-spacing timestamp math over the
+    clip duration, per-actor setup.  Fake part: the 'decoded frame'
+    feature vector reuses the deterministic sha-based extractor keyed by
+    (payload, t_ms)."""
+
+    def __init__(self, n_frames: int = 4, use_fake: bool = True):
+        if not use_fake:
+            decode_real(b"", "video")
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, ts, feats = [], [], [], []
+        for mid, kind, p, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["meta_duration_ms"].to_pylist(),
+        ):
+            if kind != "video" or not dur:
+                continue
+            k = self.n_frames
+            for j in range(k):
+                # even spacing, first frame at t=dur/(2k) (center-of-bin)
+                t = int(dur * (2 * j + 1) / (2 * k))
+                ids.append(mid)
+                idxs.append(j)
+                ts.append(t)
+                feats.append(_fake_features(p + str(t).encode(), "video").tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "t_ms": pa.array(ts, pa.int64()),
+                "feature": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
+
+
+def sample_frames(ds: rd.Dataset, n_frames: int = 4, concurrency: int = 2) -> rd.Dataset:
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, concurrency),
+    )
+
+
+def synthesize_video_table(n: int = 64, seed: int = 7) -> pa.Table:
+    """Deterministic synthetic video rows: opaque payload + duration/fps
+    metadata (the brief's 'video as opaque binary + typed metadata')."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, dur, fps = [], [], [], []
+    for i in range(n):
+        mid = f"v{i:06d}"
+        size = int(rng.integers(256, 8192))
+        blob = hashlib.sha256(mid.encode()).digest()
+        payloads.append((blob * (size // 32 + 1))[:size])
+        ids.append(mid)
+        dur.append(int(rng.integers(1000, 120_000)))
+        fps.append(float(rng.choice([24.0, 25.0, 30.0])))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "kind": pa.array(["video"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta_duration_ms": pa.array(dur, pa.int64()),
+            "meta_fps": pa.array(fps, pa.float64()),
+        }
+    )
