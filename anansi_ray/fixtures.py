@@ -56,9 +56,11 @@ SCALES = {
     # xl exists for the scaling-efficiency measurement: at 200k URLs a
     # 32-way run finishes in ~2 s and fixed overhead dominates the ratio
     "xl": dict(n_urls=1_000_000, n_hosts=2000),
-    # xxl exists for scaling-efficiency evidence at high parallelism: at
-    # 1M URLs a 32-way stage pass finishes in ~7 s and fixed pipeline
-    # latency plus host CPU-steal dominate the 8→32 ratio
+    # xxl (4M URLs) sits BEYOND the broadcast web-table's documented
+    # ~10^6-URLs-per-node envelope (sources/webstore.py): pipelines at this
+    # size must use the bucketed store (web_store_dir), not the ray.put
+    # broadcast the stage bench uses — which is exactly the boundary it
+    # exists to demonstrate
     "xxl": dict(n_urls=4_000_000, n_hosts=4000),
 }
 
