@@ -159,6 +159,11 @@ class CrawlConfig:
     # [crawler] — parallelism; maps thread count -> actor-pool size
     fetch_concurrency: int = 4
     fetch_batch_size: int = 1024
+    #: fetch stage flavor: False (default) = stateless tasks with a
+    #: per-worker-process broadcast cache (amortizes across rounds without
+    #: per-execution actor startup); True = Fetcher actor pool of size
+    #: ``fetch_concurrency`` (≙ crawler:threads, crawl.conf:14-15)
+    fetch_actor_pool: bool = False
     # politeness (db.c:300: default root rate = 1000 ms)
     default_rate_ms: int = 1000
     #: engine-extension dequeue order (north_star: "priority queue keyed by

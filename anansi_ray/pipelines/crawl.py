@@ -733,6 +733,20 @@ class CrawlPipeline:
             from anansi_ray.sources.webstore import fetch_bucketed
 
             fetched = fetch_bucketed(scheduled, self.web_store_dir, self.robots, cfg)
+        elif cfg.fetch_actor_pool:
+            # ST3 actor-pool variant (≙ one CRAWL context per thread):
+            # session/index state loads once per ACTOR; pays actor startup
+            # per execution, so the cached-task default wins for many small
+            # rounds while this wins for few huge ones
+            from anansi_ray.stages.fetch import Fetcher
+
+            fetched = scheduled.map_batches(
+                Fetcher,
+                fn_constructor_args=(self.web_ref, self.robots_ref, cfg),
+                concurrency=(1, cfg.fetch_concurrency),
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+            )
         else:
             fetched = scheduled.map_batches(
                 make_fetch_fn(self.web_ref, self.robots_ref, cfg),

@@ -362,7 +362,9 @@ class Fetcher:
         import ray
 
         web = ray.get(web_ref) if not isinstance(web_ref, dict) else web_ref
-        self.web = web if isinstance(web, dict) else _webrow_dicts(web)
+        # keyed zero-copy view over the plasma-shared Arrow table (same
+        # index the cached-task path builds), or a prebuilt dict in tests
+        self.web = _as_web_index(web)
         robots = ray.get(robots_ref) if not isinstance(robots_ref, dict) else robots_ref
         self.robots = robots
         self.cfg = cfg

@@ -389,3 +389,18 @@ def test_all_scale_paths_on_conformance(tiny, tmp_path):
         for r in pipe["ledger"].to_pylist()
     }
     assert got_l == exp_l
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_actor_pool_fetch_flavor_conformance(tiny):
+    """cfg.fetch_actor_pool routes the fetch stage through the Fetcher
+    actor pool (ST3) — the crawl must stay order-exact."""
+    from anansi_ray.pipelines.crawl import CrawlPipeline
+
+    cfg = CrawlConfig(fetch_actor_pool=True, fetch_concurrency=2)
+    oracle = reference_crawl(tiny, CrawlConfig())
+    pipe = CrawlPipeline(tiny, cfg).run()
+    exp, got = oracle["expected_crawl"], pipe["expected_crawl"]
+    assert got.num_rows == exp.num_rows
+    for col in ("seq", "url_hash", "fetch_clock_ms", "state", "status"):
+        assert got[col].to_pylist() == exp[col].to_pylist(), col
