@@ -131,10 +131,11 @@ class TestDistributedCC:
         assert got.to_pylist() == exp.to_pylist()
 
     def test_matches_driver_union_find_chain(self):
-        # a long chain forces multiple propagation iterations
+        # a chain forces multiple propagation iterations (each iteration
+        # costs two shuffles, so keep n moderate for suite time)
         import ray.data as rd
 
-        n = 40
+        n = 12
         pairs = pa.table(
             {
                 "a": pa.array(list(range(n - 1)), pa.int64()),
