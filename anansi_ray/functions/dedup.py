@@ -6,10 +6,9 @@ All expressed Ray-Data-first:
 * exact      — hash inside ``map_batches`` (partial), then one
                ``groupby(text_hash)`` shuffle keeping min doc_id
 * MinHash    — shingle→minhash signature per batch (vectorized numpy
-               universal hashing), explode to (band, band_hash, doc_id)
-               rows, ``groupby`` band buckets → candidate pairs → verify by
-               signature agreement (estimated Jaccard) → connected
-               components
+               universal hashing), explode to (band_key, doc_id) rows,
+               bucket → candidate pairs → verify by signature agreement
+               (estimated Jaccard) → connected components
 * SimHash    — 64-bit signature + pigeonhole piece-bucketing for
                hamming-distance candidates
 * embedding  — brute-force blockwise cosine vs a broadcast normalized
@@ -17,12 +16,20 @@ All expressed Ray-Data-first:
                scale path lives in functions/similarity.py
 
 Scale notes: every shuffle is on a uniformly-distributed hash key
-(text_hash, band_hash, doc_id, pair id) — the same pattern as the crawl
-dedup (SURVEY §2.8).  MinHash verification joins signatures back through
-the distributed repartition join (:func:`attach_pair_values`) and
-connected components run as iterated min-label propagation over Datasets
-(:func:`connected_components_distributed`); the driver-side union-find
-remains only as the small-scale reference the equality tests pin against.
+(text_hash, band key, doc id, pair id).  Small-group stages (one LSH
+bucket, one doc's signature, one pair) do NOT run as per-group Python:
+rows carry an explicit ``part = mix64(key) % N_PARTS`` column, the
+exchange is ``groupby(part)`` (N_PARTS coarse partitions instead of
+millions of micro-groups) and each partition kernel sorts its table once
+and walks group boundaries with numpy (``flatnonzero`` on key-change
+masks + ``take``) — thousands of per-group UDF invocations collapse into
+one vectorized pass per partition.  MinHash verification joins signatures
+back through the distributed repartition join (:func:`attach_pair_values`)
+and connected components run as iterated min-label propagation over the
+edge-node set only (:func:`connected_components_distributed`), merging
+singletons back in one final corpus-wide exchange; the driver-side
+union-find remains only as the small-scale reference the equality tests
+pin against.
 """
 
 from __future__ import annotations
@@ -44,15 +51,56 @@ N_BANDS = 32
 ROWS_PER_BAND = N_PERM // N_BANDS
 _MERSENNE = (1 << 61) - 1
 
+#: cap on coarse exchange partitions for the vectorized repartition
+#: kernels.  Scale knob: size so one partition (≈ rows / n_parts) fits a
+#: worker heap; the kernels are O(n log n) per partition and independent
+#: of the group count within it.
+N_PARTS = 4096
 
-def _perm_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, N_PERM, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, N_PERM, dtype=np.uint64)
-    return a, b
+
+def _auto_parts(n_rows: int) -> int:
+    """Partition count from (materialized) input cardinality: ~250k rows
+    per partition, floor 8 so small clusters still overlap, cap N_PARTS.
+    Exchange fixed cost is per partition TASK, so a toy input must not pay
+    a 10^9-row partition layout — and vice versa."""
+    return int(max(8, min(N_PARTS, n_rows // 250_000 + 8)))
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
 
 
-_PERM_A, _PERM_B = _perm_params()
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (numpy<2 has no bitwise_count)."""
+    x = x - ((x >> np.uint64(1)) & _M1)
+    x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+    x = (x + (x >> np.uint64(4))) & _M4
+    return ((x * _H01) >> np.uint64(56)).astype(np.int64)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — vectorized uint64 avalanche."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _part_np(key: np.ndarray, n_parts: int = N_PARTS) -> pa.Array:
+    """Uniform partition id from an int64/uint64 key array."""
+    return pa.array(
+        (_mix64(key.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int32),
+        pa.int32(),
+    )
+
+
+def _np(col) -> np.ndarray:
+    """Arrow (Chunked)Array → numpy, tolerating chunking."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
 
 
 def text_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -89,23 +137,58 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
 # ---------------------------------------------------------------------------
 
 
+def _perm_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, N_PERM, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, N_PERM, dtype=np.uint64)
+    return a, b
+
+
+_PERM_A, _PERM_B = _perm_params()
+
+# per-process token→hash memo: blake2b runs once per DISTINCT token seen by
+# the worker, not once per shingle occurrence; bounded so a pathological
+# vocabulary can't grow the worker heap
+_TOK_CACHE: dict[str, int] = {}
+_TOK_CACHE_MAX = 1_000_000
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    cache = _TOK_CACHE
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            if len(cache) >= _TOK_CACHE_MAX:
+                cache.clear()
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+            )
+            cache[t] = h
+        out[i] = h
+    return out
+
+
 def _shingle_hashes(text: str, w: int = 3) -> np.ndarray:
-    """Token w-gram shingles → stable 61-bit hashes."""
+    """Token w-gram shingles → stable 61-bit hashes.
+
+    Gram hash = order-sensitive splitmix64 fold of the w per-token blake2b
+    hashes — one vectorized pass instead of one digest per gram (the
+    round-2 hot loop)."""
     toks = _TOKEN.findall((text or "").lower())
     if len(toks) < w:
-        grams = [" ".join(toks)] if toks else [""]
-    else:
-        grams = [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
-    out = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+        gram = " ".join(toks) if toks else ""
+        h = (
+            int.from_bytes(hashlib.blake2b(gram.encode(), digest_size=8).digest(), "big")
             & _MERSENNE
-            for g in grams
-        ),
-        dtype=np.uint64,
-        count=len(grams),
-    )
-    return np.unique(out)
+        )
+        return np.asarray([h], dtype=np.uint64)
+    th = _token_hashes(toks)
+    n = len(toks) - w + 1
+    acc = _mix64(th[:n])
+    for j in range(1, w):
+        acc = _mix64(acc * _GOLDEN ^ th[j : j + n])
+    return np.unique(acc & np.uint64(_MERSENNE))
 
 
 def minhash_signature(text: str) -> np.ndarray:
@@ -128,49 +211,101 @@ def minhash_sig_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
-def minhash_bands_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Per batch: signatures exploded to (band_id, band_hash, doc_id) rows —
-    the pre-shuffle partial of the LSH bucketing.  Keys only: shipping the
-    full 128-perm signature with every band row would inflate the shuffle
-    32×; verification joins signatures back afterwards."""
-    ids = batch["doc_id"].to_pylist()
-    sigs = [minhash_signature(t) for t in batch[text_col].to_pylist()]
-    band_ids, band_hashes, doc_ids = [], [], []
-    for doc, sig in zip(ids, sigs):
-        bands = sig.reshape(N_BANDS, ROWS_PER_BAND)
-        for b in range(N_BANDS):
-            band_ids.append(b)
-            band_hashes.append(
-                hashlib.blake2b(bands[b].tobytes(), digest_size=8).hexdigest()
-            )
-            doc_ids.append(doc)
+def minhash_signatures(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Materialized per-doc signature Dataset (doc_id, sig) — computed ONCE
+    and shared by every downstream consumer (banding, verification, exact
+    n-gram Jaccard) so no query recomputes the 128-perm pass.
+
+    The signature pass runs at the input's (wide) parallelism for CPU
+    overlap, then compacts to the exchange partition layout so downstream
+    shuffles schedule O(parts) tasks instead of O(input blocks)."""
+    sig = ds.map_batches(
+        lambda b: minhash_sig_batch(b, text_col), batch_format="pyarrow"
+    ).materialize()
+    nb = _auto_parts(sig.count())
+    if sig.num_blocks() > nb:
+        sig = sig.repartition(nb).materialize()
+    return sig
+
+
+_EMPTY_BANDS = pa.table(
+    {
+        "part": pa.array([], pa.int32()),
+        "bkey": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64()),
+    }
+)
+
+
+def _sigs_to_bands(batch: pa.Table, n_parts: int = N_PARTS) -> pa.Table:
+    """Explode signatures to (part, band_key, doc_id) rows — the pre-shuffle
+    partial of the LSH bucketing.  Band key = 64-bit splitmix fold of the
+    band's 4 minima + band-id salt (bucket membership is equality of the
+    band VALUES; the key representation is free to be numeric, which keeps
+    the shuffle narrow — no signature payload, no hex strings)."""
+    n = batch.num_rows
+    if n == 0:
+        return _EMPTY_BANDS
+    sig = np.asarray(_np(batch["sig"].combine_chunks().flatten()), dtype=np.uint64)
+    bands = sig.reshape(n, N_BANDS, ROWS_PER_BAND)
+    salt = (np.arange(N_BANDS, dtype=np.uint64) * _GOLDEN)[None, :]
+    acc = _mix64(bands[:, :, 0] ^ salt)
+    for r in range(1, ROWS_PER_BAND):
+        acc = _mix64(acc * _GOLDEN ^ bands[:, :, r])
+    bkey = acc.reshape(-1)
+    ids = np.repeat(np.asarray(_np(batch["doc_id"]), dtype=np.int64), N_BANDS)
     return pa.table(
         {
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.string()),
-            "doc_id": pa.array(doc_ids),
+            "part": _part_np(bkey, n_parts),
+            "bkey": pa.array(bkey.view(np.int64), pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
         }
     )
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Within one LSH bucket: emit candidate pairs (ids only, a < b)."""
-    n = group.num_rows
-    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    if n < 2:
-        return empty
-    ids = np.sort(np.asarray(group["doc_id"].to_pylist(), dtype=np.int64))
-    a_idx, b_idx = np.triu_indices(n, k=1)
+_EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+
+
+def _band_pairs_part(group: pa.Table) -> pa.Table:
+    """One coarse partition of band rows → candidate pairs (a < b) for every
+    bucket inside it: sort once by (bkey, doc_id), enumerate pairs per
+    key-run.  Replaces per-bucket ``map_groups`` micro-invocations."""
+    if group.num_rows == 0:
+        return _EMPTY_PAIRS
+    t = group.take(
+        pc.sort_indices(
+            group, sort_keys=[("bkey", "ascending"), ("doc_id", "ascending")]
+        )
+    )
+    bk = _np(t["bkey"])
+    ids = _np(t["doc_id"])
+    new = np.r_[True, bk[1:] != bk[:-1]]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.r_[starts, len(bk)])
+    multi = lens >= 2
+    if not multi.any():
+        return _EMPTY_PAIRS
+    a_out, b_out = [], []
+    for s, l in zip(starts[multi], lens[multi]):
+        run = ids[s : s + l]
+        ai, bi = np.triu_indices(l, k=1)
+        a_out.append(run[ai])
+        b_out.append(run[bi])
     return pa.table(
         {
-            "a": pa.array(ids[a_idx], pa.int64()),
-            "b": pa.array(ids[b_idx], pa.int64()),
+            "a": pa.array(np.concatenate(a_out), pa.int64()),
+            "b": pa.array(np.concatenate(b_out), pa.int64()),
         }
     )
 
 
 def attach_pair_values(
-    pairs_ds: rd.Dataset, values_ds: rd.Dataset, key_col: str, val_col: str, val_type
+    pairs_ds: rd.Dataset,
+    values_ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    val_type,
+    n_parts: int = N_PARTS,
 ) -> rd.Dataset:
     """Repartition join of candidate pairs against a per-doc value table.
 
@@ -182,24 +317,29 @@ def attach_pair_values(
     1. explode each pair to two endpoint rows ``(k=a, slot=0)`` /
        ``(k=b, slot=1)`` carrying the pair identity,
     2. union with the value table tagged ``slot=-1``,
-    3. ``groupby(k)`` — each group holds one value row + every endpoint
-       row of that doc; stamp the value onto the endpoints,
-    4. ``groupby(a, b)`` — the two stamped endpoints reunite into one
-       ``(a, b, val_a, val_b)`` row.
+    3. exchange on ``part = mix64(k) % n_parts``; each partition kernel
+       sorts by (k, slot) and stamps every endpoint row with its doc's
+       value in one vectorized pass (value rows sort first per key-run),
+    4. exchange on ``pp = mix64(pair) % n_parts``; each partition kernel
+       sorts by (a, b, slot) and reunites the two stamped endpoints into
+       one ``(a, b, val_a, val_b)`` row — duplicate pair rows (the same
+       (a, b) surfacing from several LSH buckets) collapse here for free.
 
-    Both shuffle keys (doc id, pair id) are uniform by construction.
-    Values of any Arrow type work (unlike Acero hash joins, which reject
-    list-typed payloads).
+    Both exchange keys are uniform by construction.  Values of any Arrow
+    type work (unlike Acero hash joins, which reject list-typed payloads).
     """
 
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        a, b = batch["a"], batch["b"]
+        a = batch["a"].combine_chunks()
+        b = batch["b"].combine_chunks()
+        k = pa.concat_arrays([a, b])
         return pa.table(
             {
-                "k": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
-                "a": pa.concat_arrays([a.combine_chunks()] * 2),
-                "b": pa.concat_arrays([b.combine_chunks()] * 2),
+                "part": _part_np(k.to_numpy(zero_copy_only=False), n_parts),
+                "k": k,
+                "a": pa.concat_arrays([a, a]),
+                "b": pa.concat_arrays([b, b]),
                 "slot": pa.array([0] * n + [1] * n, pa.int8()),
                 "val": pa.nulls(2 * n, val_type),
             }
@@ -207,109 +347,175 @@ def attach_pair_values(
 
     def tag_values(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        k = batch[key_col].combine_chunks().cast(pa.int64())
         return pa.table(
             {
-                "k": batch[key_col],
+                "part": _part_np(k.to_numpy(zero_copy_only=False), n_parts),
+                "k": k,
                 "a": pa.nulls(n, pa.int64()),
                 "b": pa.nulls(n, pa.int64()),
                 "slot": pa.array(np.full(n, -1, np.int8()), pa.int8()),
-                "val": batch[val_col].cast(val_type),
+                "val": batch[val_col].combine_chunks().cast(val_type),
             }
         )
 
-    def stamp(group: pa.Table) -> pa.Table:
-        slots = group["slot"].to_numpy(zero_copy_only=False)
-        val_rows = np.flatnonzero(slots == -1)
-        pair_rows = np.flatnonzero(slots >= 0)
-        empty = pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "slot": pa.array([], pa.int8()),
-                "val": pa.nulls(0, val_type),
-            }
+    stamped_empty = pa.table(
+        {
+            "pp": pa.array([], pa.int32()),
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "slot": pa.array([], pa.int8()),
+            "val": pa.nulls(0, val_type),
+        }
+    )
+
+    def stamp_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return stamped_empty
+        t = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("k", "ascending"), ("slot", "ascending")]
+            )
         )
-        if len(val_rows) == 0 or len(pair_rows) == 0:
-            return empty
-        val = group["val"].take(pa.array([val_rows[0]] * len(pair_rows), pa.int64()))
-        sub = group.take(pa.array(pair_rows, pa.int64()))
+        k = _np(t["k"])
+        slot = _np(t["slot"])
+        new = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        has_val = slot[starts] == -1
+        pair_rows = np.flatnonzero((slot >= 0) & has_val[run_id])
+        if len(pair_rows) == 0:
+            return stamped_empty
+        val_rows = starts[run_id[pair_rows]]
+        a = t["a"].take(pa.array(pair_rows, pa.int64())).combine_chunks()
+        b = t["b"].take(pa.array(pair_rows, pa.int64())).combine_chunks()
+        pair_key = _mix64(
+            a.to_numpy(zero_copy_only=False).astype(np.uint64)
+        ) * _GOLDEN ^ b.to_numpy(zero_copy_only=False).astype(np.uint64)
         return pa.table(
-            {"a": sub["a"], "b": sub["b"], "slot": sub["slot"], "val": val}
+            {
+                "pp": _part_np(pair_key, n_parts),
+                "a": a,
+                "b": b,
+                "slot": t["slot"].take(pa.array(pair_rows, pa.int64())),
+                "val": t["val"].take(pa.array(val_rows, pa.int64())),
+            }
         )
 
-    def reunite(group: pa.Table) -> pa.Table:
-        # duplicate pair rows (the same (a,b) surfacing from several LSH
-        # buckets) collapse here for free: first slot-0 + first slot-1 win,
-        # so callers need no separate pair-dedup shuffle
-        slots = group["slot"].to_pylist()
-        empty = pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "val_a": pa.nulls(0, val_type),
-                "val_b": pa.nulls(0, val_type),
-            }
+    joined_empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "val_a": pa.nulls(0, val_type),
+            "val_b": pa.nulls(0, val_type),
+        }
+    )
+
+    def reunite_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return joined_empty
+        t = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("a", "ascending"),
+                    ("b", "ascending"),
+                    ("slot", "ascending"),
+                ],
+            )
         )
-        try:
-            i0, i1 = slots.index(0), slots.index(1)
-        except ValueError:
-            return empty  # endpoint missing from the value table
+        a = _np(t["a"])
+        b = _np(t["b"])
+        slot = _np(t["slot"])
+        # first row of each (a, b, slot) group, then (a, b) runs over those
+        firsts = np.flatnonzero(
+            np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (slot[1:] != slot[:-1])]
+        )
+        fa, fb = a[firsts], b[firsts]
+        pstart = np.flatnonzero(np.r_[True, (fa[1:] != fa[:-1]) | (fb[1:] != fb[:-1])])
+        plen = np.diff(np.r_[pstart, len(firsts)])
+        # slot ∈ {0, 1} sorted ascending ⇒ a complete pair is exactly a
+        # run of two first-rows (slot 0 then slot 1); runs of one mean an
+        # endpoint was absent from the value table — drop, as before
+        ok = plen == 2
+        if not ok.any():
+            return joined_empty
+        i0 = firsts[pstart[ok]]
+        i1 = firsts[pstart[ok] + 1]
         return pa.table(
             {
-                "a": group["a"].slice(0, 1),
-                "b": group["b"].slice(0, 1),
-                "val_a": group["val"].take(pa.array([i0], pa.int64())),
-                "val_b": group["val"].take(pa.array([i1], pa.int64())),
+                "a": t["a"].take(pa.array(i0, pa.int64())),
+                "b": t["b"].take(pa.array(i0, pa.int64())),
+                "val_a": t["val"].take(pa.array(i0, pa.int64())),
+                "val_b": t["val"].take(pa.array(i1, pa.int64())),
             }
         )
 
     endpoints = pairs_ds.map_batches(explode, batch_format="pyarrow")
     tagged = values_ds.map_batches(tag_values, batch_format="pyarrow")
-    stamped = endpoints.union(tagged).groupby("k").map_groups(
-        stamp, batch_format="pyarrow"
+    stamped = (
+        endpoints.union(tagged)
+        .groupby("part")
+        .map_groups(stamp_part, batch_format="pyarrow")
     )
-    return stamped.groupby(["a", "b"]).map_groups(reunite, batch_format="pyarrow")
+    return stamped.groupby("pp").map_groups(reunite_part, batch_format="pyarrow")
 
 
 def minhash_candidate_pairs(
-    ds: rd.Dataset, text_col: str = "text", min_jaccard: float = 0.5
+    ds: rd.Dataset | None = None,
+    text_col: str = "text",
+    min_jaccard: float = 0.5,
+    sig_ds: rd.Dataset | None = None,
 ) -> pa.Table:
     """MinHash-LSH near-dup pairs: shingle → signature → band buckets →
     candidate pairs → verify by signature agreement (estimated Jaccard) ≥ τ.
 
-    Fully distributed: bucket pairs dedup via ``groupby(a, b)`` and the
-    verification joins signatures back via :func:`attach_pair_values` —
+    Fully distributed: bucket pairs come from the coarse-partition kernel
+    and verification joins signatures back via :func:`attach_pair_values` —
     a repartition join on doc_id, NOT a driver-side signature dict, so the
     path survives corpora whose signature table exceeds driver memory.
+
+    Pass ``sig_ds`` (from :func:`minhash_signatures`) to reuse an already
+    materialized signature table across queries.
     """
-    sig_ds = ds.map_batches(
-        lambda b: minhash_sig_batch(b, text_col), batch_format="pyarrow"
-    ).materialize()
+    if sig_ds is None:
+        sig_ds = minhash_signatures(ds, text_col)
+    n_parts = _auto_parts(sig_ds.count())
 
     # duplicate (a, b) rows from different buckets are NOT pre-deduped:
     # the verify join's reunite step collapses them per pair key anyway,
     # saving a whole groupby exchange
     pairs_ds = (
-        sig_ds.map_batches(_sigs_to_bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
+        sig_ds.map_batches(
+            lambda b: _sigs_to_bands(b, n_parts), batch_format="pyarrow"
+        )
+        .groupby("part")
+        .map_groups(_band_pairs_part, batch_format="pyarrow")
     )
 
     sig_type = pa.list_(pa.int64())
-    joined = attach_pair_values(pairs_ds, sig_ds, "doc_id", "sig", sig_type)
+    joined = attach_pair_values(pairs_ds, sig_ds, "doc_id", "sig", sig_type, n_parts)
 
     def verify(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        est = np.empty(n, dtype=np.float64)
-        va, vb = batch["val_a"].to_pylist(), batch["val_b"].to_pylist()
-        for i in range(n):
-            sa, sb = np.asarray(va[i]), np.asarray(vb[i])
-            est[i] = float((sa == sb).mean())
+        if n == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        va = batch["val_a"].combine_chunks()
+        vb = batch["val_b"].combine_chunks()
+        ma = np.asarray(va.flatten(), dtype=np.int64).reshape(n, N_PERM)
+        mb = np.asarray(vb.flatten(), dtype=np.int64).reshape(n, N_PERM)
+        est = np.round((ma == mb).mean(axis=1), 6)
         out = pa.table(
             {
                 "a": batch["a"],
                 "b": batch["b"],
-                "est_jaccard": pa.array(np.round(est, 6), pa.float64()),
+                "est_jaccard": pa.array(est, pa.float64()),
             }
         )
         return out.filter(pc.greater_equal(out["est_jaccard"], min_jaccard))
@@ -340,25 +546,32 @@ def _collect_sorted(ds: rd.Dataset, keys: list[str]) -> pa.Table | None:
     return tbl.take(pc.sort_indices(tbl, sort_keys=[(k, "ascending") for k in keys]))
 
 
-def _sigs_to_bands(batch: pa.Table) -> pa.Table:
-    """Explode precomputed signatures to band-key rows."""
-    ids = batch["doc_id"].to_pylist()
-    band_ids, band_hashes, doc_ids = [], [], []
-    for doc, sig in zip(ids, batch["sig"].to_pylist()):
-        bands = np.asarray(sig, dtype=np.uint64).reshape(N_BANDS, ROWS_PER_BAND)
-        for b in range(N_BANDS):
-            band_ids.append(b)
-            band_hashes.append(
-                hashlib.blake2b(bands[b].tobytes(), digest_size=8).hexdigest()
-            )
-            doc_ids.append(doc)
-    return pa.table(
-        {
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.string()),
-            "doc_id": pa.array(doc_ids),
-        }
-    )
+# ---------------------------------------------------------------------------
+# Connected components (min-label propagation)
+# ---------------------------------------------------------------------------
+
+_EMPTY_MSGS = pa.table(
+    {
+        "pp": pa.array([], pa.int32()),
+        "node": pa.array([], pa.int64()),
+        "label": pa.array([], pa.int64()),
+        "own": pa.array([], pa.int8()),
+    }
+)
+
+#: broadcast-vs-exchange switch for the CC singleton merge: below this many
+#: converged edge-node labels the table ships via ray.put (a few tens of MB);
+#: above it the corpus-wide min-merge exchange runs instead
+_CC_BROADCAST_MAX = 5_000_000
+
+_EMPTY_LABELS = pa.table(
+    {
+        "part": pa.array([], pa.int32()),
+        "node": pa.array([], pa.int64()),
+        "label": pa.array([], pa.int64()),
+        "changed": pa.array([], pa.int64()),
+    }
+)
 
 
 def connected_components_distributed(
@@ -366,107 +579,285 @@ def connected_components_distributed(
     ids_ds: rd.Dataset,
     id_col: str = "doc_id",
     max_iters: int = 64,
+    n_parts: int | None = None,
 ) -> pa.Table:
     """Iterated min-label propagation over the dup-pair graph →
     ``(doc_id, dup_group = min id of its component)`` for EVERY id in
     ``ids_ds`` (singletons keep their own id).
 
-    The 10^9-doc scale path: labels and edges live in Datasets throughout;
-    each iteration is one ``groupby(src)`` (stamp each edge's source label)
-    + one ``groupby(node).min`` (nodes adopt the smallest label heard),
-    both on uniform keys.  Convergence when the label sum stops falling
-    (labels only ever decrease).  LSH dup clusters are near-cliques, so
-    practical iteration counts are 2-4; ``max_iters`` bounds adversarial
-    chains.  The only driver traffic is the per-iteration label-sum scalar
-    and the final result table.
+    The 10^9-doc scale path: labels and edges live in Datasets throughout.
+    The iteration runs over the EDGE-NODE set only (nodes touched by at
+    least one pair — the part that can change); singletons join in one
+    final corpus-wide min-merge exchange instead of being re-shuffled
+    every round.  Each iteration is one chained execution of two coarse
+    ``groupby(part)`` exchanges whose partition kernels are fully
+    vectorized (sort + run-boundary numpy, no per-group Python), plus a
+    scalar ``sum(changed)`` convergence probe over the materialized label
+    blocks.  Labels only ever decrease; LSH dup clusters are near-cliques,
+    so practical iteration counts are 2-4; ``max_iters`` bounds
+    adversarial chains.  The only driver traffic is the per-iteration
+    changed-count scalar and the final result table.
     """
-    from ray.data.aggregate import Min, Sum
-
     if isinstance(pairs, pa.Table):
         pairs = rd.from_arrow(pairs)
 
     def sym_edges(batch: pa.Table) -> pa.Table:
         a = batch["a"].combine_chunks()
         b = batch["b"].combine_chunks()
-        return pa.table(
-            {
-                "src": pa.concat_arrays([a, b]),
-                "dst": pa.concat_arrays([b, a]),
-            }
-        )
+        src = pa.concat_arrays([a, b])
+        return pa.table({"src": src, "dst": pa.concat_arrays([b, a])})
 
     edges = pairs.map_batches(sym_edges, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    have_edges = n_edges > 0
+    if n_parts is None:
+        n_parts = _auto_parts(n_edges)
 
-    def init_labels(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col]
-        return pa.table({"node": ids, "label": ids})
+    labels = None
+    if have_edges:
 
-    labels = ids_ds.map_batches(init_labels, batch_format="pyarrow").materialize()
-    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
-
-    def tag_edges(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "src": batch["src"],
-                "dst": batch["dst"],
-                "label": pa.nulls(n, pa.int64()),
-            }
-        )
-
-    def tag_labels(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "src": batch["node"],
-                "dst": pa.nulls(n, pa.int64()),
-                "label": batch["label"],
-            }
-        )
-
-    def stamp_and_emit(group: pa.Table) -> pa.Table:
-        """One src group: its current label row + its out-edges → message
-        (dst, label) per edge plus (src, label) to retain the node's own."""
-        lbl_col = group["label"]
-        valid = pc.is_valid(lbl_col)
-        idx = np.flatnonzero(valid.to_numpy(zero_copy_only=False))
-        empty = pa.table(
-            {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
-        )
-        if len(idx) == 0:
-            return empty  # edge endpoints absent from ids_ds
-        label = lbl_col[int(idx[0])].as_py()
-        dsts = group["dst"].drop_null()
-        nodes = [group["src"][0].as_py()] + dsts.to_pylist()
-        return pa.table(
-            {
-                "node": pa.array(nodes, pa.int64()),
-                "label": pa.array([label] * len(nodes), pa.int64()),
-            }
-        )
-
-    for _ in range(max_iters):
-        msgs = (
-            edges.map_batches(tag_edges, batch_format="pyarrow")
-            .union(labels.map_batches(tag_labels, batch_format="pyarrow"))
-            .groupby("src")
-            .map_groups(stamp_and_emit, batch_format="pyarrow")
-        )
-        labels = (
-            msgs.groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .map_batches(
-                lambda b: pa.table({"node": b["node"], "label": b["label"]}),
-                batch_format="pyarrow",
+        def init_labels(batch: pa.Table) -> pa.Table:
+            """Exchange-free label seed straight off the edge blocks: one
+            (node=src, label=src) row per endpoint OCCURRENCE — the first
+            iteration's min pass deduplicates per node for free, saving a
+            whole distinct-nodes groupby."""
+            src = batch["src"].combine_chunks()
+            n = len(src)
+            return pa.table(
+                {
+                    "part": _part_np(src.to_numpy(zero_copy_only=False), n_parts),
+                    "node": src,
+                    "label": src,
+                    "changed": pa.array(np.zeros(n, np.int64), pa.int64()),
+                }
             )
-            .materialize()
-        )
-        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
 
-    tbl = _collect_sorted(labels, ["node"])
+        labels = edges.map_batches(init_labels, batch_format="pyarrow").materialize()
+
+        def tag_edges(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            src = batch["src"].combine_chunks()
+            return pa.table(
+                {
+                    "part": _part_np(src.to_numpy(zero_copy_only=False), n_parts),
+                    "src": src,
+                    "dst": batch["dst"],
+                    "label": pa.nulls(n, pa.int64()),
+                    "isv": pa.array(np.ones(n, np.int8), pa.int8()),
+                }
+            )
+
+        def tag_labels(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "part": batch["part"],
+                    "src": batch["node"],
+                    "dst": pa.nulls(n, pa.int64()),
+                    "label": batch["label"],
+                    "isv": pa.array(np.zeros(n, np.int8), pa.int8()),
+                }
+            )
+
+        def stamp_part(group: pa.Table) -> pa.Table:
+            """One coarse partition: label rows sort first per src-run; every
+            out-edge emits (dst, src's label), every node re-emits its own
+            label (flagged ``own`` for the convergence check downstream)."""
+            if group.num_rows == 0:
+                return _EMPTY_MSGS
+            t = group.take(
+                pc.sort_indices(
+                    group, sort_keys=[("src", "ascending"), ("isv", "ascending")]
+                )
+            )
+            src = _np(t["src"])
+            isv = _np(t["isv"])
+            lbl = _np(pc.fill_null(t["label"], 0))
+            new = np.r_[True, src[1:] != src[:-1]]
+            starts = np.flatnonzero(new)
+            run_id = np.cumsum(new) - 1
+            has_lbl = isv[starts] == 0
+            run_lbl = lbl[starts]
+            edge_rows = np.flatnonzero((isv == 1) & has_lbl[run_id])
+            own_rows = starts[has_lbl]
+            dst = _np(t["dst"])
+            node = np.concatenate([src[own_rows], dst[edge_rows]])
+            label = np.concatenate([lbl[own_rows], run_lbl[run_id[edge_rows]]])
+            own = np.concatenate(
+                [np.ones(len(own_rows), np.int8), np.zeros(len(edge_rows), np.int8)]
+            )
+            return pa.table(
+                {
+                    "pp": _part_np(node, n_parts),
+                    "node": pa.array(node, pa.int64()),
+                    "label": pa.array(label, pa.int64()),
+                    "own": pa.array(own, pa.int8()),
+                }
+            )
+
+        def min_part(group: pa.Table) -> pa.Table:
+            """One coarse partition of messages: per node-run, new label =
+            min heard; ``changed`` = (new < node's own previous label)."""
+            if group.num_rows == 0:
+                return _EMPTY_LABELS
+            t = group.take(
+                pc.sort_indices(
+                    group, sort_keys=[("node", "ascending"), ("label", "ascending")]
+                )
+            )
+            node = _np(t["node"])
+            label = _np(t["label"])
+            own = _np(t["own"])
+            new = np.r_[True, node[1:] != node[:-1]]
+            starts = np.flatnonzero(new)
+            run_id = np.cumsum(new) - 1
+            new_lbl = label[starts]
+            own_rows = np.flatnonzero(own == 1)
+            # a run without an own row should never happen (every edge node
+            # carries a label row); max-init keeps such a node iterating
+            # rather than silently converging
+            own_lbl = np.full(len(starts), np.iinfo(np.int64).max, dtype=np.int64)
+            own_lbl[run_id[own_rows]] = label[own_rows]
+            nodes = node[starts]
+            return pa.table(
+                {
+                    "part": _part_np(nodes, n_parts),
+                    "node": pa.array(nodes, pa.int64()),
+                    "label": pa.array(new_lbl, pa.int64()),
+                    "changed": pa.array(
+                        (new_lbl < own_lbl).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        for _ in range(max_iters):
+            msgs = (
+                edges.map_batches(tag_edges, batch_format="pyarrow")
+                .union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+                .groupby("part")
+                .map_groups(stamp_part, batch_format="pyarrow")
+            )
+            labels = (
+                msgs.groupby("pp")
+                .map_groups(min_part, batch_format="pyarrow")
+                .materialize()
+            )
+            if not labels.sum("changed"):
+                break
+
+    # singleton merge — two shapes, picked by the size of the converged
+    # edge-node label table (bounded by the dup-pair ENDPOINTS, not the
+    # corpus):
+    #   small  → broadcast (ray.put sorted arrays) + one narrow map over
+    #            the corpus ids with a vectorized searchsorted lookup —
+    #            no exchange at all (the standard broadcast-join shape)
+    #   large  → corpus-wide min-merge exchange (the general path)
+    import ray as _ray
+
+    n_labels = labels.count() if have_edges else 0
+    if n_labels <= _CC_BROADCAST_MAX:
+        if n_labels:
+            lt = pa.concat_tables(
+                [t for t in _ray.get(labels.to_arrow_refs()) if t.num_rows],
+                promote_options="default",
+            )
+            ln = _np(lt["node"])
+            ll = _np(lt["label"])
+            order = np.argsort(ln)
+            ln, ll = ln[order], ll[order]
+        else:
+            ln = ll = np.empty(0, dtype=np.int64)
+        ref = _ray.put((ln, ll))
+
+        def stamp_ids(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].combine_chunks().cast(pa.int64())
+            iv = ids.to_numpy(zero_copy_only=False)
+            ln_, ll_ = _ray.get(ref)
+            if len(ln_) == 0:
+                lab = iv
+            else:
+                pos = np.clip(np.searchsorted(ln_, iv), 0, len(ln_) - 1)
+                lab = np.where(ln_[pos] == iv, ll_[pos], iv)
+            return pa.table({"node": ids, "label": pa.array(lab, pa.int64())})
+
+        tbl = _collect_sorted(
+            ids_ds.map_batches(stamp_ids, batch_format="pyarrow"), ["node"]
+        )
+        if tbl is None:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "dup_group": pa.array([], pa.int64()),
+                }
+            )
+        return tbl.rename_columns(["doc_id", "dup_group"])
+
+    def tag_ids(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks().cast(pa.int64())
+        n = len(ids)
+        return pa.table(
+            {
+                "part": _part_np(ids.to_numpy(zero_copy_only=False), n_parts),
+                "node": ids,
+                "label": ids,
+                "isv": pa.array(np.zeros(n, np.int8), pa.int8()),
+            }
+        )
+
+    merged = ids_ds.map_batches(tag_ids, batch_format="pyarrow")
+    if have_edges:
+
+        def tag_final(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "part": batch["part"],
+                    "node": batch["node"],
+                    "label": batch["label"],
+                    "isv": pa.array(np.ones(n, np.int8), pa.int8()),
+                }
+            )
+
+        merged = merged.union(labels.map_batches(tag_final, batch_format="pyarrow"))
+
+    final_empty = pa.table(
+        {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+    )
+
+    def final_min(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return final_empty
+        t = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("node", "ascending"),
+                    ("label", "ascending"),
+                    ("isv", "ascending"),
+                ],
+            )
+        )
+        node = _np(t["node"])
+        label = _np(t["label"])
+        isv = _np(t["isv"])
+        new = np.r_[True, node[1:] != node[:-1]]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        # a node only belongs in the output if ids_ds contains it (isv==0
+        # somewhere in its run) — edge endpoints outside ids_ds drop, as in
+        # the round-2 semantics
+        in_ids = np.zeros(len(starts), dtype=bool)
+        in_ids[run_id[isv == 0]] = True
+        keep = starts[in_ids]
+        return pa.table(
+            {
+                "node": pa.array(node[keep], pa.int64()),
+                "label": pa.array(label[keep], pa.int64()),
+            }
+        )
+
+    out = merged.groupby("part").map_groups(final_min, batch_format="pyarrow")
+    tbl = _collect_sorted(out, ["node"])
     if tbl is None:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()), "dup_group": pa.array([], pa.int64())}
@@ -520,24 +911,39 @@ def ngram_jaccard(text_a: str, text_b: str, w: int = 3) -> float:
 # SimHash
 # ---------------------------------------------------------------------------
 
+# per-process token→sha256-prefix memo (simhash MUST stay sha256: the DuckDB
+# oracle recomputes the identical signature from sha256(token))
+_SIM_TOK_CACHE: dict[str, int] = {}
+_SHIFTS = np.arange(64, dtype=np.uint64)
+
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over \\w+ tokens (unit weights).
 
     Token hash = first 8 bytes of SHA-256, big-endian — chosen (over
     blake2b) so a DuckDB oracle can recompute the identical signature with
-    ``('0x' || substr(sha256(tok), 1, 16))::UBIGINT``.
+    ``('0x' || substr(sha256(tok), 1, 16))::UBIGINT``.  Bit accumulation is
+    vectorized over the DISTINCT tokens (occurrence counts as weights —
+    identical to the per-occurrence ±1 sum).
     """
     toks = _TOKEN.findall((text or "").lower())
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = int.from_bytes(hashlib.sha256(t.encode()).digest()[:8], "big")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), 1, -1)
-    return int(
-        sum(1 << i for i in range(64) if acc[i] > 0)
+    cache = _SIM_TOK_CACHE
+    hs = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            if len(cache) >= _TOK_CACHE_MAX:
+                cache.clear()
+            h = int.from_bytes(hashlib.sha256(t.encode()).digest()[:8], "big")
+            cache[t] = h
+        hs[i] = h
+    uniq, counts = np.unique(hs, return_counts=True)
+    bits = ((uniq[:, None] >> _SHIFTS[None, :]) & 1).astype(np.int64)
+    acc = ((2 * bits - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+    return int.from_bytes(
+        np.packbits(acc > 0, bitorder="little").tobytes(), "little"
     )
 
 
@@ -551,76 +957,147 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
-def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3) -> pa.Table:
+_EMPTY_HAM = pa.table(
+    {
+        "a": pa.array([], pa.int64()),
+        "b": pa.array([], pa.int64()),
+        "hamming": pa.array([], pa.int32()),
+    }
+)
+
+
+def simhash_near_dup_pairs(
+    ds: rd.Dataset, max_hamming: int = 3, n_parts: int | None = None
+) -> pa.Table:
     """Near-dup pairs with hamming(simhash) ≤ d via 4-piece pigeonhole
     bucketing (any pair within distance 3 shares at least one 16-bit piece).
+
+    Bucket enumeration runs in coarse-partition kernels (sort + run walk)
+    and the final per-(a, b) dedup is a distributed ``groupby`` min — the
+    driver only receives the post-filter pair table.
     """
-    sh = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    sh = ds.map_batches(simhash_batch, batch_format="pyarrow").materialize()
+    nb = _auto_parts(sh.count())
+    if n_parts is None:
+        n_parts = nb
+    if sh.num_blocks() > nb:
+        sh = sh.repartition(nb).materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, pieces, piece_vals, hashes = [], [], [], []
-        for doc, hx in zip(batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()):
-            v = int(hx, 16)
-            for p in range(4):
-                ids.append(doc)
-                pieces.append(p)
-                piece_vals.append((v >> (16 * p)) & 0xFFFF)
-                hashes.append(hx)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "pkey": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.int64()),
+                }
+            )
+        ids = np.asarray(_np(batch["doc_id"]), dtype=np.int64)
+        vals = np.asarray(
+            [int(h, 16) for h in batch["simhash"].to_pylist()], dtype=np.uint64
+        )
+        # 4 piece rows per doc; bucket key = piece index ⊕ piece value
+        piece = np.repeat(np.arange(4, dtype=np.uint64), n)
+        pv = np.concatenate([(vals >> np.uint64(16 * p)) & np.uint64(0xFFFF) for p in range(4)])
+        pkey = (piece << np.uint64(16)) | pv
         return pa.table(
             {
-                "piece": pa.array(pieces, pa.int32()),
-                "piece_val": pa.array(piece_vals, pa.int32()),
-                "doc_id": pa.array(ids),
-                "simhash": pa.array(hashes, pa.string()),
+                "part": _part_np(pkey, n_parts),
+                "pkey": pa.array(pkey.view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+                "sim": pa.array(np.tile(vals, 4).view(np.int64), pa.int64()),
             }
         )
 
-    def pairs(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "hamming": pa.array([], pa.int32()),
-            }
+    def pairs_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _EMPTY_HAM
+        t = group.take(
+            pc.sort_indices(
+                group, sort_keys=[("pkey", "ascending"), ("doc_id", "ascending")]
+            )
         )
-        if group.num_rows < 2:
-            return empty
-        ids = np.asarray(group["doc_id"].to_pylist())
-        vals = np.asarray([int(h, 16) for h in group["simhash"].to_pylist()], dtype=np.uint64)
-        order = np.argsort(ids)
-        ids, vals = ids[order], vals[order]
+        pk = _np(t["pkey"])
+        ids = _np(t["doc_id"])
+        sims = _np(t["sim"]).view(np.uint64)
+        new = np.r_[True, pk[1:] != pk[:-1]]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, len(pk)])
+        multi = lens >= 2
+        if not multi.any():
+            return _EMPTY_HAM
         a_l, b_l, d_l = [], [], []
-        for i in range(len(ids)):
-            x = vals[i + 1 :] ^ vals[i]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for off in np.flatnonzero(ham <= max_hamming):
-                a_l.append(int(ids[i]))
-                b_l.append(int(ids[i + 1 + off]))
-                d_l.append(int(ham[off]))
+        for s, l in zip(starts[multi], lens[multi]):
+            run_ids = ids[s : s + l]
+            run_sims = sims[s : s + l]
+            ai, bi = np.triu_indices(l, k=1)
+            ham = _popcount64(run_sims[ai] ^ run_sims[bi])
+            hit = ham <= max_hamming
+            a_l.append(run_ids[ai[hit]])
+            b_l.append(run_ids[bi[hit]])
+            d_l.append(ham[hit].astype(np.int32))
+        a = np.concatenate(a_l)
+        if len(a) == 0:
+            return _EMPTY_HAM
         return pa.table(
             {
-                "a": pa.array(a_l, pa.int64()),
-                "b": pa.array(b_l, pa.int64()),
-                "hamming": pa.array(d_l, pa.int32()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(np.concatenate(b_l), pa.int64()),
+                "hamming": pa.array(np.concatenate(d_l), pa.int32()),
             }
         )
+
+    def dedup_part(group: pa.Table) -> pa.Table:
+        """Per-(a, b) min-hamming, vectorized — the distributed replacement
+        for the round-2 driver-side pandas groupby."""
+        if group.num_rows == 0:
+            return _EMPTY_HAM
+        t = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("a", "ascending"),
+                    ("b", "ascending"),
+                    ("hamming", "ascending"),
+                ],
+            )
+        )
+        a = _np(t["a"])
+        b = _np(t["b"])
+        firsts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        idx = pa.array(firsts, pa.int64())
+        return pa.table(
+            {
+                "a": t["a"].take(idx),
+                "b": t["b"].take(idx),
+                "hamming": t["hamming"].take(idx),
+            }
+        )
+
+    def repart(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("pp", pa.array([], pa.int32()))
+        key = _mix64(_np(batch["a"]).astype(np.uint64)) * _GOLDEN ^ _np(
+            batch["b"]
+        ).astype(np.uint64)
+        return batch.append_column("pp", _part_np(key, n_parts))
 
     out = (
         sh.map_batches(explode, batch_format="pyarrow")
-        .groupby(["piece", "piece_val"])
-        .map_groups(pairs, batch_format="pyarrow")
-    )
-    df = out.to_pandas()
-    if df.empty:
-        return pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "hamming": pa.array([], pa.int32()),
-            }
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pyarrow")
+        .map_batches(repart, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(
+            lambda g: dedup_part(g.drop_columns(["pp"])), batch_format="pyarrow"
         )
-    df = df.groupby(["a", "b"], as_index=False)["hamming"].min().sort_values(["a", "b"])
-    return pa.Table.from_pandas(df, preserve_index=False)
+    )
+    tbl = _collect_sorted(out, ["a", "b"])
+    if tbl is None:
+        return _EMPTY_HAM
+    return tbl
 
 
 # ---------------------------------------------------------------------------

