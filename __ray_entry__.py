@@ -30,13 +30,17 @@ def entry() -> Any:
     text+media documents table (doc_id, spans) — the BASELINE.json
     input_hint shape.  Also touches /root/testdata/sf0.001 to exercise the
     parquet read path."""
+    import pyarrow.compute as pc
     import ray.data as rd
+
+    from anansi_ray.pipelines.queries import _crawl_results
 
     sf_dir = "/root/testdata/sf0.001"
     if os.path.isdir(sf_dir):
         # cheap read-path smoke: prune to one column, count
         rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]).count()
-    return QUERIES["crawl_documents"][0](sf_dir)
+    docs = _crawl_results()["documents"]
+    return docs.take(pc.sort_indices(docs, sort_keys=[("doc_id", "ascending")]))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -1156,6 +1156,53 @@ def embedding_near_dup_pairs(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# fixed-point scale for the hyperplane sign test: both the pipeline and the
+# single-threaded oracle twin quantize the normalized vectors AND the planes
+# to integers, so the bucket bit is an EXACT int64 dot-product sign —
+# identical under any batching/blocking (float matmul sign at ~0 is not)
+_LSH_Q = 1 << 20
+
+
+def lsh_planes(dim: int, n_tables: int = 8, n_bits: int = 6, seed: int = 42):
+    """Deterministic quantized hyperplanes (n_tables, n_bits, dim) int64."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    return np.round(planes * _LSH_Q).astype(np.int64)
+
+
+def normalize_rows(mat: np.ndarray) -> np.ndarray:
+    """Row-L2 normalization (shared per-record math for pipeline + twin)."""
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def lsh_bucket_sigs(mat_norm: np.ndarray, qplanes: np.ndarray) -> np.ndarray:
+    """(n, n_tables) int64 bucket signatures via exact integer sign bits."""
+    q = np.round(mat_norm * _LSH_Q).astype(np.int64)  # (n, dim)
+    n_tables, n_bits, _dim = qplanes.shape
+    sigs = np.empty((q.shape[0], n_tables), dtype=np.int64)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+    for t in range(n_tables):
+        bits = (q @ qplanes[t].T) > 0  # exact integer arithmetic
+        sigs[:, t] = bits @ weights
+    return sigs
+
+
+def pair_cosine(a: np.ndarray, b: np.ndarray) -> float:
+    """Per-pair cosine of two already-normalized rows — a single ddot with
+    identical memory layout on both the pipeline and oracle side, so the
+    rounded value is reproducible."""
+    return float(np.round(np.dot(a, b), 6))
+
+
+_EMPTY_COS = pa.table(
+    {
+        "a": pa.array([], pa.int64()),
+        "b": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64()),
+    }
+)
+
+
 def embedding_near_dup_lsh(
     ds: rd.Dataset,
     threshold: float = 0.45,
@@ -1167,86 +1214,102 @@ def embedding_near_dup_lsh(
     """Scale path for embedding near-dup: random-hyperplane LSH bucketing.
 
     Each vector gets ``n_tables`` signatures of ``n_bits`` sign bits
-    (broadcast projection matrix); vectors sharing a (table, signature)
-    bucket become candidates; candidates are verified by exact cosine
-    within the bucket group.  No all-pairs pass — the only shuffle is the
-    groupby on bucket keys, so this survives corpora where the broadcast
-    matrix of :func:`embedding_near_dup_pairs` cannot fit.
+    (broadcast quantized projection matrix — see :func:`lsh_bucket_sigs`:
+    the sign test is exact integer arithmetic, so bucket membership is
+    deterministic under any batching); vectors sharing a (table, signature)
+    bucket become candidates; candidates are verified by exact per-pair
+    cosine within the bucket group.  No all-pairs pass — the only shuffles
+    are the bucket groupby and the final per-pair dedup, so this survives
+    corpora where the broadcast matrix of :func:`embedding_near_dup_pairs`
+    cannot fit.
 
     Approximate: pairs whose vectors collide in no table are missed
     (recall rises with n_tables; p_miss = (1 - p_same_bucket)^n_tables).
+    The single-threaded oracle twin (queries._emb_lsh_pairs_local) shares
+    the per-record math and reproduces the output exactly.
     """
     import ray
 
-    # deterministic projection planes; dim inferred from the first row
     first = ds.limit(1).to_pandas()
     dim = len(first["embedding"].iloc[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_bits, dim))
-    planes_ref = ray.put(planes)
+    planes_ref = ray.put(lsh_planes(dim, n_tables, n_bits, seed))
 
     def bucketize(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        out_t, out_sig, out_id, out_vec = [], [], [], []
-        for t in range(pl.shape[0]):
-            bits = (mat @ pl[t].T) > 0  # (n, n_bits)
-            sig = bits @ (1 << np.arange(pl.shape[1], dtype=np.int64))
-            out_t.extend([t] * len(ids))
-            out_sig.extend(int(s) for s in sig)
-            out_id.extend(int(i) for i in ids)
-            out_vec.extend(mat.tolist())
+        mat = normalize_rows(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        sigs = lsh_bucket_sigs(mat, pl)  # (n, n_tables)
+        n, nt = sigs.shape
         return pa.table(
             {
-                "table_id": pa.array(out_t, pa.int32()),
-                "sig": pa.array(out_sig, pa.int64()),
-                id_col: pa.array(out_id, pa.int64()),
-                "vec": pa.array(out_vec, pa.list_(pa.float64())),
+                "table_id": pa.array(
+                    np.repeat(np.arange(nt, dtype=np.int32), n), pa.int32()
+                ),
+                "sig": pa.array(sigs.T.reshape(-1), pa.int64()),
+                id_col: pa.array(np.tile(ids, nt), pa.int64()),
+                "vec": pa.array(np.tile(mat, (nt, 1)).tolist(), pa.list_(pa.float64())),
             }
         )
 
     def verify(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "a": pa.array([], pa.int64()),
-                "b": pa.array([], pa.int64()),
-                "cosine": pa.array([], pa.float64()),
-            }
-        )
         n = group.num_rows
         if n < 2:
-            return empty
+            return _EMPTY_COS
         ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
         mat = np.asarray(group["vec"].to_pylist(), dtype=np.float64)
         order = np.argsort(ids)
         ids, mat = ids[order], mat[order]
+        # float matmul prefilter with margin, then exact per-pair ddot so
+        # the reported value (and the τ decision) is batching-independent
         sims = mat @ mat.T
         iu, ju = np.triu_indices(n, k=1)
-        hit = sims[iu, ju] >= threshold
+        near = sims[iu, ju] >= threshold - 1e-9
+        a_l, b_l, c_l = [], [], []
+        for i, j in zip(iu[near], ju[near]):
+            c = pair_cosine(mat[i], mat[j])
+            if c >= threshold:
+                a_l.append(int(ids[i]))
+                b_l.append(int(ids[j]))
+                c_l.append(c)
         return pa.table(
             {
-                "a": pa.array(ids[iu[hit]], pa.int64()),
-                "b": pa.array(ids[ju[hit]], pa.int64()),
-                "cosine": pa.array(np.round(sims[iu[hit], ju[hit]], 6), pa.float64()),
+                "a": pa.array(a_l, pa.int64()),
+                "b": pa.array(b_l, pa.int64()),
+                "cosine": pa.array(c_l, pa.float64()),
             }
         )
 
-    df = (
+    def repart(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("pp", pa.array([], pa.int32()))
+        key = _mix64(_np(batch["a"]).astype(np.uint64)) * _GOLDEN ^ _np(
+            batch["b"]
+        ).astype(np.uint64)
+        return batch.append_column("pp", _part_np(key, 16))
+
+    def dedup_part(group: pa.Table) -> pa.Table:
+        """First row per (a, b) — cosines are identical across tables by
+        construction, so 'first' is well-defined."""
+        if group.num_rows == 0:
+            return _EMPTY_COS
+        t = group.drop_columns(["pp"])
+        t = t.take(
+            pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")])
+        )
+        a = _np(t["a"])
+        b = _np(t["b"])
+        firsts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        return t.take(pa.array(firsts, pa.int64()))
+
+    out = (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby(["table_id", "sig"])
         .map_groups(verify, batch_format="pyarrow")
-        .to_pandas()
+        .map_batches(repart, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(dedup_part, batch_format="pyarrow")
     )
-    empty = pa.table(
-        {
-            "a": pa.array([], pa.int64()),
-            "b": pa.array([], pa.int64()),
-            "cosine": pa.array([], pa.float64()),
-        }
-    )
-    if df.empty:
-        return empty
-    df = df.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-    return pa.Table.from_pandas(df, preserve_index=False)
+    tbl = _collect_sorted(out, ["a", "b"])
+    if tbl is None:
+        return _EMPTY_COS
+    return tbl

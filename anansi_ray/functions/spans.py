@@ -56,6 +56,35 @@ def flatten_spans_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def span_sig_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, span_sig): md5 over the ORDERED span sequence
+    (kind, text, media_ref, offset) — the per-row span-sequence invariant
+    (BASELINE.json input_hint) as a hash-comparable scalar.  Shared
+    per-record math between the pipeline query and the reference-crawl
+    oracle side table (independent orchestration, same digest)."""
+    import hashlib
+
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    lengths = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+    flat = spans.flatten()
+    kinds = flat.field("kind").to_pylist()
+    texts = flat.field("text").to_pylist()
+    refs = flat.field("media_ref").to_pylist()
+    offs = flat.field("offset").to_pylist()
+    bounds = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+    sigs = []
+    for i in range(len(lengths)):
+        s, e = bounds[i], bounds[i + 1]
+        parts = [
+            f"{kinds[j]}\x1f{texts[j] or ''}\x1f{refs[j] or ''}\x1f{offs[j]}"
+            for j in range(s, e)
+        ]
+        sigs.append(hashlib.md5("\x1e".join(parts).encode()).hexdigest())
+    return pa.table({"doc_id": batch["doc_id"], "span_sig": pa.array(sigs, pa.string())})
+
+
 def span_stats_batch(batch: pa.Table) -> pa.Table:
     spans = batch["spans"]
     if isinstance(spans, pa.ChunkedArray):

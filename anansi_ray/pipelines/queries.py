@@ -467,8 +467,10 @@ ORDER BY a, b
 
 
 def q_embedding_near_dup_lsh(sf_dir: str):
-    """LSH-bucketed near-dup (scale path; approximate — recall tested vs
-    the exact variant in tests/test_dedup.py)."""
+    """LSH-bucketed near-dup (scale path; approximate vs the exact variant
+    — recall tested in tests/test_dedup.py).  Bucketing is integer-exact
+    (fdedup.lsh_bucket_sigs), so the single-threaded oracle twin
+    reproduces the output value-exactly."""
     return fdedup.embedding_near_dup_lsh(
         _read(sf_dir, "embeddings"), threshold=NEAR_DUP_TAU
     )
@@ -854,6 +856,43 @@ def _minhash_pairs_local(tbl: pa.Table, min_est: float) -> pa.Table:
     )
 
 
+def _emb_lsh_pairs_local(tbl: pa.Table, threshold: float) -> pa.Table:
+    """Single-threaded numpy hyperplane-LSH near-dup pairs — the oracle
+    twin of fdedup.embedding_near_dup_lsh (shared per-record math:
+    lsh_planes / normalize_rows / lsh_bucket_sigs / pair_cosine — all
+    integer-exact or single-ddot deterministic — fully independent
+    orchestration)."""
+    ids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    mat = fdedup.normalize_rows(np.asarray(tbl["embedding"].to_pylist(), np.float64))
+    planes = fdedup.lsh_planes(mat.shape[1])
+    sigs = fdedup.lsh_bucket_sigs(mat, planes)  # (n, n_tables)
+    buckets: dict = {}
+    for i in range(len(ids)):
+        for t in range(sigs.shape[1]):
+            buckets.setdefault((t, int(sigs[i, t])), []).append(i)
+    out: dict[tuple[int, int], float] = {}
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                if ids[i] > ids[j]:
+                    i, j = j, i
+                key = (int(ids[i]), int(ids[j]))
+                if key in out:
+                    continue
+                c = fdedup.pair_cosine(mat[i], mat[j])
+                if c >= threshold:
+                    out[key] = c
+    keep = sorted(out)
+    return pa.table(
+        {
+            "a": pa.array([k[0] for k in keep], pa.int64()),
+            "b": pa.array([k[1] for k in keep], pa.int64()),
+            "cosine": pa.array([out[k] for k in keep], pa.float64()),
+        }
+    )
+
+
 def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """Idempotent build of the oracle side-tables under ORACLE_DIR."""
     import pyarrow.parquet as pq
@@ -875,9 +914,20 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
     docs = res["documents"]
     docs = docs.take(pc.sort_indices(docs, sort_keys=[("doc_id", "ascending")]))
     flat = flatten_spans_batch(docs)
+    from anansi_ray.functions.spans import span_sig_batch
+
+    flat = flat.append_column("span_sig", span_sig_batch(docs)["span_sig"])
     pq.write_table(
         flat.select(
-            ["doc_id", "text", "media_refs", "n_spans", "n_text_spans", "n_media_spans"]
+            [
+                "doc_id",
+                "text",
+                "media_refs",
+                "n_spans",
+                "n_text_spans",
+                "n_media_spans",
+                "span_sig",
+            ]
         ),
         os.path.join(ORACLE_DIR, "crawl_docs_flat.parquet"),
     )
@@ -909,6 +959,16 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
         )
         pq.write_table(groups, os.path.join(ORACLE_DIR, "minhash_groups.parquet"))
 
+    # 4. hyperplane-LSH embedding near-dup pairs (integer-exact bucketing
+    #    ⇒ the twin reproduces the distributed output value-exactly)
+    sfemb = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(sfemb):
+        t = pq.read_table(sfemb, columns=["vec_id", "embedding"])
+        pq.write_table(
+            _emb_lsh_pairs_local(t, NEAR_DUP_TAU),
+            os.path.join(ORACLE_DIR, "emb_lsh_pairs.parquet"),
+        )
+
     with open(marker, "w") as f:
         f.write("ok")
     return ORACLE_DIR
@@ -934,6 +994,12 @@ FROM cand c
 JOIN grams ga ON ga.doc_id = c.a
 JOIN grams gb ON gb.doc_id = c.b
 ORDER BY c.a, c.b
+"""
+
+SQL_EMB_NEAR_DUP_LSH = f"""
+SELECT a, b, cosine
+FROM read_parquet('{ORACLE_DIR}/emb_lsh_pairs.parquet')
+ORDER BY a, b
 """
 
 SQL_MINHASH_NEAR_DUP = f"""
@@ -1138,10 +1204,35 @@ def q_crawl_order(sf_dir: str):
 
 def q_crawl_documents(sf_dir: str):
     """Interleaved text+media documents produced by the crawl (input_hint
-    shape; per-row span-sequence invariant tested against ground truth)."""
+    shape), projected to the hash-comparable per-row span-sequence
+    invariant: span counts + md5 over the ordered (kind, text, media_ref,
+    offset) sequence.  The nested-span table itself stays the pipeline
+    product (_crawl_results()['documents']; span equality is additionally
+    asserted in tests/test_crawl_pipeline.py) — this query is the value
+    oracle surface over it."""
+    from anansi_ray.functions.spans import flatten_spans_batch, span_sig_batch
+
     res = _crawl_results()["documents"]
     order = pc.sort_indices(res, sort_keys=[("doc_id", "ascending")])
-    return res.take(order)
+    docs = res.take(order)
+    flat = flatten_spans_batch(docs)
+    sigs = span_sig_batch(docs)
+    return pa.table(
+        {
+            "doc_id": flat["doc_id"],
+            "n_spans": flat["n_spans"],
+            "n_text_spans": flat["n_text_spans"],
+            "n_media_spans": flat["n_media_spans"],
+            "span_sig": sigs["span_sig"],
+        }
+    )
+
+
+SQL_CRAWL_DOCUMENTS = f"""
+SELECT doc_id, n_spans, n_text_spans, n_media_spans, span_sig
+FROM read_parquet('{ORACLE_DIR}/crawl_docs_flat.parquet')
+ORDER BY doc_id
+"""
 
 
 def q_crawl_doc_pipeline(sf_dir: str):
@@ -1186,7 +1277,7 @@ QUERIES = {
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "knn_cosine": (q_knn_cosine, SQL_KNN),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMB_NEAR_DUP),
-    "embedding_near_dup_lsh": (q_embedding_near_dup_lsh, None),
+    "embedding_near_dup_lsh": (q_embedding_near_dup_lsh, SQL_EMB_NEAR_DUP_LSH),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
     "knn_ivf": (q_knn_ivf, SQL_KNN),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
@@ -1199,7 +1290,7 @@ QUERIES = {
     "orders_topk": (q_orders_topk, SQL_ORDERS_TOPK),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "crawl_order": (q_crawl_order, SQL_CRAWL_ORDER),
-    "crawl_documents": (q_crawl_documents, None),
+    "crawl_documents": (q_crawl_documents, SQL_CRAWL_DOCUMENTS),
     "crawl_doc_pipeline": (q_crawl_doc_pipeline, SQL_CRAWL_DOC_PIPELINE),
     "crawl_media_pipeline": (q_crawl_media_pipeline, SQL_CRAWL_MEDIA_PIPELINE),
 }
