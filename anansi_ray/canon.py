@@ -169,14 +169,21 @@ def root_of(canonical_url: str) -> tuple[str, str, str]:
 # ---------------------------------------------------------------------------
 
 
+#: per-process (url, base) → canon-tuple memo; bounded so a pathological
+#: URL stream cannot grow a worker heap
+_CANON_MEMO: dict[tuple, tuple] = {}
+_CANON_MEMO_MAX = 500_000
+
+
 def canon_batch(urls, bases=None) -> dict[str, np.ndarray]:
     """Vectorized-at-the-batch-level canonicalize+hash kernel.
 
     Returns equal-length arrays ``url, url_hash, shorthash, tinyhash, host,
     root_hash, valid``.  Invalid rows get empty strings and valid=False.
     Per-row work is a tight Python loop over C-accelerated primitives
-    (urlsplit + hashlib); a memo dict amortizes repeated URLs within a batch
-    (crawl link graphs repeat heavily).
+    (urlsplit + hashlib); a bounded PER-PROCESS memo amortizes repeated
+    (url, base) pairs across batches and rounds — crawl link graphs repeat
+    hub links on nearly every fetched page, so cross-round hits dominate.
     """
     n = len(urls)
     out_url = np.empty(n, dtype=object)
@@ -186,7 +193,9 @@ def canon_batch(urls, bases=None) -> dict[str, np.ndarray]:
     out_host = np.empty(n, dtype=object)
     out_root = np.empty(n, dtype=object)
     out_valid = np.zeros(n, dtype=bool)
-    memo: dict[tuple, tuple] = {}
+    memo = _CANON_MEMO
+    if len(memo) > _CANON_MEMO_MAX:
+        memo.clear()
     for i in range(n):
         u = urls[i]
         b = bases[i] if bases is not None else None

@@ -126,13 +126,22 @@ def _empty_ledger_table() -> pa.Table:
     return LEDGER_SCHEMA.empty_table()
 
 
-def _make_due_filter(due_hosts_ref, removed_ref, refetch: bool = False):
+def _make_due_filter(due_hosts_ref, fetched_shards, refetch: bool = False):
     """map_batches fn: keep frontier rows that are due this round — state
     NEW/FORCE (plus, in refetch mode, any TTL-due row the merge cycled back
     into the frontier), host in the politeness-ready set, not already
     fetched (lazy removal) — ≙ the dequeue WHERE clause (db.c:681-692).
-    Stateless task (not an actor pool): the broadcast refs resolve from the
-    local object store per task."""
+
+    Fully vectorized: state and due-host masks are ``pc`` kernels against
+    the broadcast host array; the already-fetched anti-join probes the
+    FETCHED-set shard actors (one ``contains`` RPC per shard per batch) —
+    nothing row-wise in Python and no per-round re-broadcast of a
+    driver-side removed set.  Stateless task (not an actor pool): the
+    broadcast refs resolve from the local object store per task and the
+    mutable state lives in the shards."""
+    from anansi_ray.state.seen import ContainsRouter
+
+    router = ContainsRouter(fetched_shards) if fetched_shards else None
 
     def due_filter(batch: pa.Table) -> pa.Table:
         if not refetch:
@@ -141,16 +150,13 @@ def _make_due_filter(due_hosts_ref, removed_ref, refetch: bool = False):
             batch = batch.filter(mask)
         if batch.num_rows == 0:
             return batch
-        due = ray.get(due_hosts_ref)
-        removed = ray.get(removed_ref)
-        hosts = batch["host"].to_pylist()
-        hashes = batch["url_hash"].to_pylist()
-        keep = np.fromiter(
-            (h in due and uh not in removed for h, uh in zip(hosts, hashes)),
-            dtype=bool,
-            count=len(hosts),
-        )
-        return batch.filter(pa.array(keep))
+        due_arr = ray.get(due_hosts_ref)  # pa.Array of due host names
+        batch = batch.filter(pc.is_in(batch["host"], value_set=due_arr))
+        if router is not None and batch.num_rows:
+            fetched = router.contains_mask(batch["url_hash"].to_pylist())
+            if fetched.any():
+                batch = batch.filter(pa.array(~fetched))
+        return batch
 
     return due_filter
 
@@ -449,30 +455,58 @@ def _due_filter_table(
     return frontier.filter(mask)
 
 
-def _meta_project(batch: pa.Table) -> pa.Table:
-    """Driver-bookkeeping projection: the ONLY per-row data the round loop
-    pulls to the driver (politeness counters, lazy removal, metrics)."""
-    has_link = pc.or_(
-        pc.greater(pc.list_value_length(batch["out_links"]), 0),
-        pc.not_equal(batch["redirect"], ""),
+def spool_dir_of(output_dir: str) -> str:
+    """The spool location a CrawlPipeline(output_dir=...) run writes to."""
+    return os.path.join(output_dir, "spool")
+
+
+def read_documents(output_dir: str) -> pa.Table:
+    """documents VIEW over the fused per-round spool: (doc_id, spans) for
+    every ACCEPTED fetch — a column-pruned, predicate-pushed parquet read
+    (the round-2 layout wrote this as its own per-round Dataset pass)."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(spool_dir_of(output_dir), partitioning="hive")
+    t = ds.to_table(columns=["url_hash", "spans"], filter=pads.field("has_doc"))
+    return t.rename_columns(["doc_id", "spans"])
+
+
+def read_cache(output_dir: str) -> pa.Table:
+    """cache VIEW over the fused per-round spool (S8 read side): one row
+    per fetch with the wire status, headers, content type, freshness flag
+    and payload."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(spool_dir_of(output_dir), partitioning="hive")
+    t = ds.to_table(
+        columns=[
+            "url_hash",
+            "url",
+            "wire_status",
+            "content_type",
+            "headers",
+            "fresh",
+            "payload",
+        ]
     )
-    return pa.table(
-        {
-            "url_hash": batch["url_hash"],
-            "host": batch["host"],
-            "state": batch["state"],
-            "fetch_clock_ms": batch["fetch_clock_ms"],
-            "next_fetch_ms": batch["next_fetch_ms"],
-            "has_link": has_link,
-        }
+    return t.rename_columns(
+        ["url_hash", "url", "status", "content_type", "headers", "fresh", "payload"]
     )
 
 
-def _make_spool_project(horizon):
+def _make_spool_project(horizon, with_cache: bool = False):
     """Per-round spool row: the persisted ledger snapshot (status =
     ledger_status — db_unchanged leaves the status column untouched,
     db.c:1077-1126) + the wire status for the dequeue-order records + the
-    retirement flag + document spans."""
+    retirement flag + document spans + the driver-bookkeeping has_link
+    flag, and — when a durable output dir is configured — the cache
+    columns (content type, headers, freshness, payload).
+
+    ONE write pass serves every downstream reader (ledger, crawl order,
+    documents view, cache view, driver meta): parquet column pruning makes
+    each view read only its columns, so fusing costs readers nothing while
+    saving two whole Dataset executions per round (the round-2 layout
+    wrote documents/ and cache/ as separate passes over ``trans``)."""
 
     def project(batch: pa.Table) -> pa.Table:
         if horizon is None:
@@ -486,6 +520,13 @@ def _make_spool_project(horizon):
         cols["retired"] = retired
         cols["has_doc"] = pc.equal(batch["state"], "ACCEPTED")
         cols["spans"] = batch["spans"]
+        cols["has_link"] = pc.or_(
+            pc.greater(pc.list_value_length(batch["out_links"]), 0),
+            pc.not_equal(batch["redirect"], ""),
+        )
+        if with_cache:
+            for c in ("content_type", "headers", "fresh", "payload"):
+                cols[c] = batch[c]
         return pa.table(cols)
 
     return project
@@ -504,13 +545,22 @@ def _make_back_project(horizon):
     return project
 
 
-def _make_drop_removed(removed_ref):
-    def drop_removed(batch: pa.Table) -> pa.Table:
-        rm = ray.get(removed_ref)
-        mask = [h not in rm for h in batch["url_hash"].to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+def _make_drop_fetched(fetched_shards):
+    """Compaction pass: physically drop rows whose hash the fetched-set
+    shards contain (vectorized filter after one contains RPC per shard)."""
+    from anansi_ray.state.seen import ContainsRouter
 
-    return drop_removed
+    router = ContainsRouter(fetched_shards)
+
+    def drop_fetched(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        m = router.contains_mask(batch["url_hash"].to_pylist())
+        if not m.any():
+            return batch
+        return batch.filter(pa.array(~m))
+
+    return drop_fetched
 
 
 def _default_driver_plane_threshold() -> int:
@@ -527,8 +577,17 @@ def _default_driver_plane_threshold() -> int:
 
 #: spool columns beyond the ledger snapshot: the wire status (dequeue-order
 #: records keep 304/406/..., the ledger keeps the pre-rollback status), the
-#: politeness slot, the retirement flag and the document spans
-SPOOL_EXTRA_COLS = ["wire_status", "fetch_clock_ms", "retired", "has_doc", "spans"]
+#: politeness slot, the retirement flag, the document spans and the
+#: driver-bookkeeping link flag (plus content_type/headers/fresh/payload
+#: when output_dir is set — the cache view columns)
+SPOOL_EXTRA_COLS = [
+    "wire_status",
+    "fetch_clock_ms",
+    "retired",
+    "has_doc",
+    "spans",
+    "has_link",
+]
 
 
 class CrawlPipeline:
@@ -608,10 +667,15 @@ class CrawlPipeline:
             self.web_ref = ray.put(tables["web"].combine_chunks())
         self.seen = SeenSet(self.cfg.seen_shards, backend=self.cfg.seen_backend)
         self.round = 0
-        self.removed: set[str] = set()  # fetched hashes pending compaction
-        #: force a compaction (clearing `removed`) beyond this size even
-        #: between compact_every boundaries — bounds driver memory at
-        #: ~50 B/hash regardless of round sizes
+        #: fetched hashes pending compaction live in SHARD ACTORS (same
+        #: layout as the seen set), probed by the due filter via per-batch
+        #: contains RPCs — the driver holds only a row counter, and nothing
+        #: is re-broadcast per round (round-2 anti-pattern #1)
+        self.fetched: SeenSet | None = None  # lazy: distributed plane only
+        self.removed_count = 0
+        #: force a compaction (clearing the fetched shards) beyond this
+        #: size even between compact_every boundaries — bounds shard memory
+        #: regardless of round sizes
         self.removed_cap = 2_000_000
         self.round_metrics: list[dict] = []  # per-round lineage/metrics (A5)
 
@@ -697,9 +761,9 @@ class CrawlPipeline:
 
         refetch = cfg.refetch_horizon_ms is not None
         if driver_plane:
-            due_tbl = _due_filter_table(
-                self.frontier, due_hosts, self.removed, refetch
-            )
+            # the driver plane compacts eagerly per round, so there is no
+            # lazy-removal set to filter against
+            due_tbl = _due_filter_table(self.frontier, due_hosts, set(), refetch)
             if due_tbl.num_rows == 0:
                 return 0
             sched_tbl = _schedule_on_driver(
@@ -721,10 +785,14 @@ class CrawlPipeline:
             # simpler shape)
             from anansi_ray.pipelines.scan_scheduler import schedule_scan
 
-            due_ref = ray.put(due_hosts)
-            removed_ref = ray.put(self.removed)
+            due_ref = ray.put(pa.array(list(due_hosts), pa.string()))
+            shards = (
+                self.fetched.shards
+                if (self.fetched is not None and self.removed_count)
+                else None
+            )
             due = self.frontier.map_batches(
-                _make_due_filter(due_ref, removed_ref, refetch=refetch),
+                _make_due_filter(due_ref, shards, refetch=refetch),
                 batch_format="pyarrow",
             )
             scheduled = schedule_scan(due, due_hosts, self.budget, keys=order_keys(cfg))
@@ -762,55 +830,53 @@ class CrawlPipeline:
         _t_fetch = _time.monotonic()
         if getattr(self, "debug_stats", False):
             print(trans.stats()[:3000], flush=True)
-        if self.output_dir:
-            trans.map_batches(
-                lambda b: pa.table({"doc_id": b["url_hash"], "spans": b["spans"]}).filter(
-                    pc.equal(b["state"], "ACCEPTED")
-                ),
-                batch_format="pyarrow",
-            ).write_parquet(
-                os.path.join(self.output_dir, f"documents/round={self.round}")
-            )
-            trans.map_batches(
-                lambda b: b.select(
-                    [
-                        "url_hash",
-                        "url",
-                        "status",
-                        "content_type",
-                        "headers",
-                        "fresh",
-                        "payload",
-                    ]
-                ),
-                batch_format="pyarrow",
-            ).write_parquet(os.path.join(self.output_dir, f"cache/round={self.round}"))
 
         horizon = cfg.refetch_horizon_ms
 
-        # ---- driver bookkeeping: pull ONLY the small metadata columns ----
-        # (url_hash for lazy removal, host/clock for politeness counters,
-        # state for metrics, next_fetch for horizon cycling, has_link flag);
-        # payloads / spans / links never reach the driver
-        meta = _ds_to_table(
-            trans.map_batches(_meta_project, batch_format="pyarrow")
-        )
-        if meta is None:
-            return 0
-        n_fetched = meta.num_rows
-        _t_meta = _time.monotonic()
-
         # ---- spool sink: ONE distributed partitioned-parquet write/round --
-        # (ledger snapshot with the unchanged-preserving status, the wire
-        # status for the dequeue-order records, the retirement flag and the
-        # document spans — results()/ledger_table() re-read these instead of
-        # the driver accumulating them)
+        # the fused output pass: ledger snapshot (unchanged-preserving
+        # status), wire status for the dequeue-order records, retirement
+        # flag, document spans, has_link, and — when output_dir is set —
+        # the cache columns.  documents/cache are column-pruned VIEWS over
+        # this (read_documents / read_cache), not separate write passes.
         rdir = os.path.join(self.spool_dir, f"round={self.round}")
         if os.path.exists(rdir):
             shutil.rmtree(rdir)  # stale copy from a pre-crash run
         trans.map_batches(
-            _make_spool_project(horizon), batch_format="pyarrow"
+            _make_spool_project(horizon, with_cache=bool(self.output_dir)),
+            batch_format="pyarrow",
         ).write_parquet(rdir)
+        _t_spool0 = _time.monotonic()
+
+        # ---- driver bookkeeping: a LOCAL column-pruned read of the round
+        # dir just written (url_hash for lazy removal, host/clock for
+        # politeness counters, state for metrics, next_fetch for horizon
+        # cycling, has_link flag) — the same few columns round 2 pulled
+        # through a whole extra Ray execution; payloads / spans / links
+        # never reach the driver either way
+        import pyarrow.dataset as pads
+
+        meta = None
+        if os.path.isdir(rdir) and any(
+            f.endswith(".parquet") for f in os.listdir(rdir)
+        ):
+            meta = pads.dataset(rdir).to_table(
+                columns=[
+                    "url_hash",
+                    "host",
+                    "state",
+                    "fetch_clock_ms",
+                    "next_fetch_ms",
+                    "has_link",
+                ]
+            )
+            if meta.num_rows == 0:
+                meta = None
+        if meta is None:
+            shutil.rmtree(rdir, ignore_errors=True)
+            return 0
+        n_fetched = meta.num_rows
+        _t_meta = _time.monotonic()
         # per-partition lineage marker (rows + state mix): a round dir is
         # complete iff its _MANIFEST exists — a killed writer leaves no
         # marker and the re-run overwrites the whole dir
@@ -852,7 +918,11 @@ class CrawlPipeline:
             )
             self.frontier = self.frontier.filter(pc.invert(fetched_mask))
         else:
-            self.removed.update(meta["url_hash"].to_pylist())
+            if self.fetched is None:
+                self.fetched = SeenSet(self.cfg.seen_shards, backend="exact")
+            hs = meta["url_hash"].to_pylist()
+            self.fetched.add_if_new(hs)
+            self.removed_count += len(hs)
 
         if horizon is not None:
             # incremental mode: rows due again before the horizon cycle back
@@ -957,8 +1027,8 @@ class CrawlPipeline:
                 "phase_s": {
                     "schedule": round(_t_sched - _t0, 3),
                     "fetch": round(_t_fetch - _t_sched, 3),
-                    "meta": round(_t_meta - _t_fetch, 3),
-                    "spool": round(_t_spool - _t_meta, 3),
+                    "spool": round(_t_spool0 - _t_fetch, 3),
+                    "meta": round(_t_meta - _t_spool0, 3),
                     "expand": round(_time.monotonic() - _t_spool, 3),
                 },
             }
@@ -972,9 +1042,9 @@ class CrawlPipeline:
             # blocks (the due filter already pays that) and keeps the DAG
             # a single source
             self.frontier = self.frontier.materialize()
-        if (self.compact_every and self.round % self.compact_every == 0) or len(
-            self.removed
-        ) > self.removed_cap:
+        if (
+            self.compact_every and self.round % self.compact_every == 0
+        ) or self.removed_count > self.removed_cap:
             self._compact()
         if self.checkpoint_every and self.round % self.checkpoint_every == 0:
             self.checkpoint()
@@ -986,16 +1056,16 @@ class CrawlPipeline:
         The driver-plane table compacts eagerly per round, so this only has
         work to do on the distributed plane."""
         if isinstance(self.frontier, pa.Table):
-            self.removed = set()
+            self.removed_count = 0
             return
-        if not self.removed:
+        if not self.removed_count or self.fetched is None:
             self.frontier = self.frontier.materialize()
             return
-        rm_ref = ray.put(self.removed)
         self.frontier = self.frontier.map_batches(
-            _make_drop_removed(rm_ref), batch_format="pyarrow"
+            _make_drop_fetched(self.fetched.shards), batch_format="pyarrow"
         ).materialize()
-        self.removed = set()
+        self.fetched.clear()
+        self.removed_count = 0
 
     def request_stop(self) -> None:
         """F9 terminate gate (≙ the crawld kill flag checked by
@@ -1113,6 +1183,10 @@ class CrawlPipeline:
         for i, blob in enumerate(self.seen.dump()):
             with open(os.path.join(tmp, f"seen_{i}.bin"), "wb") as f:
                 f.write(blob)
+        if self.fetched is not None and self.removed_count:
+            for i, blob in enumerate(self.fetched.dump()):
+                with open(os.path.join(tmp, f"fetched_{i}.bin"), "wb") as f:
+                    f.write(blob)
         # the per-round spool IS the durable bulk state; the manifest only
         # references it (per-partition lineage: round dirs are immutable
         # once written, re-run rounds overwrite their whole dir)
@@ -1120,7 +1194,12 @@ class CrawlPipeline:
             "round": self.round,
             "frontier_rows": frontier_tbl.num_rows,
             "host_state": self.hosts.snapshot(),
-            "removed": sorted(self.removed),
+            "removed_count": self.removed_count,
+            "fetched_shards": (
+                self.cfg.seen_shards
+                if (self.fetched is not None and self.removed_count)
+                else 0
+            ),
             "seen_shards": self.cfg.seen_shards,
             "round_metrics": self.round_metrics,
             "spool_dir": os.path.abspath(self.spool_dir),
@@ -1139,7 +1218,18 @@ class CrawlPipeline:
         self.round = manifest["round"]
         self.round_metrics = manifest.get("round_metrics", [])
         self.hosts.restore(manifest["host_state"])
-        self.removed = set(manifest["removed"])
+        self.removed_count = int(manifest.get("removed_count", 0))
+        n_fetched_shards = int(manifest.get("fetched_shards", 0))
+        if n_fetched_shards:
+            self.fetched = SeenSet(n_fetched_shards, backend="exact")
+            blobs = []
+            for i in range(n_fetched_shards):
+                with open(os.path.join(ckdir, f"fetched_{i}.bin"), "rb") as f:
+                    blobs.append(f.read())
+            self.fetched.restore(blobs)
+        else:
+            self.fetched = None
+            self.removed_count = 0
         frontier_tbl = pq.read_table(os.path.join(ckdir, "frontier.parquet"))
         # resume on the plane the size dictates: driver table below the
         # threshold, Dataset above

@@ -37,6 +37,7 @@ class SeenShard:
     def __init__(self, shard_id: int, backend: str = "exact", capacity: int = 1_000_000):
         self.shard_id = shard_id
         self.backend = backend
+        self.capacity = capacity
         if backend == "cuckoo":
             from anansi_ray.state.cuckoo import CuckooFilter
 
@@ -74,6 +75,16 @@ class SeenShard:
         if self._cuckoo is not None:
             return self._cuckoo.count
         return len(self._set)
+
+    def clear(self) -> None:
+        """Drop all fingerprints (used by the fetched-set shards after a
+        frontier compaction has physically removed the rows they guard)."""
+        if self._cuckoo is not None:
+            from anansi_ray.state.cuckoo import CuckooFilter
+
+            self._cuckoo = CuckooFilter(capacity=self.capacity, seed=42 + self.shard_id)
+        else:
+            self._set = set()
 
     def dump(self) -> bytes:
         """Serialized shard state for round checkpoints."""
@@ -132,6 +143,9 @@ class SeenSet:
     def contains(self, url_hashes) -> np.ndarray:
         return self._scatter_gather(url_hashes, "contains")
 
+    def clear(self) -> None:
+        ray.get([s.clear.remote() for s in self.shards])
+
     def size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
 
@@ -152,6 +166,35 @@ def make_seen_filter(shard_handles):
         return router(batch)
 
     return seen_filter
+
+
+class ContainsRouter:
+    """map_batches-side READ-ONLY membership probe against a shard pool
+    (the fetched-set anti-join): routes a hash batch to its owning shards,
+    one ``contains`` RPC per shard per batch, no mutation.  Replaces the
+    round-2 pattern of re-``ray.put``-ing a driver-side removed-set every
+    round — the state lives in the shards; tasks ship only the handles."""
+
+    def __init__(self, shard_handles):
+        self.shards = shard_handles
+        self.n = len(shard_handles)
+
+    def contains_mask(self, hashes: list[str]) -> np.ndarray:
+        per_fp: list[list[bytes]] = [[] for _ in range(self.n)]
+        per_idx: list[list[int]] = [[] for _ in range(self.n)]
+        for i, h in enumerate(hashes):
+            s = int(h[:8], 16) % self.n
+            per_fp[s].append(bytes.fromhex(h))
+            per_idx[s].append(i)
+        futures = {
+            s: self.shards[s].contains.remote(per_fp[s])
+            for s in range(self.n)
+            if per_fp[s]
+        }
+        out = np.zeros(len(hashes), dtype=bool)
+        for s, fut in futures.items():
+            out[np.array(per_idx[s])] = ray.get(fut)
+        return out
 
 
 class SeenRouter:

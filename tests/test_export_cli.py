@@ -81,7 +81,14 @@ def test_cli_end_to_end(tmp_path):
     r = run("crawl", "--fixture", fdir, "--seeds", seeds, "--out", out)
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(os.path.join(out, "ledger.parquet"))
-    assert os.path.isdir(os.path.join(out, "documents"))
+    # documents/cache are column-pruned views over the fused per-round spool
+    assert os.path.isdir(os.path.join(out, "spool"))
+    from anansi_ray.pipelines.crawl import read_cache, read_documents
+
+    docs = read_documents(out)
+    assert docs.num_rows > 0 and docs.column_names == ["doc_id", "spans"]
+    cache = read_cache(out)
+    assert cache.num_rows > 0 and "payload" in cache.column_names
 
     r = run("locate", "http://h0.example.org/r/0", "--out", out)
     assert r.returncode == 0, r.stderr[-500:]
