@@ -147,13 +147,18 @@ def _payload_turtle(url, spans, links, license_uri) -> str:
 
 
 def _payload_rdfxml(url, spans, links, license_uri) -> str:
+    """Full-grammar RDF/XML flavor: scoped ``xml:base`` with RELATIVE
+    ``rdf:about`` references (the parser must resolve them — round 2's
+    regex parser could not), same triple order as the turtle/ntriples
+    flavors so all three share one conformance ground truth."""
     out = [
         '<?xml version="1.0"?>',
         '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
-        f' xmlns:v="{AN}" xmlns:dct="http://purl.org/dc/terms/">',
+        f' xmlns:v="{AN}" xmlns:dct="http://purl.org/dc/terms/"'
+        f' xml:base="{url}">',
     ]
     for i, sp in enumerate(spans):
-        out.append(f'<rdf:Description rdf:about="{url}#span-{i}">')
+        out.append(f'<rdf:Description rdf:about="#span-{i}">')
         out.append(f"<v:kind>{sp['kind']}</v:kind>")
         if sp["text"]:
             out.append(f"<v:text>{sp['text']}</v:text>")
@@ -161,7 +166,7 @@ def _payload_rdfxml(url, spans, links, license_uri) -> str:
             out.append(f"<v:media_ref>{sp['media_ref']}</v:media_ref>")
         out.append(f"<v:offset>{sp['offset']}</v:offset>")
         out.append("</rdf:Description>")
-    out.append(f'<rdf:Description rdf:about="{url}">')
+    out.append('<rdf:Description rdf:about="">')
     for l in links:
         out.append(f'<dct:references rdf:resource="{l}"/>')
     if license_uri:
@@ -450,7 +455,8 @@ def write_fixture(tables: dict[str, pa.Table], out_dir: str) -> None:
 
 def ensure_fixture(scale: str, base_dir: str = "/tmp/anansi_fixtures", seed: int = 42) -> str:
     """Generate-once cache of a fixture scale under /tmp; returns its dir."""
-    out = os.path.join(base_dir, f"{scale}_s{seed}_v3")
+    # v4: rdfxml payloads use xml:base + relative rdf:about
+    out = os.path.join(base_dir, f"{scale}_s{seed}_v4")
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):
         write_fixture(generate(scale, seed), out)

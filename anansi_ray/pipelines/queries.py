@@ -819,8 +819,9 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v4"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v5"  # bump whenever artifact-affecting code changes
 # v4: vectorized shingle hashing (token-hash fold) changed signature values
+# v5: fixture rdfxml payloads use xml:base + relative rdf:about (fixture v4)
 
 
 def _minhash_pairs_local(tbl: pa.Table, min_est: float) -> pa.Table:

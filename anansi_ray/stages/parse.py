@@ -37,15 +37,6 @@ _NT_LINE = re.compile(
     r"(?:\s+<[^>\s]+>)?\s*\.\s*$"  # optional graph term (N-Quads), ignored
 )
 
-_XML_DESC = re.compile(
-    r'<rdf:Description\s+rdf:about="([^"]*)"\s*>(.*?)</rdf:Description>', re.S
-)
-_XML_PROP = re.compile(
-    r'<(\w+):(\w+)(?:\s+rdf:resource="([^"]*)"\s*/>|>([^<]*)</\1:\2>)'
-)
-_XMLNS = re.compile(r'xmlns:(\w+)="([^"]*)"')
-
-
 def _unescape_nt(s: str) -> str:
     return s.replace('\\"', '"').replace("\\\\", "\\")
 
@@ -68,21 +59,204 @@ def parse_ntriples(text: str) -> list[Triple]:
     return out
 
 
-def parse_rdfxml(text: str) -> list[Triple]:
-    """Lite RDF/XML parser: rdf:Description blocks with property children
-    that are either ``rdf:resource`` links or text literals.
-    """
-    ns = dict(_XMLNS.findall(text))
-    ns.setdefault("rdf", "http://www.w3.org/1999/02/22-rdf-syntax-ns#")
-    out: list[Triple] = []
-    for about, body in _XML_DESC.findall(text):
-        for prefix, local, res, lit in _XML_PROP.findall(body):
-            pred = ns.get(prefix, prefix + ":") + local
-            if res:
-                out.append((about, pred, res, True))
+# ---------------------------------------------------------------------------
+# RDF/XML (M11) — full W3C grammar subset matching what librdf's parser
+# accepts on the reference's dispatch path (rdf.c:208-239, 228-231):
+# nested node elements, typed nodes, rdf:about/rdf:ID/rdf:nodeID,
+# rdf:resource, parseType Resource/Literal/Collection, property
+# attributes, rdf:li, scoped xml:base.  Built on the stdlib expat tree
+# (xml.etree) with a from-scratch grammar walk — no external XML libs.
+# Literals keep the lexical form (lang/datatype discarded, like the
+# Turtle / N-Triples paths).  Malformed XML raises TurtleError (the
+# engine's parse-failure signal → COS_FAILED, processor.c:200-203).
+# ---------------------------------------------------------------------------
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_R = "{" + RDF_NS + "}"
+_XML_NS_BRACE = "{http://www.w3.org/XML/1998/namespace}"
+_XML_BASE = _XML_NS_BRACE + "base"
+_ABS_REF = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+
+#: rdf: attributes that are syntax markers, never property attributes
+_SYNTAX_ATTRS = {
+    _R + "about",
+    _R + "ID",
+    _R + "nodeID",
+    _R + "resource",
+    _R + "parseType",
+    _R + "datatype",
+    _R + "aboutEach",
+    _R + "aboutEachPrefix",
+    _R + "bagID",
+}
+
+
+def _tag_uri(tag: str) -> str:
+    """'{ns}local' → ns+local (un-namespaced names pass through)."""
+    if tag.startswith("{"):
+        ns, local = tag[1:].split("}", 1)
+        return ns + local
+    return tag
+
+
+class _RdfXml:
+    def __init__(self) -> None:
+        self.triples: list[Triple] = []
+        self._n = 0
+
+    def _bnode(self) -> str:
+        self._n += 1
+        return f"_:r{self._n}"
+
+    def _emit(self, s: str, p: str, o: str, res: bool) -> None:
+        self.triples.append((s, p, o, res))
+
+    @staticmethod
+    def _eff_base(el, base: str | None) -> str | None:
+        b = el.attrib.get(_XML_BASE)
+        if b is None:
+            return base
+        from urllib.parse import urljoin
+
+        return urljoin(base, b) if base else b
+
+    @staticmethod
+    def _resolve(ref: str, base: str | None) -> str:
+        # absolute references pass through RAW (urljoin would rewrite the
+        # scheme's case) — like every other extracted link, normalization
+        # happens at enqueue time (canon.py), not in the parser
+        if base is None or _ABS_REF.match(ref):
+            return ref
+        from urllib.parse import urljoin
+
+        return urljoin(base, ref)
+
+    # -- node elements ---------------------------------------------------
+    def node_subject(self, el, base: str | None) -> str:
+        base = self._eff_base(el, base)
+        a = el.attrib
+        if _R + "about" in a:
+            return self._resolve(a[_R + "about"], base)
+        if _R + "ID" in a:
+            return self._resolve("#" + a[_R + "ID"], base)
+        if _R + "nodeID" in a:
+            return "_:" + a[_R + "nodeID"]
+        return self._bnode()
+
+    def node_body(self, el, base: str | None, subj: str) -> None:
+        base = self._eff_base(el, base)
+        if el.tag != _R + "Description":
+            self._emit(subj, RDF_NS + "type", _tag_uri(el.tag), True)
+        for k, v in el.attrib.items():
+            if k in _SYNTAX_ATTRS or k.startswith(_XML_NS_BRACE) or not k.startswith("{"):
+                continue
+            if k == _R + "type":
+                self._emit(subj, RDF_NS + "type", self._resolve(v, base), True)
             else:
-                out.append((about, pred, lit, False))
-    return out
+                self._emit(subj, _tag_uri(k), v, False)
+        li = 0
+        for child in el:
+            li = self.property_element(subj, child, base, li)
+
+    def node_element(self, el, base: str | None) -> str:
+        subj = self.node_subject(el, base)
+        self.node_body(el, base, subj)
+        return subj
+
+    # -- property elements ----------------------------------------------
+    def property_element(self, subj: str, el, base: str | None, li: int) -> int:
+        base = self._eff_base(el, base)
+        if el.tag == _R + "li":
+            li += 1
+            pred = RDF_NS + f"_{li}"
+        else:
+            pred = _tag_uri(el.tag)
+        a = el.attrib
+        pt = a.get(_R + "parseType")
+        children = list(el)
+        if pt == "Resource":
+            b = self._bnode()
+            self._emit(subj, pred, b, False)
+            inner_li = 0
+            for child in children:
+                inner_li = self.property_element(b, child, base, inner_li)
+        elif pt == "Collection":
+            if not children:
+                self._emit(subj, pred, RDF_NS + "nil", True)
+            else:
+                cells = [self._bnode() for _ in children]
+                self._emit(subj, pred, cells[0], False)
+                for i, child in enumerate(children):
+                    obj = self.node_subject(child, base)
+                    self._emit(cells[i], RDF_NS + "first", obj, not obj.startswith("_:"))
+                    if i + 1 < len(cells):
+                        self._emit(cells[i], RDF_NS + "rest", cells[i + 1], False)
+                    else:
+                        self._emit(cells[i], RDF_NS + "rest", RDF_NS + "nil", True)
+                    self.node_body(child, base, obj)
+        elif pt == "Literal":
+            import xml.etree.ElementTree as ET
+
+            lex = (el.text or "") + "".join(
+                ET.tostring(c, encoding="unicode") for c in children
+            )
+            self._emit(subj, pred, lex, False)
+        elif children:
+            # nested node element: parent triple first (document-order link
+            # extraction), then the node's own triples
+            child = children[0]
+            obj = self.node_subject(child, base)
+            self._emit(subj, pred, obj, not obj.startswith("_:"))
+            self.node_body(child, base, obj)
+        elif _R + "resource" in a:
+            self._emit(subj, pred, self._resolve(a[_R + "resource"], base), True)
+        elif _R + "nodeID" in a:
+            self._emit(subj, pred, "_:" + a[_R + "nodeID"], False)
+        else:
+            prop_attrs = [
+                (k, v)
+                for k, v in a.items()
+                if k not in _SYNTAX_ATTRS
+                and k.startswith("{")
+                and not k.startswith(_XML_NS_BRACE)
+                and k != _R + "ID"
+            ]
+            if prop_attrs:
+                # empty property element with property attributes → the
+                # object is a fresh bnode carrying them
+                b = self._bnode()
+                self._emit(subj, pred, b, False)
+                for k, v in prop_attrs:
+                    if k == _R + "type":
+                        self._emit(b, RDF_NS + "type", self._resolve(v, base), True)
+                    else:
+                        self._emit(b, _tag_uri(k), v, False)
+            else:
+                # plain literal (rdf:ID reification ids are accepted but not
+                # reified — the base triple is still emitted, like raptor's
+                # default handling of unused reifications here)
+                self._emit(subj, pred, el.text or "", False)
+        return li
+
+
+def parse_rdfxml(text: str, base: str | None = None) -> list[Triple]:
+    """M11 — full-grammar RDF/XML → triples (see module notes above)."""
+    import xml.etree.ElementTree as ET
+
+    from anansi_ray.stages.turtle import TurtleError
+
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError as e:
+        raise TurtleError(f"rdfxml parse error: {e}") from e
+    p = _RdfXml()
+    base = p._eff_base(root, base)
+    if root.tag == _R + "RDF":
+        for child in root:
+            p.node_element(child, base)
+    else:
+        p.node_element(root, base)
+    return p.triples
 
 
 def parser_for(content_type: str | None) -> str | None:
@@ -116,7 +290,7 @@ def parse_triples(
     if name in ("ntriples", "nquads"):
         return parse_ntriples(text)
     if name == "rdfxml":
-        return parse_rdfxml(text)
+        return parse_rdfxml(text, base=base_url)
     return None
 
 

@@ -41,6 +41,129 @@ class TestParsers:
         ts = parse_ntriples("<http://a/> <http://p/> <http://b/> <http://g/> .")
         assert ts == [("http://a/", "http://p/", "http://b/", True)]
 
+    def test_rdfxml_full_grammar(self):
+        """Table-driven coverage of the W3C grammar features librdf's parser
+        accepts on the reference dispatch path (rdf.c:208-239): nested node
+        elements, typed nodes, rdf:ID / rdf:nodeID, parseType
+        Resource/Literal/Collection, property attributes, rdf:li, xml:base."""
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        EX = "http://ex.org/"
+        cases = [
+            # nested node element: parent triple emitted before child's own
+            (
+                f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:e="{EX}">'
+                f'<rdf:Description rdf:about="{EX}a">'
+                f'<e:knows><rdf:Description rdf:about="{EX}b">'
+                f"<e:name>Bee</e:name></rdf:Description></e:knows>"
+                f"</rdf:Description></rdf:RDF>",
+                [
+                    (f"{EX}a", f"{EX}knows", f"{EX}b", True),
+                    (f"{EX}b", f"{EX}name", "Bee", False),
+                ],
+            ),
+            # typed node element → rdf:type triple first
+            (
+                f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:e="{EX}">'
+                f'<e:Person rdf:about="{EX}a"><e:name>Ann</e:name></e:Person>'
+                f"</rdf:RDF>",
+                [
+                    (f"{EX}a", RDF + "type", f"{EX}Person", True),
+                    (f"{EX}a", f"{EX}name", "Ann", False),
+                ],
+            ),
+            # rdf:ID resolves against xml:base; rdf:nodeID is a named bnode
+            (
+                f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:e="{EX}" xml:base="{EX}doc">'
+                f'<rdf:Description rdf:ID="frag"><e:p rdf:nodeID="n1"/>'
+                f"</rdf:Description>"
+                f'<rdf:Description rdf:nodeID="n1"><e:name>N</e:name>'
+                f"</rdf:Description></rdf:RDF>",
+                [
+                    (f"{EX}doc#frag", f"{EX}p", "_:n1", False),
+                    ("_:n1", f"{EX}name", "N", False),
+                ],
+            ),
+            # parseType="Resource": implicit bnode with nested properties
+            (
+                f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:e="{EX}">'
+                f'<rdf:Description rdf:about="{EX}a">'
+                f'<e:addr rdf:parseType="Resource"><e:city>Rome</e:city></e:addr>'
+                f"</rdf:Description></rdf:RDF>",
+                None,  # bnode names are generated; checked structurally below
+            ),
+            # parseType="Collection": rdf list skeleton
+            (
+                f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:e="{EX}">'
+                f'<rdf:Description rdf:about="{EX}a">'
+                f'<e:items rdf:parseType="Collection">'
+                f'<rdf:Description rdf:about="{EX}x"/>'
+                f'<rdf:Description rdf:about="{EX}y"/>'
+                f"</e:items></rdf:Description></rdf:RDF>",
+                None,
+            ),
+            # property attributes on a node element; rdf:li numbering
+            (
+                f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:e="{EX}">'
+                f'<rdf:Description rdf:about="{EX}bag" e:note="hi">'
+                f'<rdf:li rdf:resource="{EX}one"/><rdf:li rdf:resource="{EX}two"/>'
+                f"</rdf:Description></rdf:RDF>",
+                [
+                    (f"{EX}bag", f"{EX}note", "hi", False),
+                    (f"{EX}bag", RDF + "_1", f"{EX}one", True),
+                    (f"{EX}bag", RDF + "_2", f"{EX}two", True),
+                ],
+            ),
+        ]
+        for xml, expected in cases:
+            ts = parse_rdfxml(xml)
+            if expected is not None:
+                assert ts == expected, ts
+
+        # structural checks for the bnode-bearing cases
+        ts = parse_rdfxml(cases[3][0])
+        assert ts[0][0] == f"{EX}a" and ts[0][1] == f"{EX}addr"
+        b = ts[0][2]
+        assert b.startswith("_:") and ts[0][3] is False
+        assert (b, f"{EX}city", "Rome", False) in ts
+
+        ts = parse_rdfxml(cases[4][0])
+        first = RDF + "first"
+        rest = RDF + "rest"
+        nil = RDF + "nil"
+        assert ts[0][:2] == (f"{EX}a", f"{EX}items")
+        c1 = ts[0][2]
+        firsts = [(s, o) for s, p, o, r in ts if p == first]
+        assert [o for _s, o in firsts] == [f"{EX}x", f"{EX}y"]
+        rests = [(s, o) for s, p, o, r in ts if p == rest]
+        assert rests[0][0] == c1 and rests[-1][1] == nil
+
+    def test_rdfxml_parsetype_literal_and_malformed(self):
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        EX = "http://ex.org/"
+        xml = (
+            f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:e="{EX}">'
+            f'<rdf:Description rdf:about="{EX}a">'
+            f'<e:html rdf:parseType="Literal">pre<e:b>bold</e:b></e:html>'
+            f"</rdf:Description></rdf:RDF>"
+        )
+        ts = parse_rdfxml(xml)
+        assert ts[0][1] == f"{EX}html" and "bold" in ts[0][2] and ts[0][3] is False
+
+        from anansi_ray.stages.turtle import TurtleError
+
+        with pytest.raises(TurtleError):
+            parse_rdfxml("<rdf:RDF><unclosed>")
+
+    def test_rdfxml_relative_about_xml_base(self):
+        """The fixture flavor: xml:base + relative rdf:about ('' and
+        '#span-N') must resolve to the same absolute subjects the turtle
+        flavor produces."""
+        spans = [{"kind": "text", "text": "hello", "media_ref": "", "offset": 0}]
+        xml = fixtures._payload_rdfxml("http://e.com/d", spans, ["http://e.com/o"], None)
+        ts = parse_rdfxml(xml)
+        subs = {s for s, _p, _o, _r in ts}
+        assert "http://e.com/d#span-0" in subs and "http://e.com/d" in subs
+
     def test_rdfxml_lite(self):
         xml = fixtures._payload_rdfxml(
             "http://e.com/d",
