@@ -127,27 +127,87 @@ def sliding_window(
     return merged.map_batches(finalize, batch_format="pyarrow")
 
 
+_EMPTY_SESSIONS = pa.table(
+    {
+        "user_id": pa.array([], pa.int64()),
+        "session_id": pa.array([], pa.int64()),
+        "n_events": pa.array([], pa.int64()),
+        "start_us": pa.array([], pa.int64()),
+        "end_us": pa.array([], pa.int64()),
+        "sum_value": pa.array([], pa.float64()),
+    }
+)
+
+
 def session_windows(ds: rd.Dataset, gap_us: int = HOUR_US) -> rd.Dataset:
     """Gap-based session windows per user: a new session starts when the gap
-    since the previous event exceeds ``gap_us``.  groupby(user_id) +
-    windowing over the (ts, event_id)-sorted group."""
+    since the previous event exceeds ``gap_us``.
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        ts = g["ts"].astype("int64")
-        new_session = (ts - ts.shift(1)).fillna(gap_us + 1) > gap_us
-        sid = new_session.cumsum()
-        out = g.assign(session_id=sid).groupby("session_id").agg(
-            n_events=("event_id", "size"),
-            start_us=("ts", "min"),
-            end_us=("ts", "max"),
-            sum_value=("value", "sum"),
+    Arrow-native partition kernel (no pandas, no per-user micro-groups):
+    rows exchange on ``part = mix64(user_id) % n_parts``, each partition
+    sorts once by (user_id, ts, event_id) and derives every user's session
+    boundaries in one vectorized pass (run-change masks + ``reduceat``) —
+    the same shape as the dedup kernels.  A user's whole history lands in
+    one partition (required for correctness), but a partition holds many
+    users, so task memory is partition-sized, not user-sized."""
+    import pyarrow.compute as pc
+
+    from anansi_ray.functions.dedup import _np, _part_np
+
+    n_parts = 64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "part": _part_np(u.to_numpy(zero_copy_only=False), n_parts),
+                "user_id": u,
+                "ts": batch["ts"].combine_chunks().cast(pa.int64()),
+                "event_id": batch["event_id"].combine_chunks().cast(pa.int64()),
+                "value": batch["value"].combine_chunks().cast(pa.float64()),
+            }
         )
-        out = out.reset_index()
-        out["user_id"] = g["user_id"].iloc[0]
-        out["sum_value"] = out["sum_value"].round(4)
-        out["start_us"] = out["start_us"].astype("int64")
-        out["end_us"] = out["end_us"].astype("int64")
-        return out[["user_id", "session_id", "n_events", "start_us", "end_us", "sum_value"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _EMPTY_SESSIONS
+        t = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+        )
+        u = _np(t["user_id"])
+        ts = _np(t["ts"])
+        val = _np(t["value"])
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        new_sess = new_user | np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:], len(u)]
+        # session_id = 1-based rank of the session within its user
+        sess_new_user = new_user[starts]
+        seq = np.arange(len(starts), dtype=np.int64)
+        user_first = seq[sess_new_user]
+        sid = seq - user_first[np.cumsum(sess_new_user) - 1] + 1
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "session_id": pa.array(sid, pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "start_us": pa.array(ts[starts], pa.int64()),
+                "end_us": pa.array(ts[ends - 1], pa.int64()),
+                "sum_value": pa.array(
+                    np.round(np.add.reduceat(val, starts), 4), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
