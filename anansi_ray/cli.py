@@ -80,11 +80,19 @@ def cmd_crawl(args) -> int:
     tables = _load_fixture(args.fixture)
     if args.seeds and os.path.exists(args.seeds):
         tables["seeds"] = pq.read_table(args.seeds)
-    cfg = CrawlConfig(
-        checkpoint_dir=os.path.join(args.out, "checkpoints"),
-        use_priority=bool(args.priority),
-        host_state_backend=args.host_state,
-    )
+    if args.config:
+        from anansi_ray.model import config_from_file
+
+        cfg = config_from_file(args.config)
+        cfg.checkpoint_dir = os.path.join(args.out, "checkpoints")
+        cfg.use_priority = bool(args.priority)
+        cfg.host_state_backend = args.host_state
+    else:
+        cfg = CrawlConfig(
+            checkpoint_dir=os.path.join(args.out, "checkpoints"),
+            use_priority=bool(args.priority),
+            host_state_backend=args.host_state,
+        )
     if args.processor:
         cfg.processor_name = args.processor
     if args.policies:
@@ -186,6 +194,11 @@ def main(argv=None) -> int:
     c.add_argument("--seeds")
     c.add_argument("--out", required=True)
     c.add_argument("--checkpoint-every", type=int, default=8)
+    c.add_argument(
+        "--config",
+        help="engine config file: crawl.conf-shaped .ini/.conf or .json "
+        "(≙ crawld config_init/load)",
+    )
     c.add_argument("--resume", action="store_true")
     c.add_argument(
         "--priority",

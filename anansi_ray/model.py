@@ -14,7 +14,7 @@ it can be unit-tested without a cluster.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields
 
 import pyarrow as pa
 
@@ -232,6 +232,78 @@ class CrawlConfig:
     # robots.txt handling (engine extension; reference policy hook F3/F4)
     respect_robots: bool = True
     extra: dict = field(default_factory=dict)
+
+
+def _split_list(v: str) -> tuple[str, ...]:
+    return tuple(x.strip().strip('"') for x in v.replace(",", " ").split() if x.strip())
+
+
+def _config_from_ini(path: str) -> "CrawlConfig":
+    """crawl.conf-shaped INI → CrawlConfig (section/key mapping mirrors
+    /root/reference/crawler/crawl.conf:1-112; keys without an engine
+    equivalent — [cluster], [log], [queue] database URIs — land in
+    ``extra`` or are ignored with the rationale documented in SURVEY §2.11:
+    clustering is Ray's job, the ledger/spool IS the queue)."""
+    import configparser
+
+    cp = configparser.ConfigParser(strict=False, inline_comment_prefixes=(";", "#"))
+    cp.read(path)
+    cfg = CrawlConfig()
+
+    def g(section: str, key: str) -> str | None:
+        try:
+            return cp.get(section, key).strip().strip('"')
+        except (configparser.NoSectionError, configparser.NoOptionError):
+            return None
+
+    v = g("crawler", "threads")
+    if v:
+        cfg.fetch_concurrency = int(v)
+    v = g("processor", "name")
+    if v:
+        cfg.processor_name = v
+        if v == "lod":
+            cfg.license_filter_enabled = True
+    for sec, wl_field, bl_field in (
+        ("policy:schemes", "scheme_whitelist", "scheme_blacklist"),
+        ("policy:content-types", "content_type_whitelist", "content_type_blacklist"),
+        ("lod:licenses", "license_whitelist", "license_blacklist"),
+    ):
+        v = g(sec, "whitelist")
+        if v:
+            setattr(cfg, wl_field, _split_list(v))
+        v = g(sec, "blacklist")
+        if v:
+            setattr(cfg, bl_field, _split_list(v))
+    v = g("cache", "uri")
+    if v:
+        cfg.extra["cache_uri"] = v
+    v = g("queue", "uri")
+    if v:
+        cfg.extra["queue_uri"] = v  # informational: the ledger/spool is the queue
+    return cfg
+
+
+def config_from_file(path: str) -> "CrawlConfig":
+    """Load engine configuration from a file: ``.ini``/``.conf`` uses the
+    reference's crawl.conf section layout; ``.json`` maps keys directly onto
+    CrawlConfig fields (unknown keys go to ``extra``)."""
+    if path.endswith((".ini", ".conf")):
+        return _config_from_ini(path)
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    cfg = CrawlConfig()
+    names = {f.name for f in fields(CrawlConfig)}
+    for k, v in data.items():
+        if k in names:
+            if isinstance(getattr(cfg, k), tuple) and isinstance(v, list):
+                v = tuple(v)
+            setattr(cfg, k, v)
+        else:
+            cfg.extra[k] = v
+    return cfg
 
 
 DEFAULT_CONFIG = CrawlConfig()

@@ -659,7 +659,9 @@ class CrawlPipeline:
         if web_store_dir is not None:
             from anansi_ray.sources.webstore import bucketize_web
 
-            if not os.path.exists(os.path.join(web_store_dir, "_META")):
+            from anansi_ray.sources.webstore import META_NAME
+
+            if not os.path.exists(os.path.join(web_store_dir, META_NAME)):
                 bucketize_web(tables["web"], web_store_dir, n_buckets=web_store_buckets)
             self.web_store_dir = web_store_dir
         else:

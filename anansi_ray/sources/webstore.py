@@ -6,69 +6,116 @@ its blob cache by ``shorthash % ncaches`` (``cache_bucket``,
 /root/reference/libspider/queues/db.c:1235-1250, two-level disk fan-out
 disk.c:349-375); this module is the same idea on partitioned parquet:
 
-* ``bucketize_web``: one-time layout — write the web table as
-  ``bucket=<i>/part.parquet`` with ``i = shorthash(cache_key(url)) % B``.
+* ``bucketize_web``: one-time layout — ONE global sort by
+  (cache_bucket, url_hash) then per-bucket slices (O(N log N), not the
+  round-2 O(B·N) filter-per-bucket loop), each bucket written as a
+  url_hash-SORTED parquet with small row groups so point lookups prune.
 * ``fetch_bucketed``: scheduled frontier rows (metadata only — payloads
   never shuffle) are hash-exchanged on the SAME bucket key, then each
-  bucket group reads just its own bucket file (partition-pruned, cached
-  per worker process) and performs the keyed lookup + fetch protocol.
+  bucket group reads ONLY the row groups whose url_hash [min, max] range
+  intersects its scheduled keys (parquet statistics pruning) and performs
+  the keyed lookup + fetch protocol.  Per-worker resident web memory is
+  bounded by the row groups a round actually touches — the round-2 layout
+  cached whole bucket files per worker.
 
 Lance would slot in behind the same two functions (keyed take instead of
-per-bucket parquet); the layout/manifest contract is identical.
+row-group-pruned parquet); the layout/manifest contract is identical.
 """
 
 from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
-from anansi_ray.canon import cache_key, shorthash
+from anansi_ray.canon import cache_key
 from anansi_ray.model import CrawlConfig
 from anansi_ray.stages.fetch import _WebTable, fetch_batch
 
+#: rows per parquet row group in a bucket file — the pruning granule; a
+#: round that schedules k keys in a bucket reads at most k row groups of
+#: this many rows (usually far fewer: keys are hash-sorted, so consecutive
+#: keys often share a granule)
+ROW_GROUP_SIZE = 4096
+
+#: layout marker (name doubles as a version: older _META dirs lack the
+#: sorted-url_hash layout and are rebuilt)
+META_NAME = "_META2"
+
 
 def bucketize_web(web: pa.Table, out_dir: str, n_buckets: int = 16) -> str:
-    """One-time bucketed layout of the web table (≙ cache_bucket sharding)."""
-    buckets = pa.array(
-        [shorthash(cache_key(u)) % n_buckets for u in web["url"].to_pylist()],
-        pa.int32(),
+    """One-time bucketed layout of the web table (≙ cache_bucket sharding):
+    one global sort, per-bucket slice writes, url_hash-sorted row groups."""
+    hashes = [cache_key(u) for u in web["url"].to_pylist()]
+    buckets = np.array([int(h[:8], 16) % n_buckets for h in hashes], dtype=np.int32)
+    web = web.append_column("url_hash", pa.array(hashes, pa.string())).append_column(
+        "cache_bucket", pa.array(buckets, pa.int32())
     )
-    web = web.append_column("cache_bucket", buckets)
+    order = pc.sort_indices(
+        web, sort_keys=[("cache_bucket", "ascending"), ("url_hash", "ascending")]
+    )
+    web = web.take(order)
+    bvals = web["cache_bucket"].to_numpy(zero_copy_only=False)
+    bounds = np.searchsorted(bvals, np.arange(n_buckets + 1))
     os.makedirs(out_dir, exist_ok=True)
     for b in range(n_buckets):
-        sub = web.filter(pc.equal(web["cache_bucket"], b)).drop_columns(
-            ["cache_bucket"]
-        )
+        s, e = int(bounds[b]), int(bounds[b + 1])
+        sub = web.slice(s, e - s).drop_columns(["cache_bucket"])
         bdir = os.path.join(out_dir, f"bucket={b}")
         os.makedirs(bdir, exist_ok=True)
-        pq.write_table(sub, os.path.join(bdir, "part.parquet"))
-    with open(os.path.join(out_dir, "_META"), "w") as f:
+        pq.write_table(
+            sub, os.path.join(bdir, "part.parquet"), row_group_size=ROW_GROUP_SIZE
+        )
+    with open(os.path.join(out_dir, META_NAME), "w") as f:
         f.write(str(n_buckets))
     return out_dir
 
 
 def read_meta(store_dir: str) -> int:
-    with open(os.path.join(store_dir, "_META")) as f:
+    with open(os.path.join(store_dir, META_NAME)) as f:
         return int(f.read().strip())
 
 
-_BUCKET_CACHE: dict = {}
+#: per-worker cache of bucket file handles + row-group url_hash ranges —
+#: METADATA only (a few hundred bytes per row group), never payload rows
+_RG_META_CACHE: dict = {}
 
 
-def _bucket_web(store_dir: str, bucket: int) -> _WebTable:
-    """Per-worker cache of one bucket's keyed view (loaded once, reused
-    across rounds — ≙ ST3 'table handle opened once per worker')."""
+def _bucket_meta(store_dir: str, bucket: int):
     key = (store_dir, bucket)
-    wt = _BUCKET_CACHE.get(key)
-    if wt is None:
-        tbl = pq.read_table(os.path.join(store_dir, f"bucket={bucket}", "part.parquet"))
-        wt = _WebTable(tbl.combine_chunks())
-        _BUCKET_CACHE[key] = wt
-    return wt
+    hit = _RG_META_CACHE.get(key)
+    if hit is None:
+        path = os.path.join(store_dir, f"bucket={bucket}", "part.parquet")
+        pf = pq.ParquetFile(path)
+        ci = pf.schema_arrow.get_field_index("url_hash")
+        mins, maxs = [], []
+        for r in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(r).column(ci).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        hit = (pf, np.array(mins, dtype=object), np.array(maxs, dtype=object))
+        _RG_META_CACHE[key] = hit
+    return hit
+
+
+def _bucket_slice(store_dir: str, bucket: int, keys_sorted: np.ndarray) -> _WebTable:
+    """Read ONLY the row groups whose url_hash range intersects the sorted
+    key list; the keyed view is built over that slice (small), so resident
+    memory per task is bounded by touched row groups."""
+    pf, mins, maxs = _bucket_meta(store_dir, bucket)
+    if len(mins) == 0 or len(keys_sorted) == 0:
+        return _WebTable(pf.schema_arrow.empty_table())
+    lo = np.searchsorted(keys_sorted, mins)  # first key >= row-group min
+    lo_c = np.minimum(lo, len(keys_sorted) - 1)
+    need = (lo < len(keys_sorted)) & (keys_sorted[lo_c] <= maxs)
+    idxs = np.flatnonzero(need)
+    if len(idxs) == 0:
+        return _WebTable(pf.schema_arrow.empty_table())
+    return _WebTable(pf.read_row_groups([int(i) for i in idxs]))
 
 
 def fetch_bucketed(
@@ -78,8 +125,9 @@ def fetch_bucketed(
     cfg: CrawlConfig,
 ) -> rd.Dataset:
     """Partitioned keyed-lookup fetch: exchange frontier METADATA on the
-    cache-bucket key, then fetch each group against only its own bucket
-    file.  The web payloads never move; only frontier rows shuffle."""
+    cache-bucket key, then fetch each group against only the row groups of
+    its bucket file that its keys touch.  The web payloads never move;
+    only frontier rows shuffle."""
     n_buckets = read_meta(store_dir)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -93,9 +141,9 @@ def fetch_bucketed(
         if group.num_rows == 0:
             return group
         bucket = int(group["cache_bucket"][0].as_py())
-        wt = _bucket_web(store_dir, bucket)
-        out = fetch_batch(group.drop_columns(["cache_bucket"]), wt, robots, cfg)
-        return out
+        keys = np.sort(np.asarray(group["url_hash"].to_pylist(), dtype=object))
+        wt = _bucket_slice(store_dir, bucket, keys)
+        return fetch_batch(group.drop_columns(["cache_bucket"]), wt, robots, cfg)
 
     return (
         scheduled.map_batches(add_bucket, batch_format="pyarrow")

@@ -27,10 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-#: queries() entries timed at bench scale (a representative, non-overlapping
-#: subset; the crawl pipelines are benched separately below)
+#: every queries() entry is timed at bench scale, so each CORRECTNESS row
+#: has a timing (the crawl loop + fetch-parse-extract stage are benched
+#: separately below at larger synthetic-web scales)
 BENCH_QUERIES = [
     "url_cache_key",
+    "url_root",
+    "content_type_normalize",
+    "scheme_policy",
     "dedup_exact",
     "token_count",
     "quality_score",
@@ -42,8 +46,10 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "knn_cosine",
     "embedding_near_dup",
+    "embedding_near_dup_lsh",
     "knn_ivf",
     "events_hourly",
+    "events_sliding",
     "events_sessions",
     "events_props",
     "lineitem_agg",
@@ -51,6 +57,9 @@ BENCH_QUERIES = [
     "order_lineitem_join",
     "orders_topk",
     "media_features",
+    "crawl_order",
+    "crawl_documents",
+    "crawl_doc_pipeline",
     "crawl_media_pipeline",
 ]
 

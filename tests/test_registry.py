@@ -249,3 +249,58 @@ def test_config_local_policy_reaches_ray_workers():
     by_url = dict(zip(got["url"].to_pylist(), got["state"].to_pylist()))
     blocked = [u for u in by_url if u.endswith("/r/7")]
     assert blocked and all(by_url[u] == "REJECTED" for u in blocked)
+
+
+class TestConfigFromFile:
+    """SURVEY §2.11 config surface: crawl.conf-shaped INI and JSON both map
+    onto CrawlConfig (reference crawler/crawl.conf:1-112)."""
+
+    def test_ini_crawl_conf_shape(self, tmp_path):
+        from anansi_ray.model import config_from_file
+
+        p = tmp_path / "crawl.conf"
+        p.write_text(
+            "[crawler]\n"
+            "threads=6\n"
+            "[processor]\n"
+            "name=lod\n"
+            "[policy:schemes]\n"
+            "whitelist=http,https\n"
+            "blacklist=scp,mailto\n"
+            "[policy:content-types]\n"
+            "whitelist=text/turtle\n"
+            "[lod:licenses]\n"
+            'whitelist="http://creativecommons.org/publicdomain/zero/1.0/"\n'
+            "[cache]\n"
+            "uri=/var/spool/anansi\n"
+        )
+        cfg = config_from_file(str(p))
+        assert cfg.fetch_concurrency == 6
+        assert cfg.processor_name == "lod" and cfg.license_filter_enabled
+        assert cfg.scheme_whitelist == ("http", "https")
+        assert cfg.scheme_blacklist == ("scp", "mailto")
+        assert cfg.content_type_whitelist == ("text/turtle",)
+        assert cfg.license_whitelist == (
+            "http://creativecommons.org/publicdomain/zero/1.0/",
+        )
+        assert cfg.extra["cache_uri"] == "/var/spool/anansi"
+
+    def test_json_direct_fields(self, tmp_path):
+        import json
+
+        from anansi_ray.model import config_from_file
+
+        p = tmp_path / "cfg.json"
+        p.write_text(
+            json.dumps(
+                {
+                    "fetch_concurrency": 3,
+                    "scheme_whitelist": ["http"],
+                    "unknown_key": 1,
+                }
+            )
+        )
+        cfg = config_from_file(str(p))
+        assert cfg.fetch_concurrency == 3
+        assert cfg.scheme_whitelist == ("http",)
+        assert cfg.extra["unknown_key"] == 1
