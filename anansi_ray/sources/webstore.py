@@ -50,25 +50,38 @@ META_NAME = "_META2"
 def bucketize_web(web: pa.Table, out_dir: str, n_buckets: int = 16) -> str:
     """One-time bucketed layout of the web table (≙ cache_bucket sharding):
     one global sort, per-bucket slice writes, url_hash-sorted row groups."""
-    hashes = [cache_key(u) for u in web["url"].to_pylist()]
+    hashes = np.asarray([cache_key(u) for u in web["url"].to_pylist()], dtype=object)
     buckets = np.array([int(h[:8], 16) % n_buckets for h in hashes], dtype=np.int32)
-    web = web.append_column("url_hash", pa.array(hashes, pa.string())).append_column(
-        "cache_bucket", pa.array(buckets, pa.int32())
-    )
-    order = pc.sort_indices(
-        web, sort_keys=[("cache_bucket", "ascending"), ("url_hash", "ascending")]
-    )
-    web = web.take(order)
-    bvals = web["cache_bucket"].to_numpy(zero_copy_only=False)
-    bounds = np.searchsorted(bvals, np.arange(n_buckets + 1))
+    # 64-bit-offset variable-width columns: pyarrow's chunked take
+    # concatenates the SOURCE column first, so a multi-GB payload column
+    # with 32-bit offsets overflows; large_* types make the concat safe
+    # (parquet round-trips them back to regular binary/string)
+    for i, f in enumerate(web.schema):
+        if f.type == pa.string():
+            web = web.set_column(i, f.name, web[f.name].cast(pa.large_string()))
+        elif f.type == pa.binary():
+            web = web.set_column(i, f.name, web[f.name].cast(pa.large_binary()))
+    web = web.append_column("url_hash", pa.array(hashes, pa.large_string()))
+    # ONE argsort of the (bucket, hash) key + ONE whole-table gather (safe
+    # under large_* offsets), then zero-copy per-bucket slices — per-bucket
+    # scattered takes would re-concatenate the source column B times
+    order = np.lexsort((hashes, buckets))
+    web = web.take(pa.array(order, pa.int64()))
+    bsorted = buckets[order]
+    bounds = np.searchsorted(bsorted, np.arange(n_buckets + 1))
     os.makedirs(out_dir, exist_ok=True)
     for b in range(n_buckets):
         s, e = int(bounds[b]), int(bounds[b + 1])
-        sub = web.slice(s, e - s).drop_columns(["cache_bucket"])
+        sub = web.slice(s, e - s)
         bdir = os.path.join(out_dir, f"bucket={b}")
         os.makedirs(bdir, exist_ok=True)
+        # store_schema=False: readers get plain string/binary back (the
+        # large_* offsets were only a transient concat-safety measure)
         pq.write_table(
-            sub, os.path.join(bdir, "part.parquet"), row_group_size=ROW_GROUP_SIZE
+            sub,
+            os.path.join(bdir, "part.parquet"),
+            row_group_size=ROW_GROUP_SIZE,
+            store_schema=False,
         )
     with open(os.path.join(out_dir, META_NAME), "w") as f:
         f.write(str(n_buckets))

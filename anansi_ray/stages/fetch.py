@@ -408,7 +408,26 @@ class _WebTable:
         # single-chunk table (combine ONCE on the driver before ray.put;
         # 32 workers each copying a multi-GB table saturates memory
         # bandwidth and kills scaling)
-        if tbl.column("url").num_chunks != 1:
+        # variable-width columns near the int32 offset limit (the 4M-URL
+        # web's payload column is ~4 GB) must move to 64-bit offsets BEFORE
+        # any combine/take: combine_chunks silently LEAVES such a column
+        # multi-chunk (it only merges what fits), and a chunked take then
+        # concatenates the source and overflows.  (A still-larger web would
+        # need large_list for out_links too — the bucketed store is the
+        # real path at that size.)
+        limit = (1 << 31) - (1 << 27)
+        recast = False
+        for i, f in enumerate(tbl.schema):
+            col = tbl.column(i)
+            if col.nbytes < limit:
+                continue
+            if f.type == pa.binary():
+                tbl = tbl.set_column(i, f.name, col.cast(pa.large_binary()))
+                recast = True
+            elif f.type == pa.string():
+                tbl = tbl.set_column(i, f.name, col.cast(pa.large_string()))
+                recast = True
+        if recast or tbl.column("url").num_chunks != 1:
             tbl = tbl.combine_chunks()
         self.tbl = tbl
         self.lm_ms = pc.divide(

@@ -257,7 +257,9 @@ def run_stage_only(num_cpus: int) -> dict:
     return out
 
 
-SCALING_LEVELS = (2, 8, 32)
+SCALING_LEVELS = tuple(
+    int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,8,32").split(",")
+)
 SCALING_REPS = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
 SCALING_SCALE = os.environ.get("GRAFT_STAGE_SCALE", "xl")
 
