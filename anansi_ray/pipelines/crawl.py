@@ -122,6 +122,42 @@ def _ds_to_table(ds: rd.Dataset) -> pa.Table | None:
     return pa.concat_tables(tables, promote_options="default")
 
 
+def _from_arrow_local(tables) -> rd.Dataset:
+    """``rd.from_arrow`` twin that computes block metadata on the DRIVER.
+
+    ``from_arrow_refs`` launches one remote ``get_table_block_metadata``
+    task per block and blocks on the round trips — at up to 64 slices per
+    round that RPC fan-out (~0.25 s/round, ~5 s per 200k crawl, measured
+    via cProfile: ray/data/read_api.py:3124) dominated the schedule phase.
+    The driver already holds the tables, so the metadata is a local
+    computation.  Falls back to ``rd.from_arrow`` if Ray's internal
+    constructor surface shifts."""
+    if isinstance(tables, pa.Table):
+        tables = [tables]
+    try:
+        from ray.data._internal.logical.interfaces import LogicalPlan
+        from ray.data._internal.logical.operators.from_operators import FromArrow
+        from ray.data._internal.plan import ExecutionPlan
+        from ray.data._internal.stats import DatasetStats
+        from ray.data.block import BlockExecStats, BlockMetadataWithSchema
+        from ray.data.context import DataContext
+        from ray.data.dataset import MaterializedDataset
+
+        refs, mds = [], []
+        for t in tables:
+            stats = BlockExecStats.builder()
+            mds.append(BlockMetadataWithSchema.from_block(t, stats=stats.build()))
+            refs.append(ray.put(t))
+        execution_plan = ExecutionPlan(
+            DatasetStats(metadata={"FromArrow": mds}, parent=None),
+            DataContext.get_current().copy(),
+        )
+        logical_plan = LogicalPlan(FromArrow(refs, mds), execution_plan._context)
+        return MaterializedDataset(execution_plan, logical_plan)
+    except (ImportError, AttributeError, TypeError):
+        return rd.from_arrow(tables)
+
+
 def _empty_ledger_table() -> pa.Table:
     return LEDGER_SCHEMA.empty_table()
 
@@ -337,27 +373,34 @@ def _schedule_on_driver(
     g = due_tbl.append_column("_old", is_old)
     order = pc.sort_indices(g, sort_keys=[("host", "ascending")] + keys)
     g = g.take(order).drop_columns(["_old"])
-    hosts = g["host"].to_pylist()
-    nf = g["next_fetch_ms"].to_numpy(zero_copy_only=False)
-    n = len(hosts)
-    slots = np.empty(n, dtype=np.int64)
+    n = g.num_rows
+    # The causal slot chain t_j = max(t_{j-1} + rate, nf_j) rewrites as a
+    # per-host-run cummax: with k the rank inside the run,
+    # slot_k = cummax_k(max(nf_k - k*rate, t_host)) + k*rate — so one
+    # numpy maximum.accumulate per host run replaces the former per-ROW
+    # Python loop (the runs are contiguous after the host sort).
+    host_arr = g["host"].combine_chunks()
+    bounds = np.ones(n, dtype=bool)
+    if n > 1:
+        bounds[1:] = pc.not_equal(
+            host_arr.slice(1), host_arr.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(bounds)
+    ends = np.append(starts[1:], n)
+    nf = g["next_fetch_ms"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    slots = np.zeros(n, dtype=np.int64)
     keep = np.ones(n, dtype=bool)
-    cur = None
-    t = rate = 0
-    k = 0
-    for i in range(n):
-        h = hosts[i]
-        if h != cur:
-            cur = h
-            t, rate = due_hosts[h]
-            k = 0
-        k += 1
-        if budget and k > budget:
-            keep[i] = False
-            continue
-        t = max(t, int(nf[i]))
-        slots[i] = t
-        t += rate
+    run_hosts = host_arr.take(pa.array(starts, pa.int64())).to_pylist()
+    for h, s, e in zip(run_hosts, starts, ends):
+        t_host, rate = due_hosts[h]
+        if budget and e - s > budget:
+            keep[s + budget : e] = False
+            e = s + budget
+        k = np.arange(e - s, dtype=np.int64)
+        x = nf[s:e] - k * rate
+        np.maximum(x, int(t_host), out=x)
+        np.maximum.accumulate(x, out=x)
+        slots[s:e] = x + k * rate
     g = g.append_column("fetch_clock_ms", pa.array(slots, pa.int64()))
     if not keep.all():
         g = g.filter(pa.array(keep))
@@ -376,19 +419,26 @@ def _merge_candidates_on_driver(cand_tbl: pa.Table) -> pa.Table:
         ],
     )
     t = cand_tbl.take(order)
-    hashes = t["url_hash"].to_pylist()
-    scores = t["score"].to_numpy(zero_copy_only=False).copy()
-    n = len(hashes)
-    keep = np.ones(n, dtype=bool)
-    first = 0
-    for i in range(1, n):
-        if hashes[i] == hashes[first]:
-            keep[i] = False
-            scores[first] += scores[i]
-        else:
-            first = i
-    t = t.set_column(t.column_names.index("score"), "score", pa.array(scores, pa.float64()))
-    return t.filter(pa.array(keep))
+    n = t.num_rows
+    if n == 0:
+        return t
+    # first-of-run keep + per-run score sum, vectorized: run boundaries via
+    # one shifted not_equal, sums via np.add.reduceat at the run starts
+    # (reduceat adds left-to-right — the same order the former Python loop
+    # accumulated in, so float sums are bit-identical)
+    hashes = t["url_hash"].combine_chunks()
+    first = np.ones(n, dtype=bool)
+    if n > 1:
+        first[1:] = pc.not_equal(
+            hashes.slice(1), hashes.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(first)
+    scores = t["score"].to_numpy(zero_copy_only=False)
+    sums = np.add.reduceat(scores, starts)
+    t = t.filter(pa.array(first))
+    return t.set_column(
+        t.column_names.index("score"), "score", pa.array(sums, pa.float64())
+    )
 
 
 def _min_depth_group(group: pa.Table) -> pa.Table:
@@ -756,7 +806,7 @@ class CrawlPipeline:
         eligible_total = self.hosts.eligible_total()
         driver_plane = eligible_total <= self.driver_plane_threshold
         if not driver_plane and isinstance(self.frontier, pa.Table):
-            self.frontier = rd.from_arrow(self.frontier)
+            self.frontier = _from_arrow_local(self.frontier)
         if driver_plane and isinstance(self.frontier, rd.Dataset):
             # stay distributed once crossed — converting back would thrash
             driver_plane = False
@@ -773,7 +823,7 @@ class CrawlPipeline:
             )
             nslices = max(1, min(64, sched_tbl.num_rows // 512 or 1))
             step = (sched_tbl.num_rows + nslices - 1) // nslices
-            scheduled = rd.from_arrow(
+            scheduled = _from_arrow_local(
                 [
                     sched_tbl.slice(i, step)
                     for i in range(0, sched_tbl.num_rows, step)
@@ -844,6 +894,30 @@ class CrawlPipeline:
         rdir = os.path.join(self.spool_dir, f"round={self.round}")
         if os.path.exists(rdir):
             shutil.rmtree(rdir)  # stale copy from a pre-crash run
+
+        # the spool write and the frontier-expansion execution both consume
+        # the materialized ``trans`` and are independent — overlap them:
+        # when last round produced links (so this one very likely will),
+        # start the expand execution on a helper thread while the main
+        # thread drives the write.  Pure latency overlap; if the heuristic
+        # mispredicts, expand runs sequentially below exactly as before.
+        expand_thread = expand_result = None
+        if driver_plane and getattr(self, "_prev_had_links", True):
+            import threading
+
+            expand_result = {}
+
+            def _run_expand(t=trans, c=cfg, out=expand_result):
+                try:
+                    out["cand"] = _ds_to_table(
+                        t.map_batches(_ExpandLinks(c), batch_format="pyarrow")
+                    )
+                except BaseException as e:  # surfaced on join
+                    out["err"] = e
+
+            expand_thread = threading.Thread(target=_run_expand, daemon=True)
+            expand_thread.start()
+
         trans.map_batches(
             _make_spool_project(horizon, with_cache=bool(self.output_dir)),
             batch_format="pyarrow",
@@ -968,12 +1042,20 @@ class CrawlPipeline:
         # frontier expansion: links → canonicalize → round-dedup → seen-filter
         new_tbl = None
         has_links = pc.any(meta["has_link"]).as_py()
+        self._prev_had_links = bool(has_links)
+        if expand_thread is not None:
+            expand_thread.join()
+            if "err" in expand_result:
+                raise expand_result["err"]
         if has_links:
             rnd = self.round + 1
             if driver_plane:
-                cand_tbl = _ds_to_table(
-                    trans.map_batches(_ExpandLinks(cfg), batch_format="pyarrow")
-                )
+                if expand_thread is not None:
+                    cand_tbl = expand_result.get("cand")
+                else:
+                    cand_tbl = _ds_to_table(
+                        trans.map_batches(_ExpandLinks(cfg), batch_format="pyarrow")
+                    )
                 if cand_tbl is not None and cand_tbl.num_rows:
                     merged = _merge_candidates_on_driver(cand_tbl)
                     keep = self.seen.add_if_new(merged["url_hash"].to_pylist())
@@ -1010,7 +1092,7 @@ class CrawlPipeline:
                         [self.frontier, new_tbl], promote_options="default"
                     )
                 else:
-                    self.frontier = self.frontier.union(rd.from_arrow(new_tbl))
+                    self.frontier = self.frontier.union(_from_arrow_local(new_tbl))
 
         # per-round lineage/metrics row (A5; ≙ thread liveness counters —
         # here: what a monitoring plane would scrape per round)
@@ -1238,7 +1320,7 @@ class CrawlPipeline:
         if frontier_tbl.num_rows <= self.driver_plane_threshold:
             self.frontier = frontier_tbl
         else:
-            self.frontier = rd.from_arrow(frontier_tbl).materialize()
+            self.frontier = _from_arrow_local(frontier_tbl).materialize()
         self.spool_dir = manifest["spool_dir"]
         self.spooled_rounds = list(manifest["spooled_rounds"])
         blobs = []
