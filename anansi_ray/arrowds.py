@@ -1,0 +1,45 @@
+"""Driver-local Arrow-table → Dataset construction.
+
+``ray.data.from_arrow`` (→ ``from_arrow_refs``) launches one remote
+``get_table_block_metadata`` task per block and blocks on the round trips
+before the Dataset even exists — with tens of driver-held slices that RPC
+fan-out is pure fixed latency (~0.25 s per 64 slices, measured via cProfile:
+ray/data/read_api.py:3124).  The driver already holds the tables, so the
+block metadata is a local computation.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def from_arrow_local(tables) -> rd.Dataset:
+    """``rd.from_arrow`` twin that computes block metadata on the DRIVER.
+
+    Falls back to ``rd.from_arrow`` if Ray's internal constructor surface
+    shifts (the fast path touches ``ray.data._internal``)."""
+    if isinstance(tables, pa.Table):
+        tables = [tables]
+    try:
+        from ray.data._internal.logical.interfaces import LogicalPlan
+        from ray.data._internal.logical.operators.from_operators import FromArrow
+        from ray.data._internal.plan import ExecutionPlan
+        from ray.data._internal.stats import DatasetStats
+        from ray.data.block import BlockExecStats, BlockMetadataWithSchema
+        from ray.data.context import DataContext
+        from ray.data.dataset import MaterializedDataset
+
+        refs, mds = [], []
+        for t in tables:
+            stats = BlockExecStats.builder()
+            mds.append(BlockMetadataWithSchema.from_block(t, stats=stats.build()))
+            refs.append(ray.put(t))
+        execution_plan = ExecutionPlan(
+            DatasetStats(metadata={"FromArrow": mds}, parent=None),
+            DataContext.get_current().copy(),
+        )
+        logical_plan = LogicalPlan(FromArrow(refs, mds), execution_plan._context)
+        return MaterializedDataset(execution_plan, logical_plan)
+    except (ImportError, AttributeError, TypeError):
+        return rd.from_arrow(tables)

@@ -67,6 +67,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from anansi_ray.arrowds import from_arrow_local as _from_arrow_local
 from anansi_ray.canon import canon_batch, canonicalize, cache_key, root_of
 from anansi_ray.model import CrawlConfig
 from anansi_ray.stages.fetch import make_fetch_fn
@@ -120,42 +121,6 @@ def _ds_to_table(ds: rd.Dataset) -> pa.Table | None:
     if not tables:
         return None
     return pa.concat_tables(tables, promote_options="default")
-
-
-def _from_arrow_local(tables) -> rd.Dataset:
-    """``rd.from_arrow`` twin that computes block metadata on the DRIVER.
-
-    ``from_arrow_refs`` launches one remote ``get_table_block_metadata``
-    task per block and blocks on the round trips — at up to 64 slices per
-    round that RPC fan-out (~0.25 s/round, ~5 s per 200k crawl, measured
-    via cProfile: ray/data/read_api.py:3124) dominated the schedule phase.
-    The driver already holds the tables, so the metadata is a local
-    computation.  Falls back to ``rd.from_arrow`` if Ray's internal
-    constructor surface shifts."""
-    if isinstance(tables, pa.Table):
-        tables = [tables]
-    try:
-        from ray.data._internal.logical.interfaces import LogicalPlan
-        from ray.data._internal.logical.operators.from_operators import FromArrow
-        from ray.data._internal.plan import ExecutionPlan
-        from ray.data._internal.stats import DatasetStats
-        from ray.data.block import BlockExecStats, BlockMetadataWithSchema
-        from ray.data.context import DataContext
-        from ray.data.dataset import MaterializedDataset
-
-        refs, mds = [], []
-        for t in tables:
-            stats = BlockExecStats.builder()
-            mds.append(BlockMetadataWithSchema.from_block(t, stats=stats.build()))
-            refs.append(ray.put(t))
-        execution_plan = ExecutionPlan(
-            DatasetStats(metadata={"FromArrow": mds}, parent=None),
-            DataContext.get_current().copy(),
-        )
-        logical_plan = LogicalPlan(FromArrow(refs, mds), execution_plan._context)
-        return MaterializedDataset(execution_plan, logical_plan)
-    except (ImportError, AttributeError, TypeError):
-        return rd.from_arrow(tables)
 
 
 def _empty_ledger_table() -> pa.Table:

@@ -85,13 +85,12 @@ def _init_ray(num_cpus: int):
 
 
 def _consume(ds) -> int:
-    """Force full execution of a Dataset; returns row count."""
-    import ray
+    """Force full execution of a Dataset; returns row count.
 
-    n = 0
-    for ref in ds.materialize().to_arrow_refs():
-        n += ray.get(ref).num_rows
-    return n
+    ``count()`` on the materialized result reads block metadata only — no
+    block is pulled to the driver (the former per-ref ``ray.get`` loop was
+    a serial driver-side tail proportional to block count)."""
+    return ds.materialize().count()
 
 
 def bench_crawl(scale: str) -> dict:
@@ -132,9 +131,9 @@ def bench_stage(scale: str) -> dict:
     import pyarrow as pa
     import pyarrow.parquet as pq
     import ray
-    import ray.data as rd
 
     from anansi_ray import fixtures
+    from anansi_ray.arrowds import from_arrow_local
     from anansi_ray.canon import canon_batch
     from anansi_ray.model import CrawlConfig
     from anansi_ray.stages.fetch import make_fetch_fn
@@ -189,7 +188,7 @@ def bench_stage(scale: str) -> dict:
     n_warm = min(n_urls, 4000 * int(ray.cluster_resources().get("CPU", 8)))
     warm_step = max(1, (n_warm + nblocks - 1) // nblocks)
     warm = (
-        rd.from_arrow([urls.slice(i, warm_step) for i in range(0, n_warm, warm_step)])
+        from_arrow_local([urls.slice(i, warm_step) for i in range(0, n_warm, warm_step)])
         .map_batches(canon_stage, batch_format="pyarrow", batch_size=2048)
         .map_batches(
             make_fetch_fn(web_ref, robots_ref, cfg),
@@ -202,7 +201,7 @@ def bench_stage(scale: str) -> dict:
 
     t0 = time.time()
     ds = (
-        rd.from_arrow(url_slices)
+        from_arrow_local(url_slices)
         .map_batches(canon_stage, batch_format="pyarrow", batch_size=2048)
         .map_batches(
             make_fetch_fn(web_ref, robots_ref, cfg),
