@@ -388,9 +388,9 @@ def _merge_candidates_on_driver(cand_tbl: pa.Table) -> pa.Table:
     if n == 0:
         return t
     # first-of-run keep + per-run score sum, vectorized: run boundaries via
-    # one shifted not_equal, sums via np.add.reduceat at the run starts
-    # (reduceat adds left-to-right — the same order the former Python loop
-    # accumulated in, so float sums are bit-identical)
+    # one shifted not_equal, sums via np.add.reduceat at the run starts.
+    # Scores are integer-valued in-degree counts (_ExpandLinks emits one
+    # point per referrer), so the sums are exact under any summation order.
     hashes = t["url_hash"].combine_chunks()
     first = np.ones(n, dtype=bool)
     if n > 1:

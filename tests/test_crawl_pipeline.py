@@ -404,3 +404,166 @@ def test_actor_pool_fetch_flavor_conformance(tiny):
     assert got.num_rows == exp.num_rows
     for col in ("seq", "url_hash", "fetch_clock_ms", "state", "status"):
         assert got[col].to_pylist() == exp[col].to_pylist(), col
+
+
+class TestVectorizedDriverKernels:
+    """Pin the vectorized driver-plane kernels against straightforward
+    per-row loop references (the pre-vectorization implementations) on
+    randomized inputs — no Ray session needed, both are pure functions."""
+
+    @staticmethod
+    def _random_due(rng, n_hosts=7, n_rows=200):
+        import numpy as np
+
+        hosts = [f"h{i}.example.org" for i in range(n_hosts)]
+        hcol = [hosts[rng.integers(0, n_hosts)] for _ in range(n_rows)]
+        return pa.table(
+            {
+                "url": pa.array([f"http://{h}/r/{i}" for i, h in enumerate(hcol)]),
+                "url_hash": pa.array([f"{rng.integers(0, 2**63):016x}" for _ in range(n_rows)]),
+                "host": pa.array(hcol),
+                "state": pa.array(
+                    [("NEW", "ACCEPTED", "SKIPPED")[rng.integers(0, 3)] for _ in range(n_rows)]
+                ),
+                "status": pa.array(np.zeros(n_rows, np.int32)),
+                "next_fetch_ms": pa.array(
+                    rng.integers(0, 20_000, n_rows).astype(np.int64)
+                ),
+                "updated_ms": pa.array(np.zeros(n_rows, np.int64)),
+            }
+        )
+
+    @staticmethod
+    def _schedule_loop_reference(due_tbl, due_hosts, budget, keys):
+        """The former per-row implementation: causal slot chain
+        t_j = max(t_{j-1} + rate, nf_j) walked in sorted order."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        g = due_tbl.append_column("_old", pc.not_equal(due_tbl["state"], "NEW"))
+        order = pc.sort_indices(g, sort_keys=[("host", "ascending")] + keys)
+        g = g.take(order).drop_columns(["_old"])
+        hosts = g["host"].to_pylist()
+        nf = g["next_fetch_ms"].to_numpy(zero_copy_only=False)
+        n = len(hosts)
+        slots = np.empty(n, dtype=np.int64)
+        keep = np.ones(n, dtype=bool)
+        cur, t, rate, k = None, 0, 0, 0
+        for i in range(n):
+            if hosts[i] != cur:
+                cur = hosts[i]
+                t, rate = due_hosts[cur]
+                k = 0
+            k += 1
+            if budget and k > budget:
+                keep[i] = False
+                continue
+            t = max(t, int(nf[i]))
+            slots[i] = t
+            t += rate
+        g = g.append_column("fetch_clock_ms", pa.array(slots, pa.int64()))
+        return g.filter(pa.array(keep)) if not keep.all() else g
+
+    @pytest.mark.parametrize("budget", [None, 1, 3])
+    def test_schedule_matches_loop_reference(self, budget):
+        import numpy as np
+
+        from anansi_ray.pipelines.crawl import ORDER_REFERENCE, _schedule_on_driver
+
+        rng = np.random.default_rng(7)
+        for trial in range(5):
+            due = self._random_due(rng)
+            hosts = {
+                h: (int(rng.integers(0, 5000)), int(rng.integers(500, 2000)))
+                for h in set(due["host"].to_pylist())
+            }
+            got = _schedule_on_driver(due, hosts, budget=budget)
+            exp = self._schedule_loop_reference(due, hosts, budget, ORDER_REFERENCE)
+            assert got.num_rows == exp.num_rows, (trial, budget)
+            for col in ("url_hash", "host", "fetch_clock_ms"):
+                assert got[col].to_pylist() == exp[col].to_pylist(), (trial, budget, col)
+
+    def test_schedule_empty_and_single_row(self):
+        from anansi_ray.pipelines.crawl import _schedule_on_driver
+
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        due = self._random_due(rng, n_hosts=1, n_rows=1)
+        hosts = {due["host"][0].as_py(): (100, 1000)}
+        got = _schedule_on_driver(due, hosts, budget=None)
+        assert got.num_rows == 1
+        assert got["fetch_clock_ms"][0].as_py() == max(
+            100, due["next_fetch_ms"][0].as_py()
+        )
+        empty = due.slice(0, 0)
+        assert _schedule_on_driver(empty, hosts, budget=None).num_rows == 0
+
+    def test_merge_candidates_matches_loop_reference(self):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from anansi_ray.pipelines.crawl import _merge_candidates_on_driver
+
+        rng = np.random.default_rng(11)
+        n = 300
+        cand = pa.table(
+            {
+                "url": pa.array([f"http://x/{i%40}" for i in range(n)]),
+                "url_hash": pa.array([f"{rng.integers(0, 40):04x}" for _ in range(n)]),
+                "host": pa.array(["x"] * n),
+                "depth": pa.array(rng.integers(0, 4, n).astype(np.int32)),
+                # real candidate scores are integer in-degree counts
+                # (_ExpandLinks: one point per referrer) — exact under any
+                # summation order
+                "score": pa.array(rng.integers(1, 5, n).astype(np.float64)),
+                "next_fetch_ms": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+            }
+        )
+        got = _merge_candidates_on_driver(cand)
+
+        # loop reference: first row in (url_hash, next_fetch_ms, depth)
+        # order wins; scores accumulate left-to-right per hash
+        order = pc.sort_indices(
+            cand,
+            sort_keys=[
+                ("url_hash", "ascending"),
+                ("next_fetch_ms", "ascending"),
+                ("depth", "ascending"),
+            ],
+        )
+        t = cand.take(order)
+        hashes = t["url_hash"].to_pylist()
+        scores = t["score"].to_numpy(zero_copy_only=False).copy()
+        keep = np.ones(len(hashes), dtype=bool)
+        first = 0
+        for i in range(1, len(hashes)):
+            if hashes[i] == hashes[first]:
+                keep[i] = False
+                scores[first] += scores[i]
+            else:
+                first = i
+        exp = t.set_column(
+            t.column_names.index("score"), "score", pa.array(scores, pa.float64())
+        ).filter(pa.array(keep))
+
+        assert got.num_rows == exp.num_rows
+        for col in ("url_hash", "next_fetch_ms", "depth"):
+            assert got[col].to_pylist() == exp[col].to_pylist(), col
+        # integral scores sum exactly under any summation order
+        assert got["score"].to_pylist() == exp["score"].to_pylist()
+
+    def test_merge_candidates_empty(self):
+        from anansi_ray.pipelines.crawl import _merge_candidates_on_driver
+
+        empty = pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "url_hash": pa.array([], pa.string()),
+                "host": pa.array([], pa.string()),
+                "depth": pa.array([], pa.int32()),
+                "score": pa.array([], pa.float64()),
+                "next_fetch_ms": pa.array([], pa.int64()),
+            }
+        )
+        assert _merge_candidates_on_driver(empty).num_rows == 0
