@@ -70,7 +70,7 @@ import ray.data as rd
 from anansi_ray.arrowds import from_arrow_local as _from_arrow_local
 from anansi_ray.canon import canon_batch, canonicalize, cache_key, root_of
 from anansi_ray.model import CrawlConfig
-from anansi_ray.stages.fetch import make_fetch_fn
+from anansi_ray.stages.fetch import make_fetch_fn, prepare_broadcast_table
 from anansi_ray.stages.transitions import transition_batch
 from anansi_ray.state.hoststate import make_host_state
 from anansi_ray.state.seen import SeenRouter, SeenSet, make_seen_filter
@@ -681,7 +681,7 @@ class CrawlPipeline:
             self.web_store_dir = web_store_dir
         else:
             # combine chunks ONCE here so workers never copy it
-            self.web_ref = ray.put(tables["web"].combine_chunks())
+            self.web_ref = ray.put(prepare_broadcast_table(tables["web"]))
         self.seen = SeenSet(self.cfg.seen_shards, backend=self.cfg.seen_backend)
         self.round = 0
         #: fetched hashes pending compaction live in SHARD ACTORS (same

@@ -394,6 +394,33 @@ def _cached_get(ref, convert=None):
     return val
 
 
+def prepare_broadcast_table(tbl: pa.Table) -> pa.Table:
+    """Make a web table safe + cheap to broadcast: run ONCE on the driver
+    before ``ray.put``.
+
+    Variable-width columns near the int32 offset limit (the 4M-URL web's
+    payload column is ~4 GB) must move to 64-bit offsets BEFORE any
+    combine/take: ``combine_chunks`` silently LEAVES such a column
+    multi-chunk (it only merges what fits), and a chunked ``take`` then
+    concatenates the source and overflows.  (A still-larger web would need
+    large_list for out_links too — the bucketed store is the real path at
+    that size.)  Combining to a single chunk here means no worker pays a
+    copy: 32 workers each recasting+combining a multi-GB table saturates
+    memory (32 × ~5 GB) and kills the broadcast path outright."""
+    limit = (1 << 31) - (1 << 27)
+    for i, f in enumerate(tbl.schema):
+        col = tbl.column(i)
+        if col.nbytes < limit:
+            continue
+        if f.type == pa.binary():
+            tbl = tbl.set_column(i, f.name, col.cast(pa.large_binary()))
+        elif f.type == pa.string():
+            tbl = tbl.set_column(i, f.name, col.cast(pa.large_string()))
+    if any(tbl.column(i).num_chunks != 1 for i in range(tbl.num_columns)):
+        tbl = tbl.combine_chunks()
+    return tbl
+
+
 class _WebTable:
     """Zero-copy keyed view of the broadcast web fixture table.
 
@@ -404,31 +431,9 @@ class _WebTable:
     """
 
     def __init__(self, tbl: pa.Table):
-        # combine_chunks copies the whole table — callers must broadcast a
-        # single-chunk table (combine ONCE on the driver before ray.put;
-        # 32 workers each copying a multi-GB table saturates memory
-        # bandwidth and kills scaling)
-        # variable-width columns near the int32 offset limit (the 4M-URL
-        # web's payload column is ~4 GB) must move to 64-bit offsets BEFORE
-        # any combine/take: combine_chunks silently LEAVES such a column
-        # multi-chunk (it only merges what fits), and a chunked take then
-        # concatenates the source and overflows.  (A still-larger web would
-        # need large_list for out_links too — the bucketed store is the
-        # real path at that size.)
-        limit = (1 << 31) - (1 << 27)
-        recast = False
-        for i, f in enumerate(tbl.schema):
-            col = tbl.column(i)
-            if col.nbytes < limit:
-                continue
-            if f.type == pa.binary():
-                tbl = tbl.set_column(i, f.name, col.cast(pa.large_binary()))
-                recast = True
-            elif f.type == pa.string():
-                tbl = tbl.set_column(i, f.name, col.cast(pa.large_string()))
-                recast = True
-        if recast or tbl.column("url").num_chunks != 1:
-            tbl = tbl.combine_chunks()
+        # defensive twin of the driver-side prepare_broadcast_table — a
+        # no-op (zero-copy) when the caller broadcast a prepared table
+        tbl = prepare_broadcast_table(tbl)
         self.tbl = tbl
         self.lm_ms = pc.divide(
             pc.subtract(tbl["last_modified"].cast(pa.int64()), FIXTURE_EPOCH_US), 1000

@@ -148,7 +148,10 @@ def bench_stage(scale: str) -> dict:
         if r.get("robots_disallow")
     }
     n_urls = web.num_rows
-    web_ref = ray.put(web.combine_chunks())  # single-chunk: no per-worker copy
+    from anansi_ray.stages.fetch import prepare_broadcast_table
+
+    # recast >2GB columns + single-chunk ONCE driver-side: no per-worker copy
+    web_ref = ray.put(prepare_broadcast_table(web))
     robots_ref = ray.put(robots)
 
     urls = pa.table({"raw_url": web["url"]})
