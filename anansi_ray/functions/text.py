@@ -40,7 +40,8 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in")
 def _ws_tokens(batch_col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, list]:
     """Whitespace tokenization of a string column → (lengths, token lists)."""
     toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(batch_col), r"\s+")
-    return pc.list_value_length(toks).to_numpy(zero_copy_only=False), toks
+    lens = pc.fill_null(pc.list_value_length(toks), 0)  # null text → 0 tokens
+    return lens.cast(pa.int64()).to_numpy(zero_copy_only=False), toks
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -48,11 +49,12 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     (alnum runs and single non-space punct each count as one token)."""
     col = batch[text_col]
     n_ws, _ = _ws_tokens(col)
-    texts = col.to_pylist()
-    pat = re.compile(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]")
-    n_bpe = np.fromiter(
-        (len(pat.findall(t)) if t else 0 for t in texts), dtype=np.int64, count=len(texts)
-    )
+    # RE2 count of non-overlapping matches ≡ ``len(re.findall(...))`` —
+    # whole-column vectorized (the per-row findall loop was the last Python
+    # pass in this kernel)
+    n_bpe = pc.fill_null(
+        pc.count_substring_regex(col, r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"), 0
+    ).cast(pa.int64()).to_numpy(zero_copy_only=False)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -129,34 +131,84 @@ def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+#: FNV-1a prime, the k-gram polynomial multiplier; grams are finalized with
+#: the splitmix64 avalanche so the per-window minimum is uniform.
+_FNV = np.uint64(1099511628211)
+_U64 = (1 << 64) - 1
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — vectorized uint64 avalanche (twin of
+    functions/dedup._mix64, kept local so text ops stay dependency-free)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _fold_bytes(bs: bytes) -> int:
+    """Scalar twin of the vectorized gram hash: FNV-prime polynomial fold
+    of a byte string, splitmix64-finalized (used for sub-``k`` documents
+    and as the loop reference in tests)."""
+    g = 0
+    for c in bs:
+        g = (g * 1099511628211 + c) & _U64
+    return int(_mix64(np.array([g], dtype=np.uint64))[0])
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Document fingerprinting:
 
     * ``fp_md5``  — md5 of the whitespace-normalized lowercased text
       (exact-dup fingerprint; SQL-oracle-checkable),
     * ``fp_winnow`` — winnowing-style rolling-hash fingerprint: minimum
-      64-bit k-gram hash per window, hex-joined (robust near-dup sketch).
+      64-bit k-gram (UTF-8 byte-gram) hash per window, hex-joined (robust
+      near-dup sketch).
+
+    The gram hashes for the WHOLE batch are computed in one vectorized pass
+    over the concatenated normalized byte buffer (k shifted slices × FNV
+    powers + splitmix64) — positions that straddle a document boundary are
+    simply never read, because document d's valid gram starts are
+    ``offset[d] .. offset[d] + len[d] - k``.  Per doc only the window-min /
+    unique / top-16 selection runs (O(len) numpy views).
     """
     texts = batch[text_col].to_pylist()
-    md5s, winnows = [], []
     k, w = 5, 8
+    md5s, winnows = [], []
+    enc: list[bytes] = []
     for t in texts:
-        norm = _WS.sub(" ", (t or "").strip()).lower()
-        md5s.append(hashlib.md5(norm.encode()).hexdigest())
-        grams = [norm[i : i + k] for i in range(max(1, len(norm) - k + 1))]
-        hs = np.fromiter(
-            (
-                int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-                for g in grams
-            ),
-            dtype=np.uint64,
-            count=len(grams),
-        )
-        if len(hs) >= w:
-            mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
-            sel = np.unique(mins)
+        b = _WS.sub(" ", (t or "").strip()).lower().encode("utf-8")
+        enc.append(b)
+        md5s.append(hashlib.md5(b).hexdigest())
+
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    if len(buf) >= k:
+        g = np.zeros(len(buf) - k + 1, dtype=np.uint64)
+        for j in range(k):
+            g = g * _FNV + buf[j : len(buf) - k + 1 + j]
+        H = _mix64(g)
+    else:
+        H = np.empty(0, dtype=np.uint64)
+    # global sliding-window min — windows that straddle a document boundary
+    # are computed but never selected (each doc reads only its valid range)
+    M = (
+        np.lib.stride_tricks.sliding_window_view(H, w).min(axis=1)
+        if len(H) >= w
+        else np.empty(0, dtype=np.uint64)
+    )
+
+    for d in range(len(enc)):
+        L = int(lens[d])
+        o = int(offs[d])
+        n_grams = L - k + 1
+        if n_grams >= w:
+            sel = np.unique(M[o : o + n_grams - w + 1])
+        elif L >= k:
+            sel = np.array([H[o : o + n_grams].min()], dtype=np.uint64)
         else:
-            sel = np.array([hs.min()], dtype=np.uint64)
+            # sub-k document: fold the whole (possibly empty) byte string
+            sel = np.array([_fold_bytes(enc[d])], dtype=np.uint64)
         winnows.append("".join(f"{v:016x}" for v in sel[:16]))
     return pa.table(
         {

@@ -1,0 +1,104 @@
+"""Pin the vectorized text kernels against per-row loop references.
+
+Same pattern as TestVectorizedDriverKernels in test_crawl_pipeline.py: the
+production kernels run one whole-batch vectorized pass; these references
+re-derive the identical definition row by row, so a vectorization bug can't
+hide behind "both sides share the code".
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from anansi_ray.functions.text import (
+    _fold_bytes,
+    fingerprint_batch,
+    token_count_batch,
+)
+
+_WS = re.compile(r"\s+")
+
+TEXTS = [
+    "The quick brown fox jumps over the lazy dog",
+    "the  quick\tbrown\nfox",
+    "",
+    None,
+    "ab",  # sub-k document
+    "abcd",  # exactly k-1 bytes
+    "abcde",  # exactly one gram, fewer than w grams
+    "aaaaaaaaaaaaaaaaaaaa",  # constant text: all grams equal
+    "Hello, world! 123 naïve café — dashes…",  # multi-byte UTF-8
+    "word " * 50,
+    "中文测试 some mixed 内容 here",
+]
+
+
+def _winnow_reference(text: str | None, k: int = 5, w: int = 8) -> str:
+    """Per-row loop twin of fingerprint_batch's winnow path: hash every
+    k-byte gram of the normalized UTF-8 bytes with the FNV fold +
+    splitmix64 finalize, take the per-window minimum, unique, top 16."""
+    norm = _WS.sub(" ", (text or "").strip()).lower().encode("utf-8")
+    if len(norm) < k:
+        sel = np.array([_fold_bytes(norm)], dtype=np.uint64)
+    else:
+        hs = np.array(
+            [_fold_bytes(norm[i : i + k]) for i in range(len(norm) - k + 1)],
+            dtype=np.uint64,
+        )
+        if len(hs) >= w:
+            mins = [hs[i : i + w].min() for i in range(len(hs) - w + 1)]
+            sel = np.unique(np.array(mins, dtype=np.uint64))
+        else:
+            sel = np.array([hs.min()], dtype=np.uint64)
+    return "".join(f"{v:016x}" for v in sel[:16])
+
+
+class TestFingerprintKernel:
+    def test_winnow_matches_loop_reference(self):
+        batch = pa.table(
+            {"doc_id": list(range(len(TEXTS))), "text": pa.array(TEXTS, pa.string())}
+        )
+        out = fingerprint_batch(batch)
+        got = out["fp_winnow"].to_pylist()
+        exp = [_winnow_reference(t) for t in TEXTS]
+        assert got == exp
+
+    def test_md5_matches_hashlib(self):
+        batch = pa.table(
+            {"doc_id": list(range(len(TEXTS))), "text": pa.array(TEXTS, pa.string())}
+        )
+        out = fingerprint_batch(batch)
+        for t, got in zip(TEXTS, out["fp_md5"].to_pylist()):
+            norm = _WS.sub(" ", (t or "").strip()).lower()
+            assert got == hashlib.md5(norm.encode()).hexdigest()
+
+    def test_boundary_isolation(self):
+        """A document's winnow must not depend on its batch neighbours —
+        the concatenated-buffer pass must never read across a boundary."""
+        solo = fingerprint_batch(
+            pa.table({"doc_id": [0], "text": [TEXTS[0]]})
+        )["fp_winnow"].to_pylist()[0]
+        packed = fingerprint_batch(
+            pa.table(
+                {
+                    "doc_id": [0, 1, 2],
+                    "text": ["zzzz prefix text", TEXTS[0], "suffix zzzz"],
+                }
+            )
+        )["fp_winnow"].to_pylist()[1]
+        assert solo == packed
+
+
+class TestTokenCountKernel:
+    def test_bpe_count_matches_findall(self):
+        pat = re.compile(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]")
+        batch = pa.table(
+            {"doc_id": list(range(len(TEXTS))), "text": pa.array(TEXTS, pa.string())}
+        )
+        out = token_count_batch(batch)
+        got = out["n_tokens"].to_pylist()
+        exp = [len(pat.findall(t)) if t else 0 for t in TEXTS]
+        assert got == exp
