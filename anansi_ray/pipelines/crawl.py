@@ -247,70 +247,98 @@ class _Transition:
         return batch
 
 
-class _ExpandLinks:
-    """map_batches: fetched row → candidate (url, url_hash, host, root_hash,
-    depth) rows via redirect (J4) + extracted out-links (M13), canonicalized
-    (M1-M4) and pre-deduped within the batch with the min-depth rule (the
-    partial-aggregate before the groupby(url_hash) shuffle)."""
+def _cand_struct_type() -> pa.StructType:
+    return pa.struct(
+        [
+            ("url", pa.string()),
+            ("url_hash", pa.string()),
+            ("host", pa.string()),
+            ("root_hash", pa.string()),
+        ]
+    )
 
-    def __init__(self, cfg: CrawlConfig):
-        self.cfg = cfg
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        raw: list[str] = []
-        bases: list[str | None] = []
-        depths: list[int] = []
-        discovered: list[int] = []
-        urls = batch["url"].to_pylist()
-        redirects = batch["redirect"].to_pylist()
-        links = batch["out_links"].to_pylist()
-        parent_depth = batch["depth"].to_pylist()
-        clocks = batch["fetch_clock_ms"].to_pylist()
-        for i in range(batch.num_rows):
-            d = parent_depth[i] + 1
-            t = clocks[i]
-            if redirects[i]:
-                raw.append(redirects[i])
-                bases.append(None)
-                depths.append(d)
-                discovered.append(t)
-            for l in links[i] or ():
+def _cand_list_column(batch: pa.Table, max_depth: int) -> pa.ListArray:
+    """Per-row candidate links as a ``list<struct>`` column: redirect (J4) +
+    extracted out-links (M13), canonicalized (M1-M4), invalid and
+    beyond-max-depth targets dropped.  Computed inside the round's single
+    fused output pass, so frontier expansion becomes a column-pruned READ
+    of the spool instead of its own Dataset execution over ``trans``.
+
+    depth / discovery clock are row-level constants (parent depth + 1, the
+    row's fetch slot), so they are NOT duplicated per link — the flatten
+    side re-derives them from the parent row (see :func:`_flatten_cand`).
+    """
+    n = batch.num_rows
+    urls = batch["url"].to_pylist()
+    redirects = batch["redirect"].to_pylist()
+    links = batch["out_links"].to_pylist()
+    depth = batch["depth"].to_numpy(zero_copy_only=False)
+    raw: list[str] = []
+    bases: list[str | None] = []
+    parent: list[int] = []
+    for i in range(n):
+        if depth[i] + 1 > max_depth:
+            continue
+        if redirects[i]:
+            raw.append(redirects[i])
+            bases.append(None)
+            parent.append(i)
+        ls = links[i]
+        if ls:
+            u = urls[i]
+            for l in ls:
                 raw.append(l)
-                bases.append(urls[i])
-                depths.append(d)
-                discovered.append(t)
-        if not raw:
-            return _empty_candidates()
+                bases.append(u)
+                parent.append(i)
+    counts = np.zeros(n, dtype=np.int64)
+    if raw:
         c = canon_batch(raw, bases)
-        depth_arr = np.array(depths, dtype=np.int32)
-        disc_arr = np.array(discovered, dtype=np.int64)
-        keep = c["valid"] & (depth_arr <= self.cfg.max_depth)
-        # in-batch pre-dedup keeping min (next_fetch, depth) per hash while
-        # SUMMING the RDF link score (in-degree: one point per referring
-        # occurrence) — the partial-aggregate before the groupby shuffle
-        best: dict[str, int] = {}
-        score: dict[str, int] = {}
-        hashes = c["url_hash"]
-        for i in np.flatnonzero(keep):
-            h = hashes[i]
-            score[h] = score.get(h, 0) + 1
-            j = best.get(h)
-            if j is None or (disc_arr[i], depth_arr[i]) < (disc_arr[j], depth_arr[j]):
-                best[h] = i
-        idx = np.fromiter(best.values(), dtype=np.int64, count=len(best))
-        return pa.table(
-            {
-                "url": pa.array(c["url"][idx], pa.string()),
-                "url_hash": pa.array(c["url_hash"][idx], pa.string()),
-                "host": pa.array(c["host"][idx], pa.string()),
-                "root_hash": pa.array(c["root_hash"][idx], pa.string()),
-                "depth": pa.array(depth_arr[idx], pa.int32()),
-                "next_fetch_ms": pa.array(disc_arr[idx], pa.int64()),
-                "score": pa.array(
-                    [float(score[h]) for h in best], pa.float64()
-                ),
-            }
+        valid = c["valid"]
+        pidx = np.asarray(parent, dtype=np.int64)[valid]
+        counts = np.bincount(pidx, minlength=n)
+        values = pa.StructArray.from_arrays(
+            [
+                pa.array(c["url"][valid], pa.string()),
+                pa.array(c["url_hash"][valid], pa.string()),
+                pa.array(c["host"][valid], pa.string()),
+                pa.array(c["root_hash"][valid], pa.string()),
+            ],
+            fields=list(_cand_struct_type()),
         )
+    else:
+        values = pa.array([], type=_cand_struct_type())
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+
+
+def _flatten_cand(tbl: pa.Table) -> pa.Table:
+    """Spool rows (``cand`` list + parent depth/clock) → candidate rows in
+    the pre-merge schema (J4/M13 occurrences; score = 1 per referrer,
+    summed by the merge).  Vectorized: one list flatten + one np.repeat."""
+    cand = tbl["cand"]
+    if isinstance(cand, pa.ChunkedArray):
+        cand = cand.combine_chunks()
+    counts = pc.list_value_length(cand).to_numpy(zero_copy_only=False)
+    total = int(counts.sum())
+    if total == 0:
+        return _empty_candidates()
+    flat = cand.flatten()
+    depth = tbl["depth"].to_numpy(zero_copy_only=False).astype(np.int32) + 1
+    clock = tbl["fetch_clock_ms"].to_numpy(zero_copy_only=False)
+    rep = np.repeat(np.arange(len(counts)), counts)
+    return pa.table(
+        {
+            "url": flat.field("url"),
+            "url_hash": flat.field("url_hash"),
+            "host": flat.field("host"),
+            "root_hash": flat.field("root_hash"),
+            "depth": pa.array(depth[rep], pa.int32()),
+            "next_fetch_ms": pa.array(clock[rep], pa.int64()),
+            "score": pa.array(np.ones(total, dtype=np.float64), pa.float64()),
+        }
+    )
 
 
 def _empty_candidates() -> pa.Table:
@@ -389,7 +417,7 @@ def _merge_candidates_on_driver(cand_tbl: pa.Table) -> pa.Table:
         return t
     # first-of-run keep + per-run score sum, vectorized: run boundaries via
     # one shifted not_equal, sums via np.add.reduceat at the run starts.
-    # Scores are integer-valued in-degree counts (_ExpandLinks emits one
+    # Scores are integer-valued in-degree counts (_flatten_cand emits one
     # point per referrer), so the sums are exact under any summation order.
     hashes = t["url_hash"].combine_chunks()
     first = np.ones(n, dtype=bool)
@@ -509,19 +537,21 @@ def read_cache(output_dir: str) -> pa.Table:
     )
 
 
-def _make_spool_project(horizon, with_cache: bool = False):
+def _make_spool_project(horizon, max_depth: int, with_cache: bool = False):
     """Per-round spool row: the persisted ledger snapshot (status =
     ledger_status — db_unchanged leaves the status column untouched,
     db.c:1077-1126) + the wire status for the dequeue-order records + the
     retirement flag + document spans + the driver-bookkeeping has_link
-    flag, and — when a durable output dir is configured — the cache
-    columns (content type, headers, freshness, payload).
+    flag + the canonicalized candidate-link list (``cand``), and — when a
+    durable output dir is configured — the cache columns (content type,
+    headers, freshness, payload).
 
     ONE write pass serves every downstream reader (ledger, crawl order,
-    documents view, cache view, driver meta): parquet column pruning makes
-    each view read only its columns, so fusing costs readers nothing while
-    saving two whole Dataset executions per round (the round-2 layout
-    wrote documents/ and cache/ as separate passes over ``trans``)."""
+    documents view, cache view, driver meta, frontier expansion, horizon
+    re-admission): parquet column pruning makes each view read only its
+    columns, so fusing costs readers nothing while making the spool file
+    the round's ONLY materialization — no ``trans.materialize()`` barrier
+    and no second/third Dataset execution over the fetched rows."""
 
     def project(batch: pa.Table) -> pa.Table:
         if horizon is None:
@@ -539,23 +569,11 @@ def _make_spool_project(horizon, with_cache: bool = False):
             pc.greater(pc.list_value_length(batch["out_links"]), 0),
             pc.not_equal(batch["redirect"], ""),
         )
+        cols["cand"] = _cand_list_column(batch, max_depth)
         if with_cache:
             for c in ("content_type", "headers", "fresh", "payload"):
                 cols[c] = batch[c]
         return pa.table(cols)
-
-    return project
-
-
-def _make_back_project(horizon):
-    """Rows due again before the refetch horizon, as frontier-schema rows
-    (ledger status), cycled back distributedly."""
-
-    def project(batch: pa.Table) -> pa.Table:
-        cols = {c: batch[c] for c in LEDGER_COLS}
-        cols["status"] = batch["ledger_status"]
-        t = pa.table(cols)
-        return t.filter(pc.less_equal(batch["next_fetch_ms"], horizon))
 
     return project
 
@@ -843,48 +861,32 @@ class CrawlPipeline:
             batch_format="pyarrow",
         )
 
-        trans = trans.materialize()
-        _t_fetch = _time.monotonic()
         if getattr(self, "debug_stats", False):
+            trans = trans.materialize()
             print(trans.stats()[:3000], flush=True)
+        _t_fetch = _time.monotonic()  # pipeline is lazy; fetch runs fused
+        # into the single spool execution below ("spool" phase ≙ the round)
 
         horizon = cfg.refetch_horizon_ms
 
-        # ---- spool sink: ONE distributed partitioned-parquet write/round --
-        # the fused output pass: ledger snapshot (unchanged-preserving
-        # status), wire status for the dequeue-order records, retirement
-        # flag, document spans, has_link, and — when output_dir is set —
-        # the cache columns.  documents/cache are column-pruned VIEWS over
-        # this (read_documents / read_cache), not separate write passes.
+        # ---- spool sink: the round's ONE Dataset execution ---------------
+        # fetch → transition → projection → partitioned-parquet write as a
+        # single streaming pass.  The projection carries the ledger
+        # snapshot (unchanged-preserving status), wire status for the
+        # dequeue-order records, retirement flag, document spans, has_link,
+        # the canonicalized candidate links (cand), and — when output_dir
+        # is set — the cache columns.  documents / cache / frontier
+        # expansion / horizon re-admission are all column-pruned READS of
+        # this file; there is no materialize barrier and no second pass
+        # over the fetched rows.
         rdir = os.path.join(self.spool_dir, f"round={self.round}")
         if os.path.exists(rdir):
             shutil.rmtree(rdir)  # stale copy from a pre-crash run
 
-        # the spool write and the frontier-expansion execution both consume
-        # the materialized ``trans`` and are independent — overlap them:
-        # when last round produced links (so this one very likely will),
-        # start the expand execution on a helper thread while the main
-        # thread drives the write.  Pure latency overlap; if the heuristic
-        # mispredicts, expand runs sequentially below exactly as before.
-        expand_thread = expand_result = None
-        if driver_plane and getattr(self, "_prev_had_links", True):
-            import threading
-
-            expand_result = {}
-
-            def _run_expand(t=trans, c=cfg, out=expand_result):
-                try:
-                    out["cand"] = _ds_to_table(
-                        t.map_batches(_ExpandLinks(c), batch_format="pyarrow")
-                    )
-                except BaseException as e:  # surfaced on join
-                    out["err"] = e
-
-            expand_thread = threading.Thread(target=_run_expand, daemon=True)
-            expand_thread.start()
-
         trans.map_batches(
-            _make_spool_project(horizon, with_cache=bool(self.output_dir)),
+            _make_spool_project(
+                horizon, cfg.max_depth, with_cache=bool(self.output_dir)
+            ),
             batch_format="pyarrow",
         ).write_parquet(rdir)
         _t_spool0 = _time.monotonic()
@@ -996,32 +998,38 @@ class CrawlPipeline:
                         [self.frontier, back_tbl], promote_options="default"
                     )
                 else:
-                    # drop the superseded copies first, then re-admit
-                    # (distributed projection — never a driver table)
+                    # drop the superseded copies first, then re-admit via a
+                    # column-pruned distributed READ of the spool round just
+                    # written (the spool stores the ledger status already,
+                    # so no re-scan of the fetch pipeline is needed)
                     self._compact()
-                    back_ds = trans.map_batches(
-                        _make_back_project(horizon), batch_format="pyarrow"
+                    back_ds = rd.read_parquet(
+                        rdir, columns=LEDGER_COLS
+                    ).map_batches(
+                        lambda b, h=horizon: b.filter(
+                            pc.less_equal(b["next_fetch_ms"], h)
+                        ),
+                        batch_format="pyarrow",
                     )
                     self.frontier = self.frontier.union(back_ds)
 
-        # frontier expansion: links → canonicalize → round-dedup → seen-filter
+        # frontier expansion: candidate links come out of the spool round
+        # just written (the projection already canonicalized them into the
+        # ``cand`` list column) — a column-pruned read replaces the former
+        # dedicated expand execution over a materialized ``trans``.
+        # Rows without links carry empty lists, which the flatten drops, so
+        # no filter pushdown is needed.
         new_tbl = None
         has_links = pc.any(meta["has_link"]).as_py()
-        self._prev_had_links = bool(has_links)
-        if expand_thread is not None:
-            expand_thread.join()
-            if "err" in expand_result:
-                raise expand_result["err"]
         if has_links:
             rnd = self.round + 1
             if driver_plane:
-                if expand_thread is not None:
-                    cand_tbl = expand_result.get("cand")
-                else:
-                    cand_tbl = _ds_to_table(
-                        trans.map_batches(_ExpandLinks(cfg), batch_format="pyarrow")
+                cand_tbl = _flatten_cand(
+                    pads.dataset(rdir).to_table(
+                        columns=["cand", "depth", "fetch_clock_ms"]
                     )
-                if cand_tbl is not None and cand_tbl.num_rows:
+                )
+                if cand_tbl.num_rows:
                     merged = _merge_candidates_on_driver(cand_tbl)
                     keep = self.seen.add_if_new(merged["url_hash"].to_pylist())
                     merged = merged.filter(pa.array(keep))
@@ -1029,7 +1037,8 @@ class CrawlPipeline:
                         new_tbl = _new_ledger_rows(merged, rnd)
             else:
                 fresh = (
-                    trans.map_batches(_ExpandLinks(cfg), batch_format="pyarrow")
+                    rd.read_parquet(rdir, columns=["cand", "depth", "fetch_clock_ms"])
+                    .map_batches(_flatten_cand, batch_format="pyarrow")
                     .groupby("url_hash")
                     .map_groups(_min_depth_group, batch_format="pyarrow")
                     .map_batches(
