@@ -6,12 +6,13 @@ One crawl round r (SURVEY.md §3.4):
                                                          # host politeness-ready
     sched_r    = due_r.groupby(host).map_groups(top-k by O1 key, chained
                  politeness slots)              (≙ db_next_txn, db.c:611-791)
-    fetched_r  = sched_r.map_batches(Fetcher, concurrency=N)    # actor pool
-    trans_r    = fetched_r.map_batches(transition)      (≙ db_updated_uristr)
-    docs/cache → write_parquet(round=r)                 (≙ cache commit)
-    cand_r     = trans_r → expand+canonicalize links
-                 → groupby(url_hash).map_groups(min-depth)      # round dedup
-                 → map_batches(SeenRouter)              # global anti-join (ST1)
+    spool_r    = sched_r → fetch → transition → spool projection
+                 → write_parquet(round=r)       # the round's ONE execution:
+                 # ledger snapshot + docs/cache columns (≙ cache commit) +
+                 # canonicalized, batch-pre-deduped candidate links (cand)
+    cand_r     = read(spool_r, columns=[cand]) → flatten
+                 → min-depth/score merge                 # round dedup
+                 → SeenRouter / seen set                # global anti-join (ST1)
     frontier_r+1 = (frontier_r − fetched) ∪ new_rows    # immutable merge
 
 Design decisions for a 10^10-URL frontier on a multi-node cluster (verified
@@ -254,26 +255,37 @@ def _cand_struct_type() -> pa.StructType:
             ("url_hash", pa.string()),
             ("host", pa.string()),
             ("root_hash", pa.string()),
+            ("depth", pa.int32()),
+            ("next_fetch_ms", pa.int64()),
+            ("score", pa.float64()),
         ]
     )
 
 
 def _cand_list_column(batch: pa.Table, max_depth: int) -> pa.ListArray:
-    """Per-row candidate links as a ``list<struct>`` column: redirect (J4) +
-    extracted out-links (M13), canonicalized (M1-M4), invalid and
-    beyond-max-depth targets dropped.  Computed inside the round's single
-    fused output pass, so frontier expansion becomes a column-pruned READ
-    of the spool instead of its own Dataset execution over ``trans``.
+    """The batch's candidate links as a ``list<struct>`` column: redirect
+    (J4) + extracted out-links (M13), canonicalized (M1-M4), invalid and
+    beyond-max-depth targets dropped, then PRE-DEDUPED within the batch —
+    earliest (next_fetch_ms, depth) occurrence per hash wins, scores count
+    one point per referring occurrence (the partial aggregate before the
+    cross-batch merge; the min-rule is associative, so partial-then-global
+    equals global).  Computed inside the round's single fused output pass,
+    so frontier expansion becomes a column-pruned READ of the spool instead
+    of its own Dataset execution over ``trans``.
 
-    depth / discovery clock are row-level constants (parent depth + 1, the
-    row's fetch slot), so they are NOT duplicated per link — the flatten
-    side re-derives them from the parent row (see :func:`_flatten_cand`).
+    The deduped candidates attach to the batch's FIRST row (other rows get
+    empty lists): ``cand`` is a batch-level aggregate riding a row-aligned
+    column, and the flatten side never looks at which row carries it.
+    Pre-dedup typically cuts occurrence volume 2-5x on link-heavy rounds
+    (hub links repeat on nearly every page), shrinking the spool write and
+    the merge read alike.
     """
     n = batch.num_rows
     urls = batch["url"].to_pylist()
     redirects = batch["redirect"].to_pylist()
     links = batch["out_links"].to_pylist()
     depth = batch["depth"].to_numpy(zero_copy_only=False)
+    clock = batch["fetch_clock_ms"].to_numpy(zero_copy_only=False)
     raw: list[str] = []
     bases: list[str | None] = []
     parent: list[int] = []
@@ -291,52 +303,74 @@ def _cand_list_column(batch: pa.Table, max_depth: int) -> pa.ListArray:
                 raw.append(l)
                 bases.append(u)
                 parent.append(i)
-    counts = np.zeros(n, dtype=np.int64)
+    values = pa.array([], type=_cand_struct_type())
+    k = 0
     if raw:
         c = canon_batch(raw, bases)
         valid = c["valid"]
         pidx = np.asarray(parent, dtype=np.int64)[valid]
-        counts = np.bincount(pidx, minlength=n)
-        values = pa.StructArray.from_arrays(
-            [
-                pa.array(c["url"][valid], pa.string()),
-                pa.array(c["url_hash"][valid], pa.string()),
-                pa.array(c["host"][valid], pa.string()),
-                pa.array(c["root_hash"][valid], pa.string()),
-            ],
-            fields=list(_cand_struct_type()),
-        )
-    else:
-        values = pa.array([], type=_cand_struct_type())
-    offsets = np.zeros(n + 1, dtype=np.int32)
-    np.cumsum(counts, out=offsets[1:])
+        if len(pidx):
+            d_occ = depth[pidx].astype(np.int32) + 1
+            t_occ = clock[pidx].astype(np.int64)
+            h_np = c["url_hash"][valid]
+            halves = _hex128(pa.array(h_np, pa.string()))
+            if halves is not None:
+                hi, lo = halves
+                order = np.lexsort((d_occ, t_occ, lo, hi))
+                hi_s, lo_s = hi[order], lo[order]
+                first = np.ones(len(order), dtype=bool)
+                first[1:] = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
+                starts = np.flatnonzero(first)
+                counts = np.diff(np.append(starts, len(order))).astype(np.float64)
+                win = order[starts]
+            else:  # non-canonical hash width — scalar dict fallback
+                best: dict[str, int] = {}
+                score: dict[str, float] = {}
+                for j in range(len(pidx)):
+                    h = h_np[j]
+                    score[h] = score.get(h, 0.0) + 1.0
+                    b = best.get(h)
+                    if b is None or (t_occ[j], d_occ[j]) < (t_occ[b], d_occ[b]):
+                        best[h] = j
+                win = np.fromiter(best.values(), dtype=np.int64, count=len(best))
+                counts = np.array([score[h] for h in best], dtype=np.float64)
+            k = len(win)
+            values = pa.StructArray.from_arrays(
+                [
+                    pa.array(c["url"][valid][win], pa.string()),
+                    pa.array(h_np[win], pa.string()),
+                    pa.array(c["host"][valid][win], pa.string()),
+                    pa.array(c["root_hash"][valid][win], pa.string()),
+                    pa.array(d_occ[win], pa.int32()),
+                    pa.array(t_occ[win], pa.int64()),
+                    pa.array(counts, pa.float64()),
+                ],
+                fields=list(_cand_struct_type()),
+            )
+    offsets = np.full(n + 1, k, dtype=np.int32)
+    offsets[0] = 0
     return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
 
 
 def _flatten_cand(tbl: pa.Table) -> pa.Table:
-    """Spool rows (``cand`` list + parent depth/clock) → candidate rows in
-    the pre-merge schema (J4/M13 occurrences; score = 1 per referrer,
-    summed by the merge).  Vectorized: one list flatten + one np.repeat."""
+    """Spool ``cand`` lists → candidate rows in the pre-merge schema: a
+    pure list flatten (each element already carries depth / clock / the
+    batch-partial score from :func:`_cand_list_column`)."""
     cand = tbl["cand"]
     if isinstance(cand, pa.ChunkedArray):
         cand = cand.combine_chunks()
-    counts = pc.list_value_length(cand).to_numpy(zero_copy_only=False)
-    total = int(counts.sum())
-    if total == 0:
-        return _empty_candidates()
     flat = cand.flatten()
-    depth = tbl["depth"].to_numpy(zero_copy_only=False).astype(np.int32) + 1
-    clock = tbl["fetch_clock_ms"].to_numpy(zero_copy_only=False)
-    rep = np.repeat(np.arange(len(counts)), counts)
+    if len(flat) == 0:
+        return _empty_candidates()
     return pa.table(
         {
             "url": flat.field("url"),
             "url_hash": flat.field("url_hash"),
             "host": flat.field("host"),
             "root_hash": flat.field("root_hash"),
-            "depth": pa.array(depth[rep], pa.int32()),
-            "next_fetch_ms": pa.array(clock[rep], pa.int64()),
-            "score": pa.array(np.ones(total, dtype=np.float64), pa.float64()),
+            "depth": flat.field("depth"),
+            "next_fetch_ms": flat.field("next_fetch_ms"),
+            "score": flat.field("score"),
         }
     )
 
@@ -400,35 +434,89 @@ def _schedule_on_driver(
     return g
 
 
+#: uint16 little-endian char-pair → byte value, for lowercase-hex parsing
+#: (e.g. pair "a3" stored LE as 0x3361 maps to 0xA3); non-hex pairs are 0,
+#: unreachable because only canonical md5-hex cache keys take this path
+_HEX_PAIR_LUT = np.zeros(65536, dtype=np.uint8)
+for _a in b"0123456789abcdef":
+    for _b in b"0123456789abcdef":
+        _va = _a - 48 - 39 * (_a >= 97)
+        _vb = _b - 48 - 39 * (_b >= 97)
+        _HEX_PAIR_LUT[_a | (_b << 8)] = (_va << 4) | _vb
+del _a, _b, _va, _vb
+
+
+def _hex128(arr) -> tuple[np.ndarray, np.ndarray] | None:
+    """Vectorized parse of an all-32-char-lowercase-hex string column into
+    (hi, lo) uint64 halves.  Returns None when any width differs (caller
+    falls back to the string sort).  Hex lexicographic order ≡ (hi, lo)
+    numeric order, so sorting on the halves reproduces the string sort
+    EXACTLY — no truncated-prefix collision to guard.
+
+    Bandwidth-lean: equal widths make the data buffer one contiguous slab,
+    viewed (not gathered) as uint16 char pairs; one 64K-entry LUT lookup
+    yields the 16 value bytes per hash, re-viewed as two big-endian uint64
+    words — no (n, 32) integer temporaries."""
+    n = len(arr)
+    offs_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+    dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(offs_buf, dtype=dt)[arr.offset : arr.offset + n + 1]
+    if n == 0 or not (np.diff(offs) == 32).all():
+        return None
+    data = np.frombuffer(data_buf, dtype=np.uint8)
+    flat = data[offs[0] : offs[0] + 32 * n]
+    pairs = flat.view(np.uint16).reshape(n, 16)
+    by = _HEX_PAIR_LUT[pairs]  # (n, 16) value bytes, most-significant first
+    words = np.ascontiguousarray(by).view(">u8").reshape(n, 2)
+    return words[:, 0].astype(np.uint64), words[:, 1].astype(np.uint64)
+
+
 def _merge_candidates_on_driver(cand_tbl: pa.Table) -> pa.Table:
     """Driver-plane variant of the groupby(url_hash) candidate merge:
-    earliest (next_fetch_ms, depth) per hash wins; link scores SUM."""
-    order = pc.sort_indices(
-        cand_tbl,
-        sort_keys=[
-            ("url_hash", "ascending"),
-            ("next_fetch_ms", "ascending"),
-            ("depth", "ascending"),
-        ],
-    )
-    t = cand_tbl.take(order)
-    n = t.num_rows
+    earliest (next_fetch_ms, depth) per hash wins; link scores SUM.
+
+    The sort runs on NUMERIC keys — the 128-bit hash parsed into two
+    uint64 halves plus next_fetch/depth via one np.lexsort — and only the
+    per-hash winners are gathered from the input (occurrence counts run
+    5-10x the unique count on link-heavy rounds, so the full-table string
+    sort + take this replaces paid most of the merge's cost)."""
+    n = cand_tbl.num_rows
     if n == 0:
-        return t
-    # first-of-run keep + per-run score sum, vectorized: run boundaries via
-    # one shifted not_equal, sums via np.add.reduceat at the run starts.
-    # Scores are integer-valued in-degree counts (_flatten_cand emits one
-    # point per referrer), so the sums are exact under any summation order.
-    hashes = t["url_hash"].combine_chunks()
-    first = np.ones(n, dtype=bool)
-    if n > 1:
-        first[1:] = pc.not_equal(
-            hashes.slice(1), hashes.slice(0, n - 1)
-        ).to_numpy(zero_copy_only=False)
+        return cand_tbl
+    hashes = cand_tbl["url_hash"].combine_chunks()
+    halves = _hex128(hashes)
+    if halves is None:  # non-canonical hash width: exact string-sort path
+        order_arr = pc.sort_indices(
+            cand_tbl,
+            sort_keys=[
+                ("url_hash", "ascending"),
+                ("next_fetch_ms", "ascending"),
+                ("depth", "ascending"),
+            ],
+        )
+        order = order_arr.to_numpy(zero_copy_only=False)
+        h_sorted = hashes.take(order_arr)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = pc.not_equal(
+                h_sorted.slice(1), h_sorted.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+    else:
+        hi, lo = halves
+        nf = cand_tbl["next_fetch_ms"].to_numpy(zero_copy_only=False)
+        depth = cand_tbl["depth"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((depth, nf, lo, hi))
+        hi_s, lo_s = hi[order], lo[order]
+        first = np.ones(n, dtype=bool)
+        first[1:] = (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])
     starts = np.flatnonzero(first)
-    scores = t["score"].to_numpy(zero_copy_only=False)
-    sums = np.add.reduceat(scores, starts)
-    t = t.filter(pa.array(first))
+    # per-run score sum via reduceat: scores are integer-valued in-degree
+    # counts (_flatten_cand emits one point per referrer), so the sums are
+    # exact under any summation order
+    sums = np.add.reduceat(
+        cand_tbl["score"].to_numpy(zero_copy_only=False)[order], starts
+    )
+    t = cand_tbl.take(pa.array(order[starts], pa.int64()))
     return t.set_column(
         t.column_names.index("score"), "score", pa.array(sums, pa.float64())
     )
@@ -1025,9 +1113,7 @@ class CrawlPipeline:
             rnd = self.round + 1
             if driver_plane:
                 cand_tbl = _flatten_cand(
-                    pads.dataset(rdir).to_table(
-                        columns=["cand", "depth", "fetch_clock_ms"]
-                    )
+                    pads.dataset(rdir).to_table(columns=["cand"])
                 )
                 if cand_tbl.num_rows:
                     merged = _merge_candidates_on_driver(cand_tbl)
@@ -1037,7 +1123,7 @@ class CrawlPipeline:
                         new_tbl = _new_ledger_rows(merged, rnd)
             else:
                 fresh = (
-                    rd.read_parquet(rdir, columns=["cand", "depth", "fetch_clock_ms"])
+                    rd.read_parquet(rdir, columns=["cand"])
                     .map_batches(_flatten_cand, batch_format="pyarrow")
                     .groupby("url_hash")
                     .map_groups(_min_depth_group, batch_format="pyarrow")

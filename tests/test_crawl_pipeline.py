@@ -553,6 +553,71 @@ class TestVectorizedDriverKernels:
         # integral scores sum exactly under any summation order
         assert got["score"].to_pylist() == exp["score"].to_pylist()
 
+    def test_hex128_matches_int_parse(self):
+        """The numeric merge key: (hi, lo) halves must equal int(h, 16)
+        split at bit 64, for md5-shaped 32-char lowercase hex."""
+        import hashlib
+
+        import numpy as np
+
+        from anansi_ray.pipelines.crawl import _hex128
+
+        hs = [hashlib.md5(str(i).encode()).hexdigest() for i in range(500)]
+        hs += ["0" * 32, "f" * 32, "0123456789abcdef" * 2]
+        hi, lo = _hex128(pa.array(hs, pa.string()))
+        for h, a, b in zip(hs, hi, lo):
+            v = int(h, 16)
+            assert int(a) == v >> 64 and int(b) == v & ((1 << 64) - 1), h
+        # mixed widths must refuse (callers fall back to the string sort)
+        assert _hex128(pa.array(["ab", "0" * 32])) is None
+
+    def test_merge_candidates_numeric_path_matches_string_sort(self):
+        """32-char hex hashes take the lexsort path; its output must be
+        byte-identical to the string-sort definition (hex lexicographic
+        order ≡ 128-bit numeric order)."""
+        import hashlib
+
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from anansi_ray.pipelines.crawl import _merge_candidates_on_driver
+
+        rng = np.random.default_rng(23)
+        n = 400
+        pool = [hashlib.md5(str(i).encode()).hexdigest() for i in range(60)]
+        cand = pa.table(
+            {
+                "url": pa.array([f"http://x/{i}" for i in range(n)]),
+                "url_hash": pa.array([pool[i] for i in rng.integers(0, 60, n)]),
+                "host": pa.array(["x"] * n),
+                "depth": pa.array(rng.integers(0, 4, n).astype(np.int32)),
+                "score": pa.array(rng.integers(1, 5, n).astype(np.float64)),
+                "next_fetch_ms": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+            }
+        )
+        got = _merge_candidates_on_driver(cand)
+        order = pc.sort_indices(
+            cand,
+            sort_keys=[
+                ("url_hash", "ascending"),
+                ("next_fetch_ms", "ascending"),
+                ("depth", "ascending"),
+            ],
+        )
+        t = cand.take(order)
+        hashes = t["url_hash"].combine_chunks()
+        first = np.ones(n, dtype=bool)
+        first[1:] = pc.not_equal(
+            hashes.slice(1), hashes.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(t["score"].to_numpy(zero_copy_only=False), starts)
+        exp = t.filter(pa.array(first))
+        exp = exp.set_column(
+            exp.column_names.index("score"), "score", pa.array(sums, pa.float64())
+        )
+        assert got.equals(exp)
+
     def test_merge_candidates_empty(self):
         from anansi_ray.pipelines.crawl import _merge_candidates_on_driver
 
