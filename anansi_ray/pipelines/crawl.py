@@ -44,10 +44,11 @@ single-node):
   — ``_meta_project``); payloads and spans go straight to partitioned
   parquet sinks and never shuffle (SURVEY §7.4).
 * the only all-to-all exchanges are the distributed plane's sort/groupby
-  of the DUE subset, groupby(url_hash) of batch-pre-deduped candidate
-  links, and (bucketed-store mode) the hash exchange of scheduled
-  metadata on the cache-bucket key — all the reference's own partitioning
-  keys (db.c:687, db.c:1210, db.c:1235-1250).
+  of the DUE subset, the hash-partition groupby of batch-pre-deduped
+  candidate links (one vectorized merge kernel per partition, not
+  per-hash map_groups), and (bucketed-store mode) the hash exchange of
+  scheduled metadata on the cache-bucket key — all the reference's own
+  partitioning keys (db.c:687, db.c:1210, db.c:1235-1250).
 * hub-host skew: politeness slots are computed (not slept), so the fetch
   pool runs decoupled from host grouping, and the segmented-scan
   scheduler bounds per-task memory to one batch regardless of a hub's due
@@ -522,20 +523,33 @@ def _merge_candidates_on_driver(cand_tbl: pa.Table) -> pa.Table:
     )
 
 
-def _min_depth_group(group: pa.Table) -> pa.Table:
-    """Candidate merge rule: earliest (next_fetch_ms, depth) wins — the same
-    deterministic rule the oracle's pending-merge applies; scores SUM."""
-    if group.num_rows == 1:
-        return group
-    total = pc.sum(group["score"]).as_py() or 0.0
-    order = pc.sort_indices(
-        group,
-        sort_keys=[("next_fetch_ms", "ascending"), ("depth", "ascending")],
-    )
-    out = group.take(order[:1])
-    return out.set_column(
-        out.column_names.index("score"), "score", pa.array([float(total)], pa.float64())
-    )
+#: candidate-merge exchange width (distributed plane): hash partitions so
+#: the per-PARTITION vectorized kernel replaces per-hash map_groups Python
+#: (the dedup family's partition-kernel pattern); per-hash merge within a
+#: hash-determined partition ≡ the global per-hash merge
+_CAND_PARTS = 64
+
+
+def _add_cand_part(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return batch.append_column("part", pa.array([], pa.int32()))
+    hashes = batch["url_hash"].combine_chunks()
+    halves = _hex128(hashes)
+    if halves is not None:
+        part = (halves[0] % np.uint64(_CAND_PARTS)).astype(np.int32)
+    else:  # non-canonical width: scalar fallback on the hash prefix
+        part = np.array(
+            [int(h[:8], 16) % _CAND_PARTS for h in hashes.to_pylist()],
+            dtype=np.int32,
+        )
+    return batch.append_column("part", pa.array(part, pa.int32()))
+
+
+def _merge_cand_partition(group: pa.Table) -> pa.Table:
+    """Per-partition candidate merge: one vectorized run-boundary pass over
+    the whole partition (the same kernel the driver plane runs), replacing
+    thousands of per-hash ``map_groups`` invocations."""
+    return _merge_candidates_on_driver(group.drop_columns(["part"]))
 
 
 def _new_ledger_rows(batch: pa.Table, rnd: int) -> pa.Table:
@@ -1125,8 +1139,9 @@ class CrawlPipeline:
                 fresh = (
                     rd.read_parquet(rdir, columns=["cand"])
                     .map_batches(_flatten_cand, batch_format="pyarrow")
-                    .groupby("url_hash")
-                    .map_groups(_min_depth_group, batch_format="pyarrow")
+                    .map_batches(_add_cand_part, batch_format="pyarrow")
+                    .groupby("part")
+                    .map_groups(_merge_cand_partition, batch_format="pyarrow")
                     .map_batches(
                         make_seen_filter(self.seen.shards), batch_format="pyarrow"
                     )
