@@ -282,34 +282,45 @@ def _cand_list_column(batch: pa.Table, max_depth: int) -> pa.ListArray:
     the merge read alike.
     """
     n = batch.num_rows
-    urls = batch["url"].to_pylist()
-    redirects = batch["redirect"].to_pylist()
-    links = batch["out_links"].to_pylist()
     depth = batch["depth"].to_numpy(zero_copy_only=False)
     clock = batch["fetch_clock_ms"].to_numpy(zero_copy_only=False)
-    raw: list[str] = []
-    bases: list[str | None] = []
-    parent: list[int] = []
-    for i in range(n):
-        if depth[i] + 1 > max_depth:
-            continue
-        if redirects[i]:
-            raw.append(redirects[i])
-            bases.append(None)
-            parent.append(i)
-        ls = links[i]
-        if ls:
-            u = urls[i]
-            for l in ls:
-                raw.append(l)
-                bases.append(u)
-                parent.append(i)
+    depth_ok = depth + 1 <= max_depth
+    # redirect occurrences (J4): rows with a non-empty redirect, absolute
+    # targets (base=None)
+    red_col = batch["redirect"]
+    ne = pc.not_equal(red_col, "")
+    if isinstance(ne, pa.ChunkedArray):
+        ne = ne.combine_chunks()
+    red_idx = np.flatnonzero(
+        ne.to_numpy(zero_copy_only=False) & depth_ok
+    ).astype(np.int64)
+    # out-link occurrences (M13), flattened via Arrow list offsets — no
+    # per-link Python append loop; parent row index via np.repeat
+    ol = batch["out_links"]
+    if isinstance(ol, pa.ChunkedArray):
+        ol = ol.combine_chunks()
+    raw_counts = (
+        pc.fill_null(pc.list_value_length(ol), 0)
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    link_counts = np.where(depth_ok, raw_counts, 0)
+    link_parent = np.repeat(np.arange(n, dtype=np.int64), link_counts)
+    # drop over-depth rows' links BEFORE materializing the strings
+    flat_all = ol.flatten()
+    if not depth_ok.all():
+        flat_all = flat_all.filter(pa.array(np.repeat(depth_ok, raw_counts)))
+    raw = red_col.take(pa.array(red_idx, pa.int64())).to_pylist() + flat_all.to_pylist()
+    bases = [None] * red_idx.size + batch["url"].take(
+        pa.array(link_parent, pa.int64())
+    ).to_pylist()
+    parent_np = np.concatenate([red_idx, link_parent])
     values = pa.array([], type=_cand_struct_type())
     k = 0
     if raw:
         c = canon_batch(raw, bases)
         valid = c["valid"]
-        pidx = np.asarray(parent, dtype=np.int64)[valid]
+        pidx = parent_np[valid]
         if len(pidx):
             d_occ = depth[pidx].astype(np.int32) + 1
             t_occ = clock[pidx].astype(np.int64)
