@@ -585,6 +585,49 @@ def _new_ledger_rows(batch: pa.Table, rnd: int) -> pa.Table:
     )
 
 
+def _host_count_pairs(tbl: pa.Table) -> list[tuple[str, int]]:
+    """(host, row_count) pairs of a ledger-shaped table (driver-local)."""
+    counts = tbl.select(["host"]).group_by("host").aggregate([([], "count_all")])
+    return list(
+        zip(
+            counts["host"].to_pylist(),
+            (int(c) for c in counts["count_all"].to_pylist()),
+        )
+    )
+
+
+def _host_counts_distributed(ds: rd.Dataset) -> list[tuple[str, int]]:
+    """(host, row_count) pairs of a Dataset via per-block partial
+    aggregates: each block reduces to its own (host, n) table before the
+    driver pull, so driver traffic is O(#hosts per block), never the
+    Dataset's row count — the expansion wave itself stays distributed."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.select(["host"]).group_by("host").aggregate([([], "count_all")])
+        return agg.rename_columns(["host", "n"])
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return []
+    merged = (
+        pa.concat_tables(parts).group_by("host").aggregate([("n", "sum")])
+    )
+    return list(
+        zip(
+            merged["host"].to_pylist(),
+            (int(c) for c in merged["n_sum"].to_pylist()),
+        )
+    )
+
+
 def _due_filter_table(
     frontier: pa.Table, due_hosts: dict, removed: set, refetch: bool
 ) -> pa.Table:
@@ -1133,6 +1176,8 @@ class CrawlPipeline:
         # Rows without links carry empty lists, which the flatten drops, so
         # no filter pushdown is needed.
         new_tbl = None
+        pairs: list[tuple[str, int]] = []
+        n_new = 0
         has_links = pc.any(meta["has_link"]).as_py()
         if has_links:
             rnd = self.round + 1
@@ -1146,7 +1191,14 @@ class CrawlPipeline:
                     merged = merged.filter(pa.array(keep))
                     if merged.num_rows:
                         new_tbl = _new_ledger_rows(merged, rnd)
+                if new_tbl is not None:
+                    pairs = _host_count_pairs(new_tbl)
+                    n_new = new_tbl.num_rows
             else:
+                # the expansion wave NEVER lands on the driver: it stays a
+                # Dataset end-to-end (at 10^10-frontier scale a round's wave
+                # is itself billions of rows); the driver receives only the
+                # per-host counts, reduced per block before the pull
                 fresh = (
                     rd.read_parquet(rdir, columns=["cand"])
                     .map_batches(_flatten_cand, batch_format="pyarrow")
@@ -1159,26 +1211,22 @@ class CrawlPipeline:
                     .map_batches(
                         lambda b, r=rnd: _new_ledger_rows(b, r), batch_format="pyarrow"
                     )
+                    .materialize()
                 )
-                new_tbl = _ds_to_table(fresh)
-            if new_tbl is not None:
-                counts = new_tbl.select(["host"]).group_by("host").aggregate([([], "count_all")])
-                pairs = list(
-                    zip(
-                        counts["host"].to_pylist(),
-                        (int(c) for c in counts["count_all"].to_pylist()),
-                    )
-                )
+                n_new = fresh.count()  # block metadata only
+                if n_new:
+                    pairs = _host_counts_distributed(fresh)
+                    self.frontier = self.frontier.union(fresh)
+            if pairs:
                 self.hosts.ensure_hosts(
                     [(h, self.cfg.default_rate_ms) for h, _n in pairs]
                 )
                 self.hosts.add_eligible(pairs)
-                if isinstance(self.frontier, pa.Table):
+                if new_tbl is not None:
+                    # driver plane: append to the driver-resident table
                     self.frontier = pa.concat_tables(
                         [self.frontier, new_tbl], promote_options="default"
                     )
-                else:
-                    self.frontier = self.frontier.union(_from_arrow_local(new_tbl))
 
         # per-round lineage/metrics row (A5; ≙ thread liveness counters —
         # here: what a monitoring plane would scrape per round)
@@ -1189,7 +1237,7 @@ class CrawlPipeline:
             {
                 "round": self.round,
                 "fetches": n_fetched,
-                "new_urls": 0 if new_tbl is None else new_tbl.num_rows,
+                "new_urls": n_new,
                 "states": dict(state_counts),
                 "hosts_touched": agg.num_rows,
                 "plane": "driver" if driver_plane else "distributed",

@@ -68,14 +68,25 @@ def _add_old(batch: pa.Table) -> pa.Table:
 
 
 def _segments(batch: pa.Table):
-    """Yield (host, start, end) contiguous host segments of a sorted batch."""
-    hosts = batch["host"].to_pylist()
-    n = len(hosts)
-    start = 0
-    for i in range(1, n + 1):
-        if i == n or hosts[i] != hosts[start]:
-            yield hosts[start], start, i
-            start = i
+    """Yield (host, start, end) contiguous host segments of a sorted batch.
+
+    Boundary detection is one vectorized shifted-compare over the host
+    column (the driver-plane scheduler's run-boundary kernel) — per-ROW
+    Python would make these metadata passes the bottleneck at hub scale;
+    the remaining loop is per SEGMENT."""
+    n = batch.num_rows
+    if n == 0:
+        return
+    host_arr = batch["host"].combine_chunks()
+    bounds = np.ones(n, dtype=bool)
+    if n > 1:
+        bounds[1:] = pc.not_equal(
+            host_arr.slice(1), host_arr.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(bounds)
+    ends = np.append(starts[1:], n)
+    hosts = host_arr.take(pa.array(starts, pa.int64())).to_pylist()
+    yield from zip(hosts, starts, ends)
 
 
 def _make_meta_pass(rate_ref):
