@@ -43,3 +43,55 @@ def from_arrow_local(tables) -> rd.Dataset:
         return MaterializedDataset(execution_plan, logical_plan)
     except (ImportError, AttributeError, TypeError):
         return rd.from_arrow(tables)
+
+
+def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """Rebuild a MATERIALIZED Dataset without its zero-row blocks.
+
+    Ray's sort-based ``groupby().map_groups`` emits one block per range
+    partition; partitions with no rows become zero-row blocks that carry an
+    EMPTY schema (``map_batches`` UDFs are never invoked on them, so no
+    downstream stage can repair them).  Left in place they pollute every
+    later ``union`` with "operator produced a RefBundle with a different
+    schema" behavior.  Block metadata (num_rows) is already driver-local on
+    a materialized dataset, so the filter is pure bookkeeping: keep the
+    non-empty block refs and re-wrap them — no data moves, no tasks launch.
+
+    Falls back to returning ``ds`` unchanged if Ray's internal constructor
+    surface shifts.
+    """
+    try:
+        from ray.data._internal.logical.interfaces import LogicalPlan
+        from ray.data._internal.logical.operators.from_operators import FromArrow
+        from ray.data._internal.plan import ExecutionPlan
+        from ray.data._internal.stats import DatasetStats
+        from ray.data.block import BlockMetadataWithSchema
+        from ray.data.context import DataContext
+        from ray.data.dataset import MaterializedDataset
+        from ray.data.dataset import Schema as _DSchema
+
+        refs, mds = [], []
+        saw_empty = False
+        for bundle in ds.iter_internal_ref_bundles():
+            schema = bundle.schema
+            if isinstance(schema, _DSchema):
+                schema = schema.base_schema
+            for ref, md in bundle.blocks:
+                if md.num_rows:
+                    refs.append(ref)
+                    mds.append(BlockMetadataWithSchema(md, schema))
+                else:
+                    saw_empty = True
+        if not saw_empty:
+            return ds
+        if not refs:
+            # every block empty: keep one so the schema survives
+            return ds.limit(0).materialize()
+        execution_plan = ExecutionPlan(
+            DatasetStats(metadata={"FromArrow": mds}, parent=None),
+            DataContext.get_current().copy(),
+        )
+        logical_plan = LogicalPlan(FromArrow(refs, mds), execution_plan._context)
+        return MaterializedDataset(execution_plan, logical_plan)
+    except (ImportError, AttributeError, TypeError):
+        return ds

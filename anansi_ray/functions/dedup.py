@@ -42,6 +42,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from anansi_ray.arrowds import drop_empty_blocks as _drop_empty_blocks
+
 _TOKEN = re.compile(r"\w+", re.UNICODE)
 
 # MinHash parameters: 128 permutations = 32 bands × 4 rows
@@ -607,7 +609,9 @@ def connected_components_distributed(
         src = pa.concat_arrays([a, b])
         return pa.table({"src": src, "dst": pa.concat_arrays([b, a])})
 
-    edges = pairs.map_batches(sym_edges, batch_format="pyarrow").materialize()
+    edges = _drop_empty_blocks(
+        pairs.map_batches(sym_edges, batch_format="pyarrow").materialize()
+    )
     n_edges = edges.count()
     have_edges = n_edges > 0
     if n_parts is None:
@@ -737,7 +741,7 @@ def connected_components_distributed(
                 .groupby("part")
                 .map_groups(stamp_part, batch_format="pyarrow")
             )
-            labels = (
+            labels = _drop_empty_blocks(
                 msgs.groupby("pp")
                 .map_groups(min_part, batch_format="pyarrow")
                 .materialize()

@@ -69,6 +69,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from anansi_ray.arrowds import drop_empty_blocks as _drop_empty_blocks
 from anansi_ray.arrowds import from_arrow_local as _from_arrow_local
 from anansi_ray.canon import canon_batch, canonicalize, cache_key, root_of
 from anansi_ray.model import CrawlConfig
@@ -1213,6 +1214,11 @@ class CrawlPipeline:
                     )
                     .materialize()
                 )
+                # the groupby's range partitioner emits zero-row blocks with
+                # an EMPTY schema for keyless partitions; strip them here
+                # (driver-local metadata filter) so they never reach the
+                # frontier union
+                fresh = _drop_empty_blocks(fresh)
                 n_new = fresh.count()  # block metadata only
                 if n_new:
                     pairs = _host_counts_distributed(fresh)
@@ -1259,7 +1265,7 @@ class CrawlPipeline:
             # per-round materialize is one linear pass over frontier-size
             # blocks (the due filter already pays that) and keeps the DAG
             # a single source
-            self.frontier = self.frontier.materialize()
+            self.frontier = _drop_empty_blocks(self.frontier.materialize())
         if (
             self.compact_every and self.round % self.compact_every == 0
         ) or self.removed_count > self.removed_cap:
@@ -1277,11 +1283,13 @@ class CrawlPipeline:
             self.removed_count = 0
             return
         if not self.removed_count or self.fetched is None:
-            self.frontier = self.frontier.materialize()
+            self.frontier = _drop_empty_blocks(self.frontier.materialize())
             return
-        self.frontier = self.frontier.map_batches(
-            _make_drop_fetched(self.fetched.shards), batch_format="pyarrow"
-        ).materialize()
+        self.frontier = _drop_empty_blocks(
+            self.frontier.map_batches(
+                _make_drop_fetched(self.fetched.shards), batch_format="pyarrow"
+            ).materialize()
+        )
         self.fetched.clear()
         self.removed_count = 0
 
