@@ -1404,8 +1404,21 @@ class CrawlPipeline:
         ckdir = os.path.join(self.cfg.checkpoint_dir, f"round={self.round}")
         tmp = ckdir + ".tmp"
         os.makedirs(tmp, exist_ok=True)
-        frontier_tbl = self._frontier_table()
-        pq.write_table(frontier_tbl, os.path.join(tmp, "frontier.parquet"))
+        if isinstance(self.frontier, pa.Table):
+            frontier_rows = self.frontier.num_rows
+            pq.write_table(self.frontier, os.path.join(tmp, "frontier.parquet"))
+        else:
+            # distributed plane: the frontier NEVER lands on the driver —
+            # workers write it as a partitioned parquet directory (the
+            # lazy-removal state travels separately as the fetched-shard
+            # dumps, so the raw Dataset is the exact complement)
+            frontier_rows = self.frontier.count()  # block metadata only
+            if frontier_rows:
+                self.frontier.write_parquet(os.path.join(tmp, "frontier"))
+            else:
+                pq.write_table(
+                    _empty_ledger_table(), os.path.join(tmp, "frontier.parquet")
+                )
         for i, blob in enumerate(self.seen.dump()):
             with open(os.path.join(tmp, f"seen_{i}.bin"), "wb") as f:
                 f.write(blob)
@@ -1418,7 +1431,7 @@ class CrawlPipeline:
         # once written, re-run rounds overwrite their whole dir)
         manifest = {
             "round": self.round,
-            "frontier_rows": frontier_tbl.num_rows,
+            "frontier_rows": frontier_rows,
             "host_state": self.hosts.snapshot(),
             "removed_count": self.removed_count,
             "fetched_shards": (
@@ -1456,13 +1469,23 @@ class CrawlPipeline:
         else:
             self.fetched = None
             self.removed_count = 0
-        frontier_tbl = pq.read_table(os.path.join(ckdir, "frontier.parquet"))
         # resume on the plane the size dictates: driver table below the
-        # threshold, Dataset above
-        if frontier_tbl.num_rows <= self.driver_plane_threshold:
-            self.frontier = frontier_tbl
+        # threshold, Dataset above.  A directory checkpoint (written by the
+        # distributed plane) is read back distributedly — the frontier
+        # never transits the driver in either direction.
+        fdir = os.path.join(ckdir, "frontier")
+        if os.path.isdir(fdir):
+            ds = _drop_empty_blocks(rd.read_parquet(fdir).materialize())
+            if ds.count() <= self.driver_plane_threshold:
+                self.frontier = _ds_to_table(ds) or _empty_ledger_table()
+            else:
+                self.frontier = ds
         else:
-            self.frontier = _from_arrow_local(frontier_tbl).materialize()
+            frontier_tbl = pq.read_table(os.path.join(ckdir, "frontier.parquet"))
+            if frontier_tbl.num_rows <= self.driver_plane_threshold:
+                self.frontier = frontier_tbl
+            else:
+                self.frontier = _from_arrow_local(frontier_tbl).materialize()
         self.spool_dir = manifest["spool_dir"]
         self.spooled_rounds = list(manifest["spooled_rounds"])
         blobs = []

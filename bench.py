@@ -67,6 +67,22 @@ CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 h
 STAGE_SCALE = os.environ.get("GRAFT_STAGE_SCALE", "bench")   # 200k URLs / 500 hosts
 
 
+def _host_health_sec() -> float:
+    """Memory-bandwidth microbench: one 616 MB numpy add.
+
+    ~0.3 s on a healthy host; observed 6-42 s during this VM's CPU-steal
+    windows (every wall-clock in the same window inflates 2-10x).  Reported
+    alongside the timings so a reader can tell a code regression from a
+    degraded-host measurement window."""
+    import numpy as np
+
+    a = np.ones(77_000_000)
+    b = np.ones(77_000_000)
+    t0 = time.perf_counter()
+    _ = a + b
+    return round(time.perf_counter() - t0, 2)
+
+
 def _init_ray(num_cpus: int):
     import ray
 
@@ -233,6 +249,7 @@ def run_full() -> dict:
         "unit": "sec",
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "host_memband_sec": _host_health_sec(),
     }
     t_total = time.time()
     out["crawl"] = bench_crawl(CRAWL_SCALE)
@@ -256,6 +273,7 @@ def run_stage_only(num_cpus: int) -> dict:
     _init_ray(num_cpus)
     out = bench_stage(STAGE_SCALE)
     out["num_cpus"] = num_cpus
+    out["host_memband_sec"] = _host_health_sec()
     return out
 
 
@@ -301,7 +319,11 @@ def run_scaling() -> dict:
         "urls_per_sec": {str(n): best[n] for n in SCALING_LEVELS},
         "raw": {
             str(n): [
-                {"urls_per_sec": r["urls_per_sec"], "wall_sec": r["wall_sec"]}
+                {
+                    "urls_per_sec": r["urls_per_sec"],
+                    "wall_sec": r["wall_sec"],
+                    "host_memband_sec": r.get("host_memband_sec"),
+                }
                 for r in raw[n]
             ]
             for n in SCALING_LEVELS

@@ -56,6 +56,48 @@ def test_resume_matches_uninterrupted(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_resume_distributed_plane(tmp_path):
+    """Same kill/restore contract with the frontier forced onto the
+    distributed plane: the checkpoint writes the frontier as a partitioned
+    parquet DIRECTORY straight from the workers (never via the driver), and
+    restore reads it back distributedly.  Result must still be order-exact."""
+    import os
+
+    from anansi_ray.pipelines.crawl import CrawlPipeline
+
+    tiny = fixtures.generate("tiny", seed=42)
+    ckdir = str(tmp_path / "ckpt")
+    cfg = CrawlConfig(checkpoint_dir=ckdir)
+
+    oracle = reference_crawl(tiny, cfg, budget=None)
+
+    p1 = CrawlPipeline(
+        tiny, cfg, budget=None, checkpoint_every=5, driver_plane_threshold=0
+    )
+    for _ in range(12):
+        if p1.run_round() == 0:
+            break
+    del p1
+
+    latest = CrawlPipeline.latest_checkpoint(ckdir)
+    assert latest is not None and latest.endswith("round=10")
+    # the distributed plane checkpointed a directory, not a driver table
+    assert os.path.isdir(os.path.join(latest, "frontier"))
+    assert not os.path.exists(os.path.join(latest, "frontier.parquet"))
+
+    p2 = CrawlPipeline(tiny, cfg, budget=None, driver_plane_threshold=0)
+    p2.restore(latest)
+    assert p2.round == 10
+    res = p2.run()
+
+    exp = oracle["expected_crawl"]
+    got = res["expected_crawl"]
+    assert got.num_rows == exp.num_rows
+    for col in ("seq", "fetch_clock_ms", "url_hash", "state", "status"):
+        assert got[col].to_pylist() == exp[col].to_pylist(), col
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_stale_spool_round_overwritten(tmp_path):
     """Per-partition lineage: a round dir left by a killed writer (no
     _MANIFEST, junk content) is wholly overwritten when the round re-runs —
