@@ -713,6 +713,96 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_events_asof_orders(sf_dir: str):
+    """Distributed as-of join (functions/asof.py): for every event, the
+    user's most recent order at or before the event time — one
+    co-partitioning exchange, vectorized in-partition sort + forward-fill
+    kernel, then per-user aggregation finished BLOCK-LOCALLY (output blocks
+    stay partitioned by user hash, so no second shuffle).
+
+    Tie-break pinned on both sides: among orders sharing
+    (o_custkey, o_orderdate) the max o_orderkey wins — the SQL twin
+    deduplicates with a row_number() window so DuckDB's otherwise
+    arbitrary ASOF tie choice becomes deterministic."""
+    from anansi_ray.functions.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    od = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+    )
+    joined = asof_join(
+        ev,
+        od,
+        key="user_id",
+        build_key="o_custkey",
+        probe_on="ts",
+        build_on="o_orderdate",
+        probe_carry=["event_id"],
+        build_payload=["o_orderkey", "o_totalprice"],
+        build_tiebreak="o_orderkey",
+    )
+
+    def per_user(batch: pa.Table) -> pa.Table:
+        # whole block = one hash partition: every user's rows are local
+        m = pc.cast(batch["matched"], pa.int64())
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        chk = pa.array(ok * (eid % 1000 + 1), pa.int64())
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "m": m,
+                "price": batch["o_totalprice"],
+                "chk": chk,
+            }
+        )
+        agg = t.group_by("user_id").aggregate(
+            [("one", "sum"), ("m", "sum"), ("price", "sum"), ("chk", "sum")]
+        )
+        return agg.rename_columns(
+            ["user_id", "n_events", "n_matched", "sum_price", "chk"]
+        )
+
+    import ray as _ray
+
+    parts = [
+        t
+        for t in _ray.get(
+            joined.map_batches(
+                per_user, batch_format="pyarrow", batch_size=None
+            )
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    out = pa.concat_tables(parts).to_pandas()
+    out["sum_price"] = out["sum_price"].round(2)
+    return pa.Table.from_pandas(out.sort_values("user_id"), preserve_index=False)
+
+
+SQL_EVENTS_ASOF_ORDERS = """
+WITH dedup AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
+         ) AS rn
+  FROM orders
+), j AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+  FROM events e ASOF LEFT JOIN (SELECT * FROM dedup WHERE rn = 1) o
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       count(o_orderkey)::BIGINT AS n_matched,
+       round(coalesce(sum(o_totalprice), 0), 2) AS sum_price,
+       coalesce(sum(o_orderkey * (event_id % 1000 + 1)), 0)::BIGINT AS chk
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_order_lineitem_join(sf_dir: str):
     """Co-partitioned large-large hash join: both sides bucketed on the join
     key (hash % B), per-bucket pandas merge inside map_groups, partial
@@ -1288,6 +1378,7 @@ QUERIES = {
     "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "order_lineitem_join": (q_order_lineitem_join, SQL_ORDER_LINEITEM_JOIN),
     "events_props": (q_events_props, SQL_EVENTS_PROPS),
+    "events_asof_orders": (q_events_asof_orders, SQL_EVENTS_ASOF_ORDERS),
     "orders_topk": (q_orders_topk, SQL_ORDERS_TOPK),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "crawl_order": (q_crawl_order, SQL_CRAWL_ORDER),

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "events_sliding",
     "events_sessions",
     "events_props",
+    "events_asof_orders",
     "lineitem_agg",
     "segment_revenue",
     "order_lineitem_join",
