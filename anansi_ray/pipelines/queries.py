@@ -803,6 +803,87 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+_STRAT_K = 25
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling (training-data curation): the
+    first ``_STRAT_K`` documents per language, ranked by a portable,
+    content-independent hash (md5 of the doc id) so re-running the sample
+    over a changed corpus keeps every surviving doc's rank stable and the
+    SQL twin agrees bit-for-bit.
+
+    Scale shape: per-batch partial top-k per stratum — each batch forwards
+    at most strata x k rows (one vectorized lexsort + run-boundary slice,
+    no per-group Python) — then one tiny driver-side merge of the
+    partials.  The corpus itself never shuffles and never leaves the
+    workers."""
+    import hashlib
+
+    def _topk(
+        langs: np.ndarray, ranks: np.ndarray, ids: np.ndarray, with_rank: bool
+    ) -> pa.Table:
+        order = np.lexsort((ids, ranks, langs))
+        ls = langs[order]
+        change = np.empty(len(ls), dtype=bool)
+        if len(ls):
+            change[0] = True
+            np.not_equal(ls[1:], ls[:-1], out=change[1:])
+        idxs = np.arange(len(ls))
+        pos = idxs - idxs[change][np.cumsum(change) - 1]
+        keep = pos < _STRAT_K
+        sel = order[keep]
+        cols = {
+            "lang": pa.array(ls[keep], pa.string()),
+            "doc_id": pa.array(ids[sel], pa.int64()),
+        }
+        if with_rank:
+            cols["rank"] = pa.array(pos[keep] + 1, pa.int64())
+        else:
+            cols["rank_hash"] = pa.array(ranks[sel], pa.string())
+        return pa.table(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        ranks = np.asarray(
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids], dtype=object
+        )
+        return _topk(langs, ranks, ids, with_rank=False)
+
+    import ray as _ray
+
+    parts = [
+        t
+        for t in _ray.get(
+            _read(sf_dir, "documents", ["doc_id", "lang"])
+            .map_batches(partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    merged = pa.concat_tables(parts)
+    out = _topk(
+        np.asarray(merged["lang"].to_pylist(), dtype=object),
+        np.asarray(merged["rank_hash"].to_pylist(), dtype=object),
+        merged["doc_id"].to_numpy(zero_copy_only=False),
+        with_rank=True,
+    )
+    return out
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT lang, doc_id, rank FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id
+         )::BIGINT AS rank
+  FROM documents)
+WHERE rank <= {_STRAT_K} ORDER BY lang, rank
+"""
+
+
 def q_order_lineitem_join(sf_dir: str):
     """Co-partitioned large-large hash join: both sides bucketed on the join
     key (hash % B), per-bucket pandas merge inside map_groups, partial
@@ -1379,6 +1460,7 @@ QUERIES = {
     "order_lineitem_join": (q_order_lineitem_join, SQL_ORDER_LINEITEM_JOIN),
     "events_props": (q_events_props, SQL_EVENTS_PROPS),
     "events_asof_orders": (q_events_asof_orders, SQL_EVENTS_ASOF_ORDERS),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "orders_topk": (q_orders_topk, SQL_ORDERS_TOPK),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "crawl_order": (q_crawl_order, SQL_CRAWL_ORDER),

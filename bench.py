@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "events_sessions",
     "events_props",
     "events_asof_orders",
+    "stratified_sample",
     "lineitem_agg",
     "segment_revenue",
     "order_lineitem_join",
