@@ -217,3 +217,36 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "fp_winnow": pa.array(winnows, pa.string()),
         }
     )
+
+
+def token_df_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial document-frequency combiner.
+
+    Tokenizes with the same ``\\w+`` word model the SimHash oracle uses
+    (split on ``\\W+``, drop empties — identical token SET to a ``\\w+``
+    findall), dedupes (doc, token) pairs, and emits one ``(token, df)``
+    row per distinct token in the batch.  Feeding these partials into
+    ``groupby("token").sum`` gives corpus DF with the combiner BEFORE the
+    exchange: the shuffle moves at most |batch vocabulary| rows per batch,
+    never the corpus's token stream."""
+    import pandas as pd
+
+    col = pc.fill_null(batch[text_col], "")
+    toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\W+")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    s = flat.to_pandas()
+    mask = s.str.len() > 0
+    df = (
+        pd.DataFrame({"d": doc_idx[mask.to_numpy()], "t": s[mask]})
+        .drop_duplicates()
+        .groupby("t", sort=False)
+        .size()
+    )
+    return pa.table(
+        {
+            "token": pa.array(df.index.to_numpy(dtype=object), pa.string()),
+            "df": pa.array(df.to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )

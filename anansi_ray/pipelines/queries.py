@@ -803,6 +803,38 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+def q_token_df(sf_dir: str):
+    """Corpus-level document frequency (the IDF building block): token
+    explode → per-batch (doc, token) dedup + partial counts (combiner
+    BEFORE the exchange — the shuffle carries per-batch vocabularies, not
+    the token stream) → groupby(token).sum → top-500 by (df desc, token).
+    Integer-exact, so the SQL twin matches bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(ftext.token_df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .sort(["df", "token"], descending=[True, False])
+        .limit(500)
+        .to_pandas()
+    )
+    out["df"] = out["df"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_TOKEN_DF = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS token
+  FROM documents)
+SELECT token, count(*)::BIGINT AS df
+FROM tok GROUP BY 1
+ORDER BY df DESC, token LIMIT 500
+"""
+
+
 _STRAT_K = 25
 
 
@@ -1461,6 +1493,7 @@ QUERIES = {
     "events_props": (q_events_props, SQL_EVENTS_PROPS),
     "events_asof_orders": (q_events_asof_orders, SQL_EVENTS_ASOF_ORDERS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "token_df": (q_token_df, SQL_TOKEN_DF),
     "orders_topk": (q_orders_topk, SQL_ORDERS_TOPK),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "crawl_order": (q_crawl_order, SQL_CRAWL_ORDER),

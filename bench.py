@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "events_props",
     "events_asof_orders",
     "stratified_sample",
+    "token_df",
     "lineitem_agg",
     "segment_revenue",
     "order_lineitem_join",
