@@ -835,6 +835,45 @@ ORDER BY df DESC, token LIMIT 500
 """
 
 
+def q_orders_events_window(sf_dir: str):
+    """Distributed interval (range) join (functions/interval.py): for each
+    order, the user's events in the 7 days from the order date — one
+    co-partitioning exchange, then a rank-pack + prefix-sum kernel that
+    computes per-interval count/sum WITHOUT materializing the joined pairs
+    (constant cost per row regardless of fan-out — the interval-join
+    blow-up never exists)."""
+    from anansi_ray.functions.interval import interval_join_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+    out_ds = interval_join_agg(
+        ev,
+        od,
+        key="user_id",
+        point_t="ts",
+        point_val="value",
+        interval_key="o_custkey",
+        interval_lo="o_orderdate",
+        interval_len_us=7 * 86400 * 1_000_000,
+        interval_carry=["o_orderkey"],
+    )
+    out = out_ds.drop_columns(["part"]).to_pandas()
+    out["sum_val"] = out["sum_val"].round(2)
+    return pa.Table.from_pandas(out.sort_values("o_orderkey"), preserve_index=False)
+
+
+SQL_ORDERS_EVENTS_WINDOW = """
+SELECT o.o_custkey AS user_id, o.o_orderkey,
+       count(e.ts)::BIGINT AS n_points,
+       round(coalesce(sum(e.value), 0), 2) AS sum_val
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY 1, 2 ORDER BY o_orderkey
+"""
+
+
 _STRAT_K = 25
 
 
@@ -1494,6 +1533,7 @@ QUERIES = {
     "events_asof_orders": (q_events_asof_orders, SQL_EVENTS_ASOF_ORDERS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "token_df": (q_token_df, SQL_TOKEN_DF),
+    "orders_events_window": (q_orders_events_window, SQL_ORDERS_EVENTS_WINDOW),
     "orders_topk": (q_orders_topk, SQL_ORDERS_TOPK),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "crawl_order": (q_crawl_order, SQL_CRAWL_ORDER),

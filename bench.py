@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "events_asof_orders",
     "stratified_sample",
     "token_df",
+    "orders_events_window",
     "lineitem_agg",
     "segment_revenue",
     "order_lineitem_join",
