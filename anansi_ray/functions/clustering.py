@@ -1,0 +1,172 @@
+"""Distributed k-means over an embedding column.
+
+The canonical iterative-algorithm shape on Ray Data: centroids are tiny
+shared state broadcast once per iteration (``ray.put``); each batch
+reduces itself to a ``k x (dim + 1)`` partial (per-centroid coordinate
+sums + counts) BEFORE anything reaches the driver, so per-iteration
+driver traffic is O(k * dim * n_blocks) regardless of corpus size; the
+corpus itself is materialized once and never shuffles.
+
+Determinism contract (what makes a full value oracle possible — the
+single-threaded ``kmeans_local`` twin must reproduce the distributed
+assignment bit-for-bit):
+
+* init: centroids = the embeddings of the k smallest ids.
+* distance: the broadcast-subtract form ``((x - c)**2).sum(-1)`` — the
+  per-row reduction tree depends only on ``dim``, so a row's distances
+  are identical whatever batch it lands in (a BLAS matmul would NOT
+  guarantee this: its blocking changes with matrix shape).
+* assignment: ``argmin`` (ties -> lowest centroid index).
+* update: mean in float64, then ROUND to ``KM_ROUND`` decimals before
+  the next iteration.  Partial sums are associative only up to float
+  error (~1e-12 relative); the rounding grid (1e-6) absorbs that drift
+  so both twins enter every iteration with identical centroids.
+* empty cluster: keeps its previous (rounded) centroid.
+* fixed iteration count (no float-compared convergence test).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+KM_K = 8
+KM_ITERS = 5
+KM_ROUND = 6
+
+
+def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    col = batch[emb_col].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(batch.num_rows, -1)
+
+
+def _assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    return d.argmin(axis=1)
+
+
+def _update(
+    sums: np.ndarray, counts: np.ndarray, prev: np.ndarray
+) -> np.ndarray:
+    C = prev.copy()
+    nz = counts > 0
+    C[nz] = sums[nz] / counts[nz, None]
+    return np.round(C, KM_ROUND)
+
+
+def _init_centroids(ids: np.ndarray, X: np.ndarray, k: int) -> np.ndarray:
+    order = np.argsort(ids, kind="stable")[:k]
+    return np.round(X[order], KM_ROUND)
+
+
+def kmeans_local(
+    tbl: pa.Table, id_col: str = "vec_id", emb_col: str = "embedding",
+    k: int = KM_K, iters: int = KM_ITERS,
+) -> pa.Table:
+    """Single-threaded numpy twin (the oracle side): same per-record math,
+    fully sequential orchestration."""
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    X = _emb_matrix(tbl, emb_col)
+    C = _init_centroids(ids, X, k)
+    for _ in range(iters):
+        a = _assign(X, C)
+        sums = np.zeros((k, X.shape[1]))
+        np.add.at(sums, a, X)
+        counts = np.bincount(a, minlength=k).astype(np.float64)
+        C = _update(sums, counts, C)
+    a = _assign(X, C)
+    return pa.table(
+        {id_col: pa.array(ids, pa.int64()), "cluster": pa.array(a, pa.int64())}
+    )
+
+
+def kmeans_distributed(
+    ds: rd.Dataset, id_col: str = "vec_id", emb_col: str = "embedding",
+    k: int = KM_K, iters: int = KM_ITERS,
+) -> pa.Table:
+    """Ray path: per-batch partial (sums, counts) combiner each iteration;
+    the driver only ever sees k x (dim+1) partials per block."""
+    ds = ds.materialize()
+
+    # deterministic init: k smallest ids — per-block partial min-k, then a
+    # tiny driver merge (no sort/shuffle of the corpus)
+    def init_partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        X = _emb_matrix(batch, emb_col)
+        order = np.argsort(ids, kind="stable")[:k]
+        return pa.table(
+            {
+                "id": pa.array(ids[order], pa.int64()),
+                "emb": pa.array(list(X[order]), pa.list_(pa.float64())),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(init_partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    seed = pa.concat_tables(parts)
+    sids = seed["id"].to_numpy(zero_copy_only=False)
+    semb = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in seed["emb"].to_pylist()]
+    )
+    C = _init_centroids(sids, semb, k)
+
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            Cc = ray.get(cref)
+            X = _emb_matrix(batch, emb_col)
+            a = _assign(X, Cc)
+            sums = np.zeros((k, X.shape[1]))
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=k).astype(np.float64)
+            return pa.table(
+                {
+                    "c": pa.array(np.arange(k), pa.int64()),
+                    "n": pa.array(counts, pa.float64()),
+                    "s": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        ptabs = [
+            t
+            for t in ray.get(
+                ds.map_batches(partial, batch_format="pyarrow")
+                .materialize()
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        sums = np.zeros((k, C.shape[1]))
+        counts = np.zeros(k)
+        for t in ptabs:
+            counts += t["n"].to_numpy(zero_copy_only=False)
+            sums += np.stack(
+                [np.asarray(e, dtype=np.float64) for e in t["s"].to_pylist()]
+            )
+        C = _update(sums, counts, C)
+
+    cref = ray.put(C)
+
+    def assign_final(batch: pa.Table) -> pa.Table:
+        Cc = ray.get(cref)
+        X = _emb_matrix(batch, emb_col)
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+                "cluster": pa.array(_assign(X, Cc), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(assign_final, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(out.sort_values(id_col), preserve_index=False)

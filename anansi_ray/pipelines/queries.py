@@ -874,6 +874,16 @@ GROUP BY 1, 2 ORDER BY o_orderkey
 """
 
 
+def q_kmeans(sf_dir: str):
+    """Distributed k-means (functions/clustering.py): broadcast centroids,
+    per-batch partial-sum combiner, fixed iterations under a rounding
+    determinism contract — verified bit-for-bit against the
+    single-threaded Lloyd's twin the oracle builder materializes."""
+    from anansi_ray.functions.clustering import kmeans_distributed
+
+    return kmeans_distributed(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
 _STRAT_K = 25
 
 
@@ -1061,7 +1071,8 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v5"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v6"  # bump whenever artifact-affecting code changes
+# v6: added the k-means assignment twin (kmeans.parquet)
 # v4: vectorized shingle hashing (token-hash fold) changed signature values
 # v5: fixture rdfxml payloads use xml:base + relative rdf:about (fixture v4)
 
@@ -1212,6 +1223,16 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
             os.path.join(ORACLE_DIR, "emb_lsh_pairs.parquet"),
         )
 
+        # 5. k-means assignment twin: single-threaded Lloyd's under the
+        #    determinism contract of functions/clustering.py (rounded
+        #    centroids per iteration ⇒ the distributed partial-sum path
+        #    must land on the identical assignment)
+        from anansi_ray.functions.clustering import kmeans_local
+
+        pq.write_table(
+            kmeans_local(t), os.path.join(ORACLE_DIR, "kmeans.parquet")
+        )
+
     with open(marker, "w") as f:
         f.write("ok")
     return ORACLE_DIR
@@ -1243,6 +1264,12 @@ SQL_EMB_NEAR_DUP_LSH = f"""
 SELECT a, b, cosine
 FROM read_parquet('{ORACLE_DIR}/emb_lsh_pairs.parquet')
 ORDER BY a, b
+"""
+
+SQL_KMEANS = f"""
+SELECT vec_id, cluster
+FROM read_parquet('{ORACLE_DIR}/kmeans.parquet')
+ORDER BY vec_id
 """
 
 SQL_MINHASH_NEAR_DUP = f"""
@@ -1534,6 +1561,7 @@ QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "token_df": (q_token_df, SQL_TOKEN_DF),
     "orders_events_window": (q_orders_events_window, SQL_ORDERS_EVENTS_WINDOW),
+    "kmeans_embeddings": (q_kmeans, SQL_KMEANS),
     "orders_topk": (q_orders_topk, SQL_ORDERS_TOPK),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "crawl_order": (q_crawl_order, SQL_CRAWL_ORDER),

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "knn_ivf",
+    "kmeans_embeddings",
     "events_hourly",
     "events_sliding",
     "events_sessions",
