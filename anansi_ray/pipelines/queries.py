@@ -874,6 +874,19 @@ GROUP BY 1, 2 ORDER BY o_orderkey
 """
 
 
+def q_pack_sequences(sf_dir: str):
+    """Greedy sequence packing (functions/packing.py): bucket-deterministic
+    next-fit into 512-token training sequences — packs embarrassingly
+    parallel per doc-id bucket; only (doc_id, bucket, n_tokens) ever
+    shuffles, never text.  Verified against an independent sequential twin
+    whose token counts come from DuckDB's own regex."""
+    from anansi_ray.functions.packing import pack_sequences
+
+    out = pack_sequences(_read(sf_dir, "documents", ["doc_id", "text"]))
+    df = out.to_pandas().sort_values("doc_id")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_kmeans(sf_dir: str):
     """Distributed k-means (functions/clustering.py): broadcast centroids,
     per-batch partial-sum combiner, fixed iterations under a rounding
@@ -1071,8 +1084,9 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v6"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v7"  # bump whenever artifact-affecting code changes
 # v6: added the k-means assignment twin (kmeans.parquet)
+# v7: added the sequence-packing twin (pack.parquet)
 # v4: vectorized shingle hashing (token-hash fold) changed signature values
 # v5: fixture rdfxml payloads use xml:base + relative rdf:about (fixture v4)
 
@@ -1233,6 +1247,49 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
             kmeans_local(t), os.path.join(ORACLE_DIR, "kmeans.parquet")
         )
 
+    # 6. sequence-packing twin: token counts via DuckDB's own regex (the
+    #    SQL_TOKEN_COUNT expression, independent of the Arrow kernel), then
+    #    an INDEPENDENT sequential next-fit — one flat pass over all docs
+    #    in id order with bucket-boundary resets, structurally unlike the
+    #    distributed per-bucket map_groups kernel it checks
+    if os.path.exists(sfdoc):
+        import duckdb
+
+        from anansi_ray.functions.packing import PACK_BUCKET, PACK_BUDGET
+
+        rows = (
+            duckdb.connect()
+            .execute(
+                "SELECT doc_id, len(regexp_extract_all(text, "
+                "'[A-Za-z0-9]+|[^\\sA-Za-z0-9]'))::BIGINT AS n "
+                f"FROM read_parquet('{sfdoc}') ORDER BY doc_id"
+            )
+            .fetchall()
+        )
+        recs = []
+        cur_bucket, sidx, fill = None, 0, 0
+        for doc_id, n in rows:
+            b = doc_id // PACK_BUCKET
+            if b != cur_bucket:
+                cur_bucket, sidx, fill = b, 0, 0
+            if fill > 0 and fill + n > PACK_BUDGET:
+                sidx += 1
+                fill = 0
+            recs.append((b, doc_id, sidx, fill, n))
+            fill += n
+        pq.write_table(
+            pa.table(
+                {
+                    "bucket": pa.array([r[0] for r in recs], pa.int64()),
+                    "doc_id": pa.array([r[1] for r in recs], pa.int64()),
+                    "seq_idx": pa.array([r[2] for r in recs], pa.int64()),
+                    "offset": pa.array([r[3] for r in recs], pa.int64()),
+                    "n_tokens": pa.array([r[4] for r in recs], pa.int64()),
+                }
+            ),
+            os.path.join(ORACLE_DIR, "pack.parquet"),
+        )
+
     with open(marker, "w") as f:
         f.write("ok")
     return ORACLE_DIR
@@ -1270,6 +1327,12 @@ SQL_KMEANS = f"""
 SELECT vec_id, cluster
 FROM read_parquet('{ORACLE_DIR}/kmeans.parquet')
 ORDER BY vec_id
+"""
+
+SQL_PACK_SEQUENCES = f"""
+SELECT bucket, doc_id, seq_idx, "offset", n_tokens
+FROM read_parquet('{ORACLE_DIR}/pack.parquet')
+ORDER BY doc_id
 """
 
 SQL_MINHASH_NEAR_DUP = f"""
@@ -1562,6 +1625,7 @@ QUERIES = {
     "token_df": (q_token_df, SQL_TOKEN_DF),
     "orders_events_window": (q_orders_events_window, SQL_ORDERS_EVENTS_WINDOW),
     "kmeans_embeddings": (q_kmeans, SQL_KMEANS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "orders_topk": (q_orders_topk, SQL_ORDERS_TOPK),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "crawl_order": (q_crawl_order, SQL_CRAWL_ORDER),

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "token_df",
     "orders_events_window",
+    "pack_sequences",
     "lineitem_agg",
     "segment_revenue",
     "order_lineitem_join",
