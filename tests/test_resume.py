@@ -98,6 +98,44 @@ def test_resume_distributed_plane(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_resume_distributed_plane_bucketed_store(tmp_path):
+    """Full at-scale composition under kill/restore: distributed plane +
+    bucketed web store + directory checkpoint together — the exact shape a
+    10^10-frontier run would resume in."""
+    from anansi_ray.pipelines.crawl import CrawlPipeline
+
+    tiny = fixtures.generate("tiny", seed=42)
+    ckdir = str(tmp_path / "ckpt")
+    cfg = CrawlConfig(checkpoint_dir=ckdir)
+    store_kw = dict(
+        driver_plane_threshold=0,
+        web_store_dir=str(tmp_path / "webstore"),
+        web_store_buckets=8,
+    )
+
+    oracle = reference_crawl(tiny, cfg, budget=None)
+
+    p1 = CrawlPipeline(tiny, cfg, budget=None, checkpoint_every=5, **store_kw)
+    for _ in range(8):
+        if p1.run_round() == 0:
+            break
+    del p1
+
+    latest = CrawlPipeline.latest_checkpoint(ckdir)
+    assert latest is not None and latest.endswith("round=5")
+
+    p2 = CrawlPipeline(tiny, cfg, budget=None, **store_kw)
+    p2.restore(latest)
+    res = p2.run()
+
+    exp = oracle["expected_crawl"]
+    got = res["expected_crawl"]
+    assert got.num_rows == exp.num_rows
+    for col in ("seq", "fetch_clock_ms", "url_hash", "state", "status"):
+        assert got[col].to_pylist() == exp[col].to_pylist(), col
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_stale_spool_round_overwritten(tmp_path):
     """Per-partition lineage: a round dir left by a killed writer (no
     _MANIFEST, junk content) is wholly overwritten when the round re-runs —
