@@ -887,6 +887,79 @@ def q_pack_sequences(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_events_quantiles(sf_dir: str):
+    """Exact distributed quantiles via the histogram-partial pattern:
+    values snap to a fixed 1e-3 grid (one float multiply + floor — the
+    identical IEEE ops on both engines), each batch reduces to (type,
+    grid-value, count) partials BEFORE the exchange, the merged histogram
+    is tiny (distinct grid values, not rows), and the driver reads the
+    lower inverse-CDF at p50/p90/p99 from cumulative counts.  Integer
+    exact end-to-end — no approximate-sketch tolerance needed."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        gv = np.floor(v * 1000.0).astype(np.int64)
+        df = (
+            pd.DataFrame({"event_type": batch["event_type"].to_pylist(), "gv": gv})
+            .groupby(["event_type", "gv"], sort=False)
+            .size()
+        )
+        et, gvs = zip(*df.index) if len(df) else ((), ())
+        return pa.table(
+            {
+                "event_type": pa.array(list(et), pa.string()),
+                "gv": pa.array(list(gvs), pa.int64()),
+                "cnt": pa.array(df.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "gv"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    rows = []
+    for et, grp in hist.groupby("event_type"):
+        grp = grp.sort_values("gv")
+        cum = grp["cnt"].cumsum().to_numpy()
+        tot = int(cum[-1])
+        gvs = grp["gv"].to_numpy()
+        qs = []
+        for q in (0.5, 0.9, 0.99):
+            target = int(np.ceil(q * tot))
+            qs.append(int(gvs[np.searchsorted(cum, target, side="left")]))
+        rows.append((et, *qs))
+    rows.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "p50_mils": pa.array([r[1] for r in rows], pa.int64()),
+            "p90_mils": pa.array([r[2] for r in rows], pa.int64()),
+            "p99_mils": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_EVENTS_QUANTILES = """
+WITH g AS (SELECT event_type, floor(value * 1000)::BIGINT AS gv FROM events),
+c AS (SELECT event_type, gv, count(*) AS cnt FROM g GROUP BY 1, 2),
+w AS (SELECT event_type, gv,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY gv) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS tot
+      FROM c)
+SELECT event_type,
+       min(CASE WHEN cum >= ceil(0.50 * tot) THEN gv END)::BIGINT AS p50_mils,
+       min(CASE WHEN cum >= ceil(0.90 * tot) THEN gv END)::BIGINT AS p90_mils,
+       min(CASE WHEN cum >= ceil(0.99 * tot) THEN gv END)::BIGINT AS p99_mils
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_kmeans(sf_dir: str):
     """Distributed k-means (functions/clustering.py): broadcast centroids,
     per-batch partial-sum combiner, fixed iterations under a rounding
@@ -1626,6 +1699,7 @@ QUERIES = {
     "orders_events_window": (q_orders_events_window, SQL_ORDERS_EVENTS_WINDOW),
     "kmeans_embeddings": (q_kmeans, SQL_KMEANS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
     "orders_topk": (q_orders_topk, SQL_ORDERS_TOPK),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "crawl_order": (q_crawl_order, SQL_CRAWL_ORDER),

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "events_sliding",
     "events_sessions",
     "events_props",
+    "events_quantiles",
     "events_asof_orders",
     "stratified_sample",
     "token_df",
