@@ -1053,13 +1053,29 @@ class CrawlPipeline:
         # politeness counters, state for metrics, next_fetch for horizon
         # cycling, has_link flag) — the same few columns round 2 pulled
         # through a whole extra Ray execution; payloads / spans / links
-        # never reach the driver either way
+        # never reach the driver either way.  At scale even those few
+        # columns are too many rows for the driver, so the pull is
+        # SIZE-GATED: rounds above `driver_plane_threshold` rows instead
+        # run one distributed bookkeeping pass whose batches register
+        # their url_hashes straight into the fetched shards and reduce to
+        # per-(host, state) partials — driver traffic becomes O(#hosts),
+        # never O(#fetched)
         import pyarrow.dataset as pads
 
-        meta = None
+        n_fetched = 0
         if os.path.isdir(rdir) and any(
             f.endswith(".parquet") for f in os.listdir(rdir)
         ):
+            n_fetched = pads.dataset(rdir).count_rows()  # parquet metadata only
+        if n_fetched == 0:
+            shutil.rmtree(rdir, ignore_errors=True)
+            return 0
+
+        meta = None
+        local_meta = driver_plane or n_fetched <= self.driver_plane_threshold
+        if not local_meta and self.fetched is None:
+            self.fetched = SeenSet(self.cfg.seen_shards, backend="exact")
+        if local_meta:
             meta = pads.dataset(rdir).to_table(
                 columns=[
                     "url_hash",
@@ -1070,45 +1086,87 @@ class CrawlPipeline:
                     "has_link",
                 ]
             )
-            if meta.num_rows == 0:
-                meta = None
-        if meta is None:
-            shutil.rmtree(rdir, ignore_errors=True)
-            return 0
-        n_fetched = meta.num_rows
-        _t_meta = _time.monotonic()
-        # per-partition lineage marker (rows + state mix): a round dir is
-        # complete iff its _MANIFEST exists — a killed writer leaves no
-        # marker and the re-run overwrites the whole dir
-        from collections import Counter as _C
+            from collections import Counter as _C
 
-        with open(os.path.join(rdir, "_MANIFEST.json"), "w") as f:
-            json.dump(
-                {
-                    "round": self.round,
-                    "rows": n_fetched,
-                    "states": dict(_C(meta["state"].to_pylist())),
-                },
-                f,
+            states_mix = dict(_C(meta["state"].to_pylist()))
+            agg = (
+                meta.select(["host", "fetch_clock_ms"])
+                .group_by("host")
+                .aggregate(
+                    [("fetch_clock_ms", "max"), ("fetch_clock_ms", "count")]
+                )
             )
-        self.spooled_rounds.append(self.round)
-        _t_spool = _time.monotonic()
-
-        # politeness + eligibility bookkeeping (≙ crawl_root updates)
-        agg = (
-            meta.select(["host", "fetch_clock_ms"])
-            .group_by("host")
-            .aggregate([("fetch_clock_ms", "max"), ("fetch_clock_ms", "count")])
-        )
-        self.hosts.apply_fetch(
-            list(
+            host_fetch = list(
                 zip(
                     agg["host"].to_pylist(),
                     (int(t) for t in agg["fetch_clock_ms_max"].to_pylist()),
                     (int(c) for c in agg["fetch_clock_ms_count"].to_pylist()),
                 )
             )
-        )
+            hosts_touched = agg.num_rows
+            back_pairs: list[tuple[str, int]] = []
+            if horizon is not None:
+                back_meta = meta.filter(
+                    pc.less_equal(meta["next_fetch_ms"], horizon)
+                )
+                if back_meta.num_rows:
+                    cnts = (
+                        back_meta.select(["host"])
+                        .group_by("host")
+                        .aggregate([([], "count_all")])
+                    )
+                    back_pairs = list(
+                        zip(
+                            cnts["host"].to_pylist(),
+                            (int(c) for c in cnts["count_all"].to_pylist()),
+                        )
+                    )
+            has_links = pc.any(meta["has_link"]).as_py()
+        else:
+            bk = self._bookkeep_round_distributed(rdir, horizon)
+            by_state = (
+                bk.select(["state", "n"]).group_by("state").aggregate([("n", "sum")])
+            )
+            states_mix = dict(
+                zip(
+                    by_state["state"].to_pylist(),
+                    (int(v) for v in by_state["n_sum"].to_pylist()),
+                )
+            )
+            by_host = bk.group_by("host").aggregate(
+                [("max_clock", "max"), ("n", "sum"), ("n_back", "sum")]
+            )
+            host_fetch = list(
+                zip(
+                    by_host["host"].to_pylist(),
+                    (int(t) for t in by_host["max_clock_max"].to_pylist()),
+                    (int(c) for c in by_host["n_sum"].to_pylist()),
+                )
+            )
+            hosts_touched = by_host.num_rows
+            back_pairs = [
+                (h, int(c))
+                for h, c in zip(
+                    by_host["host"].to_pylist(),
+                    by_host["n_back_sum"].to_pylist(),
+                )
+                if int(c) > 0
+            ]
+            has_links = bool(pc.sum(bk["n_links"]).as_py())
+        _t_meta = _time.monotonic()
+        # per-partition lineage marker (rows + state mix): a round dir is
+        # complete iff its _MANIFEST exists — a killed writer leaves no
+        # marker and the re-run overwrites the whole dir
+        with open(os.path.join(rdir, "_MANIFEST.json"), "w") as f:
+            json.dump(
+                {"round": self.round, "rows": n_fetched, "states": states_mix},
+                f,
+            )
+        self.spooled_rounds.append(self.round)
+        _t_spool = _time.monotonic()
+
+        # politeness + eligibility bookkeeping (≙ crawl_root updates)
+        self.hosts.apply_fetch(host_fetch)
         if isinstance(self.frontier, pa.Table):
             # driver plane compacts eagerly: drop the fetched rows now
             # (vectorized is_in over ≤ threshold rows), no lazy-removal set
@@ -1120,29 +1178,18 @@ class CrawlPipeline:
         else:
             if self.fetched is None:
                 self.fetched = SeenSet(self.cfg.seen_shards, backend="exact")
-            hs = meta["url_hash"].to_pylist()
-            self.fetched.add_if_new(hs)
-            self.removed_count += len(hs)
+            if local_meta:
+                # small round: driver-side add is one RPC fan-out
+                self.fetched.add_if_new(meta["url_hash"].to_pylist())
+            # (large rounds already registered worker-side in the pass)
+            self.removed_count += n_fetched
 
         if horizon is not None:
             # incremental mode: rows due again before the horizon cycle back
             # into the frontier; only beyond-horizon rows retired to the
             # spool above
-            back_meta = meta.filter(pc.less_equal(meta["next_fetch_ms"], horizon))
-            if back_meta.num_rows:
-                cnts = (
-                    back_meta.select(["host"])
-                    .group_by("host")
-                    .aggregate([([], "count_all")])
-                )
-                self.hosts.add_eligible(
-                    list(
-                        zip(
-                            cnts["host"].to_pylist(),
-                            (int(c) for c in cnts["count_all"].to_pylist()),
-                        )
-                    )
-                )
+            if back_pairs:
+                self.hosts.add_eligible(back_pairs)
                 if isinstance(self.frontier, pa.Table):
                     # the just-written spool round already holds the ledger
                     # rows; a local column-pruned read beats another Ray pass
@@ -1179,7 +1226,6 @@ class CrawlPipeline:
         new_tbl = None
         pairs: list[tuple[str, int]] = []
         n_new = 0
-        has_links = pc.any(meta["has_link"]).as_py()
         if has_links:
             rnd = self.round + 1
             if driver_plane:
@@ -1236,16 +1282,13 @@ class CrawlPipeline:
 
         # per-round lineage/metrics row (A5; ≙ thread liveness counters —
         # here: what a monitoring plane would scrape per round)
-        from collections import Counter as _Counter
-
-        state_counts = _Counter(meta["state"].to_pylist())
         self.round_metrics.append(
             {
                 "round": self.round,
                 "fetches": n_fetched,
                 "new_urls": n_new,
-                "states": dict(state_counts),
-                "hosts_touched": agg.num_rows,
+                "states": states_mix,
+                "hosts_touched": hosts_touched,
                 "plane": "driver" if driver_plane else "distributed",
                 "duration_s": round(_time.monotonic() - _t0, 3),
                 "phase_s": {
@@ -1332,6 +1375,91 @@ class CrawlPipeline:
             return None
         ds = pads.dataset([pads.dataset(d) for d in dirs])
         return ds.to_table(columns=columns, filter=filt)
+
+    def _bookkeep_round_distributed(self, rdir: str, horizon) -> pa.Table:
+        """One distributed pass over the spool round just written: every
+        batch registers its url_hashes straight into the fetched shards
+        (worker → shard-actor RPCs, result ignored, ray.get barrier inside
+        the task) and reduces itself to per-(host, state) partials
+        (n, max fetch clock, rows due back before the horizon, link
+        flags).  The driver merges the partials — O(#hosts x #states)
+        rows per round, never O(#fetched)."""
+        from anansi_ray.state.seen import AddRouter
+
+        shards = self.fetched.shards
+        hz = horizon
+
+        def bookkeep(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or batch.num_columns == 0:
+                return pa.table(
+                    {
+                        "host": pa.array([], pa.string()),
+                        "state": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                        "max_clock": pa.array([], pa.int64()),
+                        "n_back": pa.array([], pa.int64()),
+                        "n_links": pa.array([], pa.int64()),
+                    }
+                )
+            AddRouter(shards).add(batch["url_hash"].to_pylist())
+            back = (
+                pc.less_equal(batch["next_fetch_ms"], hz)
+                if hz is not None
+                else pa.array(np.zeros(batch.num_rows, dtype=bool))
+            )
+            t = pa.table(
+                {
+                    "host": batch["host"],
+                    "state": batch["state"],
+                    "clock": batch["fetch_clock_ms"],
+                    "back": pc.cast(back, pa.int64()),
+                    "link": pc.cast(batch["has_link"], pa.int64()),
+                }
+            )
+            g = t.group_by(["host", "state"]).aggregate(
+                [
+                    ("clock", "count"),
+                    ("clock", "max"),
+                    ("back", "sum"),
+                    ("link", "sum"),
+                ]
+            )
+            return g.rename_columns(
+                ["host", "state", "n", "max_clock", "n_back", "n_links"]
+            )
+
+        parts = [
+            t
+            for t in ray.get(
+                rd.read_parquet(
+                    rdir,
+                    columns=[
+                        "url_hash",
+                        "host",
+                        "state",
+                        "fetch_clock_ms",
+                        "next_fetch_ms",
+                        "has_link",
+                    ],
+                )
+                .map_batches(bookkeep, batch_format="pyarrow")
+                .materialize()
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        merged = pa.concat_tables(parts)
+        g = merged.group_by(["host", "state"]).aggregate(
+            [
+                ("n", "sum"),
+                ("max_clock", "max"),
+                ("n_back", "sum"),
+                ("n_links", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            ["host", "state", "n", "max_clock", "n_back", "n_links"]
+        )
 
     def _frontier_table(self) -> pa.Table:
         if isinstance(self.frontier, pa.Table):

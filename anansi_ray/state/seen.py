@@ -229,3 +229,28 @@ class SeenRouter:
         for s, fut in futures.items():
             keep[np.array(per_idx[s])] = ray.get(fut)
         return batch.filter(pa.array(keep))
+
+
+class AddRouter:
+    """map_batches-side WRITE-ONLY registration into a shard pool (the
+    fetched-set bookkeeping): routes a hash batch to its owning shards,
+    one ``add_if_new`` RPC per shard per batch, result ignored.  The
+    ``ray.get`` barrier inside the task guarantees every add has landed
+    before the round's bookkeeping execution is considered complete —
+    the driver never sees the hashes at all."""
+
+    def __init__(self, shard_handles):
+        self.shards = shard_handles
+        self.n = len(shard_handles)
+
+    def add(self, hashes: list[str]) -> None:
+        per_fp: list[list[bytes]] = [[] for _ in range(self.n)]
+        for h in hashes:
+            per_fp[int(h[:8], 16) % self.n].append(bytes.fromhex(h))
+        futures = [
+            self.shards[s].add_if_new.remote(per_fp[s])
+            for s in range(self.n)
+            if per_fp[s]
+        ]
+        if futures:
+            ray.get(futures)
