@@ -119,19 +119,39 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
     """Exact dedup: hash-partition + per-group min id (D1 analogue).
 
     Returns one row per distinct text: (text_hash, doc_id=min id).
-    """
-    hashed = ds.map_batches(
-        lambda b: text_hash_batch(b, text_col).select(["text_hash", id_col]),
-        batch_format="pyarrow",
-    )
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        m = pc.min_max(group[id_col])["min"]
+    Shape: a vectorized per-batch combiner (keep min id per hash inside each
+    batch — numpy lexsort, no Python per group) shrinks the exchange to one
+    row per (batch, distinct hash); the final reduce is a native
+    ``groupby().min()`` aggregate, NOT ``map_groups`` — at corpus scale the
+    latter would invoke a Python UDF once per distinct text (the micro-group
+    anti-pattern this file's header warns against)."""
+
+    def combine(b: pa.Table) -> pa.Table:
+        t = text_hash_batch(b, text_col)
+        ids = _np(t[id_col])
+        if ids.dtype == object or ids.dtype.kind in "US":
+            ids = ids.astype(object)
+        hashes = _np(t["text_hash"]).astype(object)
+        # lexsort: primary key hash, secondary id ⇒ first row of each hash
+        # run is the per-batch min id for that hash
+        order = np.lexsort((ids, hashes))
+        h_sorted = hashes[order]
+        first = np.ones(len(h_sorted), dtype=bool)
+        first[1:] = h_sorted[1:] != h_sorted[:-1]
+        keep = order[first]
+        id_arr = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
         return pa.table(
-            {"text_hash": group["text_hash"][:1], id_col: pa.array([m.as_py()])}
+            {
+                "text_hash": pa.array(hashes[keep], pa.string()),
+                id_col: id_arr.take(pa.array(keep, pa.int64())),
+            }
         )
 
-    return hashed.groupby("text_hash").map_groups(keep_min, batch_format="pyarrow")
+    reduced = ds.map_batches(combine, batch_format="pyarrow").groupby("text_hash").min(id_col)
+    return reduced.map_batches(
+        lambda b: b.rename_columns(["text_hash", id_col]), batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -635,16 +635,21 @@ def q_segment_revenue(sf_dir: str):
     """Broadcast hash join (small side via ray.put) + grouped aggregate."""
     import ray
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_by_key = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
-    ref = ray.put(seg_by_key)
+    # small side as a broadcast Arrow table: one ray.put, zero-copy reads in
+    # every task; the probe is pc.index_in + take (no per-row Python)
+    cust_tbl = pa.Table.from_pandas(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas(),
+        preserve_index=False,
+    ).combine_chunks()
+    ref = ray.put(cust_tbl)
 
     def join(batch: pa.Table) -> pa.Table:
-        seg = ray.get(ref)
-        keys = batch["o_custkey"].to_pylist()
+        cust = ray.get(ref)
+        idx = pc.index_in(batch["o_custkey"], cust["c_custkey"])
+        seg = pc.fill_null(cust["c_mktsegment"].combine_chunks().take(idx), "")
         return pa.table(
             {
-                "c_mktsegment": pa.array([seg.get(k, "") for k in keys], pa.string()),
+                "c_mktsegment": seg,
                 "o_totalprice": batch["o_totalprice"],
             }
         )
@@ -988,9 +993,13 @@ def q_stratified_sample(sf_dir: str):
     import hashlib
 
     def _topk(
-        langs: np.ndarray, ranks: np.ndarray, ids: np.ndarray, with_rank: bool
+        langs: np.ndarray,
+        rank_hi: np.ndarray,
+        rank_lo: np.ndarray,
+        ids: np.ndarray,
+        with_rank: bool,
     ) -> pa.Table:
-        order = np.lexsort((ids, ranks, langs))
+        order = np.lexsort((ids, rank_lo, rank_hi, langs))
         ls = langs[order]
         change = np.empty(len(ls), dtype=bool)
         if len(ls):
@@ -1007,16 +1016,32 @@ def q_stratified_sample(sf_dir: str):
         if with_rank:
             cols["rank"] = pa.array(pos[keep] + 1, pa.int64())
         else:
-            cols["rank_hash"] = pa.array(ranks[sel], pa.string())
+            cols["rank_hi"] = pa.array(rank_hi[sel], pa.uint64())
+            cols["rank_lo"] = pa.array(rank_lo[sel], pa.uint64())
         return pa.table(cols)
+
+    def _rank_keys(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """md5(decimal id) per row, carried as two big-endian uint64 keys.
+
+        Ordering by (hi, lo) is identical to ordering by the hex digest the
+        SQL twin uses (hex encoding is byte-monotone).  The decimal render
+        is one vectorized np.char pass; the digests land in a single
+        contiguous buffer (no per-row hex strings, no object-dtype sort
+        keys)."""
+        id_bytes = np.char.mod("%d", ids).astype("S").tolist()
+        md5 = hashlib.md5
+        buf = b"".join([md5(s).digest() for s in id_bytes])
+        dig = np.frombuffer(buf, dtype=">u8").reshape(-1, 2)
+        return (
+            dig[:, 0].astype(np.uint64),
+            dig[:, 1].astype(np.uint64),
+        )
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
-        ranks = np.asarray(
-            [hashlib.md5(str(i).encode()).hexdigest() for i in ids], dtype=object
-        )
-        return _topk(langs, ranks, ids, with_rank=False)
+        hi, lo = _rank_keys(ids)
+        return _topk(langs, hi, lo, ids, with_rank=False)
 
     import ray as _ray
 
@@ -1033,7 +1058,8 @@ def q_stratified_sample(sf_dir: str):
     merged = pa.concat_tables(parts)
     out = _topk(
         np.asarray(merged["lang"].to_pylist(), dtype=object),
-        np.asarray(merged["rank_hash"].to_pylist(), dtype=object),
+        merged["rank_hi"].to_numpy(zero_copy_only=False),
+        merged["rank_lo"].to_numpy(zero_copy_only=False),
         merged["doc_id"].to_numpy(zero_copy_only=False),
         with_rank=True,
     )

@@ -118,6 +118,52 @@ def test_exact_dedup_idempotent_on_real_table():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_equals_reference_map_groups_path():
+    """The aggregate-based exact_dedup must equal the retired per-group
+    map_groups reduction (the round-3 implementation) row for row."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    new = D.exact_dedup(ds).to_pandas().sort_values("text_hash", ignore_index=True)
+
+    hashed = ds.map_batches(
+        lambda b: D.text_hash_batch(b, "text").select(["text_hash", "doc_id"]),
+        batch_format="pyarrow",
+    )
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        m = pc.min_max(group["doc_id"])["min"]
+        return pa.table(
+            {"text_hash": group["text_hash"][:1], "doc_id": pa.array([m.as_py()])}
+        )
+
+    old = (
+        hashed.groupby("text_hash")
+        .map_groups(keep_min, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("text_hash", ignore_index=True)
+    )
+    assert new.equals(old)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_string_ids():
+    """exact_dedup must preserve non-numeric id dtypes (lexicographic min)."""
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": ["d9", "d2", "d10", "x1"],
+            "text": ["same", "same", "same", "other"],
+        }
+    )
+    out = D.exact_dedup(rd.from_arrow(t)).to_pandas()
+    kept = dict(zip(out["text_hash"], out["doc_id"]))
+    assert sorted(kept.values()) == ["d10", "x1"]  # 'd10' < 'd2' < 'd9'
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestDistributedCC:
     def test_matches_driver_union_find_planted(self):
         import ray.data as rd
