@@ -72,6 +72,10 @@ def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
 
         refs, mds = [], []
         saw_empty = False
+        # best empty block to keep if EVERY block is empty: prefer one whose
+        # schema actually has fields (an empty-schema survivor would
+        # reintroduce the union mismatch this function exists to fix)
+        keep_empty = None
         for bundle in ds.iter_internal_ref_bundles():
             schema = bundle.schema
             if isinstance(schema, _DSchema):
@@ -82,16 +86,33 @@ def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
                     mds.append(BlockMetadataWithSchema(md, schema))
                 else:
                     saw_empty = True
+                    has_fields = schema is not None and len(schema.names) > 0
+                    if keep_empty is None or (has_fields and not keep_empty[2]):
+                        keep_empty = (ref, md, has_fields, schema)
         if not saw_empty:
             return ds
         if not refs:
-            # every block empty: keep one so the schema survives
-            return ds.limit(0).materialize()
+            # every block empty: keep exactly ONE, carrying a real
+            # (non-empty) schema when any block has one
+            ref, md, _, schema = keep_empty
+            refs.append(ref)
+            mds.append(BlockMetadataWithSchema(md, schema))
         execution_plan = ExecutionPlan(
             DatasetStats(metadata={"FromArrow": mds}, parent=None),
             DataContext.get_current().copy(),
         )
         logical_plan = LogicalPlan(FromArrow(refs, mds), execution_plan._context)
         return MaterializedDataset(execution_plan, logical_plan)
-    except (ImportError, AttributeError, TypeError):
+    except (ImportError, AttributeError, TypeError) as exc:
+        # a Ray upgrade moved the private constructor surface: without the
+        # rebuild, empty-schema blocks will resurface downstream as
+        # RefBundle schema mismatches far from here — make that diagnosable
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "drop_empty_blocks: ray.data internals unavailable (%s); "
+            "returning dataset unmodified — empty-schema blocks may "
+            "surface later as union/RefBundle schema mismatches",
+            exc,
+        )
         return ds

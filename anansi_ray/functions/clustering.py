@@ -69,6 +69,11 @@ def kmeans_local(
     """Single-threaded numpy twin (the oracle side): same per-record math,
     fully sequential orchestration."""
     ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    if len(ids) == 0:
+        raise ValueError("kmeans: empty input")
+    # fewer rows than k: every row is its own centroid (same clamp as the
+    # distributed path, so the twins stay bit-identical)
+    k = min(k, len(ids))
     X = _emb_matrix(tbl, emb_col)
     C = _init_centroids(ids, X, k)
     for _ in range(iters):
@@ -113,8 +118,14 @@ def kmeans_distributed(
         )
         if t.num_rows
     ]
+    if not parts:
+        raise ValueError("kmeans: empty input")
     seed = pa.concat_tables(parts)
     sids = seed["id"].to_numpy(zero_copy_only=False)
+    # same fewer-rows-than-k clamp as kmeans_local (the seed table holds
+    # min(k, block_rows) ids per block, so its size bounds the corpus size
+    # only when the corpus is smaller than k — exactly the clamp case)
+    k = min(k, len(sids))
     semb = np.stack(
         [np.asarray(e, dtype=np.float64) for e in seed["emb"].to_pylist()]
     )

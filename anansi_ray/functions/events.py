@@ -13,11 +13,33 @@ Ordering assumption: within one ``user_id`` group, rows are processed in
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
 HOUR_US = 3_600_000_000
+
+
+def _window_partial(
+    users: np.ndarray, wins: np.ndarray, vals: np.ndarray
+) -> pa.Table:
+    """(user, window) partial aggregate via the run-boundary kernel: one
+    lexsort + reduceat — the session-window pattern, no pandas round-trip."""
+    order = np.lexsort((wins, users))
+    u, w, v = users[order], wins[order], vals[order]
+    first = np.ones(len(u), dtype=bool)
+    if len(u):
+        first[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.append(starts, len(u)))
+    sums = np.add.reduceat(v, starts) if len(u) else np.empty(0, v.dtype)
+    return pa.table(
+        {
+            "user_id": pa.array(u[starts], pa.int64()),
+            "window_us": pa.array(w[starts], pa.int64()),
+            "n_events": pa.array(counts, pa.int64()),
+            "sum_value": pa.array(sums, pa.float64()),
+        }
+    )
 
 
 def tumbling_window(ds: rd.Dataset, window_us: int = HOUR_US) -> rd.Dataset:
@@ -28,18 +50,11 @@ def tumbling_window(ds: rd.Dataset, window_us: int = HOUR_US) -> rd.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        win = (ts // window_us) * window_us
-        df = pd.DataFrame(
-            {
-                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
-                "window_us": win,
-                "value": batch["value"].to_numpy(zero_copy_only=False),
-            }
+        return _window_partial(
+            batch["user_id"].to_numpy(zero_copy_only=False),
+            (ts // window_us) * window_us,
+            batch["value"].to_numpy(zero_copy_only=False),
         )
-        agg = df.groupby(["user_id", "window_us"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")
-        )
-        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -81,24 +96,18 @@ def sliding_window(
         users = batch["user_id"].to_numpy(zero_copy_only=False)
         vals = batch["value"].to_numpy(zero_copy_only=False)
         base = (ts // hop_us) * hop_us
-        frames = []
+        # k shifted copies (one per overlapping window), filtered to t>=0,
+        # then the shared run-boundary partial — no pandas round-trip
+        u_parts, w_parts, v_parts = [], [], []
         for i in range(k):
             start = base - i * hop_us
             keep = start >= 0
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "user_id": users[keep],
-                        "window_us": start[keep],
-                        "value": vals[keep],
-                    }
-                )
-            )
-        df = pd.concat(frames, ignore_index=True)
-        agg = df.groupby(["user_id", "window_us"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")
+            u_parts.append(users[keep])
+            w_parts.append(start[keep])
+            v_parts.append(vals[keep])
+        return _window_partial(
+            np.concatenate(u_parts), np.concatenate(w_parts), np.concatenate(v_parts)
         )
-        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
 

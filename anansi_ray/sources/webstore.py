@@ -47,24 +47,110 @@ ROW_GROUP_SIZE = 4096
 META_NAME = "_META2"
 
 
-def bucketize_web(web: pa.Table, out_dir: str, n_buckets: int = 16) -> str:
-    """One-time bucketed layout of the web table (≙ cache_bucket sharding):
-    one global sort, per-bucket slice writes, url_hash-sorted row groups."""
+def _add_layout_keys(batch: pa.Table, n_buckets: int) -> pa.Table:
+    """Per-batch layout keys + concat-safe offsets.
+
+    64-bit-offset variable-width columns: pyarrow's chunked take
+    concatenates the SOURCE column first, so a multi-GB payload column
+    with 32-bit offsets overflows; large_* types make the concat safe
+    (parquet round-trips them back to regular binary/string)."""
+    hashes = [cache_key(u) for u in batch["url"].to_pylist()]
+    buckets = np.array([int(h[:8], 16) % n_buckets for h in hashes], dtype=np.int32)
+    for i, f in enumerate(batch.schema):
+        if f.type == pa.string():
+            batch = batch.set_column(i, f.name, batch[f.name].cast(pa.large_string()))
+        elif f.type == pa.binary():
+            batch = batch.set_column(i, f.name, batch[f.name].cast(pa.large_binary()))
+    batch = batch.append_column("url_hash", pa.array(hashes, pa.large_string()))
+    return batch.append_column("cache_bucket", pa.array(buckets, pa.int32()))
+
+
+def _write_bucket_file(group: pa.Table, out_dir: str) -> pa.Table:
+    """In-task per-bucket finish: sort the bucket's rows by url_hash and
+    write ONE url_hash-sorted parquet with small row groups (the pruning
+    granule).  Runs on a worker; the driver only ever sees the one-row
+    manifest this returns."""
+    if group.num_rows == 0:
+        return pa.table({"bucket": pa.array([], pa.int32()), "rows": pa.array([], pa.int64())})
+    b = int(group["cache_bucket"][0].as_py())
+    hashes = np.asarray(group["url_hash"].to_pylist(), dtype=object)
+    order = np.argsort(hashes, kind="stable")
+    sub = group.drop_columns(["cache_bucket"]).take(pa.array(order, pa.int64()))
+    bdir = os.path.join(out_dir, f"bucket={b}")
+    os.makedirs(bdir, exist_ok=True)
+    # store_schema=False: readers get plain string/binary back (the
+    # large_* offsets were only a transient concat-safety measure)
+    pq.write_table(
+        sub,
+        os.path.join(bdir, "part.parquet"),
+        row_group_size=ROW_GROUP_SIZE,
+        store_schema=False,
+    )
+    return pa.table(
+        {"bucket": pa.array([b], pa.int32()), "rows": pa.array([group.num_rows], pa.int64())}
+    )
+
+
+def bucketize_web(
+    web: pa.Table | rd.Dataset, out_dir: str, n_buckets: int = 16
+) -> str:
+    """One-time bucketed layout of the web table (≙ cache_bucket sharding,
+    db.c:1235-1250) as a DISTRIBUTED exchange: per-batch key stamping →
+    one hash exchange on cache_bucket → per-bucket in-task sort + write.
+
+    The driver never materializes the web: it receives only the B-row
+    manifest.  Partitioning assumption: one bucket must fit a worker's
+    heap for the in-task sort — size ``n_buckets`` ≥ total_bytes /
+    (worker_heap / 2); buckets are cheap (the fetch side prunes by row
+    group, not by bucket count).  A pa.Table argument is wrapped via
+    from_arrow for fixture-scale convenience (blocks still flow through
+    the same exchange)."""
+    ds = web if isinstance(web, rd.Dataset) else rd.from_arrow(web)
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = (
+        ds.map_batches(lambda b: _add_layout_keys(b, n_buckets), batch_format="pyarrow")
+        .groupby("cache_bucket")
+        .map_groups(lambda g: _write_bucket_file(g, out_dir), batch_format="pyarrow")
+        .take_all()
+    )
+    total = sum(r["rows"] for r in manifest)
+    # empty buckets still need a (zero-row) file: the fetch side opens
+    # bucket files by scheduled-key bucket, which is independent of which
+    # buckets hold web rows
+    present = {r["bucket"] for r in manifest}
+    missing = [b for b in range(n_buckets) if b not in present]
+    if missing:
+        donor = next(iter(present), None)
+        if donor is None:
+            raise ValueError("bucketize_web: empty web table")
+        schema = pq.read_schema(os.path.join(out_dir, f"bucket={donor}", "part.parquet"))
+        for b in missing:
+            bdir = os.path.join(out_dir, f"bucket={b}")
+            os.makedirs(bdir, exist_ok=True)
+            pq.write_table(
+                schema.empty_table(), os.path.join(bdir, "part.parquet"), store_schema=False
+            )
+    with open(os.path.join(out_dir, META_NAME), "w") as f:
+        f.write(str(n_buckets))
+    with open(os.path.join(out_dir, "_MANIFEST"), "w") as f:
+        for r in sorted(manifest, key=lambda r: r["bucket"]):
+            f.write(f"{r['bucket']}\t{r['rows']}\n")
+        f.write(f"total\t{total}\n")
+    return out_dir
+
+
+def _bucketize_web_local(web: pa.Table, out_dir: str, n_buckets: int = 16) -> str:
+    """Driver-side reference layout (the retired round-3 implementation):
+    one global lexsort + whole-table gather.  Kept as the equality twin
+    for tests — identical bucket-file contract, no Ray session needed."""
     hashes = np.asarray([cache_key(u) for u in web["url"].to_pylist()], dtype=object)
     buckets = np.array([int(h[:8], 16) % n_buckets for h in hashes], dtype=np.int32)
-    # 64-bit-offset variable-width columns: pyarrow's chunked take
-    # concatenates the SOURCE column first, so a multi-GB payload column
-    # with 32-bit offsets overflows; large_* types make the concat safe
-    # (parquet round-trips them back to regular binary/string)
     for i, f in enumerate(web.schema):
         if f.type == pa.string():
             web = web.set_column(i, f.name, web[f.name].cast(pa.large_string()))
         elif f.type == pa.binary():
             web = web.set_column(i, f.name, web[f.name].cast(pa.large_binary()))
     web = web.append_column("url_hash", pa.array(hashes, pa.large_string()))
-    # ONE argsort of the (bucket, hash) key + ONE whole-table gather (safe
-    # under large_* offsets), then zero-copy per-bucket slices — per-bucket
-    # scattered takes would re-concatenate the source column B times
     order = np.lexsort((hashes, buckets))
     web = web.take(pa.array(order, pa.int64()))
     bsorted = buckets[order]
@@ -75,8 +161,6 @@ def bucketize_web(web: pa.Table, out_dir: str, n_buckets: int = 16) -> str:
         sub = web.slice(s, e - s)
         bdir = os.path.join(out_dir, f"bucket={b}")
         os.makedirs(bdir, exist_ok=True)
-        # store_schema=False: readers get plain string/binary back (the
-        # large_* offsets were only a transient concat-safety measure)
         pq.write_table(
             sub,
             os.path.join(bdir, "part.parquet"),

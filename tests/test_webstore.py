@@ -63,3 +63,49 @@ def test_bucketed_fetch_equals_broadcast(tmp_path):
     for col in ("url_hash", "status", "state", "content_type", "redirect", "fresh"):
         assert bucketed[col].tolist() == broadcast[col].to_pylist(), col
     assert [list(x) for x in bucketed["out_links"]] == broadcast["out_links"].to_pylist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_bucketize_equals_local_layout(tmp_path):
+    """The distributed bucketize (exchange + in-task sort) must produce the
+    same per-bucket file contents as the retired driver-side global sort."""
+    from anansi_ray.sources.webstore import _bucketize_web_local
+    import pyarrow.parquet as pq
+    import os
+
+    tiny = fixtures.generate("tiny", seed=42)
+    web = tiny["web"].combine_chunks()
+    dist = bucketize_web(web, str(tmp_path / "dist"), n_buckets=8)
+    local = _bucketize_web_local(web, str(tmp_path / "local"), n_buckets=8)
+    assert read_meta(dist) == read_meta(local) == 8
+    for b in range(8):
+        td = pq.read_table(os.path.join(dist, f"bucket={b}", "part.parquet"))
+        tl = pq.read_table(os.path.join(local, f"bucket={b}", "part.parquet"))
+        assert td.schema == tl.schema, b
+        assert td.equals(tl), f"bucket {b} differs"
+    # manifest totals the web
+    with open(os.path.join(dist, "_MANIFEST")) as f:
+        total = int(f.read().strip().splitlines()[-1].split("\t")[1])
+    assert total == web.num_rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_bucketize_empty_buckets_readable(tmp_path):
+    """Buckets that hold no web rows still get a zero-row file so the fetch
+    side can open them for scheduled keys that hash there."""
+    import pyarrow.parquet as pq
+    import os
+
+    tiny = fixtures.generate("tiny", seed=42)
+    web = tiny["web"].combine_chunks().slice(0, 3)  # few rows, many buckets
+    store = bucketize_web(web, str(tmp_path / "sparse"), n_buckets=64)
+    n_files = sum(
+        1 for b in range(64)
+        if os.path.exists(os.path.join(store, f"bucket={b}", "part.parquet"))
+    )
+    assert n_files == 64
+    total = sum(
+        pq.read_metadata(os.path.join(store, f"bucket={b}", "part.parquet")).num_rows
+        for b in range(64)
+    )
+    assert total == 3
