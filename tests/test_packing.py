@@ -49,9 +49,22 @@ def test_distributed_layout_independent():
         ds = rd.from_arrow([tbl.slice(i, step) for i in range(0, n, step)])
         out = pack_sequences(ds)
         rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
-        results.append([(r["doc_id"], r["bucket"], r["seq_idx"], r["offset"]) for r in rows])
+        results.append(
+            [
+                (r["doc_id"], r["bucket"], r["seq_idx"], r["offset"], r["n_tokens"])
+                for r in rows
+            ]
+        )
     assert results[0] == results[1]
     # every offset+doc fits its budget except single-doc oversize sequences
     by_seq: dict = {}
     for r in sorted(results[0]):
         by_seq.setdefault((r[1], r[2]), []).append(r)
+    from anansi_ray.functions.packing import PACK_BUDGET
+
+    for (bucket, seq), docs in by_seq.items():
+        last = max(docs, key=lambda r: r[3])
+        if len(docs) == 1 and last[4] > PACK_BUDGET:
+            assert last[3] == 0, (bucket, seq)  # oversize doc packs alone at 0
+            continue
+        assert last[3] + last[4] <= PACK_BUDGET, (bucket, seq, last)

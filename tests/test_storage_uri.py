@@ -50,3 +50,19 @@ def test_ray_sink_through_uri_scheme(tmp_path):
     rd.from_arrow(docs).write_parquet(uri)
     back = rd.read_parquet(uri).to_pandas().sort_values("doc_id")
     assert back["doc_id"].tolist() == sorted(docs["doc_id"].to_pylist())
+
+
+@pytest.mark.skipif(not storage.HAVE_LANCE, reason="pylance not installed")
+class TestLanceBackend:
+    """Runs only where pylance exists: proves the format flip is real the
+    moment the dependency appears (parquet path identical either way)."""
+
+    def test_lance_roundtrip(self, tmp_path):
+        tbl = pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+        dest = storage.write_table(tbl, f"{tmp_path}/t", fmt="lance")
+        assert dest.endswith(".lance")
+        back = storage.read_table(f"{tmp_path}/t")
+        assert back.equals(tbl)
+
+    def test_default_format_is_lance(self):
+        assert storage.DEFAULT_FORMAT == "lance"
