@@ -62,6 +62,11 @@ SCALES = {
     # broadcast the stage bench uses — which is exactly the boundary it
     # exists to demonstrate
     "xxl": dict(n_urls=4_000_000, n_hosts=4000),
+    # xxxl (16M URLs, ~27 GB of web rows) can neither be generated nor held
+    # driver-side: it exists ONLY through the sharded generator
+    # (ensure_sharded_fixture) + the distributed bucketized store — the
+    # whole 10^10 shape, one decade down
+    "xxxl": dict(n_urls=16_000_000, n_hosts=8000, sharded=True),
 }
 
 RDF_TYPES = (
@@ -455,6 +460,8 @@ def write_fixture(tables: dict[str, pa.Table], out_dir: str) -> None:
 
 def ensure_fixture(scale: str, base_dir: str = "/tmp/anansi_fixtures", seed: int = 42) -> str:
     """Generate-once cache of a fixture scale under /tmp; returns its dir."""
+    if SCALES.get(scale, {}).get("sharded"):
+        return ensure_sharded_fixture(scale, base_dir, seed)
     # v4: rdfxml payloads use xml:base + relative rdf:about
     out = os.path.join(base_dir, f"{scale}_s{seed}_v4")
     marker = os.path.join(out, "_COMPLETE")
@@ -462,4 +469,308 @@ def ensure_fixture(scale: str, base_dir: str = "/tmp/anansi_fixtures", seed: int
         write_fixture(generate(scale, seed), out)
         with open(marker, "w") as f:
             f.write("ok")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Sharded generation (xxxl+): the web is too big to build or hold on the
+# driver, so host/url assignment becomes a closed FORMULA over the global
+# index (no global RNG sequence) and each index range generates + writes its
+# own parquet shard in a Ray task.  Same row schema, same payload builders,
+# same status/content-type mixes as generate_sized — the only semantic
+# difference is the (documented) formula host assignment.
+# ---------------------------------------------------------------------------
+
+
+def _hub_count(n_urls: int) -> int:
+    return max(1, n_urls // 4)
+
+
+def _host_index_of(i: int, n_urls: int, n_hosts: int) -> int:
+    """Closed-form host assignment: hosts 0/1 are hubs holding the first
+    half of the index space (the skew of FIXTURES.md §2); the rest
+    round-robin over hosts[2:] — invertible, so same-host link sampling
+    needs no host→urls pool."""
+    n_hub = _hub_count(n_urls)
+    if n_hosts >= 2 and i < 2 * n_hub:
+        return i % 2
+    if n_hosts <= 2:
+        return i % n_hosts
+    return 2 + (i - 2 * n_hub) % (n_hosts - 2)
+
+
+def _url_of_index(i: int, n_urls: int, n_hosts: int) -> str:
+    h = _host_index_of(i, n_urls, n_hosts)
+    path = f"/private/r{i}" if (h == min(2, n_hosts - 1) and i % 7 == 0) else f"/r/{i}"
+    return f"http://h{h}.example.org{path}"
+
+
+def _same_host_peer(h: int, k: int, n_urls: int, n_hosts: int) -> int:
+    """k-th index living on host h (inverse of _host_index_of)."""
+    n_hub = _hub_count(n_urls)
+    if n_hosts >= 2 and h < 2:
+        return 2 * (k % n_hub) + h
+    if n_hosts <= 2:
+        return (k * n_hosts + h) % n_urls
+    base = 2 * n_hub + (h - 2)
+    if base >= n_urls:  # host has no non-hub URLs at this scale
+        return k % (2 * n_hub)
+    count = max(1, (n_urls - base + (n_hosts - 2) - 1) // (n_hosts - 2))
+    return base + (n_hosts - 2) * (k % count)
+
+
+def _gen_web_shard(
+    lo: int, hi: int, n_urls: int, n_hosts: int, seed: int, out_path: str
+) -> int:
+    """Generate web rows for global indexes [lo, hi) and write one parquet
+    shard; deterministic from (seed, lo).  Returns the row count."""
+    rng = np.random.default_rng([seed, lo])
+    n = hi - lo
+    idx = range(lo, hi)
+    urls = [_url_of_index(i, n_urls, n_hosts) for i in idx]
+    host_of_url = [
+        f"h{_host_index_of(i, n_urls, n_hosts)}.example.org" for i in idx
+    ]
+
+    status = np.full(n, 200, dtype=np.int32)
+    r = rng.random(n)
+    status[r < 0.05] = 404
+    status[(r >= 0.05) & (r < 0.10)] = 500
+    status[(r >= 0.10) & (r < 0.16)] = 301
+    status[(r >= 0.16) & (r < 0.20)] = 302
+
+    ctypes = []
+    for j in range(n):
+        if status[j] >= 300:
+            ctypes.append("text/html")
+        else:
+            rr = rng.random()
+            if rr < 0.05:
+                ctypes.append("text/html; charset=utf-8")
+            elif rr < 0.08:
+                ctypes.append("application/octet-stream")
+            else:
+                ct = RDF_TYPES[int(rng.integers(0, len(RDF_TYPES)))]
+                ctypes.append(ct + "; charset=utf-8" if rng.random() < 0.3 else ct)
+
+    redirect: list[str | None] = [None] * n
+    for j in range(n):
+        if status[j] in (301, 302):
+            redirect[j] = _url_of_index(
+                int(rng.integers(0, n_urls)), n_urls, n_hosts
+            )
+
+    content_location: list[str | None] = [None] * n
+    for j, i in enumerate(idx):
+        if status[j] == 200 and rng.random() < 0.15:
+            if rng.random() < 0.3:
+                content_location[j] = f"http://other{i % 7}.example.net/cl/{i}"
+            else:
+                content_location[j] = f"http://{host_of_url[j]}/cl/{i}"
+
+    link_headers: list[list[str]] = [[] for _ in range(n)]
+    for j in range(n):
+        if status[j] == 200 and rng.random() < 0.2:
+            tgt = _url_of_index(int(rng.integers(0, n_urls)), n_urls, n_hosts)
+            if rng.random() < 0.5:
+                link_headers[j].append(f'<{tgt}>; rel="describedby"')
+            else:
+                link_headers[j].append(f"<{tgt}>; rel=next")
+        if status[j] == 200 and rng.random() < 0.05:
+            tgt = _url_of_index(int(rng.integers(0, n_urls)), n_urls, n_hosts)
+            anchor = _url_of_index(int(rng.integers(0, n_urls)), n_urls, n_hosts)
+            link_headers[j].append(f'<{tgt}>; rel="alternate"; anchor="{anchor}"')
+
+    payloads: list[bytes | None] = [None] * n
+    out_links_col: list[list[str]] = [[] for _ in range(n)]
+    licenses: list[str | None] = [None] * n
+    for j, i in enumerate(idx):
+        if status[j] != 200:
+            continue
+        nl = int(rng.poisson(3))
+        links = []
+        h = _host_index_of(i, n_urls, n_hosts)
+        for _ in range(nl):
+            if rng.random() < 0.7:
+                links.append(
+                    _url_of_index(
+                        _same_host_peer(
+                            h, int(rng.integers(0, n_urls)), n_urls, n_hosts
+                        ),
+                        n_urls,
+                        n_hosts,
+                    )
+                )
+            else:
+                links.append(
+                    _url_of_index(int(rng.integers(0, n_urls)), n_urls, n_hosts)
+                )
+        if links and rng.random() < 0.2:
+            links[0] = links[0].replace("http://", "HTTP://", 1) + "#frag"
+        lic = None
+        rr = rng.random()
+        if rr < 0.5:
+            lic = LICENSES_OK[int(rng.integers(0, len(LICENSES_OK)))]
+        elif rr < 0.6:
+            lic = LICENSES_BAD[0]
+        licenses[j] = lic
+        ct = ctypes[j].split(";")[0].strip()
+        spans = _spans_for(rng, host_of_url[j])
+        if ct == "text/turtle":
+            payloads[j] = _payload_turtle(urls[j], spans, links, lic).encode()
+        elif ct == "application/n-triples":
+            payloads[j] = _payload_ntriples(urls[j], spans, links, lic).encode()
+        elif ct == "application/n-quads":
+            payloads[j] = _payload_ntriples(
+                urls[j], spans, links, lic, quads=True
+            ).encode()
+        elif ct == "application/rdf+xml":
+            payloads[j] = _payload_rdfxml(urls[j], spans, links, lic).encode()
+        else:
+            payloads[j] = b"<html><body>not rdf</body></html>"
+            spans = None
+        if spans is not None:
+            out_links_col[j] = expected_out_links(urls[j], spans, links, AN, lic)
+
+    _REASON = {
+        200: "OK",
+        301: "Moved Permanently",
+        302: "Found",
+        404: "Not Found",
+        500: "Internal Server Error",
+    }
+    raw_headers: list[str] = []
+    for j, i in enumerate(idx):
+        lines = [f"HTTP/1.1 {status[j]} {_REASON.get(int(status[j]), 'Status')}"]
+        if ctypes[j]:
+            name = "content-type" if i % 9 == 0 else "Content-Type"
+            sep = ":" if i % 11 == 0 else ": "
+            lines.append(f"{name}{sep}{ctypes[j]}")
+        if redirect[j]:
+            lines.append(f"Location: {redirect[j]}")
+        if content_location[j]:
+            lines.append(f"Content-Location: {content_location[j]}")
+        for lh in link_headers[j]:
+            lines.append(f"Link: {lh}")
+        lines.append(
+            "SERVER: anansi-fixture/1.0" if i % 5 == 0 else "Server: anansi-fixture/1.0"
+        )
+        lines.append(f"X-Fixture-Seq: {i}")
+        if i % 7 == 0:
+            lines.append(f"X-Fixture-Seq: {i + 1}")
+        if i % 13 == 0:
+            lines.append("malformed-noncolon-line")
+        raw_headers.append("\r\n".join(lines) + "\r\n\r\n")
+
+    lm_offset_ms = rng.integers(0, 10**9, n)
+    stale = rng.random(n) < 0.3
+    lm_offset_ms[stale] = rng.integers(0, 5000, int(stale.sum()))
+    last_modified = (
+        np.datetime64("2020-01-01T00:00:00", "us")
+        + lm_offset_ms * np.timedelta64(1000, "us")
+    )
+
+    web = pa.table(
+        {
+            "url": urls,
+            "host": host_of_url,
+            "status": pa.array(status, pa.int32()),
+            "content_type": ctypes,
+            "redirect": pa.array(redirect, pa.string()),
+            "content_location": pa.array(content_location, pa.string()),
+            "link_headers": pa.array(link_headers, pa.list_(pa.string())),
+            "raw_headers": pa.array(raw_headers, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "out_links": pa.array(out_links_col, pa.list_(pa.string())),
+            "license": pa.array(licenses, pa.string()),
+            "last_modified": pa.array(last_modified, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(web, out_path)
+    return n
+
+
+def ensure_sharded_fixture(
+    scale: str,
+    base_dir: str = "/tmp/anansi_fixtures",
+    seed: int = 42,
+    shard_rows: int = 125_000,
+) -> str:
+    """Generate-once SHARDED fixture: ``web/`` holds one parquet per index
+    range (written by parallel Ray tasks, deterministic per (seed, lo));
+    ``hosts.parquet``/``seeds.parquet`` stay driver-side (O(#hosts) rows).
+    No ``documents.parquet`` — scales this size are throughput evidence,
+    not oracle inputs.  Requires a live Ray session (tools/bench own one).
+    """
+    import ray
+
+    p = SCALES[scale]
+    n_urls, n_hosts = p["n_urls"], p["n_hosts"]
+    out = os.path.join(base_dir, f"{scale}_s{seed}_v4_sharded")
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    web_dir = os.path.join(out, "web")
+    os.makedirs(web_dir, exist_ok=True)
+
+    # hosts table: same politeness/robots rules as generate_sized
+    hosts = [f"h{h}.example.org" for h in range(n_hosts)]
+    rate_ms = np.full(n_hosts, 1000, dtype=np.int32)
+    if n_hosts >= 2:
+        rate_ms[0] = 250
+        rate_ms[1] = 500
+    if n_hosts >= 4:
+        rate_ms[3] = 2000
+    if n_hosts >= 5:
+        rate_ms[4] = 0
+    robots: list[list[str]] = [[] for _ in range(n_hosts)]
+    if n_hosts >= 3:
+        robots[min(2, n_hosts - 1)] = ["/private"]
+    hosts_tbl = pa.table(
+        {
+            "host": hosts,
+            "root_hash": [cache_key(f"http://{h}/") for h in hosts],
+            "rate_ms": pa.array(rate_ms, pa.int32()),
+            "robots_disallow": pa.array(robots, pa.list_(pa.string())),
+            "partition": pa.array(
+                [f"p{i % 4}" if i % 3 == 0 else None for i in range(n_hosts)],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(hosts_tbl, os.path.join(out, "hosts.parquet"))
+
+    # seeds: hubs + a few formula-spread indexes, denormalized forms
+    rng = np.random.default_rng(seed)
+    seed_idx = sorted(set([0, 1] + [int(x) for x in rng.integers(0, n_urls, 8)]))
+    seed_urls, force = [], []
+    for j, i in enumerate(seed_idx):
+        u = _url_of_index(i, n_urls, n_hosts)
+        if j % 3 == 1:
+            u = u.replace("http://h", "HTTP://H", 1) + "#top"
+        elif j % 3 == 2:
+            u = u.replace(".example.org/", ".example.org:80/", 1)
+        seed_urls.append(u)
+        force.append(j == 0)
+    pq.write_table(
+        pa.table({"url": seed_urls, "force": force}),
+        os.path.join(out, "seeds.parquet"),
+    )
+
+    gen = ray.remote(num_cpus=1)(_gen_web_shard)
+    futures = [
+        gen.remote(
+            lo,
+            min(lo + shard_rows, n_urls),
+            n_urls,
+            n_hosts,
+            seed,
+            os.path.join(web_dir, f"shard={lo // shard_rows:05d}.parquet"),
+        )
+        for lo in range(0, n_urls, shard_rows)
+    ]
+    total = sum(ray.get(futures))
+    assert total == n_urls, (total, n_urls)
+    with open(marker, "w") as f:
+        f.write("ok")
     return out

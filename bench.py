@@ -90,6 +90,25 @@ def _host_health_sec() -> float:
     return round(time.perf_counter() - t0, 2)
 
 
+HEALTH_THRESHOLD = float(os.environ.get("GRAFT_HEALTH_THRESHOLD", "1.0"))
+HEALTH_RETRIES = int(os.environ.get("GRAFT_HEALTH_RETRIES", "8"))
+
+
+def _wait_for_healthy_window() -> list[float]:
+    """Bounded retry-until-healthy: probe up to HEALTH_RETRIES times, 20 s
+    apart, until the memory-bandwidth probe drops under HEALTH_THRESHOLD.
+    Returns every probe reading (recorded in the bench JSON) — if the
+    window never clears, the run proceeds anyway and the trail of >1 s
+    probes marks the artifact as a floor, not capacity."""
+    probes = [_host_health_sec()]
+    for _ in range(HEALTH_RETRIES):
+        if probes[-1] <= HEALTH_THRESHOLD:
+            break
+        time.sleep(20)
+        probes.append(_host_health_sec())
+    return probes
+
+
 def _init_ray(num_cpus: int):
     import ray
 
@@ -251,12 +270,14 @@ def run_full() -> dict:
     _init_ray(NUM_CPUS)
     import __ray_entry__ as entrymod
 
+    probes = _wait_for_healthy_window()
     out: dict = {
         "metric": "anansi-ray bench: crawl frontier throughput + operator suite",
         "unit": "sec",
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
-        "host_memband_sec": _host_health_sec(),
+        "host_memband_sec": probes[-1],
+        "host_memband_probes": probes,
     }
     t_total = time.time()
     out["crawl"] = bench_crawl(CRAWL_SCALE)

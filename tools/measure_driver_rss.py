@@ -53,11 +53,35 @@ def main() -> None:
     from anansi_ray.pipelines.crawl import CrawlPipeline
 
     fdir = fixtures.ensure_fixture(scale)
-    tables = {
-        n: pq.read_table(os.path.join(fdir, f"{n}.parquet"))
-        for n in ("seeds", "web", "hosts", "documents")
-    }
-    pipe = CrawlPipeline(tables, CrawlConfig(), budget=None)
+    sharded = fixtures.SCALES.get(scale, {}).get("sharded", False)
+    if sharded:
+        # xxxl shape: the web NEVER lands on the driver — sharded fixture
+        # parquet → distributed bucketize → bucketed store; politeness
+        # counters in sharded actors, bookkeeping fully distributed
+        import ray.data as rd
+
+        from anansi_ray.sources.webstore import META_NAME, bucketize_web
+
+        store = os.path.join(fdir, "store")
+        if not os.path.exists(os.path.join(store, META_NAME)):
+            t0 = time.time()
+            bucketize_web(
+                rd.read_parquet(os.path.join(fdir, "web")), store, n_buckets=64
+            )
+            print(f"bucketize: {time.time() - t0:.1f}s rss={rss_mib():.1f} MiB")
+        tables = {
+            n: pq.read_table(os.path.join(fdir, f"{n}.parquet"))
+            for n in ("seeds", "hosts")
+        }
+        cfg = CrawlConfig()
+        cfg.host_state_backend = "sharded"
+        pipe = CrawlPipeline(tables, cfg, budget=None, web_store_dir=store)
+    else:
+        tables = {
+            n: pq.read_table(os.path.join(fdir, f"{n}.parquet"))
+            for n in ("seeds", "web", "hosts", "documents")
+        }
+        pipe = CrawlPipeline(tables, CrawlConfig(), budget=None)
     t0 = time.time()
     total = 0
     samples: list[tuple[int, int, float]] = []
