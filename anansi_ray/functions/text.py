@@ -250,3 +250,98 @@ def token_df_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "df": pa.array(df.to_numpy(dtype=np.int64), pa.int64()),
         }
     )
+
+
+def tfidf_score_batch(
+    batch: pa.Table,
+    vocab_df: dict[str, int],
+    n_docs: int,
+    top_k: int = 3,
+    text_col: str = "text",
+) -> pa.Table:
+    """Per-batch TF-IDF scoring against a BROADCAST bounded vocabulary.
+
+    Each doc's term frequencies are counted over vocab tokens only (the
+    vocabulary is the corpus's top-|V| tokens by document frequency —
+    computed by the same token_df pipeline and shipped once via
+    ``ray.put``, so no token-level shuffle ever happens); score =
+    tf · ln(N/df) rounded to 6 dp, and only each doc's ``top_k`` terms by
+    (score desc, token asc) leave the batch.  Batch-local: a doc is one
+    row, so its top-k never crosses a block boundary."""
+    import pandas as pd
+
+    col = pc.fill_null(batch[text_col], "")
+    toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\W+")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    in_vocab = pc.is_in(
+        flat, value_set=pa.array(sorted(vocab_df), pa.string())
+    ).to_numpy(zero_copy_only=False)
+    s = flat.to_pandas()
+    keep = in_vocab & (s.str.len() > 0).to_numpy()
+    tf = (
+        pd.DataFrame({"d": doc_idx[keep], "t": s[keep]})
+        .groupby(["d", "t"], sort=False)
+        .size()
+        .reset_index(name="tf")
+    )
+    if len(tf) == 0:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].slice(0, 0),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    tf["df"] = tf["t"].map(vocab_df).astype(np.int64)
+    tf["score"] = np.round(
+        tf["tf"].to_numpy(np.float64)
+        * np.log(float(n_docs) / tf["df"].to_numpy(np.float64)),
+        6,
+    )
+    top = (
+        tf.sort_values(["d", "score", "t"], ascending=[True, False, True])
+        .groupby("d", sort=False)
+        .head(top_k)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].take(pa.array(top["d"].to_numpy(), pa.int64())),
+            "token": pa.array(top["t"].to_numpy(dtype=object), pa.string()),
+            "tf": pa.array(top["tf"].to_numpy(np.int64), pa.int64()),
+            "df": pa.array(top["df"].to_numpy(np.int64), pa.int64()),
+            "score": pa.array(top["score"].to_numpy(np.float64), pa.float64()),
+        }
+    )
+
+
+def shingles_for_batch(
+    batch: pa.Table, k: int = 8, text_col: str = "text"
+) -> tuple[np.ndarray, list[str]]:
+    """(doc row-index, k-token shingle string) pairs for a batch: the
+    ``\\w+`` token model, shingle = k consecutive tokens space-joined
+    (byte-identical to DuckDB's ``array_to_string(toks[i:i+k-1], ' ')``).
+    Tokenization/flattening is Arrow-vectorized; only the final join runs
+    as one Python comprehension over the shingle windows (a rolling-hash
+    variant would avoid even that at the cost of an oracle that can't
+    recompute it — the string form keeps the twin exact)."""
+    col = pc.fill_null(batch[text_col], "")
+    toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\W+")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    nonempty = np.array([len(t) > 0 for t in flat], dtype=bool)
+    flat, doc_idx = flat[nonempty], doc_idx[nonempty]
+    counts = np.bincount(doc_idx, minlength=batch.num_rows)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    n_sh = np.maximum(counts - k + 1, 0)
+    out_doc = np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_sh)
+    shingles = [
+        " ".join(flat[offsets[d] + i : offsets[d] + i + k])
+        for d in range(batch.num_rows)
+        for i in range(n_sh[d])
+    ]
+    return out_doc, shingles

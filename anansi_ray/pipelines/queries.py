@@ -1690,6 +1690,252 @@ def q_crawl_doc_pipeline(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """TF-IDF top-3 terms per document with a BOUNDED broadcast vocabulary:
+    pass 1 reuses the token_df combiner pipeline to pick the corpus's
+    top-512 tokens by document frequency (a small, fixed-size table no
+    matter the corpus size); pass 2 scores each doc against the broadcast
+    vocab inside map_batches — tf · ln(N/df), per-doc top-3 by
+    (score desc, token asc), all batch-local.  No token-level shuffle at
+    any corpus size: the only exchange is the df groupby over per-batch
+    vocabulary partials."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+    vocab_tbl = (
+        docs.map_batches(ftext.token_df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .sort(["df", "token"], descending=[True, False])
+        .limit(512)
+        .to_pandas()
+    )
+    vocab_df = dict(zip(vocab_tbl["token"], vocab_tbl["df"].astype(int)))
+
+    out = (
+        docs.map_batches(
+            lambda b: ftext.tfidf_score_batch(b, vocab_df, n_docs, top_k=3),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "score", "token"], ascending=[True, False, True])
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (
+  SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+vocab AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 512),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, v.df,
+         round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / v.df), 6)
+           AS score
+  FROM tf JOIN vocab v USING (token)),
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, token
+         ) AS rn
+  FROM scored)
+SELECT doc_id, token, tf, df, score FROM ranked WHERE rn <= 3
+ORDER BY doc_id, score DESC, token
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs sharing any 8-token
+    shingle with a held-out benchmark set (here: the 100 smallest doc_ids).
+    The benchmark's shingle set is tiny and broadcast ONCE (``ray.put``);
+    each batch probes its own shingles with one vectorized ``pc.is_in`` —
+    the corpus's shingle stream never shuffles and never lands anywhere.
+    Output: (doc_id, n_hits = distinct contaminated shingles) for
+    contaminated non-benchmark docs."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench_ids = set(
+        r["doc_id"]
+        for r in _read(sf_dir, "documents", ["doc_id"]).sort("doc_id").limit(100).take_all()
+    )
+
+    bench_tbl = docs.map_batches(
+        lambda b: b.filter(pc.is_in(b["doc_id"], value_set=pa.array(sorted(bench_ids)))),
+        batch_format="pyarrow",
+    ).take_all()
+    bench_sh: set[str] = set()
+    for row_tbl in (pa.Table.from_pylist(bench_tbl),):
+        _, sh = ftext.shingles_for_batch(row_tbl)
+        bench_sh.update(sh)
+    bench_ref = ray.put(pa.array(sorted(bench_sh), pa.string()))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table(
+            {"doc_id": batch["doc_id"].slice(0, 0), "n_hits": pa.array([], pa.int64())}
+        )
+        bench_arr = ray.get(bench_ref)
+        doc_idx, shingles = ftext.shingles_for_batch(batch)
+        if not shingles:
+            return empty
+        hit = pc.is_in(pa.array(shingles, pa.string()), value_set=bench_arr).to_numpy(
+            zero_copy_only=False
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = hit & ~np.isin(ids[doc_idx], list(bench_ids))
+        if not keep.any():
+            return empty
+        hits = (
+            pd.DataFrame(
+                {"d": doc_idx[keep], "sh": np.asarray(shingles, dtype=object)[keep]}
+            )
+            .drop_duplicates()
+            .groupby("d", sort=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(
+                    pa.array(hits.index.to_numpy(), pa.int64())
+                ),
+                "n_hits": pa.array(hits.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    out = docs.map_batches(probe, batch_format="pyarrow").to_pandas().sort_values("doc_id")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_DECONTAMINATE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\w+') AS toks
+  FROM documents),
+pos AS (
+  SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 6, 1))) AS i FROM d),
+g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS sh FROM pos),
+bench_ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100),
+bench AS (
+  SELECT DISTINCT sh FROM g WHERE doc_id IN (SELECT doc_id FROM bench_ids)),
+hits AS (
+  SELECT g.doc_id, count(DISTINCT g.sh)::BIGINT AS n_hits
+  FROM g JOIN bench USING (sh)
+  WHERE g.doc_id NOT IN (SELECT doc_id FROM bench_ids)
+  GROUP BY 1)
+SELECT doc_id, n_hits FROM hits ORDER BY doc_id
+"""
+
+
+def q_quality_filter_p10(sf_dir: str):
+    """Per-language p10 quality gate (drop each language's bottom decile by
+    stopword ratio): score+lang-ID once into a tiny 3-column projection,
+    reduce it to per-(lang, score-grid) histogram partials (combiner before
+    the exchange — the same exact-quantile pattern as events_quantiles),
+    read the p10 lower inverse-CDF per language on the driver (O(#langs)
+    rows), then filter the projection against the broadcast thresholds.
+    Scores are pre-rounded to 6 dp so the 1e-6 grid is exact — integer
+    arithmetic end-to-end, no sketch tolerance."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        q = ftext.quality_score_batch(batch)
+        lang = ftext.lang_id_batch(batch)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": lang["lang_pred"],
+                "score": q["stopword_ratio"],
+            }
+        )
+
+    # 3 narrow columns per doc — materialized once, read by both the
+    # histogram pass and the filter pass (recomputing the kernels twice
+    # would double the corpus read at scale)
+    scored = docs.map_batches(score_batch, batch_format="pyarrow").materialize()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        gv = np.rint(
+            batch["score"].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        part = (
+            pd.DataFrame({"lang": batch["lang"].to_pylist(), "gv": gv})
+            .groupby(["lang", "gv"], sort=False)
+            .size()
+        )
+        langs, gvs = zip(*part.index) if len(part) else ((), ())
+        return pa.table(
+            {
+                "lang": pa.array(list(langs), pa.string()),
+                "gv": pa.array(list(gvs), pa.int64()),
+                "cnt": pa.array(part.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        scored.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "gv"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    thr: dict[str, int] = {}
+    for lang, grp in hist.groupby("lang"):
+        grp = grp.sort_values("gv")
+        cum = grp["cnt"].cumsum().to_numpy()
+        tot = int(cum[-1])
+        target = int(np.ceil(0.1 * tot))
+        thr[lang] = int(grp["gv"].to_numpy()[np.searchsorted(cum, target, side="left")])
+
+    def keep_above(batch: pa.Table) -> pa.Table:
+        gv = np.rint(
+            batch["score"].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        bar = np.array(
+            [thr[la] for la in batch["lang"].to_pylist()], dtype=np.int64
+        )
+        return batch.filter(pa.array(gv >= bar))
+
+    out = (
+        scored.map_batches(keep_above, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_QUALITY_FILTER_P10 = rf"""
+WITH lang_q AS ({SQL_LANG_ID}),
+qual AS (
+  SELECT doc_id,
+         round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x IN ('the','a','and','of','to','in')))
+               / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+           AS score
+  FROM documents),
+s AS (
+  SELECT q.doc_id, l.lang_pred AS lang, q.score
+  FROM qual q JOIN lang_q l USING (doc_id)),
+ranked AS (
+  SELECT lang, score,
+         cume_dist() OVER (PARTITION BY lang ORDER BY score) AS cd
+  FROM s),
+thr AS (SELECT lang, min(score) AS bar FROM ranked WHERE cd >= 0.1 GROUP BY 1)
+SELECT s.doc_id, s.lang, s.score
+FROM s JOIN thr USING (lang)
+WHERE s.score >= thr.bar
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1722,6 +1968,9 @@ QUERIES = {
     "events_asof_orders": (q_events_asof_orders, SQL_EVENTS_ASOF_ORDERS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "token_df": (q_token_df, SQL_TOKEN_DF),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "orders_events_window": (q_orders_events_window, SQL_ORDERS_EVENTS_WINDOW),
     "kmeans_embeddings": (q_kmeans, SQL_KMEANS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

@@ -18,6 +18,7 @@ from anansi_ray.functions.text import (
     fingerprint_batch,
     token_count_batch,
 )
+from anansi_ray.functions import text as ftext
 
 _WS = re.compile(r"\s+")
 
@@ -102,3 +103,61 @@ class TestTokenCountKernel:
         got = out["n_tokens"].to_pylist()
         exp = [len(pat.findall(t)) if t else 0 for t in TEXTS]
         assert got == exp
+
+
+class TestTfidfKernel:
+    def test_scores_and_topk(self):
+        batch = pa.table(
+            {
+                "doc_id": pa.array([10, 11], pa.int64()),
+                "text": pa.array(["cat cat dog", "dog emu emu emu"], pa.string()),
+            }
+        )
+        vocab = {"cat": 1, "dog": 2, "emu": 1}
+        out = ftext.tfidf_score_batch(batch, vocab, n_docs=2, top_k=2)
+        rows = {
+            (r["doc_id"], r["token"]): (r["tf"], r["df"], r["score"])
+            for r in out.to_pylist()
+        }
+        import math
+
+        # doc 10: cat tf=2 df=1 -> 2*ln(2); dog tf=1 df=2 -> 0.0
+        assert rows[(10, "cat")] == (2, 1, round(2 * math.log(2), 6))
+        assert rows[(10, "dog")] == (1, 2, 0.0)
+        # doc 11 top-2 by (score desc, token): emu 3*ln2, dog 0
+        assert rows[(11, "emu")] == (3, 1, round(3 * math.log(2), 6))
+        assert rows[(11, "dog")] == (1, 2, 0.0)
+        assert len(rows) == 4
+
+    def test_out_of_vocab_dropped(self):
+        batch = pa.table(
+            {"doc_id": pa.array([1], pa.int64()), "text": pa.array(["zz yy zz"], pa.string())}
+        )
+        out = ftext.tfidf_score_batch(batch, {"cat": 1}, n_docs=5)
+        assert out.num_rows == 0
+        assert out.schema.field("doc_id").type == pa.int64()
+
+
+class TestShingles:
+    def test_eight_token_windows(self):
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    ["a b c d e f g h i", "one, two; THREE"], pa.string()
+                ),
+            }
+        )
+        doc_idx, sh = ftext.shingles_for_batch(batch, k=8)
+        assert sh == ["a b c d e f g h", "b c d e f g h i"]
+        assert doc_idx.tolist() == [0, 0]  # doc 2 has <8 tokens
+
+    def test_punctuation_and_case_normalized(self):
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array(["One, two! three-four FIVE six. seven? eight"], pa.string()),
+            }
+        )
+        _, sh = ftext.shingles_for_batch(batch, k=8)
+        assert sh == ["one two three four five six seven eight"]
