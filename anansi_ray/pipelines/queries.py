@@ -684,17 +684,34 @@ GROUP BY 1 ORDER BY 1
 
 def q_events_props(sf_dir: str):
     """Scalar JSON extraction (the header-dict JSON analogue, §2.10) +
-    grouped aggregate over the extracted value."""
-    import json as _json
+    grouped aggregate over the extracted value.  The extraction is
+    vectorized via polars' JSONPath kernel (missing key / null props → 0,
+    matching ``json.loads(p).get("k", 0)``); the stdlib per-row loop
+    survives as the fallback where polars is absent."""
 
     def extract(batch: pa.Table) -> pa.Table:
-        ks = [
-            int(_json.loads(p).get("k", 0)) if p else 0
-            for p in batch["props"].to_pylist()
-        ]
-        return pa.table(
-            {"event_type": batch["event_type"], "k": pa.array(ks, pa.int64())}
-        )
+        try:
+            import polars as pl
+
+            ks = (
+                pl.from_arrow(batch["props"].combine_chunks())
+                .str.json_path_match("$.k")
+                .cast(pl.Int64)
+                .fill_null(0)
+                .to_arrow()
+                .cast(pa.int64())
+            )
+        except ImportError:  # pragma: no cover - polars is in this env
+            import json as _json
+
+            ks = pa.array(
+                [
+                    int(_json.loads(p).get("k", 0)) if p else 0
+                    for p in batch["props"].to_pylist()
+                ],
+                pa.int64(),
+            )
+        return pa.table({"event_type": batch["event_type"], "k": ks})
 
     from ray.data.aggregate import Count, Sum
 
