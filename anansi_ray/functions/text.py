@@ -345,3 +345,78 @@ def shingles_for_batch(
         for i in range(n_sh[d])
     ]
     return out_doc, shingles
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + repetition-ratio quality signal
+# ---------------------------------------------------------------------------
+
+#: RE2-compatible PII patterns (identical syntax/semantics in Arrow's
+#: ``replace_substring_regex`` and DuckDB's ``regexp_replace(..., 'g')`` —
+#: both engines are RE2).  Order matters: emails are redacted BEFORE IPv4 so
+#: an address inside a hostname can't be double-hit.
+PII_EMAIL_RE = r"[\w.+-]+@[\w-]+(\.[\w-]+)+"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """PII scrub: replace emails → ``<EMAIL>`` and IPv4 literals → ``<IP>``
+    in one vectorized RE2 pass per pattern, with per-doc match counts.
+
+    Batch-local, zero shuffle at any corpus size; the whole kernel is two
+    ``count_substring_regex`` + two ``replace_substring_regex`` column
+    scans (no per-row Python)."""
+    col = pc.fill_null(batch[text_col], "")
+    n_email = pc.count_substring_regex(col, PII_EMAIL_RE).cast(pa.int64())
+    step1 = pc.replace_substring_regex(col, PII_EMAIL_RE, "<EMAIL>")
+    n_ip = pc.count_substring_regex(step1, PII_IPV4_RE).cast(pa.int64())
+    clean = pc.replace_substring_regex(step1, PII_IPV4_RE, "<IP>")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "clean_text": clean,
+            "n_emails": n_email,
+            "n_ips": n_ip,
+        }
+    )
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Repetition-ratio quality signal: 1 − (distinct tokens / tokens) per
+    doc, with the same ``\\w+`` word model as token_df (split on ``\\W+``,
+    drop empties).
+
+    Vectorized: tokens are factorized ONCE per batch (np.unique with
+    return_inverse), then per-doc distinct counts come from one np.unique
+    over the combined (doc_idx, token_code) int64 key — no Python loop over
+    rows or tokens.  Batch-local, zero shuffle."""
+    col = pc.fill_null(batch[text_col], "")
+    toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\W+")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    doc_idx = doc_idx[nonempty]
+    toks_np = np.asarray(flat.to_pylist(), dtype=object)[nonempty]
+    n_tokens = np.bincount(doc_idx, minlength=batch.num_rows).astype(np.int64)
+    if len(toks_np):
+        _, codes = np.unique(toks_np, return_inverse=True)
+        pair = doc_idx * (codes.max() + 1) + codes
+        uniq_pairs = np.unique(pair)
+        n_unique = np.bincount(
+            uniq_pairs // (codes.max() + 1), minlength=batch.num_rows
+        ).astype(np.int64)
+    else:
+        n_unique = np.zeros(batch.num_rows, np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rep = np.where(
+            n_tokens > 0, 1.0 - n_unique / np.maximum(n_tokens, 1), 0.0
+        )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_unique": pa.array(n_unique, pa.int64()),
+            "repetition": pa.array(np.round(rep, 6), pa.float64()),
+        }
+    )

@@ -1953,6 +1953,293 @@ ORDER BY doc_id
 """
 
 
+def q_pii_redact(sf_dir: str):
+    """PII scrub over the corpus: emails → ``<EMAIL>``, then IPv4 literals →
+    ``<IP>``, with per-doc match counts — two vectorized RE2 column scans
+    per batch (text.py pii_redact_batch), zero shuffle at any corpus size.
+
+    The synthetic corpus carries no PII, so a deterministic footer with one
+    email + one IP derived from doc_id is appended on BOTH sides before
+    redaction (same construction the URL-kernel queries use), making the
+    redact path do real work the oracle can recompute."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        footer = pa.array(
+            [
+                f" contact user{d}@mail.example.com from 10.{d % 256}.0.{d % 100}"
+                for d in ids
+            ],
+            pa.string(),
+        )
+        withpii = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pc.binary_join_element_wise(
+                    pc.fill_null(batch["text"], ""), footer, ""
+                ),
+            }
+        )
+        return ftext.pii_redact_batch(withpii)
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(kernel, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_PII_REDACT = r"""
+WITH pii AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact user' || doc_id ||
+           '@mail.example.com from 10.' || (doc_id % 256) || '.0.' ||
+           (doc_id % 100) AS t
+  FROM documents),
+step1 AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '[\w.+-]+@[\w-]+(\.[\w-]+)+', '<EMAIL>', 'g') AS s1
+  FROM pii)
+SELECT doc_id,
+       regexp_replace(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+         AS clean_text,
+       length(regexp_extract_all(t, '[\w.+-]+@[\w-]+(\.[\w-]+)+'))::BIGINT
+         AS n_emails,
+       length(regexp_extract_all(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT
+         AS n_ips
+FROM step1
+ORDER BY doc_id
+"""
+
+
+def q_repetition_ratio(sf_dir: str):
+    """Repetition-ratio quality signal: 1 − distinct/total tokens per doc
+    (the boilerplate/spam detector every corpus-quality pass runs).
+    Batch-local factorized counting (text.py repetition_batch), zero
+    shuffle."""
+    out = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(ftext.repetition_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_REPETITION = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS token
+  FROM documents),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(DISTINCT token)::BIGINT AS n_unique
+  FROM tok GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(a.n_unique, 0)::BIGINT AS n_unique,
+       round(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
+                  ELSE 1 - coalesce(a.n_unique, 0)::DOUBLE / a.n_tokens
+             END, 6) AS repetition
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Distributed top-k per group: the 3 longest docs per language by
+    (n_chars desc, doc_id asc).
+
+    Per-batch partial top-k (one lexsort + boundary mask — only ≤ k rows
+    per (batch, lang) ever leave a block), then the bounded partial set
+    (≤ k · |langs| · #blocks rows regardless of corpus size) reduces to the
+    final top-k in one small driver step — the same partial-top-k shape as
+    q_orders_topk/stratified_sample."""
+    K = 3
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        langs = b["lang"].to_numpy(zero_copy_only=False)
+        chars = b["n_chars"].to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -chars, langs))
+        sl = langs[order]
+        # rank within each lang run: position − run start
+        starts = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+        run_id = np.cumsum(np.r_[True, sl[1:] != sl[:-1]]) - 1
+        rank = np.arange(len(sl)) - starts[run_id]
+        keep = order[rank < K]
+        return b.select(["lang", "doc_id", "n_chars"]).take(
+            pa.array(np.sort(keep), pa.int64())
+        )
+
+    partials = (
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    final = partials.sort_values(
+        ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+    )
+    final["rank"] = final.groupby("lang", sort=False).cumcount() + 1
+    final = final[final["rank"] <= K].astype({"rank": "int64"})
+    return pa.Table.from_pandas(
+        final[["lang", "doc_id", "n_chars", "rank"]], preserve_index=False
+    )
+
+
+SQL_TOP_DOCS_PER_LANG = """
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+         ) AS rank
+  FROM documents)
+SELECT lang, doc_id, n_chars, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY lang, rank
+"""
+
+
+def q_domain_mix_weights(sf_dir: str):
+    """Corpus mixing weights per source domain: sqrt-count temperature
+    weighting (the standard corpus-balancing recipe — upweight small
+    sources, damp giant ones).
+
+    Per-batch partial (source, n_docs, total_chars) combiner BEFORE the
+    exchange, so the groupby moves ≤ |sources| rows per batch; the final
+    normalization runs over the tiny |sources|-row result on the driver."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = b["source"].to_numpy(zero_copy_only=False)
+        chars = b["n_chars"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        return pa.table(
+            {
+                "source": pa.array(uniq, pa.string()),
+                "n_docs": pa.array(np.bincount(inv), pa.int64()),
+                "total_chars": pa.array(
+                    np.bincount(inv, weights=chars).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    g = (
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+        .to_pandas()
+        .sort_values("source")
+    )
+    sq = np.sqrt(g["n_docs"].to_numpy(np.float64))
+    g["weight"] = np.round(sq / sq.sum(), 6)
+    g = g.astype({"n_docs": "int64", "total_chars": "int64"})
+    return pa.Table.from_pandas(
+        g[["source", "n_docs", "total_chars", "weight"]], preserve_index=False
+    )
+
+
+SQL_DOMAIN_MIX = """
+WITH g AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+  FROM documents GROUP BY 1)
+SELECT source, n_docs, total_chars,
+       round(sqrt(n_docs::DOUBLE) / sum(sqrt(n_docs::DOUBLE)) OVER (), 6)
+         AS weight
+FROM g ORDER BY source
+"""
+
+
+def q_customer_no_orders(sf_dir: str):
+    """Distributed ANTI-join: customers with no 1-URGENT order, aggregated
+    per market segment — the co-partitioned twin of q_order_lineitem_join's
+    inner join (TPC-H Q22 shape).  Both sides bucket on hash(custkey) % B
+    (ONE exchange), the right side is filter-pruned BEFORE the exchange,
+    each bucket runs a vectorized isin anti-filter + per-segment partial
+    aggregate, and only the ≤ |segments| · B partial rows reach the final
+    combine."""
+    B = 32
+
+    def tag_customer(b: pa.Table) -> pa.Table:
+        key = b["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": b["c_custkey"],
+                "bucket": pa.array((key % B).astype(np.int32), pa.int32()),
+                "c_mktsegment": b["c_mktsegment"],
+                "c_acctbal": b["c_acctbal"],
+                "side": pa.array(["c"] * b.num_rows, pa.string()),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        # prune to the urgent orders BEFORE the exchange: only matching keys
+        # ever shuffle
+        b = b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+        key = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": b["o_custkey"],
+                "bucket": pa.array((key % B).astype(np.int32), pa.int32()),
+                "c_mktsegment": pa.array([None] * b.num_rows, pa.string()),
+                "c_acctbal": pa.array([None] * b.num_rows, pa.float64()),
+                "side": pa.array(["o"] * b.num_rows, pa.string()),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"]).map_batches(
+        tag_customer, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        tag_orders, batch_format="pyarrow"
+    )
+
+    def anti_bucket(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        cmask = df["side"].to_numpy() == "c"
+        lonely = df[cmask & ~df["key"].isin(df.loc[~cmask, "key"])]
+        agg = lonely.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("key", "size"), total_acctbal=("c_acctbal", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    # sort-based map_groups emits empty-schema blocks for empty range
+    # partitions; strip them before the driver-side combine
+    partials = drop_empty_blocks(
+        cust.union(orders)
+        .groupby("bucket")
+        .map_groups(anti_bucket, batch_format="pyarrow")
+        .materialize()
+    ).to_pandas()
+    out = partials.groupby("c_mktsegment", as_index=False).agg(
+        n_customers=("n_customers", "sum"), total_acctbal=("total_acctbal", "sum")
+    )
+    out["total_acctbal"] = out["total_acctbal"].round(2)
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("c_mktsegment"), preserve_index=False
+    )
+
+
+SQL_CUSTOMER_NO_ORDERS = """
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1988,6 +2275,11 @@ QUERIES = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "repetition_ratio": (q_repetition_ratio, SQL_REPETITION),
+    "top_docs_per_lang": (q_top_docs_per_lang, SQL_TOP_DOCS_PER_LANG),
+    "domain_mix_weights": (q_domain_mix_weights, SQL_DOMAIN_MIX),
+    "customer_no_orders": (q_customer_no_orders, SQL_CUSTOMER_NO_ORDERS),
     "orders_events_window": (q_orders_events_window, SQL_ORDERS_EVENTS_WINDOW),
     "kmeans_embeddings": (q_kmeans, SQL_KMEANS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

@@ -57,6 +57,14 @@ BENCH_QUERIES = [
     "events_asof_orders",
     "stratified_sample",
     "token_df",
+    "tfidf_top_terms",
+    "decontaminate",
+    "quality_filter_p10",
+    "pii_redact",
+    "repetition_ratio",
+    "top_docs_per_lang",
+    "domain_mix_weights",
+    "customer_no_orders",
     "orders_events_window",
     "pack_sequences",
     "lineitem_agg",

@@ -161,3 +161,63 @@ class TestShingles:
         )
         _, sh = ftext.shingles_for_batch(batch, k=8)
         assert sh == ["one two three four five six seven eight"]
+
+
+class TestPiiRedact:
+    def test_vs_row_loop(self):
+        texts = [
+            "mail a.b+c-d@x.co.uk and x@y.z now",
+            "ips 10.0.0.1 and 192.168.255.254, not 1234.5.6.7 ok",
+            "email-in-domain u@10.0.0.1ish.org then 8.8.8.8",
+            "",
+            None,
+            "@not-an-email nor 1.2.3 nor a@b",
+        ]
+        b = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+        )
+        out = ftext.pii_redact_batch(b).to_pylist()
+        email = re.compile(r"[\w.+-]+@[\w-]+(\.[\w-]+)+")
+        ip = re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+        for row, t in zip(out, texts):
+            t = t or ""
+            s1, n_email = email.subn("<EMAIL>", t)
+            clean, n_ip = ip.subn("<IP>", s1)
+            assert row["clean_text"] == clean
+            assert row["n_emails"] == n_email
+            assert row["n_ips"] == n_ip
+
+    def test_email_redacted_before_ip(self):
+        # the address inside the email's host must not surface as an IP hit
+        b = pa.table(
+            {"doc_id": pa.array([0], pa.int64()), "text": ["u@1.2.3.4 only"]}
+        )
+        row = ftext.pii_redact_batch(b).to_pylist()[0]
+        assert row == {
+            "doc_id": 0,
+            "clean_text": "<EMAIL> only",
+            "n_emails": 1,
+            "n_ips": 0,
+        }
+
+
+class TestRepetition:
+    def test_vs_row_loop(self):
+        texts = [
+            "a a a a",
+            "a b c d",
+            "The THE the. tHe!",  # case-folds + punct-splits to one token
+            "",
+            None,
+            "x",
+        ]
+        b = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+        )
+        out = ftext.repetition_batch(b).to_pylist()
+        for row, t in zip(out, texts):
+            toks = re.findall(r"\w+", (t or "").lower())
+            assert row["n_tokens"] == len(toks)
+            assert row["n_unique"] == len(set(toks))
+            exp = 0.0 if not toks else 1.0 - len(set(toks)) / len(toks)
+            assert abs(row["repetition"] - round(exp, 6)) < 1e-12
