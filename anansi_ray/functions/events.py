@@ -220,3 +220,83 @@ def session_windows(ds: rd.Dataset, gap_us: int = HOUR_US) -> rd.Dataset:
         .groupby("part")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def lag_lead_window(ds: rd.Dataset) -> rd.Dataset:
+    """Per-key ordered row window: row_number, lag(value), lead(value) and
+    delta over (PARTITION BY user_id ORDER BY ts, event_id) — the
+    lag/lead/rank family of SQL window functions as a distributed operator.
+
+    Same partition-kernel shape as session_windows: one exchange on
+    ``part = mix64(user_id) % n_parts`` co-locates each user's history,
+    every partition sorts once and derives all window columns with run-
+    boundary masks + shifts (no per-user micro-groups, no pandas).  Only
+    exact ops (copies, integer ranks, one float subtraction) so a SQL twin
+    reproduces values bit-for-bit."""
+    import pyarrow.compute as pc
+
+    from anansi_ray.functions.dedup import _np, _part_np
+
+    n_parts = 64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "part": _part_np(u.to_numpy(zero_copy_only=False), n_parts),
+                "user_id": u,
+                "ts": batch["ts"].combine_chunks().cast(pa.int64()),
+                "event_id": batch["event_id"].combine_chunks().cast(pa.int64()),
+                "value": batch["value"].combine_chunks().cast(pa.float64()),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "rn": pa.array([], pa.int64()),
+                    "prev_value": pa.array([], pa.float64()),
+                    "next_value": pa.array([], pa.float64()),
+                    "delta": pa.array([], pa.float64()),
+                }
+            )
+        t = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+        )
+        u = _np(t["user_id"])
+        val = _np(t["value"])
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new_user)
+        run_id = np.cumsum(new_user) - 1
+        rn = np.arange(len(u), dtype=np.int64) - starts[run_id] + 1
+        prev = np.r_[np.nan, val[:-1]]
+        prev[new_user] = np.nan
+        nxt = np.r_[val[1:], np.nan]
+        nxt[np.r_[new_user[1:], True]] = np.nan
+        delta = np.round(val - prev, 6)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "rn": pa.array(rn, pa.int64()),
+                "prev_value": pa.array(prev, pa.float64(), from_pandas=True),
+                "next_value": pa.array(nxt, pa.float64(), from_pandas=True),
+                "delta": pa.array(delta, pa.float64(), from_pandas=True),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

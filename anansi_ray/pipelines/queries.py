@@ -2240,6 +2240,63 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_events_lag_lead(sf_dir: str):
+    """SQL window-function family (row_number / lag / lead / delta) over
+    (PARTITION BY user_id ORDER BY ts, event_id) as ONE co-partitioning
+    exchange + a sorted run-boundary kernel (functions/events.py
+    lag_lead_window).  Only exact ops, so the DuckDB twin matches
+    bit-for-bit."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = (
+        fevents.lag_lead_window(ev)
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_EVENTS_LAG_LEAD = """
+SELECT event_id, user_id,
+       row_number() OVER w::BIGINT AS rn,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       round(value - lag(value) OVER w, 6) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+def q_distinct_users_exact(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type: per-batch (group, key)
+    dedup combiner before the exchange, one pair-level groupby
+    (functions/sketch.py distinct_count_exact) — the oracle-checkable twin
+    of the HLL sketch below."""
+    from anansi_ray.functions.sketch import distinct_count_exact
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return distinct_count_exact(ev, "user_id", "event_type")
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct users per event_type — the
+    mergeable-sketch scale path for COUNT(DISTINCT) when the key stream is
+    too large to shuffle: the exchange is bounded at |groups| · 2^12
+    register rows per batch no matter the corpus size.  Deterministic
+    (splitmix64) but not SQL-expressible — registered rows-only; its
+    accuracy vs the exact twin is pinned by pytest (±5 %)."""
+    from anansi_ray.functions.sketch import approx_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct(ev, "user_id", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2280,6 +2337,9 @@ QUERIES = {
     "top_docs_per_lang": (q_top_docs_per_lang, SQL_TOP_DOCS_PER_LANG),
     "domain_mix_weights": (q_domain_mix_weights, SQL_DOMAIN_MIX),
     "customer_no_orders": (q_customer_no_orders, SQL_CUSTOMER_NO_ORDERS),
+    "events_lag_lead": (q_events_lag_lead, SQL_EVENTS_LAG_LEAD),
+    "distinct_users_exact": (q_distinct_users_exact, SQL_DISTINCT_USERS),
+    "approx_distinct_users": (q_approx_distinct_users, None),
     "orders_events_window": (q_orders_events_window, SQL_ORDERS_EVENTS_WINDOW),
     "kmeans_embeddings": (q_kmeans, SQL_KMEANS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
