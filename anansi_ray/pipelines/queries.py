@@ -2297,6 +2297,62 @@ def q_approx_distinct_users(sf_dir: str):
     return approx_distinct(ev, "user_id", "event_type")
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (the vector-aggregate building block of
+    IVF training / cluster profiling): each batch reduces itself to a
+    |labels| × (dim+1) partial (per-label coordinate sums + count) BEFORE
+    the exchange — the kmeans partial shape — emitted long-form so the
+    groupby moves ≤ |labels|·dim tiny rows per batch; mean + rounding
+    happen in the final aggregate."""
+    from ray.data.aggregate import Sum
+
+    from anansi_ray.functions.clustering import _emb_matrix
+
+    def partial(b: pa.Table) -> pa.Table:
+        X = _emb_matrix(b, "embedding").astype(np.float64)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        dim = X.shape[1]
+        sums = np.zeros((len(uniq), dim), np.float64)
+        np.add.at(sums, inv, X)
+        counts = np.bincount(inv).astype(np.int64)
+        # long form: (label, i, sum_val, n) — 1-based i to match
+        # generate_subscripts
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+                "i": pa.array(np.tile(np.arange(1, dim + 1), len(uniq)), pa.int64()),
+                "sum_val": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(counts, dim), pa.int64()),
+            }
+        )
+
+    g = (
+        _read(sf_dir, "embeddings", ["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "i"])
+        .aggregate(Sum("sum_val", alias_name="sum_val"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["label", "i"])
+    )
+    g["mean_val"] = np.round(g["sum_val"] / g["n"], 6)
+    g = g.astype({"label": "int64", "i": "int64", "n": "int64"})
+    return pa.Table.from_pandas(
+        g[["label", "i", "mean_val", "n"]], preserve_index=False
+    )
+
+
+SQL_LABEL_CENTROIDS = """
+WITH u AS (
+  SELECT label, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding) AS x
+  FROM embeddings)
+SELECT label::BIGINT AS label, i::BIGINT AS i,
+       round(avg(x::DOUBLE), 6) AS mean_val, count(*)::BIGINT AS n
+FROM u GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2340,6 +2396,7 @@ QUERIES = {
     "events_lag_lead": (q_events_lag_lead, SQL_EVENTS_LAG_LEAD),
     "distinct_users_exact": (q_distinct_users_exact, SQL_DISTINCT_USERS),
     "approx_distinct_users": (q_approx_distinct_users, None),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "orders_events_window": (q_orders_events_window, SQL_ORDERS_EVENTS_WINDOW),
     "kmeans_embeddings": (q_kmeans, SQL_KMEANS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

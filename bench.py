@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "events_lag_lead",
     "distinct_users_exact",
     "approx_distinct_users",
+    "label_centroids",
     "orders_events_window",
     "pack_sequences",
     "lineitem_agg",
