@@ -39,3 +39,12 @@ class TestEntryContract:
         out = m.queries()["token_count"]("/root/testdata/sf0.001")
         df = out.to_pandas() if hasattr(out, "to_pandas") else out
         assert len(df) == 500
+
+
+def test_bench_queries_cover_registry():
+    """bench.py times every queries() entry — keep the two lists in sync so
+    a new operator can't silently skip the per-round BENCH artifact."""
+    import bench
+    from anansi_ray.pipelines.queries import QUERIES
+
+    assert set(bench.BENCH_QUERIES) == set(QUERIES)
