@@ -420,3 +420,29 @@ def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "repetition": pa.array(np.round(rep, 6), pa.float64()),
         }
     )
+
+
+def nfc_normalize_array(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """NFC-normalize a string column with a vectorized ASCII fast path.
+
+    pyarrow's ``utf8_normalize`` does not COMPOSE (e + U+0301 stays two
+    codepoints in 16.x), so true NFC needs ``unicodedata``.  Rows where
+    byte length == codepoint length are pure ASCII — already NFC — and
+    skip Python entirely; only the (typically rare) non-ASCII rows pay the
+    per-row normalize.  On an ASCII-dominant corpus this is one compare
+    mask + a short list comprehension."""
+    import unicodedata
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ascii_mask = pc.equal(
+        pc.binary_length(col), pc.utf8_length(col)
+    ).to_numpy(zero_copy_only=False)
+    if ascii_mask.all():
+        return col
+    vals = col.to_pylist()
+    out = [
+        v if (a or v is None) else unicodedata.normalize("NFC", v)
+        for v, a in zip(vals, ascii_mask)
+    ]
+    return pa.array(out, pa.string())

@@ -2353,6 +2353,61 @@ FROM u GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_text_normalize(sf_dir: str):
+    """Corpus text normalization (the canonical pre-tokenization pass):
+    Unicode NFC → lowercase → whitespace collapse → trim — batch-local,
+    zero shuffle.  NFC runs through text.nfc_normalize_array (vectorized
+    ASCII fast path; pyarrow's utf8_normalize does NOT compose in 16.x),
+    the rest is Arrow kernels (utf8_lower + one RE2 scan).  A deterministic footer with a combining accent is
+    appended on BOTH sides so the NFC step does real work the oracle can
+    recompute (the synthetic corpus is ASCII)."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        footer = pa.array(
+            [f"  Café Doc{d}\tEND " for d in ids], pa.string()
+        )
+        t = pc.binary_join_element_wise(
+            pc.fill_null(batch["text"], ""), footer, ""
+        )
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(ftext.nfc_normalize_array(t)), r"\s+", " "
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_text": norm,
+                "n_chars_norm": pc.utf8_length(norm).cast(pa.int64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(kernel, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_TEXT_NORMALIZE = r"""
+WITH t AS (
+  SELECT doc_id,
+         coalesce(text, '') || '  Cafe' || chr(769) || ' Doc' || doc_id ||
+           chr(9) || 'END ' AS raw
+  FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(raw)), '\s+', ' ', 'g'))
+         AS norm_text,
+       length(trim(regexp_replace(lower(nfc_normalize(raw)), '\s+', ' ', 'g')))::BIGINT
+         AS n_chars_norm
+FROM t
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2397,6 +2452,7 @@ QUERIES = {
     "distinct_users_exact": (q_distinct_users_exact, SQL_DISTINCT_USERS),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "orders_events_window": (q_orders_events_window, SQL_ORDERS_EVENTS_WINDOW),
     "kmeans_embeddings": (q_kmeans, SQL_KMEANS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

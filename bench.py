@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "distinct_users_exact",
     "approx_distinct_users",
     "label_centroids",
+    "text_normalize",
     "orders_events_window",
     "pack_sequences",
     "lineitem_agg",

@@ -221,3 +221,27 @@ class TestRepetition:
             assert row["n_unique"] == len(set(toks))
             exp = 0.0 if not toks else 1.0 - len(set(toks)) / len(toks)
             assert abs(row["repetition"] - round(exp, 6)) < 1e-12
+
+
+class TestNfcNormalize:
+    def test_ascii_fast_path_returns_input(self):
+        import pyarrow as pa
+        from anansi_ray.functions.text import nfc_normalize_array
+
+        a = pa.array(["plain", "ascii only", ""])
+        out = nfc_normalize_array(a)
+        assert out.to_pylist() == a.to_pylist()
+
+    def test_composes_and_handles_nulls(self):
+        import unicodedata
+        import pyarrow as pa
+        from anansi_ray.functions.text import nfc_normalize_array
+
+        decomposed = "Cafe\u0301"
+        a = pa.array([decomposed, None, "x", "étude"])
+        out = nfc_normalize_array(a).to_pylist()
+        assert out[0] == unicodedata.normalize("NFC", decomposed)
+        assert len(out[0]) == 4
+        assert out[1] is None
+        assert out[2] == "x"
+        assert len(out[3]) == 5
