@@ -2408,6 +2408,128 @@ ORDER BY doc_id
 """
 
 
+def q_order_lineitem_join_salted(sf_dir: str):
+    """Skew-aware (salted) co-partitioned hash join — same result contract
+    as q_order_lineitem_join, different exchange: hot probe-side keys are
+    SPLIT across R salt replicas (so one hub key can't overload a single
+    bucket task) and the matching build-side rows are REPLICATED to all R
+    salts (FP-Hadoop-style skew handling).
+
+    Heavy-hitter detection is itself distributed: a per-batch partial
+    count → small groupby → driver-side threshold (keys above 4× the mean
+    bucket share are "hot" — a tiny broadcast list).  Cold keys flow
+    exactly like the unsalted join (salt 0), so the overhead is
+    proportional to the skew, not the input."""
+    R = 4  # salt replicas for hot keys
+    B = 32
+
+    from ray.data.aggregate import Sum
+
+    li_keys = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    freq = (
+        li_keys.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    thresh = 4.0 * freq["n"].mean()
+    hot = set(freq.loc[freq["n"] > thresh, "key"].astype("int64").tolist())
+    import ray
+
+    hot_ref = ray.put(np.array(sorted(hot), dtype=np.int64))
+
+    def tag_lineitem(b: pa.Table) -> pa.Table:
+        hot_arr = ray.get(hot_ref)
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        key = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        is_hot = np.isin(key, hot_arr)
+        # deterministic spread of a hot key's rows across its R salts
+        salt = np.where(
+            is_hot, (np.arange(len(key), dtype=np.int64) % R), 0
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "key": b["l_orderkey"],
+                "bucket": pa.array(
+                    ((key % B) * R + salt).astype(np.int32), pa.int32()
+                ),
+                "revenue": rev,
+                "o_orderstatus": pa.array([None] * b.num_rows, pa.string()),
+                "side": pa.array(["l"] * b.num_rows, pa.string()),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        hot_arr = ray.get(hot_ref)
+        key = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        is_hot = np.isin(key, hot_arr)
+        # cold rows → salt 0; hot build rows fan out to every salt replica
+        reps = np.where(is_hot, R, 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(key), dtype=np.int64), reps)
+        # within-row replica index, vectorized: position − own row's start
+        starts = np.cumsum(reps) - reps
+        salts = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(starts, reps)
+        kk = key[idx]
+        return pa.table(
+            {
+                "key": pa.array(kk, pa.int64()),
+                "bucket": pa.array(
+                    ((kk % B) * R + salts).astype(np.int32), pa.int32()
+                ),
+                "revenue": pa.array([None] * len(kk), pa.float64()),
+                "o_orderstatus": b["o_orderstatus"].take(
+                    pa.array(idx, pa.int64())
+                ),
+                "side": pa.array(["o"] * len(kk), pa.string()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        tag_lineitem, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        tag_orders, batch_format="pyarrow"
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        left = df[df["side"] == "l"][["key", "revenue"]]
+        right = df[df["side"] == "o"][["key", "o_orderstatus"]]
+        merged = left.merge(right, on="key", how="inner")
+        agg = merged.groupby("o_orderstatus", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("revenue", "size")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    partials = drop_empty_blocks(
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+        .materialize()
+    ).to_pandas()
+    out = partials.groupby("o_orderstatus", as_index=False).agg(
+        revenue=("revenue", "sum"), n_items=("n_items", "sum")
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("o_orderstatus"), preserve_index=False
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2453,6 +2575,7 @@ QUERIES = {
     "approx_distinct_users": (q_approx_distinct_users, None),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
+    "order_lineitem_join_salted": (q_order_lineitem_join_salted, SQL_ORDER_LINEITEM_JOIN),
     "orders_events_window": (q_orders_events_window, SQL_ORDERS_EVENTS_WINDOW),
     "kmeans_embeddings": (q_kmeans, SQL_KMEANS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

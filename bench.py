@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "approx_distinct_users",
     "label_centroids",
     "text_normalize",
+    "order_lineitem_join_salted",
     "orders_events_window",
     "pack_sequences",
     "lineitem_agg",
