@@ -1337,3 +1337,157 @@ def embedding_near_dup_lsh(
     if tbl is None:
         return _EMPTY_COS
     return tbl
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup (repeated-boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def passage_explode(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> pa.Table:
+    """Explode documents into fixed-width word passages.
+
+    One row per ``chunk_words``-word passage: ``(chunk, order_key)`` where
+    ``order_key = doc_id || ':' || zero-padded chunk index`` — a single
+    string whose lexicographic order equals the (doc_id, chunk_index)
+    tuple order, so a plain ``min`` aggregate identifies the corpus-wide
+    first occurrence of each distinct passage.
+
+    Vectorized: ``pc.split_pattern`` → ``list_flatten`` + offsets, chunk
+    assignment by integer division on word positions, passage strings
+    re-joined with one pandas ``groupby(...).agg(' '.join)`` C-loop pass —
+    no per-row Python in the driver or the kernel."""
+    import pandas as pd
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parts = pc.split_pattern(pc.cast(col, pa.string()), " ")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    counts = pc.fill_null(pc.list_value_length(parts), 0).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    words = pc.list_flatten(parts).to_pandas().to_numpy()
+    n = len(counts)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    starts = np.cumsum(counts) - counts
+    pos = np.arange(len(words), dtype=np.int64) - np.repeat(starts, counts)
+    ci = pos // chunk_words
+    gkey = doc_idx * 1_000_000 + ci
+    chunks = pd.Series(words, dtype=object).groupby(gkey, sort=True).agg(" ".join)
+    gk = chunks.index.to_numpy()
+    d_i = gk // 1_000_000
+    c_i = gk % 1_000_000
+    ids = _np(batch[id_col])
+    if ids.dtype.kind in "iu":
+        # zero-pad numeric ids so the composed key's lexicographic order
+        # equals the numeric (doc_id, ci) tuple order
+        id_str = pd.Series(ids[d_i]).astype(str).str.zfill(12)
+    else:
+        id_str = pd.Series(ids.astype(object)[d_i], dtype=object)
+    order_key = id_str + ":" + pd.Series(c_i).astype(str).str.zfill(6)
+    return pa.table(
+        {
+            "chunk": pa.array(chunks.to_numpy(), pa.string()),
+            "order_key": pa.array(order_key.to_numpy(), pa.string()),
+        }
+    )
+
+
+def passage_dedup(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Corpus-wide passage dedup (C4/Gopher-style repeated-boilerplate
+    removal): split every document into ``chunk_words``-word passages,
+    keep only the corpus-wide FIRST occurrence (by (doc_id, chunk index))
+    of each distinct passage, and reassemble the surviving passages into
+    per-document text.  Documents whose every passage was seen earlier
+    disappear entirely.
+
+    Shape (two exchanges, both on uniform keys):
+
+    1. ``map_batches(passage_explode)`` — per-batch vectorized explode.
+    2. ``groupby(chunk).min(order_key)`` — the min row IS the survivor
+       (order_key encodes its own (doc, position) identity), so no join
+       back is needed; the exchange carries one row per distinct passage.
+    3. reassembly — survivors exchange once on ``part = hash(doc_id) %
+       n_parts`` (coarse partitions, not per-doc micro-groups); each
+       partition kernel sorts once by (doc_id, ci) and rebuilds every
+       doc's text in one pandas ``groupby.agg`` pass.
+
+    At 100 TB: passage rows are ~chunk-sized strings on a uniform hash
+    key; stage 2's output is bounded by the number of DISTINCT passages
+    (boilerplate-heavy corpora shrink hard); reassembly partitions are
+    corpus/n_parts-sized."""
+    import pandas as pd
+
+    id_is_int = pa.types.is_integer(ds.schema().base_schema.field(id_col).type)
+    id_type = pa.int64() if id_is_int else pa.string()
+
+    exploded = ds.map_batches(
+        lambda b: passage_explode(b, text_col, id_col, chunk_words),
+        batch_format="pyarrow",
+    )
+    survivors = exploded.groupby("chunk").min("order_key")
+
+    def tag(b: pa.Table) -> pa.Table:
+        ok = b["min(order_key)"] if "min(order_key)" in b.column_names else b["order_key"]
+        if isinstance(ok, pa.ChunkedArray):
+            ok = ok.combine_chunks()
+        s = ok.to_pandas()
+        split = s.str.rsplit(":", n=1, expand=True)
+        ci = split[1].astype(np.int64).to_numpy()
+        if id_is_int:
+            did = split[0].astype(np.int64).to_numpy()
+            part = (did % n_parts).astype(np.int32)
+        else:
+            did = split[0].to_numpy()
+            part = (
+                pd.util.hash_array(did.astype(object)) % np.uint64(n_parts)
+            ).astype(np.int32)
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int32()),
+                id_col: pa.array(did, id_type),
+                "ci": pa.array(ci, pa.int64()),
+                "chunk": b["chunk"],
+            }
+        )
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], id_type), text_col: pa.array([], pa.string())}
+            )
+        t = group.take(
+            pc.sort_indices(
+                group, sort_keys=[(id_col, "ascending"), ("ci", "ascending")]
+            )
+        )
+        dids = _np(t[id_col])
+        if not id_is_int:
+            dids = dids.astype(object)
+        chunks = _np(t["chunk"]).astype(object)
+        joined = pd.Series(chunks, dtype=object).groupby(dids, sort=True).agg(" ".join)
+        return pa.table(
+            {
+                id_col: pa.array(joined.index.to_numpy(), id_type),
+                text_col: pa.array(joined.to_numpy(), pa.string()),
+            }
+        )
+
+    return (
+        survivors.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reassemble, batch_format="pyarrow")
+    )

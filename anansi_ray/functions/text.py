@@ -446,3 +446,39 @@ def nfc_normalize_array(col: pa.ChunkedArray | pa.Array) -> pa.Array:
         for v, a in zip(vals, ascii_mask)
     ]
     return pa.array(out, pa.string())
+
+
+def bigram_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch bigram-count combiner: one row per DISTINCT adjacent word
+    pair seen in the batch, pre-summed, so the downstream
+    ``groupby(bigram).sum(n)`` exchange carries batch-vocabulary-sized
+    partials instead of one row per token position.
+
+    Vectorized: split → ``list_flatten``; adjacent pairs are
+    ``words[:-1] + ' ' + words[1:]`` masked to stay within a document
+    (no cross-doc pairs); counting is one pandas ``value_counts`` pass."""
+    import pandas as pd
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parts = pc.split_pattern(pc.cast(col, pa.string()), " ")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    counts = pc.fill_null(pc.list_value_length(parts), 0).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    words = pc.list_flatten(parts).to_pandas().to_numpy()
+    if len(words) < 2:
+        return pa.table({"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    same_doc = doc_idx[1:] == doc_idx[:-1]
+    left = pd.Series(words[:-1][same_doc], dtype=object)
+    right = pd.Series(words[1:][same_doc], dtype=object)
+    vc = (left + " " + right).value_counts()
+    return pa.table(
+        {
+            "bigram": pa.array(vc.index.to_numpy(), pa.string()),
+            "n": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+        }
+    )

@@ -2530,6 +2530,274 @@ def q_order_lineitem_join_salted(sf_dir: str):
     )
 
 
+def q_passage_dedup(sf_dir: str):
+    """Corpus-wide passage dedup (C4/Gopher-style repeated-boilerplate
+    removal): 10-word passages, keep the corpus-wide first occurrence of
+    each distinct passage, reassemble surviving passages per document
+    (functions/dedup.py passage_dedup — explode combiner → one
+    groupby(chunk).min exchange whose min row IS the survivor → coarse
+    partition-kernel reassembly)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = fdedup.passage_dedup(ds, chunk_words=10).to_pandas()
+    return pa.Table.from_pandas(out.sort_values("doc_id"), preserve_index=False)
+
+
+SQL_PASSAGE_DEDUP = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         unnest(range(len(string_split(text, ' ')))) AS i
+  FROM documents),
+c AS (SELECT doc_id, i // 10 AS ci, string_agg(word, ' ' ORDER BY i) AS chunk
+      FROM w GROUP BY 1, 2),
+k AS (SELECT doc_id, ci, chunk,
+             row_number() OVER (PARTITION BY chunk
+                ORDER BY lpad(doc_id::VARCHAR, 12, '0') || ':'
+                         || lpad(ci::VARCHAR, 6, '0')) AS rn
+      FROM c)
+SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS text
+FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_bigram_topk(sf_dir: str):
+    """Corpus-wide top-50 adjacent word pairs: per-batch vectorized
+    bigram-count combiner (functions/text.py bigram_partial) → one
+    groupby(bigram) sum on a uniform string key → distributed
+    sort + limit for the top-k (only 50 rows reach the driver)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+    counts = (
+        ds.map_batches(ftext.bigram_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = counts.sort(["n", "bigram"], descending=[True, False]).limit(50).to_pandas()
+    top["n"] = top["n"].astype("int64")
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+SQL_BIGRAM_TOPK = """
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+b AS (SELECT unnest(ws[1:len(ws)-1]) || ' ' || unnest(ws[2:len(ws)]) AS bigram FROM w)
+SELECT bigram, count(*)::BIGINT AS n FROM b
+GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50
+"""
+
+
+def q_orders_running_total(sf_dir: str):
+    """Global running total (SUM OVER (ORDER BY ...) window) as a
+    distributed prefix scan (functions/scan.py ordered_prefix_sum):
+    equal-count range boundaries from a tiny date histogram, per-part
+    totals exclusive-scanned on the driver (n_parts values), ONE coarse
+    exchange with block-local sorted cumsum.  Values are exact integer
+    cents so the result is independent of summation order."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_date_us": b["o_orderdate"].cast(pa.int64()),
+                "cents": cents,
+            }
+        )
+
+    from anansi_ray.functions.scan import ordered_prefix_sum
+
+    out = ordered_prefix_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        range_col="o_date_us",
+        order_cols=["o_date_us", "o_orderkey"],
+        value_col="cents",
+        keep_cols=["o_orderkey"],
+        out_col="running_cents",
+    ).to_pandas()
+    return pa.Table.from_pandas(out.sort_values("o_orderkey"), preserve_index=False)
+
+
+SQL_RUNNING_TOTAL = """
+SELECT o_orderkey,
+       (sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          OVER (ORDER BY o_orderdate, o_orderkey
+                ROWS UNBOUNDED PRECEDING))::BIGINT AS running_cents
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """Hierarchical (ROLLUP) aggregate: ONE distributed groupby at the
+    finest grouping level; the coarser grouping sets are derived on the
+    driver from that tiny finest-level table (|flags|×|statuses| rows) —
+    zero extra exchanges, unlike a naive one-shuffle-per-grouping-set
+    plan.  Exact: quantities are integer-valued, counts are ints."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    finest = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    import pandas as pd
+
+    lvl1 = finest.groupby("l_returnflag", as_index=False).agg(
+        sum_qty=("sum_qty", "sum"), count_order=("count_order", "sum")
+    )
+    lvl1["l_linestatus"] = "ALL"
+    lvl0 = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "sum_qty": [finest["sum_qty"].sum()],
+            "count_order": [finest["count_order"].sum()],
+        }
+    )
+    out = pd.concat([finest, lvl1, lvl0], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "sum_qty", "count_order"]
+    ]
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["count_order"] = out["count_order"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values(["l_returnflag", "l_linestatus"]), preserve_index=False
+    )
+
+
+SQL_LINEITEM_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY 1, 2
+"""
+
+
+def q_customer_order_profile(sf_dir: str):
+    """LEFT OUTER join with null-fill (customer → 1995Q1 orders): the
+    orders side pre-aggregates per custkey inside ``map_batches`` (a
+    combiner, so the exchange carries one row per (batch, customer)),
+    then BOTH sides co-partition on ``custkey % P`` and each partition
+    kernel does one vectorized left merge + fillna — customers with no
+    qualifying orders survive with (0, 0), which an inner join would
+    drop.  No broadcast: at 100 TB both sides stream through the same
+    uniform-key exchange."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    P = 32
+    t0 = pa.scalar(np.datetime64("1995-01-01", "us"), pa.timestamp("us"))
+    t1 = pa.scalar(np.datetime64("1995-04-01", "us"), pa.timestamp("us"))
+
+    def orders_partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(b["o_orderdate"], t0), pc.less(b["o_orderdate"], t1)
+        )
+        t = b.filter(m)
+        k = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(k, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table(
+            {
+                "c_custkey": pa.array(uniq, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "cents": pa.array(s, pa.int64()),
+            }
+        )
+
+    orders_agg = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(orders_partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+    )
+
+    def tag(side: str):
+        def _tag(b: pa.Table) -> pa.Table:
+            k = b["c_custkey"].combine_chunks().cast(pa.int64())
+            kn = k.to_numpy(zero_copy_only=False)
+            has = side == "o"
+            return pa.table(
+                {
+                    "part": pa.array((kn % P).astype(np.int32), pa.int32()),
+                    "c_custkey": k,
+                    "n": b["n"] if has else pa.array(np.zeros(len(kn), np.int64)),
+                    "cents": b["cents"] if has else pa.array(np.zeros(len(kn), np.int64)),
+                    "side": pa.array([side] * len(kn), pa.string()),
+                }
+            )
+
+        return _tag
+
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        tag("c"), batch_format="pyarrow"
+    )
+    right = orders_agg.map_batches(tag("o"), batch_format="pyarrow")
+
+    empty = pa.table(
+        {
+            "c_custkey": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+            "sum_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def join_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        df = group.to_pandas()
+        left = df.loc[df["side"] == "c", ["c_custkey"]]
+        r = df.loc[df["side"] == "o", ["c_custkey", "n", "cents"]]
+        m = left.merge(r, on="c_custkey", how="left").fillna(0)
+        return pa.table(
+            {
+                "c_custkey": pa.array(m["c_custkey"].astype("int64"), pa.int64()),
+                "n_orders": pa.array(m["n"].astype("int64"), pa.int64()),
+                "sum_cents": pa.array(m["cents"].astype("int64"), pa.int64()),
+            }
+        )
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    out = (
+        drop_empty_blocks(
+            cust.union(right)
+            .groupby("part")
+            .map_groups(join_part, batch_format="pyarrow")
+            .materialize()
+        )
+        .to_pandas()
+        .sort_values("c_custkey")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_CUSTOMER_ORDER_PROFILE = """
+SELECT c.c_custkey,
+       count(o.o_orderkey)::BIGINT AS n_orders,
+       coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)::BIGINT
+         AS sum_cents
+FROM customer c
+LEFT JOIN (SELECT * FROM orders
+           WHERE o_orderdate >= DATE '1995-01-01'
+             AND o_orderdate <  DATE '1995-04-01') o
+  ON c.c_custkey = o.o_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2576,6 +2844,11 @@ QUERIES = {
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "order_lineitem_join_salted": (q_order_lineitem_join_salted, SQL_ORDER_LINEITEM_JOIN),
+    "passage_dedup": (q_passage_dedup, SQL_PASSAGE_DEDUP),
+    "bigram_topk": (q_bigram_topk, SQL_BIGRAM_TOPK),
+    "orders_running_total": (q_orders_running_total, SQL_RUNNING_TOTAL),
+    "lineitem_rollup": (q_lineitem_rollup, SQL_LINEITEM_ROLLUP),
+    "customer_order_profile": (q_customer_order_profile, SQL_CUSTOMER_ORDER_PROFILE),
     "orders_events_window": (q_orders_events_window, SQL_ORDERS_EVENTS_WINDOW),
     "kmeans_embeddings": (q_kmeans, SQL_KMEANS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "order_lineitem_join",
     "orders_topk",
     "media_features",
+    "passage_dedup",
+    "bigram_topk",
+    "orders_running_total",
+    "lineitem_rollup",
+    "customer_order_profile",
     "crawl_order",
     "crawl_documents",
     "crawl_doc_pipeline",
