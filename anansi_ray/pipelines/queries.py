@@ -2798,6 +2798,145 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_orders_with_returns(sf_dir: str):
+    """Distributed SEMI join (EXISTS): orders having ≥1 returned lineitem.
+    The build side collapses to DISTINCT keys inside ``map_batches``
+    (combiner) + one small groupby; both sides then co-partition on
+    ``orderkey % P`` and each partition kernel keeps probe rows via one
+    vectorized ``np.isin`` — no row multiplication, no broadcast (the
+    build side can be arbitrarily large)."""
+    P = 32
+
+    def li_keys(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["l_returnflag"], "R"))
+        k = np.unique(t["l_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"k": pa.array(k, pa.int64())})
+
+    build = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+        .map_batches(li_keys, batch_format="pyarrow")
+        .groupby("k")
+        .count()
+    )
+
+    def tag_build(b: pa.Table) -> pa.Table:
+        k = b["k"].combine_chunks().cast(pa.int64())
+        kn = k.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((kn % P).astype(np.int32), pa.int32()),
+                "k": k,
+                "o_orderstatus": pa.array([None] * len(kn), pa.string()),
+                "side": pa.array(["b"] * len(kn), pa.string()),
+            }
+        )
+
+    def tag_probe(b: pa.Table) -> pa.Table:
+        kn = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((kn % P).astype(np.int32), pa.int32()),
+                "k": b["o_orderkey"],
+                "o_orderstatus": b["o_orderstatus"],
+                "side": pa.array(["p"] * len(kn), pa.string()),
+            }
+        )
+
+    probe = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+        tag_probe, batch_format="pyarrow"
+    )
+    bd = build.map_batches(tag_build, batch_format="pyarrow")
+
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_orderstatus": pa.array([], pa.string()),
+        }
+    )
+
+    def semi(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        side = group["side"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False)
+        keys = k[side == "b"]
+        pm = side == "p"
+        keep = pm & np.isin(k, keys)
+        t = group.filter(pa.array(keep))
+        return pa.table(
+            {"o_orderkey": t["k"], "o_orderstatus": t["o_orderstatus"]}
+        )
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    out = (
+        drop_empty_blocks(
+            probe.union(bd)
+            .groupby("part")
+            .map_groups(semi, batch_format="pyarrow")
+            .materialize()
+        )
+        .to_pandas()
+        .sort_values("o_orderkey")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_ORDERS_WITH_RETURNS = """
+SELECT o_orderkey, o_orderstatus FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+ORDER BY o_orderkey
+"""
+
+
+def q_orders_price_histogram(sf_dir: str):
+    """Fixed-width value-distribution histogram (data profiling): bin =
+    floor(price / 10000) — the identical IEEE divide+floor on both
+    engines — with a per-batch (bin → count, cents) combiner so the
+    exchange carries at most |bins| rows per batch regardless of corpus
+    size."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        bins = np.floor(v / 10000.0).astype(np.int64)
+        cents = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(bins, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table(
+            {
+                "bin": pa.array(uniq, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "sum_cents": pa.array(s, pa.int64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+        .to_pandas()
+        .sort_values("bin")
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_ORDERS_PRICE_HISTOGRAM = """
+SELECT floor(o_totalprice / 10000)::BIGINT AS bin,
+       count(*)::BIGINT AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2849,6 +2988,8 @@ QUERIES = {
     "orders_running_total": (q_orders_running_total, SQL_RUNNING_TOTAL),
     "lineitem_rollup": (q_lineitem_rollup, SQL_LINEITEM_ROLLUP),
     "customer_order_profile": (q_customer_order_profile, SQL_CUSTOMER_ORDER_PROFILE),
+    "orders_with_returns": (q_orders_with_returns, SQL_ORDERS_WITH_RETURNS),
+    "orders_price_histogram": (q_orders_price_histogram, SQL_ORDERS_PRICE_HISTOGRAM),
     "orders_events_window": (q_orders_events_window, SQL_ORDERS_EVENTS_WINDOW),
     "kmeans_embeddings": (q_kmeans, SQL_KMEANS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "orders_running_total",
     "lineitem_rollup",
     "customer_order_profile",
+    "orders_with_returns",
+    "orders_price_histogram",
     "crawl_order",
     "crawl_documents",
     "crawl_doc_pipeline",
