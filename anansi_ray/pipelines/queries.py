@@ -2937,6 +2937,308 @@ FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel analysis (view → click → purchase): per user, the
+    earliest view, the earliest click strictly after it, the earliest
+    purchase strictly after that; output = users reaching each stage.
+
+    Shape: events filter-pruned to the three stage types per batch BEFORE
+    the exchange, then ONE co-partitioning exchange on ``user_id % P``;
+    each partition kernel resolves all three stages vectorized (np.unique
+    factorize + three ``np.minimum.at`` sweeps — the stage-k mask uses the
+    stage-(k-1) min via one gather) and forwards only 3 partial-count rows,
+    so the final exchange carries 3·P rows regardless of corpus size."""
+    from ray.data.aggregate import Sum
+
+    P = 32
+    STAGES = ("view", "click", "purchase")
+
+    def tag(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"], value_set=pa.array(STAGES))
+        t = b.filter(m)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((u % P).astype(np.int32), pa.int32()),
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_type": t["event_type"],
+            }
+        )
+
+    empty = pa.table(
+        {
+            "stage_idx": pa.array([], pa.int64()),
+            "stage": pa.array([], pa.string()),
+            "users": pa.array([], pa.int64()),
+        }
+    )
+
+    def funnel_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist())
+        uniq, inv = np.unique(u, return_inverse=True)
+        inf = np.iinfo(np.int64).max
+        prev = None
+        counts = []
+        for stage in STAGES:
+            t_min = np.full(len(uniq), inf, np.int64)
+            m = et == stage
+            if prev is not None:
+                m &= ts > prev[inv]
+            np.minimum.at(t_min, inv[m], ts[m])
+            counts.append(int((t_min < inf).sum()))
+            prev = t_min
+        return pa.table(
+            {
+                "stage_idx": pa.array([0, 1, 2], pa.int64()),
+                "stage": pa.array(list(STAGES), pa.string()),
+                "users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    out = (
+        drop_empty_blocks(
+            _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(funnel_part, batch_format="pyarrow")
+            .materialize()
+        )
+        .groupby(["stage_idx", "stage"])
+        .aggregate(Sum("users", alias_name="users"))
+        .to_pandas()
+        .sort_values("stage_idx")
+    )
+    out["users"] = out["users"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_EVENTS_FUNNEL = """
+WITH a AS (SELECT user_id, min(ts) AS ta FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+b AS (SELECT e.user_id, min(e.ts) AS tb FROM events e
+      JOIN a ON a.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > a.ta GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+      JOIN b ON b.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > b.tb GROUP BY 1)
+SELECT * FROM (
+  SELECT 0::BIGINT AS stage_idx, 'view' AS stage,
+         count(*)::BIGINT AS users FROM a
+  UNION ALL
+  SELECT 1, 'click', count(*) FROM b
+  UNION ALL
+  SELECT 2, 'purchase', count(*) FROM c
+) ORDER BY stage_idx
+"""
+
+
+def q_customer_order_list(sf_dir: str):
+    """Order-sensitive collect_list / string_agg: per customer, the
+    comma-joined ascending list of their order keys.
+
+    Shape: ONE co-partitioning exchange on ``o_custkey % P``; each
+    partition kernel sorts once (np.lexsort), derives group offsets from
+    run boundaries, and assembles every group's string in ONE vectorized
+    ``pc.binary_join`` over a ListArray view (zero per-group Python).
+    Output is one row per customer — the string build never touches the
+    driver."""
+    P = 32
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((k % P).astype(np.int32), pa.int32()),
+                "o_custkey": b["o_custkey"],
+                "o_orderkey": b["o_orderkey"],
+            }
+        )
+
+    empty = pa.table(
+        {
+            "o_custkey": pa.array([], pa.int64()),
+            "order_keys": pa.array([], pa.string()),
+        }
+    )
+
+    def agg_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        cust = g["o_custkey"].to_numpy(zero_copy_only=False)
+        okey = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, cust))
+        cs, ks = cust[order], okey[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        offsets = np.r_[starts, len(cs)].astype(np.int32)
+        strs = pc.cast(pa.array(ks, pa.int64()), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), strs)
+        joined = pc.binary_join(lists, ",")
+        return pa.table(
+            {
+                "o_custkey": pa.array(cs[starts], pa.int64()),
+                "order_keys": joined,
+            }
+        )
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    out = (
+        drop_empty_blocks(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(agg_part, batch_format="pyarrow")
+            .materialize()
+        )
+        .to_pandas()
+        .sort_values("o_custkey")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_CUSTOMER_ORDER_LIST = """
+SELECT o_custkey,
+       string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS order_keys
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_lineitem_variance(sf_dir: str):
+    """Exact integer population variance per return flag — the algebraic
+    (n, Σx, Σx²) aggregate with an overflow-safe SPLIT-LIMB partial:
+    Σcents² overflows int64 beyond ~90 M rows, so each batch forwards the
+    square-sum as two int64 limbs (hi = Σ(x²//1e9), lo = Σ(x² mod 1e9))
+    that the driver recombines into an exact Python int over the
+    |flags|-row aggregate output.  Variance is then the exact floor
+    division (n·Σx² − (Σx)²) // n², bit-equal to DuckDB's HUGEINT math."""
+    from ray.data.aggregate import Sum
+
+    LIMB = 10**9
+
+    def partial(b: pa.Table) -> pa.Table:
+        flag = np.asarray(b["l_returnflag"].to_pylist())
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        sq = cents * cents  # max ~1.1e14 per row: safely inside int64
+        uniq, inv = np.unique(flag, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, cents)
+        hi = np.zeros(len(uniq), np.int64)
+        np.add.at(hi, inv, sq // LIMB)
+        lo = np.zeros(len(uniq), np.int64)
+        np.add.at(lo, inv, sq % LIMB)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(uniq, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "sum_cents": pa.array(s, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "lo": pa.array(lo, pa.int64()),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("hi", alias_name="hi"),
+            Sum("lo", alias_name="lo"),
+        )
+        .to_pandas()
+        .sort_values("l_returnflag")
+    )
+    var = [
+        (int(n) * (int(hi) * LIMB + int(lo)) - int(s) * int(s))
+        // (int(n) * int(n))
+        for n, s, hi, lo in zip(agg["n"], agg["sum_cents"], agg["hi"], agg["lo"])
+    ]
+    return pa.table(
+        {
+            "l_returnflag": pa.array(list(agg["l_returnflag"]), pa.string()),
+            "n": pa.array([int(x) for x in agg["n"]], pa.int64()),
+            "sum_cents": pa.array([int(x) for x in agg["sum_cents"]], pa.int64()),
+            "var_cents2": pa.array(var, pa.int64()),
+        }
+    )
+
+
+SQL_LINEITEM_VARIANCE = """
+SELECT l_returnflag,
+       count(*)::BIGINT AS n,
+       sum(cc)::BIGINT AS sum_cents,
+       ((count(*) * sum(cc * cc) - sum(cc) * sum(cc))
+        // (count(*) * count(*)))::BIGINT AS var_cents2
+FROM (SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cc
+      FROM lineitem)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_link_pagerank(sf_dir: str):
+    """Integer-exact PageRank (3 iterations) over a deterministic link
+    graph synthesized from doc_id — the iterative distributed-graph shape
+    (rank exchange per superstep, edges partitioned once).  See
+    functions/graph.py for the kernel; integer floor-division arithmetic
+    makes both engines bit-equal with no float-order sensitivity."""
+    from anansi_ray.functions.graph import pagerank_integer
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n_docs = docs.count()
+    return pagerank_integer(docs, n_docs, iters=3)
+
+
+SQL_LINK_PAGERANK = """
+WITH e AS (
+  SELECT doc_id AS src,
+         (2 * doc_id + 1) % (SELECT count(*) FROM documents) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         (3 * doc_id + 7) % (SELECT count(*) FROM documents)
+  FROM documents
+),
+r0 AS (SELECT doc_id, 1000000000::BIGINT AS pr FROM documents),
+r1 AS (
+  SELECT d.doc_id,
+         (150000000 + coalesce(sum((85 * (p.pr // 2)) // 100), 0))::BIGINT AS pr
+  FROM documents d
+  LEFT JOIN e ON e.dst = d.doc_id
+  LEFT JOIN r0 p ON p.doc_id = e.src
+  GROUP BY 1
+),
+r2 AS (
+  SELECT d.doc_id,
+         (150000000 + coalesce(sum((85 * (p.pr // 2)) // 100), 0))::BIGINT AS pr
+  FROM documents d
+  LEFT JOIN e ON e.dst = d.doc_id
+  LEFT JOIN r1 p ON p.doc_id = e.src
+  GROUP BY 1
+),
+r3 AS (
+  SELECT d.doc_id,
+         (150000000 + coalesce(sum((85 * (p.pr // 2)) // 100), 0))::BIGINT AS pr
+  FROM documents d
+  LEFT JOIN e ON e.dst = d.doc_id
+  LEFT JOIN r2 p ON p.doc_id = e.src
+  GROUP BY 1
+)
+SELECT doc_id, pr FROM r3 ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3000,4 +3302,8 @@ QUERIES = {
     "crawl_documents": (q_crawl_documents, SQL_CRAWL_DOCUMENTS),
     "crawl_doc_pipeline": (q_crawl_doc_pipeline, SQL_CRAWL_DOC_PIPELINE),
     "crawl_media_pipeline": (q_crawl_media_pipeline, SQL_CRAWL_MEDIA_PIPELINE),
+    "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
+    "customer_order_list": (q_customer_order_list, SQL_CUSTOMER_ORDER_LIST),
+    "lineitem_variance": (q_lineitem_variance, SQL_LINEITEM_VARIANCE),
+    "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
 }

@@ -89,6 +89,10 @@ BENCH_QUERIES = [
     "crawl_documents",
     "crawl_doc_pipeline",
     "crawl_media_pipeline",
+    "events_funnel",
+    "customer_order_list",
+    "lineitem_variance",
+    "link_pagerank",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts

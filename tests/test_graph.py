@@ -1,0 +1,143 @@
+"""PageRank / funnel / collect-list / variance operator tests: each new
+distributed kernel against an independent single-threaded twin."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _pagerank_sequential(n: int, iters: int) -> list[int]:
+    """Independent twin: plain Python dict-of-ints PageRank over the same
+    synthetic graph (i -> (2i+1)%N, (3i+7)%N), same integer arithmetic."""
+    ranks = [1_000_000_000] * n
+    for _ in range(iters):
+        nxt = [150_000_000] * n
+        for i in range(n):
+            c = (85 * (ranks[i] // 2)) // 100
+            nxt[(2 * i + 1) % n] += c
+            nxt[(3 * i + 7) % n] += c
+        ranks = nxt
+    return ranks
+
+
+class TestPagerank:
+    @pytest.mark.parametrize("n,iters", [(1, 1), (13, 3), (500, 3)])
+    def test_matches_sequential_twin(self, ray_session, n, iters):
+        import ray.data as rd
+
+        from anansi_ray.functions.graph import pagerank_integer
+
+        docs = rd.from_arrow(
+            pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
+        )
+        got = pagerank_integer(docs, n, iters=iters)
+        exp = _pagerank_sequential(n, iters)
+        assert got["doc_id"].to_pylist() == list(range(n))
+        assert got["pr"].to_pylist() == exp
+
+    def test_block_layout_independent(self, ray_session):
+        """Same result across block layouts (determinism contract)."""
+        import ray.data as rd
+
+        from anansi_ray.functions.graph import pagerank_integer
+
+        n = 200
+        tbl = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
+        a = pagerank_integer(rd.from_arrow(tbl), n, iters=2)
+        b = pagerank_integer(
+            rd.from_arrow(tbl).repartition(17), n, iters=2
+        )
+        assert a["pr"].to_pylist() == b["pr"].to_pylist()
+
+
+class TestFunnelKernel:
+    def test_strict_ordering(self, ray_session, tmp_path):
+        """click at the SAME timestamp as the first view does not count;
+        a later one does — pinned against the SQL twin's strict >."""
+        import duckdb
+
+        from anansi_ray.pipelines.queries import SQL_EVENTS_FUNNEL, q_events_funnel
+
+        ts = pa.array(
+            np.array([100, 100, 200, 300, 50, 60], "datetime64[us]"),
+            pa.timestamp("us"),
+        )
+        tbl = pa.table(
+            {
+                "event_id": pa.array(np.arange(6, dtype=np.int64)),
+                "ts": ts,
+                "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+                "event_type": pa.array(
+                    ["view", "click", "click", "purchase", "click", "view"]
+                ),
+                "value": pa.array(np.zeros(6)),
+                "props": pa.array(["{}"] * 6),
+            }
+        )
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, tmp_path / "events.parquet")
+        got = q_events_funnel(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.register("events", tbl)
+        exp = con.sql(SQL_EVENTS_FUNNEL).df()
+        # user 1: view@100, click@200 (not @100), purchase@300 -> all stages
+        # user 2: click before any view -> view only
+        assert got["users"].tolist() == [2, 1, 1]
+        assert got["users"].tolist() == exp["users"].tolist()
+
+
+class TestVarianceLimbs:
+    def test_split_limb_exact_vs_python_int(self):
+        """hi/lo recombination equals exact Python-int sum of squares for
+        values near the int64-overflow regime."""
+        rng = np.random.default_rng(3)
+        cents = rng.integers(9_000_000, 10_500_000, 50_000).astype(np.int64)
+        sq = cents * cents
+        LIMB = 10**9
+        hi = int(np.sum(sq // LIMB))
+        lo = int(np.sum(sq % LIMB))
+        assert hi * LIMB + lo == sum(int(c) * int(c) for c in cents.tolist())
+
+    def test_variance_floor_div_twin(self):
+        vals = [3, 5, 7, 7, 100]
+        n = len(vals)
+        s = sum(vals)
+        ss = sum(v * v for v in vals)
+        var_floor = (n * ss - s * s) // (n * n)
+        mean = s / n
+        import math
+
+        assert var_floor == math.floor(
+            sum((v - mean) ** 2 for v in vals) / n
+        )
+
+
+class TestCollectList:
+    def test_binary_join_kernel(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from anansi_ray.pipelines.queries import (
+            SQL_CUSTOMER_ORDER_LIST,
+            q_customer_order_list,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 500
+        tbl = pa.table(
+            {
+                "o_custkey": pa.array(rng.integers(0, 40, n), pa.int64()),
+                "o_orderkey": pa.array(
+                    rng.permutation(n).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "orders.parquet")
+        got = q_customer_order_list(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.register("orders", tbl)
+        exp = con.sql(SQL_CUSTOMER_ORDER_LIST).df()
+        assert got["o_custkey"].tolist() == exp["o_custkey"].tolist()
+        assert got["order_keys"].tolist() == exp["order_keys"].tolist()
