@@ -3239,6 +3239,53 @@ SELECT doc_id, pr FROM r3 ORDER BY doc_id
 """
 
 
+def q_link_components(sf_dir: str):
+    """First-class distributed connected components (the dedup engine's
+    cluster step exposed directly): chain edges (i, i+1) broken after
+    i%7 ∈ {3, 6} give irregular-length runs whose true component label —
+    the run's smallest id — has the closed form
+    ``i − i%7 + (4 if i%7 ≥ 4 else 0)``, so the oracle is independent of
+    the propagation mechanics.  Exercises
+    ``connected_components_distributed`` (dedup.py): min-label propagation
+    over Dataset-resident labels/edges, two coarse exchanges per
+    iteration, singletons merged once at the end."""
+    from anansi_ray.functions.dedup import connected_components_distributed
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def gen_edges(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (i % 7 != 3) & (i % 7 != 6)
+        src = i[keep]
+        return pa.table(
+            {
+                "a": pa.array(src, pa.int64()),
+                "b": pa.array(src + 1, pa.int64()),
+            }
+        )
+
+    n_docs = docs.count()
+
+    def drop_tail(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["b"], pa.scalar(n_docs, pa.int64())))
+
+    edges = docs.map_batches(gen_edges, batch_format="pyarrow").map_batches(
+        drop_tail, batch_format="pyarrow"
+    )
+    out = connected_components_distributed(edges, docs, id_col="doc_id")
+    df = out.to_pandas().sort_values("doc_id")
+    df["dup_group"] = df["dup_group"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL_LINK_COMPONENTS = """
+SELECT doc_id,
+       (doc_id - doc_id % 7
+        + CASE WHEN doc_id % 7 >= 4 THEN 4 ELSE 0 END)::BIGINT AS dup_group
+FROM documents ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3306,4 +3353,5 @@ QUERIES = {
     "customer_order_list": (q_customer_order_list, SQL_CUSTOMER_ORDER_LIST),
     "lineitem_variance": (q_lineitem_variance, SQL_LINEITEM_VARIANCE),
     "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
+    "link_components": (q_link_components, SQL_LINK_COMPONENTS),
 }

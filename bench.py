@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "customer_order_list",
     "lineitem_variance",
     "link_pagerank",
+    "link_components",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
