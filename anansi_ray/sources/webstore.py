@@ -65,18 +65,20 @@ def _add_layout_keys(batch: pa.Table, n_buckets: int) -> pa.Table:
     return batch.append_column("cache_bucket", pa.array(buckets, pa.int32()))
 
 
-def _write_bucket_file(group: pa.Table, out_dir: str) -> pa.Table:
-    """In-task per-bucket finish: sort the bucket's rows by url_hash and
-    write ONE url_hash-sorted parquet with small row groups (the pruning
-    granule).  Runs on a worker; the driver only ever sees the one-row
-    manifest this returns."""
-    if group.num_rows == 0:
-        return pa.table({"bucket": pa.array([], pa.int32()), "rows": pa.array([], pa.int64())})
-    b = int(group["cache_bucket"][0].as_py())
+def _finish_bucket(tmp_dir: str, out_dir: str, bucket: int) -> tuple[int, int]:
+    """In-task per-bucket finish: read the bucket's phase-1 pieces from the
+    filesystem exchange, sort by url_hash, and write ONE url_hash-sorted
+    parquet with small row groups (the pruning granule).  Runs on a worker;
+    the driver only ever sees the (bucket, rows) manifest pair.  Peak task
+    memory is ~2× one uncompressed bucket (read + sorted gather)."""
+    bdir_in = os.path.join(tmp_dir, f"cache_bucket={bucket}")
+    group = pq.read_table(bdir_in)
+    if "cache_bucket" in group.column_names:  # hive partition col on read
+        group = group.drop_columns(["cache_bucket"])
     hashes = np.asarray(group["url_hash"].to_pylist(), dtype=object)
     order = np.argsort(hashes, kind="stable")
-    sub = group.drop_columns(["cache_bucket"]).take(pa.array(order, pa.int64()))
-    bdir = os.path.join(out_dir, f"bucket={b}")
+    sub = group.take(pa.array(order, pa.int64()))
+    bdir = os.path.join(out_dir, f"bucket={bucket}")
     os.makedirs(bdir, exist_ok=True)
     # store_schema=False: readers get plain string/binary back (the
     # large_* offsets were only a transient concat-safety measure)
@@ -86,17 +88,23 @@ def _write_bucket_file(group: pa.Table, out_dir: str) -> pa.Table:
         row_group_size=ROW_GROUP_SIZE,
         store_schema=False,
     )
-    return pa.table(
-        {"bucket": pa.array([b], pa.int32()), "rows": pa.array([group.num_rows], pa.int64())}
-    )
+    return bucket, group.num_rows
 
 
 def bucketize_web(
     web: pa.Table | rd.Dataset, out_dir: str, n_buckets: int = 16
 ) -> str:
     """One-time bucketed layout of the web table (≙ cache_bucket sharding,
-    db.c:1235-1250) as a DISTRIBUTED exchange: per-batch key stamping →
-    one hash exchange on cache_bucket → per-bucket in-task sort + write.
+    db.c:1235-1250) as a two-phase FILESYSTEM exchange:
+
+    1. per-batch key stamping → streaming hive-partitioned parquet write
+       (``partition_cols=["cache_bucket"]``) — each block splits itself
+       into its bucket dirs as it flows; NO all-to-all, nothing ever
+       pools in the object store (a ``groupby`` exchange here would
+       materialize ~2× the uncompressed web in spill — measured fatal at
+       16M rows on this host's disk quota);
+    2. one Ray task per bucket reads its pieces, sorts by url_hash, and
+       writes the final row-group-pruned bucket file.
 
     The driver never materializes the web: it receives only the B-row
     manifest.  Partitioning assumption: one bucket must fit a worker's
@@ -105,20 +113,37 @@ def bucketize_web(
     group, not by bucket count).  A pa.Table argument is wrapped via
     from_arrow for fixture-scale convenience (blocks still flow through
     the same exchange)."""
+    import shutil
+
+    import ray
+
     ds = web if isinstance(web, rd.Dataset) else rd.from_arrow(web)
     os.makedirs(out_dir, exist_ok=True)
-    manifest = (
-        ds.map_batches(lambda b: _add_layout_keys(b, n_buckets), batch_format="pyarrow")
-        .groupby("cache_bucket")
-        .map_groups(lambda g: _write_bucket_file(g, out_dir), batch_format="pyarrow")
-        .take_all()
+    tmp_dir = os.path.join(out_dir, "_exchange_tmp")
+    if os.path.exists(tmp_dir):  # stale partial phase-1 from a killed run
+        shutil.rmtree(tmp_dir)
+    ds.map_batches(
+        lambda b: _add_layout_keys(b, n_buckets), batch_format="pyarrow"
+    ).write_parquet(tmp_dir, partition_cols=["cache_bucket"])
+    present = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(tmp_dir)
+        if d.startswith("cache_bucket=")
     )
+    finish = ray.remote(num_cpus=1)(_finish_bucket)
+    manifest = [
+        {"bucket": b, "rows": n}
+        for b, n in ray.get(
+            [finish.remote(tmp_dir, out_dir, b) for b in present]
+        )
+    ]
+    shutil.rmtree(tmp_dir)
     total = sum(r["rows"] for r in manifest)
     # empty buckets still need a (zero-row) file: the fetch side opens
     # bucket files by scheduled-key bucket, which is independent of which
     # buckets hold web rows
-    present = {r["bucket"] for r in manifest}
-    missing = [b for b in range(n_buckets) if b not in present]
+    present_set = {r["bucket"] for r in manifest}
+    missing = [b for b in range(n_buckets) if b not in present_set]
     if missing:
         donor = next(iter(present), None)
         if donor is None:
