@@ -607,24 +607,24 @@ def _host_counts_distributed(ds: rd.Dataset) -> list[tuple[str, int]]:
         agg = batch.select(["host"]).group_by("host").aggregate([([], "count_all")])
         return agg.rename_columns(["host", "n"])
 
-    parts = [
-        t
-        for t in ray.get(
-            ds.map_batches(partial, batch_format="pyarrow")
-            .materialize()
-            .to_arrow_refs()
-        )
-        if t.num_rows
-    ]
+    from ray.data.aggregate import Sum as _AggSum
+
+    # per-block partials, then a distributed reduce: the pull is O(#hosts)
+    # even when the wave spans thousands of blocks
+    reduced = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(_AggSum("n", alias_name="n"))
+        .materialize()
+    )
+    parts = [t for t in ray.get(reduced.to_arrow_refs()) if t.num_rows]
     if not parts:
         return []
-    merged = (
-        pa.concat_tables(parts).group_by("host").aggregate([("n", "sum")])
-    )
+    merged = pa.concat_tables(parts)
     return list(
         zip(
             merged["host"].to_pylist(),
-            (int(c) for c in merged["n_sum"].to_pylist()),
+            (int(c) for c in merged["n"].to_pylist()),
         )
     )
 
@@ -801,6 +801,7 @@ class CrawlPipeline:
         checkpoint_every: int = 0,
         compact_every: int = 16,
         driver_plane_threshold: int | None = None,
+        bookkeep_threshold: int | None = None,
         spool_dir: str | None = None,
         web_store_dir: str | None = None,
         web_store_buckets: int = 16,
@@ -814,6 +815,17 @@ class CrawlPipeline:
             driver_plane_threshold
             if driver_plane_threshold is not None
             else _default_driver_plane_threshold()
+        )
+        #: rows above which the post-round bookkeeping pull goes distributed.
+        #: Deliberately far below ``driver_plane_threshold``: the LOCAL pull
+        #: materializes Python string lists at ~1-2 KB/row transient (a 4M-row
+        #: round spiked driver RSS by ~3 GB on the 16M evidence run), while
+        #: the distributed pass costs one sub-second Ray execution and lands
+        #: O(#hosts x #states) rows on the driver regardless of round size.
+        self.bookkeep_threshold = (
+            bookkeep_threshold
+            if bookkeep_threshold is not None
+            else min(500_000, self.driver_plane_threshold)
         )
         if spool_dir is None:
             base = output_dir or tempfile.mkdtemp(prefix="anansi_spool_")
@@ -1072,7 +1084,7 @@ class CrawlPipeline:
             return 0
 
         meta = None
-        local_meta = driver_plane or n_fetched <= self.driver_plane_threshold
+        local_meta = driver_plane or n_fetched <= self.bookkeep_threshold
         if not local_meta and self.fetched is None:
             self.fetched = SeenSet(self.cfg.seen_shards, backend="exact")
         if local_meta:
@@ -1086,9 +1098,15 @@ class CrawlPipeline:
                     "has_link",
                 ]
             )
-            from collections import Counter as _C
-
-            states_mix = dict(_C(meta["state"].to_pylist()))
+            st = (
+                meta.select(["state"]).group_by("state").aggregate([([], "count_all")])
+            )
+            states_mix = dict(
+                zip(
+                    st["state"].to_pylist(),
+                    (int(c) for c in st["count_all"].to_pylist()),
+                )
+            )
             agg = (
                 meta.select(["host", "fetch_clock_ms"])
                 .group_by("host")
@@ -1428,36 +1446,38 @@ class CrawlPipeline:
                 ["host", "state", "n", "max_clock", "n_back", "n_links"]
             )
 
-        parts = [
-            t
-            for t in ray.get(
-                rd.read_parquet(
-                    rdir,
-                    columns=[
-                        "url_hash",
-                        "host",
-                        "state",
-                        "fetch_clock_ms",
-                        "next_fetch_ms",
-                        "has_link",
-                    ],
-                )
-                .map_batches(bookkeep, batch_format="pyarrow")
-                .materialize()
-                .to_arrow_refs()
+        # combiner-before-exchange twice over: per-BLOCK (host, state)
+        # partials from ``bookkeep``, then a distributed groupby reduce, so
+        # the driver pull is O(#hosts x #states) even when the round has
+        # thousands of blocks (at 10^10-frontier scale the per-block partials
+        # alone are #blocks x #hosts rows — too many for one driver concat)
+        from ray.data.aggregate import Max as _AggMax
+        from ray.data.aggregate import Sum as _AggSum
+
+        reduced = (
+            rd.read_parquet(
+                rdir,
+                columns=[
+                    "url_hash",
+                    "host",
+                    "state",
+                    "fetch_clock_ms",
+                    "next_fetch_ms",
+                    "has_link",
+                ],
             )
-            if t.num_rows
-        ]
-        merged = pa.concat_tables(parts)
-        g = merged.group_by(["host", "state"]).aggregate(
-            [
-                ("n", "sum"),
-                ("max_clock", "max"),
-                ("n_back", "sum"),
-                ("n_links", "sum"),
-            ]
+            .map_batches(bookkeep, batch_format="pyarrow")
+            .groupby(["host", "state"])
+            .aggregate(
+                _AggSum("n", alias_name="n"),
+                _AggMax("max_clock", alias_name="max_clock"),
+                _AggSum("n_back", alias_name="n_back"),
+                _AggSum("n_links", alias_name="n_links"),
+            )
+            .materialize()
         )
-        return g.rename_columns(
+        parts = [t for t in ray.get(reduced.to_arrow_refs()) if t.num_rows]
+        return pa.concat_tables(parts).select(
             ["host", "state", "n", "max_clock", "n_back", "n_links"]
         )
 
