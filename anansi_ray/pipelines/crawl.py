@@ -115,6 +115,21 @@ LEDGER_SCHEMA = pa.schema(
 )
 
 
+def _rss_probe(tag: str) -> None:
+    """Env-gated (ANANSI_RSS_DEBUG=1) per-phase driver-memory probe used to
+    attribute round-level RSS growth to a pipeline phase."""
+    if not os.environ.get("ANANSI_RSS_DEBUG"):
+        return
+    anon = shmem = -1
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("RssAnon:"):
+                anon = int(line.split()[1]) // 1024
+            elif line.startswith("RssShmem:"):
+                shmem = int(line.split()[1]) // 1024
+    print(f"    [rss {tag}] anon={anon} MiB shmem={shmem} MiB", flush=True)
+
+
 def _ds_to_table(ds: rd.Dataset) -> pa.Table | None:
     # materialize first: to_arrow_refs() on a lazy plan re-executes it a
     # second time (limit-1) just to fetch the schema.
@@ -1001,6 +1016,7 @@ class CrawlPipeline:
             )
             scheduled = schedule_scan(due, due_hosts, self.budget, keys=order_keys(cfg))
         _t_sched = _time.monotonic()
+        _rss_probe("sched")
         if self.web_store_dir is not None:
             from anansi_ray.sources.webstore import fetch_bucketed
 
@@ -1059,6 +1075,7 @@ class CrawlPipeline:
             batch_format="pyarrow",
         ).write_parquet(rdir)
         _t_spool0 = _time.monotonic()
+        _rss_probe("spool-write")
 
         # ---- driver bookkeeping: a LOCAL column-pruned read of the round
         # dir just written (url_hash for lazy removal, host/clock for
@@ -1172,6 +1189,7 @@ class CrawlPipeline:
             ]
             has_links = bool(pc.sum(bk["n_links"]).as_py())
         _t_meta = _time.monotonic()
+        _rss_probe("meta")
         # per-partition lineage marker (rows + state mix): a round dir is
         # complete iff its _MANIFEST exists — a killed writer leaves no
         # marker and the re-run overwrites the whole dir
@@ -1182,6 +1200,7 @@ class CrawlPipeline:
             )
         self.spooled_rounds.append(self.round)
         _t_spool = _time.monotonic()
+        _rss_probe("manifest")
 
         # politeness + eligibility bookkeeping (≙ crawl_root updates)
         self.hosts.apply_fetch(host_fetch)
@@ -1319,6 +1338,7 @@ class CrawlPipeline:
             }
         )
 
+        _rss_probe("expand")
         self.round += 1
         if isinstance(self.frontier, rd.Dataset):
             # bound plan depth: an unmaterialized union chain makes every
@@ -1333,6 +1353,7 @@ class CrawlPipeline:
             self._compact()
         if self.checkpoint_every and self.round % self.checkpoint_every == 0:
             self.checkpoint()
+        _rss_probe("round-end")
         return n_fetched
 
     def _compact(self) -> None:

@@ -3290,6 +3290,73 @@ FROM documents ORDER BY doc_id
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_events_latest(sf_dir: str):
+    """Last-writer-wins compaction: the single latest event row per user by
+    (ts DESC, event_id DESC) — the CDC/upsert "keep newest version per key"
+    primitive (high-cardinality key, whole-row survivor).
+
+    Scale shape: a per-batch vectorized keep-latest combiner first (one
+    lexsort + run-boundary mask, so at most one row per (batch, user) ever
+    leaves a block), then ONE hash-partition exchange on ``user_id % P``
+    and the identical kernel per partition — no global sort, no driver
+    merge; payload columns travel only for surviving rows."""
+    P = 64
+
+    def _keep_latest(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            b["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-eid, -ts, u))
+        su = u[order]
+        first = np.r_[True, su[1:] != su[:-1]]
+        keep = np.sort(order[first])
+        return b.take(pa.array(keep, pa.int64()))
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = _keep_latest(b)
+        part = pa.array(
+            (out["user_id"].to_numpy(zero_copy_only=False) % P).astype(np.int32),
+            pa.int32(),
+        )
+        return out.append_column("part", part)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return g
+        return _keep_latest(g).drop_columns(["part"])
+
+    out = (
+        _read(
+            sf_dir,
+            "events",
+            ["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = out.sort_values("user_id")
+    return pa.Table.from_pandas(
+        out[["user_id", "event_id", "ts", "event_type", "value"]],
+        preserve_index=False,
+    )
+
+
+SQL_EVENTS_LATEST = """
+SELECT user_id, event_id, ts, event_type, value
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -3354,4 +3421,5 @@ QUERIES = {
     "lineitem_variance": (q_lineitem_variance, SQL_LINEITEM_VARIANCE),
     "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
     "link_components": (q_link_components, SQL_LINK_COMPONENTS),
+    "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
 }

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "lineitem_variance",
     "link_pagerank",
     "link_components",
+    "events_latest",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts

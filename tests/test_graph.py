@@ -141,3 +141,48 @@ class TestCollectList:
         exp = con.sql(SQL_CUSTOMER_ORDER_LIST).df()
         assert got["o_custkey"].tolist() == exp["o_custkey"].tolist()
         assert got["order_keys"].tolist() == exp["order_keys"].tolist()
+
+
+class TestEventsLatest:
+    def test_tiebreak_and_multiblock(self, ray_session, tmp_path):
+        """Latest row per user with (ts DESC, event_id DESC) tie-break,
+        exercised across MULTIPLE parquet files so the per-batch combiner
+        and the hash-partition exchange both run — vs the DuckDB twin."""
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from anansi_ray.pipelines.queries import SQL_EVENTS_LATEST, q_events_latest
+
+        rng = np.random.default_rng(7)
+        n = 2000
+        ts = pa.array(
+            np.array(rng.integers(0, 50, n), "datetime64[us]"),  # heavy ties
+            pa.timestamp("us"),
+        )
+        tbl = pa.table(
+            {
+                "event_id": pa.array(rng.permutation(n).astype(np.int64)),
+                "ts": ts,
+                "user_id": pa.array(rng.integers(0, 97, n), pa.int64()),
+                "event_type": pa.array(
+                    np.array(["view", "click", "purchase"])[
+                        rng.integers(0, 3, n)
+                    ]
+                ),
+                "value": pa.array(rng.normal(size=n)),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        d = tmp_path / "events.parquet"
+        d.mkdir()
+        pq.write_table(tbl.slice(0, 700), d / "a.parquet")
+        pq.write_table(tbl.slice(700, 700), d / "b.parquet")
+        pq.write_table(tbl.slice(1400), d / "c.parquet")
+        got = q_events_latest(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.register("events", tbl)
+        exp = con.sql(SQL_EVENTS_LATEST).df()
+        assert got["user_id"].tolist() == exp["user_id"].tolist()
+        assert got["event_id"].tolist() == exp["event_id"].tolist()
+        assert got["ts"].tolist() == exp["ts"].tolist()
+        assert got["value"].tolist() == exp["value"].tolist()
