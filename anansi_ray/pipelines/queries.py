@@ -3357,6 +3357,86 @@ ORDER BY user_id
 """
 
 
+def q_events_pivot(sf_dir: str):
+    """Pivot (wide aggregation): one row per user, one (count, value-sum)
+    column pair per event type — the long→wide reshape every feature/metric
+    table needs.
+
+    Scale shape: the type set is DISCOVERED by a tiny distinct pass (per-
+    batch unique combiner, ≤ |types| rows per block reach the driver), then
+    ONE user-keyed groupby whose input is a per-batch wide combiner (np
+    factorize + bincount per type), so the exchange carries ≤ |users per
+    batch| wide rows — never the event stream."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def type_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(b["event_type"].to_numpy(zero_copy_only=False))
+        return pa.table({"event_type": pa.array(u, pa.string())})
+
+    types = sorted(
+        set(
+            ds.map_batches(type_partial, batch_format="pyarrow")
+            .to_pandas()["event_type"]
+            .tolist()
+        )
+    )
+
+    def wide_partial(b: pa.Table) -> pa.Table:
+        users = b["user_id"].to_numpy(zero_copy_only=False)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(users, return_inverse=True)
+        cols: dict = {"user_id": pa.array(uu, pa.int64())}
+        for t in types:
+            m = et == t
+            cols[f"n_{t}"] = pa.array(
+                np.bincount(inv[m], minlength=len(uu)).astype(np.int64),
+                pa.int64(),
+            )
+            cols[f"val_{t}"] = pa.array(
+                np.bincount(inv[m], weights=val[m], minlength=len(uu)),
+                pa.float64(),
+            )
+        return pa.table(cols)
+
+    aggs = []
+    for t in types:
+        aggs.append(Sum(f"n_{t}", alias_name=f"n_{t}"))
+        aggs.append(Sum(f"val_{t}", alias_name=f"val_{t}"))
+    out = (
+        ds.map_batches(wide_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*aggs)
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    for t in types:
+        out[f"val_{t}"] = out[f"val_{t}"].round(2)
+        out[f"n_{t}"] = out[f"n_{t}"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["user_id"] + [c for t in types for c in (f"n_{t}", f"val_{t}")]],
+        preserve_index=False,
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')   AS n_click,
+       round(coalesce(sum(value) FILTER (event_type = 'click'),    0), 2) AS val_click,
+       count(*) FILTER (event_type = 'error')   AS n_error,
+       round(coalesce(sum(value) FILTER (event_type = 'error'),    0), 2) AS val_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 2) AS val_purchase,
+       count(*) FILTER (event_type = 'signup')  AS n_signup,
+       round(coalesce(sum(value) FILTER (event_type = 'signup'),   0), 2) AS val_signup,
+       count(*) FILTER (event_type = 'view')    AS n_view,
+       round(coalesce(sum(value) FILTER (event_type = 'view'),     0), 2) AS val_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -3422,4 +3502,5 @@ QUERIES = {
     "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
     "link_components": (q_link_components, SQL_LINK_COMPONENTS),
     "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
 }

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "link_pagerank",
     "link_components",
     "events_latest",
+    "events_pivot",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
