@@ -3437,6 +3437,433 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_events_user_rank(sf_dir: str):
+    """rank() / dense_rank() with REAL ties (integer activity counts) over
+    (PARTITION BY event_type ORDER BY n DESC): stage 1 is a pair-level
+    count aggregate with a per-batch combiner (the exchange carries one
+    (event_type, user_id) row per batch, not one per event); stage 2
+    co-partitions the tiny per-user count table by event_type and a sorted
+    run-boundary kernel assigns both rank flavours in O(rows) numpy.
+
+    Scale note: the second exchange keys on event_type (few, possibly
+    huge partitions).  Ranking is order-stat global per partition, so a
+    skewed type cannot be salted without a distributed-sort rank; at
+    10^10 rows stage 2 becomes ds.sort(["event_type","n"]) + a boundary
+    exchange of per-block tie counts.  Documented trade; at catalog-sized
+    |users| × |types| the map_groups kernel is the faster plan."""
+    from ray.data.aggregate import Sum
+
+    from anansi_ray.arrowds import drop_empty_blocks
+    from anansi_ray.functions.dedup import _np
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # integer composite key: factorize the (catalog-sized) type column
+        # per batch, then user*|types|+type_idx — exact, no string concat
+        types, tinv = np.unique(et, return_inverse=True)
+        key, inv = np.unique(u * len(types) + tinv, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        first = np.full(len(key), np.iinfo(np.int64).max)
+        np.minimum.at(first, inv, np.arange(len(inv)))
+        return pa.table(
+            {
+                "event_type": pa.array(et[first], pa.string()),
+                "user_id": pa.array(u[first], pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    counts = (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "user_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "rnk": pa.array([], pa.int64()),
+                    "drnk": pa.array([], pa.int64()),
+                }
+            )
+        t = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    ("event_type", "ascending"),
+                    ("n", "descending"),
+                    ("user_id", "ascending"),
+                ],
+            )
+        )
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        n = _np(t["n"])
+        new_type = np.r_[True, et[1:] != et[:-1]]
+        new_tie = new_type | np.r_[True, n[1:] != n[:-1]]
+        starts = np.flatnonzero(new_type)
+        type_run = np.cumsum(new_type) - 1
+        pos = np.arange(len(n), dtype=np.int64) - starts[type_run]
+        tie_start = np.flatnonzero(new_tie)
+        tie_run = np.cumsum(new_tie) - 1
+        rnk = pos[tie_start[tie_run]] + 1
+        # dense rank = number of tie-run boundaries since the type began
+        drnk = (tie_run - tie_run[starts[type_run]]) + 1
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "user_id": t["user_id"],
+                "n": t["n"],
+                "rnk": pa.array(rnk, pa.int64()),
+                "drnk": pa.array(drnk.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        drop_empty_blocks(
+            counts.groupby("event_type")
+            .map_groups(kernel, batch_format="pyarrow")
+            .materialize()
+        )
+        .to_pandas()
+        .sort_values(["event_type", "user_id"])
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_EVENTS_USER_RANK = """
+WITH c AS (
+  SELECT event_type, user_id, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, user_id, n,
+       rank()       OVER (PARTITION BY event_type ORDER BY n DESC)::BIGINT AS rnk,
+       dense_rank() OVER (PARTITION BY event_type ORDER BY n DESC)::BIGINT AS drnk
+FROM c ORDER BY event_type, user_id
+"""
+
+
+def q_events_mode(sf_dir: str):
+    """Per-key mode (most frequent event_type per user, ties broken by the
+    lexicographically smallest type): per-batch (user, type) count
+    combiner, ONE exchange on user-hash, then a sorted run-reduce kernel —
+    counts merge by run, each user keeps the first row of its max-count
+    runs.  No per-user micro-groups; the exchange carries pair partials,
+    never raw events."""
+    from anansi_ray.arrowds import drop_empty_blocks
+    from anansi_ray.functions.dedup import _np, _part_np
+
+    n_parts = 64
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        types, tinv = np.unique(et, return_inverse=True)
+        key, inv = np.unique(u * len(types) + tinv, return_inverse=True)
+        first = np.full(len(key), np.iinfo(np.int64).max)
+        np.minimum.at(first, inv, np.arange(len(inv)))
+        n = np.bincount(inv).astype(np.int64)
+        uu = u[first]
+        return pa.table(
+            {
+                "part": _part_np(uu, n_parts),
+                "user_id": pa.array(uu, pa.int64()),
+                "event_type": pa.array(et[first], pa.string()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "top_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        t = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("user_id", "ascending"), ("event_type", "ascending")],
+            )
+        )
+        u = _np(t["user_id"])
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        n = _np(t["n"])
+        # merge partial counts: runs of identical (user, type)
+        new_pair = np.r_[True, (u[1:] != u[:-1]) | (et[1:] != et[:-1])]
+        pair_id = np.cumsum(new_pair) - 1
+        tot = np.zeros(pair_id[-1] + 1, np.int64)
+        np.add.at(tot, pair_id, n)
+        firsts = np.flatnonzero(new_pair)
+        pu, pt = u[firsts], et[firsts]
+        # per user: max count, first (lexicographically smallest) type at max
+        new_user = np.r_[True, pu[1:] != pu[:-1]]
+        user_id_run = np.cumsum(new_user) - 1
+        mx = np.full(user_id_run[-1] + 1, np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, user_id_run, tot)
+        is_max = tot == mx[user_id_run]
+        pick = np.full(user_id_run[-1] + 1, np.iinfo(np.int64).max)
+        np.minimum.at(pick, user_id_run[is_max], np.flatnonzero(is_max))
+        return pa.table(
+            {
+                "user_id": pa.array(pu[pick], pa.int64()),
+                "top_type": pa.array(pt[pick], pa.string()),
+                "n": pa.array(tot[pick], pa.int64()),
+            }
+        )
+
+    out = (
+        drop_empty_blocks(
+            _read(sf_dir, "events", ["user_id", "event_type"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(kernel, batch_format="pyarrow")
+            .materialize()
+        )
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_EVENTS_MODE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rn
+  FROM c)
+SELECT user_id, event_type AS top_type, n FROM r WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def q_users_retention(sf_dir: str):
+    """Set intersection (INTERSECT) as a distributed operator: users active
+    in BOTH halves of the corpus time range.  Pass 1 is a metadata-sized
+    min/max aggregate on the pruned ts column; pass 2 dedups (user, half)
+    flags per batch (combiner) and one groupby-user exchange keeps users
+    whose half flags span {0,1}.  The exchange carries ≤2 rows per user
+    per batch regardless of event volume.  Midpoint uses 2·ts ≤ min+max
+    (pure integer, no division) so the SQL twin is exact."""
+    from ray.data.aggregate import Max, Min
+
+    mm = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(
+            lambda b: pa.table({"ts": b["ts"].combine_chunks().cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .aggregate(Min("ts"), Max("ts"))
+    )
+    lo, hi = mm["min(ts)"], mm["max(ts)"]
+    pivot = lo + hi
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        half = (2 * ts > pivot).astype(np.int64)
+        key = u * 2 + half
+        uniq = np.unique(key)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq >> 1, pa.int64()),
+                "h": pa.array(uniq & 1, pa.int64()),
+            }
+        )
+
+    g = (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("h", alias_name="h0"), Max("h", alias_name="h1"))
+    )
+    t = g.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.equal(b["h0"], 0), pc.equal(b["h1"], 1))
+        ).select(["user_id"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("user_id").astype({"user_id": "int64"}), preserve_index=False
+    )
+
+
+SQL_USERS_RETENTION = """
+WITH b AS (SELECT min(epoch_us(ts)) + max(epoch_us(ts)) AS mm FROM events)
+SELECT user_id FROM events, b WHERE 2 * epoch_us(ts) <= mm
+INTERSECT
+SELECT user_id FROM events, b WHERE 2 * epoch_us(ts) > mm
+ORDER BY user_id
+"""
+
+
+def q_lineitem_cube(sf_dir: str):
+    """CUBE grouping sets (all four subsets of {returnflag, linestatus}):
+    like the ROLLUP above, ONE distributed groupby at the finest grain;
+    the other three grouping sets are derived on the driver from that
+    |flags|×|statuses|-row table — zero extra exchanges vs a
+    shuffle-per-grouping-set plan."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    finest = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    by_flag = finest.groupby("l_returnflag", as_index=False).agg(
+        sum_qty=("sum_qty", "sum"), count_order=("count_order", "sum")
+    )
+    by_flag["l_linestatus"] = "ALL"
+    by_status = finest.groupby("l_linestatus", as_index=False).agg(
+        sum_qty=("sum_qty", "sum"), count_order=("count_order", "sum")
+    )
+    by_status["l_returnflag"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "sum_qty": [finest["sum_qty"].sum()],
+            "count_order": [finest["count_order"].sum()],
+        }
+    )
+    out = pd.concat([finest, by_flag, by_status, total], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "sum_qty", "count_order"]
+    ]
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["count_order"] = out["count_order"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values(["l_returnflag", "l_linestatus"]), preserve_index=False
+    )
+
+
+SQL_LINEITEM_CUBE = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY 1, 2
+"""
+
+
+def q_event_type_pairs(sf_dir: str):
+    """Co-occurrence / market-basket pairs: for every unordered pair of
+    event types, how many users produced both.  Per-batch (user, type)
+    dedup combiner → one user-hash exchange → each partition kernel emits
+    per-user pairs from the sorted distinct-type runs (bounded by
+    C(|types|,2) per user — |types| is catalog-sized, so the pair fan-out
+    is a constant, never |events|²) and pre-counts them; a final tiny
+    groupby sums partial pair counts.  This is the self-join
+    `d a JOIN d b ON a.user=b.user AND a.type<b.type` without ever
+    materializing the join."""
+    from ray.data.aggregate import Sum
+
+    from anansi_ray.arrowds import drop_empty_blocks
+    from anansi_ray.functions.dedup import _np, _part_np
+
+    n_parts = 64
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        types, tinv = np.unique(et, return_inverse=True)
+        _, idx = np.unique(u * len(types) + tinv, return_index=True)
+        uu = u[idx]
+        return pa.table(
+            {
+                "part": _part_np(uu, n_parts),
+                "user_id": pa.array(uu, pa.int64()),
+                "event_type": pa.array(et[idx], pa.string()),
+            }
+        )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "type_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        t = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[("user_id", "ascending"), ("event_type", "ascending")],
+            )
+        )
+        u = _np(t["user_id"])
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype("U")
+        # drop duplicate (user, type) rows surviving from different batches
+        keep = np.r_[True, (u[1:] != u[:-1]) | (et[1:] != et[:-1])]
+        u, et = u[keep], et[keep]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new_user)
+        lens = np.diff(np.r_[starts, len(u)])
+        a_idx, b_idx = [], []
+        for s, L in zip(starts, lens):
+            if L < 2:
+                continue
+            ii, jj = np.triu_indices(L, k=1)
+            a_idx.append(s + ii)
+            b_idx.append(s + jj)
+        if not a_idx:
+            return empty
+        types, tinv = np.unique(et, return_inverse=True)
+        a = tinv[np.concatenate(a_idx)].astype(np.int64)
+        b_ = tinv[np.concatenate(b_idx)].astype(np.int64)
+        pk, inv = np.unique(a * len(types) + b_, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "type_a": pa.array(types[pk // len(types)], pa.string()),
+                "type_b": pa.array(types[pk % len(types)], pa.string()),
+                "n_users": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    out = (
+        drop_empty_blocks(
+            _read(sf_dir, "events", ["user_id", "event_type"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(kernel, batch_format="pyarrow")
+            .materialize()
+        )
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+        .sort_values(["type_a", "type_b"])
+        .astype({"n_users": "int64"})
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_EVENT_TYPE_PAIRS = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*)::BIGINT AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -3503,4 +3930,9 @@ QUERIES = {
     "link_components": (q_link_components, SQL_LINK_COMPONENTS),
     "events_latest": (q_events_latest, SQL_EVENTS_LATEST),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    "events_user_rank": (q_events_user_rank, SQL_EVENTS_USER_RANK),
+    "events_mode": (q_events_mode, SQL_EVENTS_MODE),
+    "users_retention": (q_users_retention, SQL_USERS_RETENTION),
+    "lineitem_cube": (q_lineitem_cube, SQL_LINEITEM_CUBE),
+    "event_type_pairs": (q_event_type_pairs, SQL_EVENT_TYPE_PAIRS),
 }

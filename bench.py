@@ -96,6 +96,11 @@ BENCH_QUERIES = [
     "link_components",
     "events_latest",
     "events_pivot",
+    "events_user_rank",
+    "events_mode",
+    "users_retention",
+    "lineitem_cube",
+    "event_type_pairs",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts

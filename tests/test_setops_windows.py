@@ -1,0 +1,164 @@
+"""rank/dense_rank, per-key mode, INTERSECT retention, CUBE and
+co-occurrence pair operators: edge semantics pinned against the DuckDB
+twins on hand-built tables (ties, boundaries, layout independence)."""
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _events(tmp_path, rows):
+    """rows: list of (event_id, ts_us, user_id, event_type)."""
+    eid, ts, uid, et = zip(*rows)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": pa.array(np.array(ts, "datetime64[us]"), pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array(np.zeros(len(rows))),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    return tbl
+
+
+class TestUserRank:
+    def test_tie_semantics_vs_duckdb(self, ray_session, tmp_path):
+        """Three users tie at n=2 within one type: rank skips (1,1,1,4),
+        dense_rank does not (1,1,1,2)."""
+        from anansi_ray.pipelines.queries import (
+            SQL_EVENTS_USER_RANK,
+            q_events_user_rank,
+        )
+
+        rows = []
+        i = 0
+        for uid, n in [(1, 2), (2, 2), (3, 2), (4, 1)]:
+            for _ in range(n):
+                rows.append((i, 1000 + i, uid, "view"))
+                i += 1
+        tbl = _events(tmp_path, rows)
+        got = q_events_user_rank(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.register("events", tbl)
+        exp = con.sql(SQL_EVENTS_USER_RANK).df()
+        assert got["rnk"].tolist() == [1, 1, 1, 4]
+        assert got["drnk"].tolist() == [1, 1, 1, 2]
+        assert got["rnk"].tolist() == exp["rnk"].tolist()
+        assert got["drnk"].tolist() == exp["drnk"].tolist()
+
+
+class TestMode:
+    def test_lexicographic_tiebreak(self, ray_session, tmp_path):
+        """user 1 ties click/view at 2 each -> 'click' (lexicographically
+        smallest) wins, matching the SQL twin's ORDER BY n DESC, type ASC."""
+        from anansi_ray.pipelines.queries import SQL_EVENTS_MODE, q_events_mode
+
+        rows = [
+            (0, 100, 1, "view"),
+            (1, 200, 1, "click"),
+            (2, 300, 1, "view"),
+            (3, 400, 1, "click"),
+            (4, 500, 2, "purchase"),
+        ]
+        tbl = _events(tmp_path, rows)
+        got = q_events_mode(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.register("events", tbl)
+        exp = con.sql(SQL_EVENTS_MODE).df()
+        assert got["top_type"].tolist() == ["click", "purchase"]
+        assert got["top_type"].tolist() == exp["top_type"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
+
+    def test_cross_batch_partial_merge(self, ray_session, tmp_path):
+        """Counts for the same (user, type) arriving from different batches
+        must merge before the argmax: 64 single-row fragments."""
+        from anansi_ray.pipelines.queries import q_events_mode
+
+        rows = [(i, 1000 + i, 7, "view" if i < 40 else "click") for i in range(64)]
+        _events(tmp_path, rows)
+        got = q_events_mode(str(tmp_path)).to_pandas()
+        assert got["top_type"].tolist() == ["view"]
+        assert got["n"].tolist() == [40]
+
+
+class TestRetention:
+    def test_half_boundary_and_intersect(self, ray_session, tmp_path):
+        """2*ts == min+max lands in the FIRST half (<=); only users with
+        events strictly on both sides survive."""
+        from anansi_ray.pipelines.queries import (
+            SQL_USERS_RETENTION,
+            q_users_retention,
+        )
+
+        # range [0, 1000]; midpoint 500 is first-half
+        rows = [
+            (0, 0, 1, "view"),      # u1: first only
+            (1, 1000, 2, "view"),   # u2: second only
+            (2, 0, 3, "view"),      # u3: both
+            (3, 900, 3, "view"),
+            (4, 500, 4, "view"),    # u4: boundary -> first half only
+            (5, 499, 5, "view"),    # u5: both (501 > 500)
+            (6, 501, 5, "view"),
+        ]
+        tbl = _events(tmp_path, rows)
+        got = q_users_retention(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.register("events", tbl)
+        exp = con.sql(SQL_USERS_RETENTION).df()
+        assert got["user_id"].tolist() == [3, 5]
+        assert got["user_id"].tolist() == exp["user_id"].tolist()
+
+
+class TestCube:
+    def test_cube_vs_duckdb_sf0001(self, ray_session):
+        from anansi_ray.pipelines.queries import SQL_LINEITEM_CUBE, q_lineitem_cube
+
+        got = q_lineitem_cube(SF0001).to_pandas()
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{SF0001}/lineitem.parquet'"
+        )
+        exp = con.sql(SQL_LINEITEM_CUBE).df()
+        assert got["l_returnflag"].tolist() == exp["l_returnflag"].tolist()
+        assert got["l_linestatus"].tolist() == exp["l_linestatus"].tolist()
+        assert got["sum_qty"].tolist() == pytest.approx(exp["sum_qty"].tolist())
+        assert got["count_order"].tolist() == exp["count_order"].tolist()
+
+
+class TestTypePairs:
+    def test_pairs_vs_duckdb_and_layout(self, ray_session, tmp_path):
+        """Pair counts match the DISTINCT self-join twin; duplicate events
+        of the same (user, type) count the user once."""
+        from anansi_ray.pipelines.queries import (
+            SQL_EVENT_TYPE_PAIRS,
+            q_event_type_pairs,
+        )
+
+        rows = [
+            (0, 1, 1, "view"),
+            (1, 2, 1, "view"),      # dup (1, view)
+            (2, 3, 1, "click"),
+            (3, 4, 2, "click"),
+            (4, 5, 2, "view"),
+            (5, 6, 2, "purchase"),
+            (6, 7, 3, "view"),      # singleton user: no pairs
+        ]
+        tbl = _events(tmp_path, rows)
+        got = q_event_type_pairs(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.register("events", tbl)
+        exp = con.sql(SQL_EVENT_TYPE_PAIRS).df()
+        assert got["type_a"].tolist() == exp["type_a"].tolist()
+        assert got["type_b"].tolist() == exp["type_b"].tolist()
+        assert got["n_users"].tolist() == exp["n_users"].tolist()
+        # (click, view) seen for users 1 and 2
+        m = got.set_index(["type_a", "type_b"])["n_users"]
+        assert m[("click", "view")] == 2
