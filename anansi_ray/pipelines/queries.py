@@ -3357,16 +3357,10 @@ ORDER BY user_id
 """
 
 
-def q_events_pivot(sf_dir: str):
-    """Pivot (wide aggregation): one row per user, one (count, value-sum)
-    column pair per event type — the long→wide reshape every feature/metric
-    table needs.
-
-    Scale shape: the type set is DISCOVERED by a tiny distinct pass (per-
-    batch unique combiner, ≤ |types| rows per block reach the driver), then
-    ONE user-keyed groupby whose input is a per-batch wide combiner (np
-    factorize + bincount per type), so the exchange carries ≤ |users per
-    batch| wide rows — never the event stream."""
+def _pivot_wide(sf_dir: str):
+    """Shared distributed pivot plan (see q_events_pivot): returns the
+    aggregated wide Dataset (one row per user) plus the discovered type
+    list — q_events_unpivot chains its melt on this without re-deriving."""
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
@@ -3405,13 +3399,26 @@ def q_events_pivot(sf_dir: str):
     for t in types:
         aggs.append(Sum(f"n_{t}", alias_name=f"n_{t}"))
         aggs.append(Sum(f"val_{t}", alias_name=f"val_{t}"))
-    out = (
+    return (
         ds.map_batches(wide_partial, batch_format="pyarrow")
         .groupby("user_id")
-        .aggregate(*aggs)
-        .to_pandas()
-        .sort_values("user_id")
+        .aggregate(*aggs),
+        types,
     )
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot (wide aggregation): one row per user, one (count, value-sum)
+    column pair per event type — the long→wide reshape every feature/metric
+    table needs.
+
+    Scale shape: the type set is DISCOVERED by a tiny distinct pass (per-
+    batch unique combiner, ≤ |types| rows per block reach the driver), then
+    ONE user-keyed groupby whose input is a per-batch wide combiner (np
+    factorize + bincount per type), so the exchange carries ≤ |users per
+    batch| wide rows — never the event stream."""
+    wide, types = _pivot_wide(sf_dir)
+    out = wide.to_pandas().sort_values("user_id")
     for t in types:
         out[f"val_{t}"] = out[f"val_{t}"].round(2)
         out[f"n_{t}"] = out[f"n_{t}"].astype("int64")
@@ -3434,6 +3441,126 @@ SELECT user_id,
        count(*) FILTER (event_type = 'view')    AS n_view,
        round(coalesce(sum(value) FILTER (event_type = 'view'),     0), 2) AS val_view
 FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_events_unpivot(sf_dir: str):
+    """UNPIVOT (wide→long melt) chained on the distributed pivot: the wide
+    per-user feature table melts to (user_id, metric, v) INSIDE
+    ``map_batches`` — reshape is block-local (np repeat/tile), zero
+    additional exchange beyond the pivot's own groupby.  Counts widen to
+    float64 (exactly representable) so one value column serves both
+    metric families, mirroring UNPIVOT's type unification."""
+    wide, types = _pivot_wide(sf_dir)
+    metrics = [c for t in types for c in (f"n_{t}", f"val_{t}")]
+
+    def melt(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = []
+        for m in metrics:
+            v = b[m].to_numpy(zero_copy_only=False).astype(np.float64)
+            cols.append(np.round(v, 2) if m.startswith("val_") else v)
+        V = np.stack(cols, axis=1)  # rows × metrics
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(u, len(metrics)), pa.int64()),
+                "metric": pa.array(np.tile(np.array(metrics), len(u)), pa.string()),
+                "v": pa.array(V.ravel(), pa.float64()),
+            }
+        )
+
+    out = (
+        wide.map_batches(melt, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["user_id", "metric"])
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_EVENTS_UNPIVOT = """
+WITH p AS (
+  SELECT user_id,
+         (count(*) FILTER (event_type = 'click'))::DOUBLE   AS n_click,
+         round(coalesce(sum(value) FILTER (event_type = 'click'),    0), 2) AS val_click,
+         (count(*) FILTER (event_type = 'error'))::DOUBLE   AS n_error,
+         round(coalesce(sum(value) FILTER (event_type = 'error'),    0), 2) AS val_error,
+         (count(*) FILTER (event_type = 'purchase'))::DOUBLE AS n_purchase,
+         round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 2) AS val_purchase,
+         (count(*) FILTER (event_type = 'signup'))::DOUBLE  AS n_signup,
+         round(coalesce(sum(value) FILTER (event_type = 'signup'),   0), 2) AS val_signup,
+         (count(*) FILTER (event_type = 'view'))::DOUBLE    AS n_view,
+         round(coalesce(sum(value) FILTER (event_type = 'view'),     0), 2) AS val_view
+  FROM events GROUP BY user_id)
+SELECT user_id, metric, v
+FROM (UNPIVOT p ON n_click, val_click, n_error, val_error, n_purchase,
+      val_purchase, n_signup, val_signup, n_view, val_view
+      INTO NAME metric VALUE v)
+ORDER BY user_id, metric
+"""
+
+
+def q_daily_activity(sf_dir: str):
+    """FULL OUTER join of per-day order counts and per-day event counts:
+    each side reduces to (day, n) partials inside ``map_batches``
+    (combiner), both streams union and ONE day-keyed groupby sums each
+    side's column — days present on either side survive with 0 on the
+    other, which an inner join would drop.  For aggregated full outer this
+    union+groupby plan IS the scale-optimal join: one exchange of
+    catalog-sized partials, no null-extension kernel needed."""
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+
+    def day_partial(col: str, out_col: str, other: str):
+        def _p(b: pa.Table) -> pa.Table:
+            ts = (
+                b[col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            )
+            d = ts // DAY_US
+            uniq, inv = np.unique(d, return_inverse=True)
+            n = np.bincount(inv).astype(np.int64)
+            return pa.table(
+                {
+                    "day": pa.array(uniq, pa.int64()),
+                    out_col: pa.array(n, pa.int64()),
+                    other: pa.array(np.zeros(len(uniq), np.int64), pa.int64()),
+                }
+            ).select(["day", "n_orders", "n_events"])
+
+        return _p
+
+    orders = _read(sf_dir, "orders", ["o_orderdate"]).map_batches(
+        day_partial("o_orderdate", "n_orders", "n_events"), batch_format="pyarrow"
+    )
+    events = _read(sf_dir, "events", ["ts"]).map_batches(
+        day_partial("ts", "n_events", "n_orders"), batch_format="pyarrow"
+    )
+    out = (
+        orders.union(events)
+        .groupby("day")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("n_events", alias_name="n_events"),
+        )
+        .to_pandas()
+        .sort_values("day")
+        .astype({"day": "int64", "n_orders": "int64", "n_events": "int64"})
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_DAILY_ACTIVITY = """
+WITH o AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                  count(*)::BIGINT AS n_orders
+           FROM orders GROUP BY 1),
+e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1)
+SELECT coalesce(o.day, e.day)::BIGINT AS day,
+       coalesce(n_orders, 0)::BIGINT AS n_orders,
+       coalesce(n_events, 0)::BIGINT AS n_events
+FROM o FULL OUTER JOIN e ON o.day = e.day
+ORDER BY 1
 """
 
 
@@ -3935,4 +4062,6 @@ QUERIES = {
     "users_retention": (q_users_retention, SQL_USERS_RETENTION),
     "lineitem_cube": (q_lineitem_cube, SQL_LINEITEM_CUBE),
     "event_type_pairs": (q_event_type_pairs, SQL_EVENT_TYPE_PAIRS),
+    "events_unpivot": (q_events_unpivot, SQL_EVENTS_UNPIVOT),
+    "daily_activity": (q_daily_activity, SQL_DAILY_ACTIVITY),
 }

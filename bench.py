@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "users_retention",
     "lineitem_cube",
     "event_type_pairs",
+    "events_unpivot",
+    "daily_activity",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts

@@ -133,6 +133,73 @@ class TestCube:
         assert got["count_order"].tolist() == exp["count_order"].tolist()
 
 
+class TestUnpivot:
+    def test_melt_matches_unpivot_twin(self, ray_session, tmp_path):
+        """wide→long melt: 2 users × 10 metrics, counts and rounded value
+        sums interleave exactly as DuckDB's UNPIVOT emits them."""
+        from anansi_ray.pipelines.queries import (
+            SQL_EVENTS_UNPIVOT,
+            q_events_unpivot,
+        )
+
+        # all five catalog types must appear somewhere: the Ray side
+        # discovers the type set from data, the SQL twin hardcodes it
+        rows = [
+            (0, 100, 1, "view"),
+            (1, 200, 1, "click"),
+            (2, 300, 2, "purchase"),
+            (3, 400, 2, "signup"),
+            (4, 500, 2, "error"),
+        ]
+        tbl = _events(tmp_path, rows)
+        got = q_events_unpivot(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.register("events", tbl)
+        exp = con.sql(SQL_EVENTS_UNPIVOT).df()
+        assert len(got) == 2 * 10
+        assert got["metric"].tolist() == exp["metric"].tolist()
+        assert got["v"].tolist() == pytest.approx(exp["v"].tolist())
+
+
+class TestFullOuter:
+    def test_one_sided_days_survive(self, ray_session, tmp_path):
+        """days with only orders or only events appear with 0 on the other
+        side — the rows an inner join would drop."""
+        from anansi_ray.pipelines.queries import (
+            SQL_DAILY_ACTIVITY,
+            q_daily_activity,
+        )
+
+        DAY = 86_400_000_000
+        _events(tmp_path, [(0, 0 * DAY, 1, "view"), (1, 2 * DAY, 1, "view")])
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_custkey": pa.array([1, 1], pa.int64()),
+                "o_orderstatus": pa.array(["O", "O"]),
+                "o_totalprice": pa.array([1.0, 2.0]),
+                "o_orderdate": pa.array(
+                    np.array([1 * DAY, 2 * DAY], "datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * 2),
+            }
+        )
+        pq.write_table(orders, tmp_path / "orders.parquet")
+        got = q_daily_activity(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+        )
+        con.register("orders", orders)
+        exp = con.sql(SQL_DAILY_ACTIVITY).df()
+        assert got["day"].tolist() == [0, 1, 2]
+        assert got["n_orders"].tolist() == [0, 1, 1]
+        assert got["n_events"].tolist() == [1, 0, 1]
+        for c in ("day", "n_orders", "n_events"):
+            assert got[c].tolist() == exp[c].tolist()
+
+
 class TestTypePairs:
     def test_pairs_vs_duckdb_and_layout(self, ray_session, tmp_path):
         """Pair counts match the DISTINCT self-join twin; duplicate events
