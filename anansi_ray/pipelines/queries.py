@@ -2628,6 +2628,68 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+def q_orders_ntile(sf_dir: str):
+    """NTILE(4) over a global value order (price quartile per order)
+    riding the distributed prefix scan: the global 1-based row position is
+    ``ordered_prefix_sum`` of 1s over (cents, orderkey) — range-partitioned
+    on the coarsened dollars key so the driver histogram stays
+    catalog-sized even when the raw cents grid is huge — then the standard
+    first-buckets-bigger tile formula maps positions to quartiles inside
+    ``map_batches``.  One data exchange total; n comes from block
+    metadata."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    n_total = ds.count()
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "cents": cents,
+                "dollars": pc.divide(cents, 100),
+                "one": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    from anansi_ray.functions.scan import ordered_prefix_sum
+
+    K = 4
+    base, rem = divmod(n_total, K)
+
+    def to_tile(b: pa.Table) -> pa.Table:
+        p = b["pos"].to_numpy(zero_copy_only=False) - 1  # 0-based position
+        cut = rem * (base + 1)
+        tile = np.where(p < cut, p // (base + 1), rem + (p - cut) // max(base, 1))
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "quartile": pa.array((tile + 1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        ordered_prefix_sum(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            range_col="dollars",
+            order_cols=["dollars", "cents", "o_orderkey"],
+            value_col="one",
+            keep_cols=["o_orderkey"],
+            out_col="pos",
+        )
+        .map_batches(to_tile, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out.sort_values("o_orderkey"), preserve_index=False)
+
+
+SQL_ORDERS_NTILE = """
+SELECT o_orderkey,
+       ntile(4) OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                      o_orderkey)::BIGINT AS quartile
+FROM orders ORDER BY o_orderkey
+"""
+
+
 def q_lineitem_rollup(sf_dir: str):
     """Hierarchical (ROLLUP) aggregate: ONE distributed groupby at the
     finest grouping level; the coarser grouping sets are derived on the
@@ -4064,4 +4126,5 @@ QUERIES = {
     "event_type_pairs": (q_event_type_pairs, SQL_EVENT_TYPE_PAIRS),
     "events_unpivot": (q_events_unpivot, SQL_EVENTS_UNPIVOT),
     "daily_activity": (q_daily_activity, SQL_DAILY_ACTIVITY),
+    "orders_ntile": (q_orders_ntile, SQL_ORDERS_NTILE),
 }

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "event_type_pairs",
     "events_unpivot",
     "daily_activity",
+    "orders_ntile",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts

@@ -200,6 +200,33 @@ class TestFullOuter:
             assert got[c].tolist() == exp[c].tolist()
 
 
+class TestNtile:
+    @pytest.mark.parametrize("n", [2, 7, 8])
+    def test_uneven_buckets_vs_duckdb(self, ray_session, tmp_path, n):
+        """n=7: first 3 quartiles get 2 rows, last gets 1 (first-buckets-
+        bigger rule); n=2 < k: one row per tile 1..n."""
+        from anansi_ray.pipelines.queries import SQL_ORDERS_NTILE, q_orders_ntile
+
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+                "o_custkey": pa.array(np.zeros(n, np.int64)),
+                "o_orderstatus": pa.array(["O"] * n),
+                "o_totalprice": pa.array((np.arange(n) * 10.0 + 1.0)),
+                "o_orderdate": pa.array(
+                    np.zeros(n, "datetime64[us]"), pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * n),
+            }
+        )
+        pq.write_table(orders, tmp_path / "orders.parquet")
+        got = q_orders_ntile(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.register("orders", orders)
+        exp = con.sql(SQL_ORDERS_NTILE).df()
+        assert got["quartile"].tolist() == exp["quartile"].tolist()
+
+
 class TestTypePairs:
     def test_pairs_vs_duckdb_and_layout(self, ray_session, tmp_path):
         """Pair counts match the DISTINCT self-join twin; duplicate events
