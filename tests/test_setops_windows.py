@@ -200,6 +200,47 @@ class TestFullOuter:
             assert got[c].tolist() == exp[c].tolist()
 
 
+class TestSeededFuzz:
+    @pytest.mark.parametrize("seed", [11, 23, 57])
+    def test_rank_mode_pairs_vs_duckdb_random(self, ray_session, tmp_path, seed):
+        """Randomized events (heavy ties by design: few types, few users)
+        through the full distributed path vs all three DuckDB twins."""
+        from anansi_ray.pipelines.queries import (
+            SQL_EVENT_TYPE_PAIRS,
+            SQL_EVENTS_MODE,
+            SQL_EVENTS_USER_RANK,
+            q_event_type_pairs,
+            q_events_mode,
+            q_events_user_rank,
+        )
+
+        rng = np.random.default_rng(seed)
+        n = 400
+        types = ["click", "error", "purchase", "signup", "view"]
+        rows = [
+            (
+                i,
+                int(rng.integers(0, 10_000)),
+                int(rng.integers(1, 12)),
+                types[int(rng.integers(0, 5))],
+            )
+            for i in range(n)
+        ]
+        tbl = _events(tmp_path, rows)
+        con = duckdb.connect()
+        con.register("events", tbl)
+        for fn, sql in (
+            (q_events_user_rank, SQL_EVENTS_USER_RANK),
+            (q_events_mode, SQL_EVENTS_MODE),
+            (q_event_type_pairs, SQL_EVENT_TYPE_PAIRS),
+        ):
+            got = fn(str(tmp_path)).to_pandas()
+            exp = con.sql(sql).df()
+            assert len(got) == len(exp), fn.__name__
+            for c in got.columns:
+                assert got[c].tolist() == exp[c].tolist(), (fn.__name__, c)
+
+
 class TestNtile:
     @pytest.mark.parametrize("n", [2, 7, 8])
     def test_uneven_buckets_vs_duckdb(self, ray_session, tmp_path, n):
