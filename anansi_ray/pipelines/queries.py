@@ -3630,20 +3630,19 @@ def q_events_user_rank(sf_dir: str):
     """rank() / dense_rank() with REAL ties (integer activity counts) over
     (PARTITION BY event_type ORDER BY n DESC): stage 1 is a pair-level
     count aggregate with a per-batch combiner (the exchange carries one
-    (event_type, user_id) row per batch, not one per event); stage 2
-    co-partitions the tiny per-user count table by event_type and a sorted
-    run-boundary kernel assigns both rank flavours in O(rows) numpy.
+    (event_type, user_id) row per batch, not one per event).
 
-    Scale note: the second exchange keys on event_type (few, possibly
-    huge partitions).  Ranking is order-stat global per partition, so a
-    skewed type cannot be salted without a distributed-sort rank; at
-    10^10 rows stage 2 becomes ds.sort(["event_type","n"]) + a boundary
-    exchange of per-block tie counts.  Documented trade; at catalog-sized
-    |users| × |types| the map_groups kernel is the faster plan."""
+    Because tied counts share a rank, each user's rank is a pure function
+    of (event_type, n) — so stage 2 never partitions by event_type (which
+    would cap parallelism at |types| and be unsaltable): a per-batch
+    (type, n, c) tie-histogram combiner reduces to a catalog×distinct-n
+    table, the driver prefix-sums it into a (type, n) → (rnk, drnk) map
+    (rnk = 1 + #users with strictly greater n), and a broadcast
+    ``pc.index_in`` probe joins it back block-locally.  Both exchanges
+    carry combiner-sized partials; the per-user table itself never
+    re-shuffles."""
+    import ray
     from ray.data.aggregate import Sum
-
-    from anansi_ray.arrowds import drop_empty_blocks
-    from anansi_ray.functions.dedup import _np
 
     def partial(b: pa.Table) -> pa.Table:
         et = b["event_type"].to_numpy(zero_copy_only=False)
@@ -3668,57 +3667,77 @@ def q_events_user_rank(sf_dir: str):
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "user_id"])
         .aggregate(Sum("n", alias_name="n"))
+        .materialize()
     )
 
-    def kernel(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return pa.table(
-                {
-                    "event_type": pa.array([], pa.string()),
-                    "user_id": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                    "rnk": pa.array([], pa.int64()),
-                    "drnk": pa.array([], pa.int64()),
-                }
-            )
-        t = g.take(
-            pc.sort_indices(
-                g,
-                sort_keys=[
-                    ("event_type", "ascending"),
-                    ("n", "descending"),
-                    ("user_id", "ascending"),
-                ],
-            )
-        )
-        et = t["event_type"].to_numpy(zero_copy_only=False)
-        n = _np(t["n"])
-        new_type = np.r_[True, et[1:] != et[:-1]]
-        new_tie = new_type | np.r_[True, n[1:] != n[:-1]]
-        starts = np.flatnonzero(new_type)
-        type_run = np.cumsum(new_type) - 1
-        pos = np.arange(len(n), dtype=np.int64) - starts[type_run]
-        tie_start = np.flatnonzero(new_tie)
-        tie_run = np.cumsum(new_tie) - 1
-        rnk = pos[tie_start[tie_run]] + 1
-        # dense rank = number of tie-run boundaries since the type began
-        drnk = (tie_run - tie_run[starts[type_run]]) + 1
+    def hist_partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        types, tinv = np.unique(et, return_inverse=True)
+        key, inv = np.unique(tinv * (n.max() + 1 if len(n) else 1) + n, return_inverse=True)
+        c = np.bincount(inv).astype(np.int64)
+        first = np.full(len(key), np.iinfo(np.int64).max)
+        np.minimum.at(first, inv, np.arange(len(inv)))
         return pa.table(
             {
-                "event_type": t["event_type"],
-                "user_id": t["user_id"],
-                "n": t["n"],
-                "rnk": pa.array(rnk, pa.int64()),
-                "drnk": pa.array(drnk.astype(np.int64), pa.int64()),
+                "event_type": pa.array(et[first], pa.string()),
+                "n": pa.array(n[first], pa.int64()),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    hist = (
+        counts.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "n"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values(["event_type", "n"], ascending=[True, False])
+    )
+    # driver-side prefix sums over the tiny tie histogram
+    types = hist["event_type"].to_numpy()
+    nn = hist["n"].to_numpy().astype(np.int64)
+    cc = hist["c"].to_numpy().astype(np.int64)
+    new_type = np.r_[True, types[1:] != types[:-1]]
+    starts = np.flatnonzero(new_type)
+    type_run = np.cumsum(new_type) - 1
+    excl = np.cumsum(np.r_[0, cc[:-1]])  # global exclusive prefix of counts
+    rnk_map = excl - excl[starts[type_run]] + 1
+    drnk_map = np.arange(len(nn), dtype=np.int64) - starts[type_run] + 1
+    type_list = sorted(set(types.tolist()))
+    t_idx = {t: i for i, t in enumerate(type_list)}
+    BIG = int(nn.max()) + 1 if len(nn) else 1
+    keys = np.array([t_idx[t] for t in types], np.int64) * BIG + nn
+    lookup_ref = ray.put(
+        {
+            "keys": pa.array(keys, pa.int64()),
+            "rnk": rnk_map.astype(np.int64),
+            "drnk": drnk_map,
+            "types": pa.array(type_list, pa.string()),
+            "big": BIG,
+        }
+    )
+
+    def probe(b: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        ti = pc.index_in(b["event_type"], lk["types"]).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = pc.index_in(
+            pa.array(ti * lk["big"] + n, pa.int64()), lk["keys"]
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "user_id": b["user_id"],
+                "n": b["n"],
+                "rnk": pa.array(lk["rnk"][pos], pa.int64()),
+                "drnk": pa.array(lk["drnk"][pos], pa.int64()),
             }
         )
 
     out = (
-        drop_empty_blocks(
-            counts.groupby("event_type")
-            .map_groups(kernel, batch_format="pyarrow")
-            .materialize()
-        )
+        counts.map_batches(probe, batch_format="pyarrow")
         .to_pandas()
         .sort_values(["event_type", "user_id"])
     )
