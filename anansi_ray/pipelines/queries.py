@@ -3972,13 +3972,14 @@ ORDER BY 1, 2
 def q_event_type_pairs(sf_dir: str):
     """Co-occurrence / market-basket pairs: for every unordered pair of
     event types, how many users produced both.  Per-batch (user, type)
-    dedup combiner → one user-hash exchange → each partition kernel emits
-    per-user pairs from the sorted distinct-type runs (bounded by
-    C(|types|,2) per user — |types| is catalog-sized, so the pair fan-out
-    is a constant, never |events|²) and pre-counts them; a final tiny
-    groupby sums partial pair counts.  This is the self-join
-    `d a JOIN d b ON a.user=b.user AND a.type<b.type` without ever
-    materializing the join."""
+    dedup combiner → one user-hash exchange → each partition kernel
+    compresses every user's type set to a BITMASK with one C-level
+    ``np.bitwise_or.reduceat`` (|types| is catalog-sized, ≤63), histograms
+    the distinct masks, and expands pairs per DISTINCT MASK (≤2^|types|
+    iterations, independent of user count); a final tiny groupby sums
+    partial pair counts.  This is the self-join `d a JOIN d b ON
+    a.user=b.user AND a.type<b.type` with neither the join nor a per-user
+    loop materialized."""
     from ray.data.aggregate import Sum
 
     from anansi_ray.arrowds import drop_empty_blocks
@@ -4021,28 +4022,33 @@ def q_event_type_pairs(sf_dir: str):
         # drop duplicate (user, type) rows surviving from different batches
         keep = np.r_[True, (u[1:] != u[:-1]) | (et[1:] != et[:-1])]
         u, et = u[keep], et[keep]
-        new_user = np.r_[True, u[1:] != u[:-1]]
-        starts = np.flatnonzero(new_user)
-        lens = np.diff(np.r_[starts, len(u)])
-        a_idx, b_idx = [], []
-        for s, L in zip(starts, lens):
-            if L < 2:
-                continue
-            ii, jj = np.triu_indices(L, k=1)
-            a_idx.append(s + ii)
-            b_idx.append(s + jj)
-        if not a_idx:
-            return empty
         types, tinv = np.unique(et, return_inverse=True)
-        a = tinv[np.concatenate(a_idx)].astype(np.int64)
-        b_ = tinv[np.concatenate(b_idx)].astype(np.int64)
-        pk, inv = np.unique(a * len(types) + b_, return_inverse=True)
-        cnt = np.bincount(inv).astype(np.int64)
+        if len(types) > 63:
+            raise ValueError(
+                "event_type_pairs assumes a catalog-sized type set (<=63); "
+                f"partition saw {len(types)}"
+            )
+        # per-user type BITMASK via one C-level reduceat — no Python loop
+        # over users; the only loop left is over DISTINCT masks (<=2^|types|)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        bits = np.left_shift(np.int64(1), tinv.astype(np.int64))
+        masks = np.bitwise_or.reduceat(bits, starts)
+        um, cnt = np.unique(masks, return_counts=True)
+        pair_n: dict[tuple[int, int], int] = {}
+        for mask, c in zip(um.tolist(), cnt.tolist()):
+            on = [i for i in range(len(types)) if mask >> i & 1]
+            for x in range(len(on)):
+                for y in range(x + 1, len(on)):
+                    k = (on[x], on[y])
+                    pair_n[k] = pair_n.get(k, 0) + int(c)
+        if not pair_n:
+            return empty
+        ks = sorted(pair_n)
         return pa.table(
             {
-                "type_a": pa.array(types[pk // len(types)], pa.string()),
-                "type_b": pa.array(types[pk % len(types)], pa.string()),
-                "n_users": pa.array(cnt, pa.int64()),
+                "type_a": pa.array([types[a] for a, _ in ks], pa.string()),
+                "type_b": pa.array([types[b] for _, b in ks], pa.string()),
+                "n_users": pa.array([pair_n[k] for k in ks], pa.int64()),
             }
         )
 
