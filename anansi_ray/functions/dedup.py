@@ -1129,6 +1129,14 @@ def simhash_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _emb_np(tbl: pa.Table, emb_col: str = "embedding") -> np.ndarray:
+    """list<float> column → (n, dim) float64 via Arrow flatten + reshape —
+    no per-row Python materialization (to_pylist builds n·dim objects)."""
+    col = tbl[emb_col].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(tbl.num_rows, -1)
+
+
 def embedding_near_dup_pairs(
     ds: rd.Dataset, threshold: float = 0.95, id_col: str = "vec_id"
 ) -> pa.Table:
@@ -1142,8 +1150,8 @@ def embedding_near_dup_pairs(
 
     full = ds.select_columns([id_col, "embedding"]).materialize()
     tbl = pa.concat_tables(ray.get(full.to_arrow_refs()), promote_options="default")
-    ids = np.asarray(tbl[id_col].to_pylist(), dtype=np.int64)
-    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = tbl[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    mat = _emb_np(tbl)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     mat = mat / np.maximum(norms, 1e-12)
     order = np.argsort(ids)
@@ -1152,8 +1160,10 @@ def embedding_near_dup_pairs(
 
     def block(batch: pa.Table) -> pa.Table:
         all_ids, all_mat = ray.get(ref)
-        b_ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        b_mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        b_ids = (
+            batch[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        b_mat = _emb_np(batch)
         b_mat = b_mat / np.maximum(np.linalg.norm(b_mat, axis=1, keepdims=True), 1e-12)
         sims = b_mat @ all_mat.T
         rows, cols = np.nonzero(sims >= threshold)
@@ -1260,8 +1270,10 @@ def embedding_near_dup_lsh(
 
     def bucketize(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        mat = normalize_rows(np.asarray(batch["embedding"].to_pylist(), dtype=np.float64))
+        ids = (
+            batch[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        mat = normalize_rows(_emb_np(batch))
         sigs = lsh_bucket_sigs(mat, pl)  # (n, n_tables)
         n, nt = sigs.shape
         return pa.table(

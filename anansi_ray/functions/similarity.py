@@ -17,13 +17,26 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
 
 def _mat(batch: pa.Table, col: str = "embedding") -> np.ndarray:
-    m = np.asarray(batch[col].to_pylist(), dtype=np.float64)
+    # Arrow flatten + reshape: no per-row Python list materialization
+    flat = (
+        batch[col]
+        .combine_chunks()
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    m = flat.reshape(batch.num_rows, -1)
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _ids(batch: pa.Table, id_col: str) -> np.ndarray:
+    return batch[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
 def knn_brute(
@@ -36,11 +49,9 @@ def knn_brute(
     excluded).  Returns (query_id, rank, vec_id, cosine) sorted by
     (query_id, rank); ties broken by vec_id ascending; cosine rounded to 6
     decimals for stable cross-engine comparison."""
-    qset = set(int(q) for q in query_ids)
+    q_arr = pa.array([int(q) for q in query_ids], pa.int64())
     q_tbl = ds.map_batches(
-        lambda b: b.filter(
-            pa.array([int(v) in qset for v in b[id_col].to_pylist()], pa.bool_())
-        ),
+        lambda b: b.filter(pc.is_in(pc.cast(b[id_col], pa.int64()), value_set=q_arr)),
         batch_format="pyarrow",
     ).to_pandas()
     q_tbl = q_tbl.sort_values(id_col)
@@ -51,7 +62,7 @@ def knn_brute(
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qi, qm = ray.get(q_ref)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = _ids(batch, id_col)
         mat = _mat(batch)
         sims = qm @ mat.T  # (Q, B)
         out_q, out_v, out_c = [], [], []
@@ -77,8 +88,8 @@ def knn_brute(
         )
 
     def final_topk(group: pa.Table) -> pa.Table:
-        cos = np.asarray(group["cosine"].to_pylist())
-        vid = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        cos = group["cosine"].combine_chunks().to_numpy(zero_copy_only=False)
+        vid = _ids(group, "vec_id")
         order = np.lexsort((vid, -cos))[:k]
         return pa.table(
             {
@@ -152,10 +163,10 @@ class IvfIndex:
         self, query_ids: list[int], k: int = 10, n_probe: int = 4, id_col: str = "vec_id"
     ) -> pa.Table:
         assert self.assigned is not None and self.centroids is not None
-        qset = set(int(q) for q in query_ids)
+        q_arr = pa.array([int(q) for q in query_ids], pa.int64())
         q_df = self.assigned.map_batches(
             lambda b: b.filter(
-                pa.array([int(v) in qset for v in b[id_col].to_pylist()], pa.bool_())
+                pc.is_in(pc.cast(b[id_col], pa.int64()), value_set=q_arr)
             ),
             batch_format="pyarrow",
         ).to_pandas()
@@ -169,7 +180,9 @@ class IvfIndex:
 
         def scan(batch: pa.Table) -> pa.Table:
             qi, qm, pr = ray.get(q_ref)
-            cells = np.asarray(batch["cell"].to_pylist(), dtype=np.int32)
+            cells = (
+                batch["cell"].combine_chunks().to_numpy(zero_copy_only=False)
+            ).astype(np.int32)
             keep = np.isin(cells, list(wanted_cells))
             if not keep.any():
                 return pa.table(
@@ -179,7 +192,7 @@ class IvfIndex:
                         "cosine": pa.array([], pa.float64()),
                     }
                 )
-            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)[keep]
+            ids = _ids(batch, id_col)[keep]
             mat = _mat(batch)[keep]
             cells = cells[keep]
             sims = qm @ mat.T
@@ -202,8 +215,8 @@ class IvfIndex:
             )
 
         def final_topk(group: pa.Table) -> pa.Table:
-            cos = np.asarray(group["cosine"].to_pylist())
-            vid = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+            cos = group["cosine"].combine_chunks().to_numpy(zero_copy_only=False)
+            vid = _ids(group, "vec_id")
             order = np.lexsort((vid, -cos))[:k]
             return pa.table(
                 {
