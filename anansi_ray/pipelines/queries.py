@@ -924,17 +924,21 @@ def q_events_quantiles(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         v = batch["value"].to_numpy(zero_copy_only=False)
         gv = np.floor(v * 1000.0).astype(np.int64)
-        df = (
-            pd.DataFrame({"event_type": batch["event_type"].to_pylist(), "gv": gv})
-            .groupby(["event_type", "gv"], sort=False)
-            .size()
-        )
-        et, gvs = zip(*df.index) if len(df) else ((), ())
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        types, tinv = np.unique(et, return_inverse=True)
+        # composite (type, grid-value) histogram in pure numpy: shift the
+        # grid value into non-negative space so the int key is collision-free
+        gmin = gv.min() if len(gv) else 0
+        span = int(gv.max() - gmin) + 1 if len(gv) else 1
+        key, inv = np.unique(tinv * span + (gv - gmin), return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        first = np.full(len(key), np.iinfo(np.int64).max)
+        np.minimum.at(first, inv, np.arange(len(inv)))
         return pa.table(
             {
-                "event_type": pa.array(list(et), pa.string()),
-                "gv": pa.array(list(gvs), pa.int64()),
-                "cnt": pa.array(df.to_numpy(dtype=np.int64), pa.int64()),
+                "event_type": pa.array(et[first], pa.string()),
+                "gv": pa.array(gv[first], pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
             }
         )
 
