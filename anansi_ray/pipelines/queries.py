@@ -1888,17 +1888,19 @@ def q_quality_filter_p10(sf_dir: str):
         gv = np.rint(
             batch["score"].to_numpy(zero_copy_only=False) * 1e6
         ).astype(np.int64)
-        part = (
-            pd.DataFrame({"lang": batch["lang"].to_pylist(), "gv": gv})
-            .groupby(["lang", "gv"], sort=False)
-            .size()
-        )
-        langs, gvs = zip(*part.index) if len(part) else ((), ())
+        la = batch["lang"].to_numpy(zero_copy_only=False)
+        langs, linv = np.unique(la, return_inverse=True)
+        gmin = gv.min() if len(gv) else 0
+        span = int(gv.max() - gmin) + 1 if len(gv) else 1
+        key, inv = np.unique(linv * span + (gv - gmin), return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        first = np.full(len(key), np.iinfo(np.int64).max)
+        np.minimum.at(first, inv, np.arange(len(inv)))
         return pa.table(
             {
-                "lang": pa.array(list(langs), pa.string()),
-                "gv": pa.array(list(gvs), pa.int64()),
-                "cnt": pa.array(part.to_numpy(np.int64), pa.int64()),
+                "lang": pa.array(la[first], pa.string()),
+                "gv": pa.array(gv[first], pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
             }
         )
 
@@ -1916,13 +1918,15 @@ def q_quality_filter_p10(sf_dir: str):
         target = int(np.ceil(0.1 * tot))
         thr[lang] = int(grp["gv"].to_numpy()[np.searchsorted(cum, target, side="left")])
 
+    thr_langs = pa.array(sorted(thr), pa.string())
+    thr_vals = np.array([thr[la] for la in sorted(thr)], np.int64)
+
     def keep_above(batch: pa.Table) -> pa.Table:
         gv = np.rint(
             batch["score"].to_numpy(zero_copy_only=False) * 1e6
         ).astype(np.int64)
-        bar = np.array(
-            [thr[la] for la in batch["lang"].to_pylist()], dtype=np.int64
-        )
+        pos = pc.index_in(batch["lang"], thr_langs).to_numpy(zero_copy_only=False)
+        bar = thr_vals[pos.astype(np.int64)]
         return batch.filter(pa.array(gv >= bar))
 
     out = (
