@@ -2698,6 +2698,75 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+#: epoch-shuffle seed — part of the hash input, so a new epoch is a new
+#: seed string and a completely different (but equally deterministic) order
+_EPOCH_SEED = "ep42"
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch shuffle (training-data ordering): every
+    document's global position under a seeded portable shuffle key —
+    ``md5("<doc_id>-<seed>")`` — computed as a distributed prefix scan of
+    1s over the key order.  This is the shuffle a training run performs
+    before sequence packing: seeded (reproducible across runs and engines,
+    unlike ``random_shuffle``), and emitted as an (doc_id, pos) ordering
+    map so the corpus text itself never moves — downstream stages reorder
+    by joining/taking on ``pos``.
+
+    Scale shape: the md5 digests land in one contiguous buffer per batch
+    (no per-row hex strings); range partitioning uses the digest's top
+    byte (256-bin histogram, catalog-sized driver state); ONE coarse
+    exchange total via ``ordered_prefix_sum``; block-local uint64 sorts.
+    Ordering by (hi, lo) big-endian words equals ordering by the hex
+    digest the SQL twin uses (hex encoding is byte-monotone)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        seeded = (
+            np.char.add(np.char.mod("%d", ids), "-" + _EPOCH_SEED)
+            .astype("S")
+            .tolist()
+        )
+        md5 = hashlib.md5
+        buf = b"".join([md5(s).digest() for s in seeded])
+        dig = np.frombuffer(buf, dtype=">u8").reshape(-1, 2)
+        hi = dig[:, 0].astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "bin": pa.array((hi >> np.uint64(56)).astype(np.int64), pa.int64()),
+                "k_hi": pa.array(hi, pa.uint64()),
+                "k_lo": pa.array(dig[:, 1].astype(np.uint64), pa.uint64()),
+                "one": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+            }
+        )
+
+    from anansi_ray.functions.scan import ordered_prefix_sum
+
+    # parts are contiguous ranges of `bin` = the digest's top byte, so the
+    # block-local (k_hi, k_lo) sort composes into the global digest order
+    out = ordered_prefix_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        range_col="bin",
+        order_cols=["k_hi", "k_lo", "doc_id"],
+        value_col="one",
+        keep_cols=["doc_id"],
+        out_col="pos",
+    ).to_pandas()
+    return pa.Table.from_pandas(out.sort_values("doc_id"), preserve_index=False)
+
+
+SQL_EPOCH_SHUFFLE = """
+SELECT doc_id,
+       (row_number() OVER (ORDER BY md5(doc_id::VARCHAR || '-ep42'), doc_id)
+       )::BIGINT AS pos
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_lineitem_rollup(sf_dir: str):
     """Hierarchical (ROLLUP) aggregate: ONE distributed groupby at the
     finest grouping level; the coarser grouping sets are derived on the
@@ -4160,4 +4229,5 @@ QUERIES = {
     "events_unpivot": (q_events_unpivot, SQL_EVENTS_UNPIVOT),
     "daily_activity": (q_daily_activity, SQL_DAILY_ACTIVITY),
     "orders_ntile": (q_orders_ntile, SQL_ORDERS_NTILE),
+    "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
 }

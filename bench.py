@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "events_unpivot",
     "daily_activity",
     "orders_ntile",
+    "epoch_shuffle",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
