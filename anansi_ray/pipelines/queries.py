@@ -2767,6 +2767,95 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_corpus_mixture(sf_dir: str):
+    """Deterministic mixture downsampling (training-data curation): cap
+    every source at the corpus's mean source size *in expectation* by
+    keeping a doc iff its seeded hash fraction clears the source's keep
+    rate — ``md5("<doc_id>-mix-<source>")``'s first 32 bits compared to
+    ``floor(2^32 · total / (2 · n_sources · n_source))`` (cap = HALF the
+    mean source size, so the hash path binds even on a balanced corpus).  All-integer
+    thresholds, so the SQL twin is bit-exact; re-running over a grown
+    corpus keeps a surviving doc's verdict stable unless its own source's
+    rate changed (the property reservoir sampling lacks).
+
+    Scale shape: pass 1 is a per-batch source-count combiner (shuffle
+    carries per-batch vocabularies, not rows); the O(#sources) threshold
+    map is computed driver-side and probed block-locally with
+    ``pc.index_in`` — the corpus itself never shuffles."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        uniq, counts = np.unique(src, return_counts=True)
+        return pa.table(
+            {
+                "source": pa.array(uniq, pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    sources = counts["source"].to_numpy()
+    ns = counts["n"].to_numpy().astype(np.int64)
+    total = int(ns.sum())
+    n_sources = len(sources)
+    # keep rate total/(S·n_s) as an exact 32-bit integer threshold
+    thr = (np.int64(1 << 32) * total) // (2 * n_sources * ns)
+    src_arr = pa.array(sources, pa.string())
+    thr_arr = np.asarray(thr, dtype=np.int64)
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = b["source"].combine_chunks()
+        idx = pc.index_in(src, src_arr).to_numpy(zero_copy_only=False)
+        t = thr_arr[idx]
+        seeded = (
+            np.char.add(
+                np.char.add(np.char.mod("%d", ids), "-mix-"),
+                np.asarray(src.to_pylist(), dtype="U"),
+            )
+            .astype("S")
+            .tolist()
+        )
+        md5 = hashlib.md5
+        buf = b"".join([md5(s).digest()[:4] for s in seeded])
+        val = np.frombuffer(buf, dtype=">u4").astype(np.int64)
+        mask = val < t
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[mask], pa.int64()),
+                "source": src.filter(pa.array(mask)),
+            }
+        )
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(out.sort_values("doc_id"), preserve_index=False)
+
+
+SQL_CORPUS_MIXTURE = """
+WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+     m AS (SELECT count(*)::BIGINT AS s, sum(n)::BIGINT AS total FROM c),
+     t AS (SELECT c.source,
+                  ((4294967296::BIGINT * m.total) // (2 * m.s * c.n))::BIGINT AS thr
+           FROM c, m)
+SELECT d.doc_id, d.source
+FROM documents d JOIN t ON d.source = t.source
+WHERE t.thr >= 4294967296
+   OR substr(md5(d.doc_id::VARCHAR || '-mix-' || d.source), 1, 8)
+        < printf('%08x', t.thr)
+ORDER BY d.doc_id
+"""
+
+
 def q_lineitem_rollup(sf_dir: str):
     """Hierarchical (ROLLUP) aggregate: ONE distributed groupby at the
     finest grouping level; the coarser grouping sets are derived on the
@@ -4230,4 +4319,5 @@ QUERIES = {
     "daily_activity": (q_daily_activity, SQL_DAILY_ACTIVITY),
     "orders_ntile": (q_orders_ntile, SQL_ORDERS_NTILE),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
+    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
 }

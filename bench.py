@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "daily_activity",
     "orders_ntile",
     "epoch_shuffle",
+    "corpus_mixture",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
