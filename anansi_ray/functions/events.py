@@ -222,6 +222,75 @@ def session_windows(ds: rd.Dataset, gap_us: int = HOUR_US) -> rd.Dataset:
     )
 
 
+_EMPTY_HEADS = pa.table(
+    {
+        "user_id": pa.array([], pa.int64()),
+        "event_id": pa.array([], pa.int64()),
+        "ts_us": pa.array([], pa.int64()),
+    }
+)
+
+
+def burst_heads(ds: rd.Dataset, gap_us: int = HOUR_US) -> rd.Dataset:
+    """Event throttling / burst suppression (streaming dedup): keep only
+    the FIRST event of every burst per user, where a burst is a chain of
+    events each within ``gap_us`` of its predecessor — i.e. the head row
+    of every gap-based session.  The dedup a rate-limited notifier or a
+    near-duplicate event stream needs.
+
+    Same partition-kernel shape as :func:`session_windows` (one exchange
+    on user hash, one vectorized sort + run-boundary pass per partition);
+    only the projection differs — it emits the rows at session starts."""
+    import pyarrow.compute as pc
+
+    from anansi_ray.functions.dedup import _np, _part_np
+
+    n_parts = 64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "part": _part_np(u.to_numpy(zero_copy_only=False), n_parts),
+                "user_id": u,
+                "ts": batch["ts"].combine_chunks().cast(pa.int64()),
+                "event_id": batch["event_id"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _EMPTY_HEADS
+        t = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+        )
+        u = _np(t["user_id"])
+        ts = _np(t["ts"])
+        eid = _np(t["event_id"])
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        head = new_user | np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+        return pa.table(
+            {
+                "user_id": pa.array(u[head], pa.int64()),
+                "event_id": pa.array(eid[head], pa.int64()),
+                "ts_us": pa.array(ts[head], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
 def lag_lead_window(ds: rd.Dataset) -> rd.Dataset:
     """Per-key ordered row window: row_number, lag(value), lead(value) and
     delta over (PARTITION BY user_id ORDER BY ts, event_id) — the

@@ -568,6 +568,34 @@ def q_events_sessions(sf_dir: str):
     )
 
 
+def q_events_throttle(sf_dir: str):
+    """Event throttling / burst suppression (streaming dedup): the first
+    event of every >1h-gap burst per user (functions/events.py
+    burst_heads) — the session kernel's partition shape with a
+    head-row projection.  Sorted driver-side for the oracle compare."""
+    out = (
+        fevents.burst_heads(
+            _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_EVENTS_THROTTLE = """
+WITH g AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events)
+SELECT user_id, event_id, ts_us
+FROM g
+WHERE prev_us IS NULL OR ts_us - prev_us > 3600000000
+ORDER BY event_id
+"""
+
+
 SQL_EVENTS_SESSIONS = """
 WITH g AS (
   SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
@@ -4320,4 +4348,5 @@ QUERIES = {
     "orders_ntile": (q_orders_ntile, SQL_ORDERS_NTILE),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
+    "events_throttle": (q_events_throttle, SQL_EVENTS_THROTTLE),
 }

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "orders_ntile",
     "epoch_shuffle",
     "corpus_mixture",
+    "events_throttle",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
