@@ -482,3 +482,88 @@ def bigram_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "n": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG document chunking
+# ---------------------------------------------------------------------------
+
+#: fixed-window chunking parameters (chars): window / stride (overlap = W - S)
+CHUNK_W = 200
+CHUNK_S = 150
+
+
+def chunk_documents_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Fixed-window overlapping chunker (the RAG / context-window splitter):
+    window ``CHUNK_W`` chars, stride ``CHUNK_S`` (50-char overlap), last
+    chunk truncated at the document end.  Emits one row per chunk with a
+    content checksum (sum of Unicode code points) instead of the chunk text
+    itself, so the operator's output is hash-comparable without moving the
+    corpus.
+
+    Fully vectorized and block-local (zero shuffle): the batch's text is
+    decoded ONCE to a UTF-32 code-point array; per-chunk checksums are a
+    cumsum difference at the chunk boundaries; chunk fan-out is np.repeat
+    arithmetic.  No per-row or per-chunk Python.
+
+    At 100 TB this is one streaming pass; emitting (offsets, checksums)
+    rather than chunk text keeps the output ~100x smaller than the input —
+    a downstream embedder re-slices the text locally from (doc_id,
+    start_pos, chunk_len).
+    """
+    texts = pc.fill_null(batch[text_col], "")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    joined = "".join(texts.to_pylist())
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = pc.utf8_length(texts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    n_chunks = np.where(lens <= CHUNK_W, 1, 1 + (lens - CHUNK_W + CHUNK_S - 1) // CHUNK_S)
+    doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), n_chunks)
+    first = np.cumsum(n_chunks) - n_chunks
+    chunk_idx = np.arange(doc_idx.size, dtype=np.int64) - first[doc_idx]
+
+    doc_starts = np.cumsum(lens) - lens
+    starts = doc_starts[doc_idx] + chunk_idx * CHUNK_S
+    ends = np.minimum(starts + CHUNK_W, doc_starts[doc_idx] + lens[doc_idx])
+    csum = np.concatenate([[0], np.cumsum(codes.astype(np.int64))])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[doc_idx], pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "start_pos": pa.array(chunk_idx * CHUNK_S + 1, pa.int64()),
+            "chunk_len": pa.array(ends - starts, pa.int64()),
+            "code_sum": pa.array(csum[ends] - csum[starts], pa.int64()),
+        }
+    )
+
+
+def token_doc_pairs(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Distinct (token, doc_id) pair emitter — the inverted-index combiner.
+
+    Same ``\\w+`` token model as :func:`token_df_partial`.  Because every
+    document lives in exactly one batch, per-batch dedup makes the pairs
+    globally distinct: the downstream token exchange never sees a duplicate
+    and needs no second dedup pass.  The shuffle carries one row per
+    distinct (token, doc) — bounded by corpus vocabulary x df, never the
+    token stream."""
+    import pandas as pd
+
+    col = pc.fill_null(batch[text_col], "")
+    toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\W+")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    doc_ids = np.repeat(ids, lens)
+    s = flat.to_pandas()
+    mask = (s.str.len() > 0).to_numpy()
+    pairs = pd.DataFrame({"token": s[mask], "doc_id": doc_ids[mask]}).drop_duplicates()
+    return pa.table(
+        {
+            "token": pa.array(pairs["token"].to_numpy(dtype=object), pa.string()),
+            "doc_id": pa.array(pairs["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )

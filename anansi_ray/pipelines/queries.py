@@ -4272,6 +4272,462 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 additions: RAG chunking, inverted index, cohort retention,
+# set difference, Z-order layout, banded fuzzy matching.
+# ---------------------------------------------------------------------------
+
+
+def q_doc_chunks(sf_dir: str):
+    """RAG document chunking: fixed 200-char windows with 50-char overlap
+    (stride 150), last chunk truncated at the doc end.  Emits (doc_id,
+    chunk_idx, start_pos, chunk_len, code_sum) where ``code_sum`` is the
+    sum of the chunk's Unicode code points — a content checksum that makes
+    the operator value-comparable without shipping chunk text.
+
+    Scale shape: block-local ``map_batches`` (ZERO shuffle); each batch is
+    decoded once to a UTF-32 code array and every chunk checksum is a
+    cumsum difference (functions/text.py chunk_documents_batch).  Output is
+    ~100x smaller than the corpus; downstream embedders re-slice text
+    locally from the offsets."""
+    out = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(ftext.chunk_documents_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values(["doc_id", "chunk_idx"]), preserve_index=False
+    )
+
+
+SQL_DOC_CHUNKS = r"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
+                  length(coalesce(text, ''))::BIGINT AS n FROM documents),
+c AS (SELECT doc_id, text, n,
+             unnest(generate_series(0,
+               CASE WHEN n <= 200 THEN 0
+                    ELSE CAST(ceil((n - 200) / 150.0) AS BIGINT) END)) AS i
+      FROM d),
+k AS (SELECT doc_id, i, substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk
+      FROM c),
+x AS (SELECT doc_id, i, chunk,
+             unnest(generate_series(1, greatest(length(chunk), 1))) AS j
+      FROM k)
+SELECT doc_id, i::BIGINT AS chunk_idx, (i * 150 + 1)::BIGINT AS start_pos,
+       length(chunk)::BIGINT AS chunk_len,
+       coalesce(sum(ascii(substr(chunk, CAST(j AS INT), 1))), 0)::BIGINT AS code_sum
+FROM x GROUP BY doc_id, i, chunk ORDER BY doc_id, chunk_idx
+"""
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index construction (search / dedup primitive): for every
+    token with document frequency >= 2, the ascending comma-joined posting
+    list of doc_ids.
+
+    Scale shape: per-batch distinct (token, doc) pair combiner
+    (functions/text.py token_doc_pairs — pairs are globally distinct
+    because a doc lives in exactly one batch), md5-based token partition
+    tag computed once per DISTINCT batch token (vocabulary-sized, never the
+    token stream), ONE token-hash exchange, then a per-partition kernel
+    that builds every posting string in one vectorized ``pc.binary_join``
+    over run boundaries (the customer_order_list kernel applied to
+    postings).  Posting strings never touch the driver."""
+    import hashlib
+
+    import pandas as pd
+
+    P = 32
+
+    def tag(b: pa.Table) -> pa.Table:
+        toks = b["token"].to_numpy(zero_copy_only=False)
+        vocab, inv = np.unique(toks, return_inverse=True)
+        vpart = np.fromiter(
+            (int.from_bytes(hashlib.md5(v.encode()).digest()[:4], "big") % P
+             for v in vocab),
+            dtype=np.int32,
+            count=len(vocab),
+        )
+        return b.append_column("part", pa.array(vpart[inv], pa.int32()))
+
+    empty = pa.table(
+        {
+            "token": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "postings": pa.array([], pa.string()),
+        }
+    )
+
+    def agg_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        df = pd.DataFrame(
+            {
+                "token": g["token"].to_numpy(zero_copy_only=False),
+                "doc_id": g["doc_id"].to_numpy(zero_copy_only=False),
+            }
+        ).sort_values(["token", "doc_id"], kind="mergesort")
+        t = df["token"].to_numpy()
+        d = df["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, t[1:] != t[:-1]])
+        counts = np.diff(np.r_[starts, len(t)])
+        keep = counts >= 2
+        if not keep.any():
+            return empty
+        offsets = np.r_[starts, len(t)].astype(np.int32)
+        strs = pc.cast(pa.array(d, pa.int64()), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), strs)
+        joined = pc.binary_join(lists, ",")
+        return pa.table(
+            {
+                "token": pa.array(t[starts][keep], pa.string()),
+                "df": pa.array(counts[keep].astype(np.int64), pa.int64()),
+                "postings": joined.filter(pa.array(keep)),
+            }
+        )
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    out = (
+        drop_empty_blocks(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(ftext.token_doc_pairs, batch_format="pyarrow")
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(agg_part, batch_format="pyarrow")
+            .materialize()
+        )
+        .to_pandas()
+        .sort_values("token")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_INVERTED_INDEX = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS token
+  FROM documents)
+SELECT token, count(*)::BIGINT AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM tok GROUP BY token HAVING count(*) >= 2 ORDER BY token
+"""
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention analysis: assign every user to the cohort of their
+    first active day, then count users per (cohort_day, day_offset) —
+    the classic retention triangle.
+
+    Scale shape: per-batch distinct (user, day) combiner (the exchange
+    carries at most one row per user-day per batch, never the event
+    stream), ONE ``user_id % P`` hash exchange, then a partition kernel
+    that derives each user's cohort from run boundaries of ONE lexsort and
+    emits (cohort, offset) partial counts; the final groupby moves only
+    the catalog-sized retention triangle (~days^2 rows)."""
+    P = 32
+    DAY_US = 86_400_000_000
+
+    def pairs(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (
+            b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        key = np.unique(u * 1_000_000 + d)
+        user = key // 1_000_000
+        return pa.table(
+            {
+                "part": pa.array((user % P).astype(np.int32), pa.int32()),
+                "user_id": pa.array(user, pa.int64()),
+                "day": pa.array(key % 1_000_000, pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "cohort_day": pa.array([], pa.int64()),
+            "day_offset": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def part_kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        us, ds = u[order], d[order]
+        new_user = np.r_[True, us[1:] != us[:-1]]
+        first_day = ds[np.flatnonzero(new_user)]
+        cohort = first_day[np.cumsum(new_user) - 1]
+        # cross-batch duplicate (user, day) pairs are adjacent after the
+        # sort: keep first occurrences only
+        uniq = np.r_[True, new_user[1:] | (ds[1:] != ds[:-1])]
+        key = cohort[uniq] * 1_000_000 + (ds - cohort)[uniq]  # offsets < 1e6
+        vals, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "cohort_day": pa.array(vals // 1_000_000, pa.int64()),
+                "day_offset": pa.array(vals % 1_000_000, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    out = (
+        drop_empty_blocks(
+            _read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(pairs, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(part_kernel, batch_format="pyarrow")
+            .materialize()
+        )
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas()
+        .sort_values(["cohort_day", "day_offset"])
+        .astype({"n_users": "int64"})
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_COHORT_RETENTION = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d
+            FROM events),
+c AS (SELECT user_id, min(d) AS cohort_day FROM ud GROUP BY 1)
+SELECT c.cohort_day, (ud.d - c.cohort_day)::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM ud JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_users_churn(sf_dir: str):
+    """Set difference (EXCEPT) as a distributed operator: purchasing users
+    who never placed a "milestone" purchase (integer cents divisible by
+    97 — a deterministic ~1 %-of-events predicate that stays meaningful at
+    every scale, unlike a time split on this uniformly-active corpus).
+    Shape: per-batch (user, flag) dedup combiner — each batch forwards at
+    most two rows per user regardless of event volume — then ONE
+    groupby-user exchange keeping users whose max flag is 0."""
+    from ray.data.aggregate import Max
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = et == "purchase"
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        v = b["value"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.round(v * 100).astype(np.int64)
+        hit = (cents % 97 == 0).astype(np.int64)
+        uniq = np.unique(u * 2 + hit)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq >> 1, pa.int64()),
+                "h": pa.array(uniq & 1, pa.int64()),
+            }
+        )
+
+    g = (
+        _read(sf_dir, "events", ["user_id", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("h", alias_name="h1"))
+    )
+    t = g.map_batches(
+        lambda b: b.filter(pc.equal(b["h1"], 0)).select(["user_id"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if t.empty:  # churn can legitimately be empty; keep the schema
+        return pa.table({"user_id": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(
+        t.sort_values("user_id").astype({"user_id": "int64"}), preserve_index=False
+    )
+
+
+SQL_USERS_CHURN = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id FROM events
+WHERE event_type = 'purchase'
+  AND CAST(round(value * 100) AS BIGINT) % 97 = 0
+ORDER BY user_id
+"""
+
+
+def _morton16(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Interleave two 8-bit dims into a 16-bit Morton (Z-order) key."""
+    m = np.zeros_like(x)
+    for i in range(8):
+        m |= ((x >> i) & 1) << (2 * i)
+        m |= ((y >> i) & 1) << (2 * i + 1)
+    return m
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) layout assignment — the multi-dimensional
+    clustering step a 100-TB table needs for two-column row-group pruning:
+    each lineitem row gets the Morton interleave of its 8-bit
+    (l_partkey % 256, l_suppkey % 256) coordinates; the top 6 Morton bits
+    name one of 64 Z-cells (= target files).  Output is the per-cell
+    layout manifest (row count + the bounding box of both dims), i.e. the
+    min/max pruning index a reader would consult: Z-cells bound RECTANGLES
+    in (partkey, suppkey) space, so a conjunctive range predicate prunes
+    on both columns at once — the property a single-column sort cannot
+    give.
+
+    Scale shape: per-batch Morton keys are pure numpy bit math; a
+    64-bucket ``np.minimum.at``/``bincount`` combiner reduces each batch to
+    <= 64 manifest rows BEFORE the exchange; the final groupby moves only
+    cell partials.  The actual data movement this manifest implies (one
+    `repartition` by zcell at write time) reuses the bucketed-store
+    two-phase exchange (sources/webstore.py)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = pk % 256, sk % 256
+        cell = (_morton16(x, y) >> 10).astype(np.int64)
+        n = np.bincount(cell, minlength=64)
+        mnx = np.full(64, np.iinfo(np.int64).max)
+        mxx = np.full(64, -1)
+        mny = np.full(64, np.iinfo(np.int64).max)
+        mxy = np.full(64, -1)
+        np.minimum.at(mnx, cell, x)
+        np.maximum.at(mxx, cell, x)
+        np.minimum.at(mny, cell, y)
+        np.maximum.at(mxy, cell, y)
+        keep = n > 0
+        cells = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "zcell": pa.array(cells, pa.int64()),
+                "n": pa.array(n[keep].astype(np.int64), pa.int64()),
+                "min_x": pa.array(mnx[keep], pa.int64()),
+                "max_x": pa.array(mxx[keep], pa.int64()),
+                "min_y": pa.array(mny[keep], pa.int64()),
+                "max_y": pa.array(mxy[keep], pa.int64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("zcell")
+        .aggregate(
+            Sum("n", alias_name="n_rows"),
+            Min("min_x", alias_name="min_x"),
+            Max("max_x", alias_name="max_x"),
+            Min("min_y", alias_name="min_y"),
+            Max("max_y", alias_name="max_y"),
+        )
+        .to_pandas()
+        .sort_values("zcell")
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+#: Morton interleave of 8-bit x/y as a static SQL expression (16 terms)
+_SQL_MORTON = " + ".join(
+    f"(((x >> {i}) & 1) * {1 << (2 * i)}) + (((y >> {i}) & 1) * {1 << (2 * i + 1)})"
+    for i in range(8)
+)
+
+SQL_ZORDER_LAYOUT = f"""
+WITH xy AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+m AS (SELECT x, y, ({_SQL_MORTON}) // 1024 AS zcell FROM xy)
+SELECT zcell::BIGINT AS zcell, count(*)::BIGINT AS n_rows,
+       min(x)::BIGINT AS min_x, max(x)::BIGINT AS max_x,
+       min(y)::BIGINT AS min_y, max(y)::BIGINT AS max_y
+FROM m GROUP BY zcell ORDER BY zcell
+"""
+
+
+def q_fuzzy_name_match(sf_dir: str):
+    """Banded fuzzy (edit-distance) matching over a vocabulary: pairs of
+    DISTINCT part names within Levenshtein distance 2, banded by equal
+    length (the standard length-band blocking rule — distance <= 2 with
+    unequal lengths is possible, but the BAND is part of the operator's
+    definition and the SQL twin applies the identical predicate).
+
+    Scale shape: the corpus is first collapsed to its vocabulary by a
+    per-batch distinct combiner + one groupby — driver state is bounded by
+    |vocab|, which for entity names is catalog-sized regardless of table
+    rows (64 distinct names across 2k..20M parts here).  The DP itself is
+    vectorized ACROSS pairs (numpy (n_pairs,) lanes; the i/j loops run
+    over name length, ~10 steps), never per-pair Python."""
+    vocab = (
+        _read(sf_dir, "part", ["p_name"])
+        .map_batches(
+            lambda b: pa.table(
+                {"p_name": pa.array(np.unique(b["p_name"].to_numpy(zero_copy_only=False)))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("p_name")
+        .count()
+        .to_pandas()["p_name"]
+        .to_numpy()
+    )
+    vocab = np.sort(vocab)
+    by_len: dict[int, list] = {}
+    for v in vocab:  # vocabulary-sized loop (catalog), not the table
+        by_len.setdefault(len(v), []).append(v)
+
+    rows_a, rows_b, dists = [], [], []
+    for L, names in sorted(by_len.items()):
+        if len(names) < 2 or L == 0:
+            continue
+        mat = np.frombuffer(
+            "".join(names).encode("utf-32-le"), dtype=np.uint32
+        ).reshape(len(names), L)
+        ia, ib = np.triu_indices(len(names), k=1)
+        A, B = mat[ia], mat[ib]
+        prev = np.tile(np.arange(L + 1, dtype=np.int32), (len(ia), 1))
+        for i in range(1, L + 1):
+            cur = np.empty_like(prev)
+            cur[:, 0] = i
+            ai = A[:, i - 1]
+            for j in range(1, L + 1):
+                cost = (ai != B[:, j - 1]).astype(np.int32)
+                cur[:, j] = np.minimum(
+                    np.minimum(cur[:, j - 1] + 1, prev[:, j] + 1),
+                    prev[:, j - 1] + cost,
+                )
+            prev = cur
+        d = prev[:, -1]
+        keep = d <= 2
+        for k in np.flatnonzero(keep):
+            rows_a.append(names[ia[k]])
+            rows_b.append(names[ib[k]])
+            dists.append(int(d[k]))
+
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"name_a": rows_a, "name_b": rows_b, "dist": np.array(dists, np.int64)}
+    ).sort_values(["name_a", "name_b"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_FUZZY_NAME_MATCH = """
+WITH v AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+FROM v a JOIN v b
+  ON a.p_name < b.p_name AND length(a.p_name) = length(b.p_name)
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY name_a, name_b
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -4349,4 +4805,10 @@ QUERIES = {
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     "events_throttle": (q_events_throttle, SQL_EVENTS_THROTTLE),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "users_churn": (q_users_churn, SQL_USERS_CHURN),
+    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
+    "fuzzy_name_match": (q_fuzzy_name_match, SQL_FUZZY_NAME_MATCH),
 }

@@ -107,6 +107,12 @@ BENCH_QUERIES = [
     "epoch_shuffle",
     "corpus_mixture",
     "events_throttle",
+    "doc_chunks",
+    "inverted_index",
+    "cohort_retention",
+    "users_churn",
+    "zorder_layout",
+    "fuzzy_name_match",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
