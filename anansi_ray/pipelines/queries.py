@@ -4728,6 +4728,206 @@ ORDER BY name_a, name_b
 """
 
 
+def q_purchase_attribution(sf_dir: str):
+    """Last-touch attribution (sessionized marketing analytics): for every
+    purchase, the type of the user's most recent PRECEDING non-purchase
+    event (NULL when the purchase is the user's first event).
+
+    Scale shape: ONE ``user_id % P`` co-partitioning exchange, then a
+    sorted partition kernel — the forward-fill is one masked
+    ``np.maximum.accumulate`` over event indices with per-user run resets
+    (the as-of join's fill trick applied within one table).  No pair
+    materialization, no per-row Python; the SQL twin is the IGNORE-NULLS
+    last_value window."""
+    P = 32
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((u % P).astype(np.int32), pa.int32()),
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"].combine_chunks().cast(pa.int64()),
+                "event_type": b["event_type"],
+            }
+        )
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "touch_type": pa.array([], pa.string()),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        us, es, ets = u[order], eid[order], et[order]
+        idx = np.arange(len(us), dtype=np.int64)
+        non_purchase = ets != "purchase"
+        ffill = np.maximum.accumulate(np.where(non_purchase, idx, -1))
+        new_user = np.r_[True, us[1:] != us[:-1]]
+        user_start = idx[new_user][np.cumsum(new_user) - 1]
+        valid = ffill >= user_start  # a fill from a previous user is < start
+        purch = ~non_purchase
+        touch = np.where(valid & purch, ets[np.maximum(ffill, 0)], None)
+        return pa.table(
+            {
+                "event_id": pa.array(es[purch], pa.int64()),
+                "touch_type": pa.array(touch[purch], pa.string()),
+            }
+        )
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    out = (
+        drop_empty_blocks(
+            _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(kernel, batch_format="pyarrow")
+            .materialize()
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_PURCHASE_ATTRIBUTION = """
+SELECT event_id,
+       last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+FROM events
+QUALIFY event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
+def q_snapshot_diff(sf_dir: str):
+    """CDC snapshot diff (the merge/upsert building block): classify every
+    doc_id as added / removed / changed between snapshot A (the documents
+    table) and snapshot B (a deterministic evolution of it: doc_id % 11 = 0
+    deleted, doc_id % 7 = 0 rewritten with a ' v2' suffix, one insert with
+    key doc_id + 10^7 per doc_id % 13 = 0).  B is derived inside the
+    operator so the oracle can derive the identical snapshot — the Ray side
+    still computes the diff purely from content hashes, never from the
+    closed form.
+
+    Scale shape: each side collapses per batch to (doc_id, side_bit,
+    content_hash) — 8-byte hashes, not text — then ONE groupby-doc_id
+    exchange with algebraic aggregates (count, min/max of side-tagged
+    hashes) classifies every key block-locally.  Unchanged keys are
+    filtered AFTER the aggregate but the exchange already carries only
+    hashes (at 100 TB: text never shuffles; the exchange is ~24 B/key)."""
+    import hashlib
+
+    def to_sides(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+
+        def h64(strs):
+            return np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5((s or "").encode()).digest()[:8], "big")
+                    >> 1  # keep it in int64 range
+                    for s in strs
+                ),
+                dtype=np.int64,
+                count=len(strs),
+            )
+
+        out_id, out_side, out_h = [], [], []
+        # side A: every doc as-is
+        out_id.append(ids)
+        out_side.append(np.zeros(len(ids), np.int64))
+        out_h.append(h64(texts))
+        # side B: deletes, rewrites, inserts
+        keep = ids % 11 != 0
+        b_ids = ids[keep]
+        b_txt = [
+            (t or "") + (" v2" if i % 7 == 0 else "")
+            for i, t in zip(b_ids, [texts[j] for j in np.flatnonzero(keep)])
+        ]
+        out_id.append(b_ids)
+        out_side.append(np.ones(len(b_ids), np.int64))
+        out_h.append(h64(b_txt))
+        ins = ids[ids % 13 == 0]
+        out_id.append(ins + 10_000_000)
+        out_side.append(np.ones(len(ins), np.int64))
+        out_h.append(h64([f"new doc {i}" for i in ins]))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "side": pa.array(np.concatenate(out_side), pa.int64()),
+                "h": pa.array(np.concatenate(out_h), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Max, Min
+
+    g = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(to_sides, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("side", alias_name="s0"),
+            Max("side", alias_name="s1"),
+            Min("h", alias_name="h0"),
+            Max("h", alias_name="h1"),
+        )
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        s0 = b["s0"].to_numpy(zero_copy_only=False)
+        s1 = b["s1"].to_numpy(zero_copy_only=False)
+        h0 = b["h0"].to_numpy(zero_copy_only=False)
+        h1 = b["h1"].to_numpy(zero_copy_only=False)
+        added = (n == 1) & (s0 == 1)
+        removed = (n == 1) & (s1 == 0)
+        changed = (n == 2) & (h0 != h1)
+        keep = added | removed | changed
+        label = np.where(added, "added", np.where(removed, "removed", "changed"))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].filter(pa.array(keep)),
+                "change": pa.array(label[keep], pa.string()),
+            }
+        )
+
+    out = g.map_batches(classify, batch_format="pyarrow").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(out.sort_values("doc_id"), preserve_index=False)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH a AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+b AS (
+  SELECT doc_id,
+         text || (CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END) AS text
+  FROM a WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, 'new doc ' || doc_id FROM a WHERE doc_id % 13 = 0)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -4811,4 +5011,6 @@ QUERIES = {
     "users_churn": (q_users_churn, SQL_USERS_CHURN),
     "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
     "fuzzy_name_match": (q_fuzzy_name_match, SQL_FUZZY_NAME_MATCH),
+    "purchase_attribution": (q_purchase_attribution, SQL_PURCHASE_ATTRIBUTION),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
 }

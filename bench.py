@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "users_churn",
     "zorder_layout",
     "fuzzy_name_match",
+    "purchase_attribution",
+    "snapshot_diff",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts

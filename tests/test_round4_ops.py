@@ -299,3 +299,57 @@ class TestFuzzyMatch:
         )
         exp = con.sql(SQL_FUZZY_NAME_MATCH).df()
         assert got.reset_index(drop=True).equals(exp)
+
+
+class TestAttribution:
+    def test_fill_does_not_leak_across_users(self, ray_session, tmp_path):
+        """User 7's purchase is their first event; user 3's preceding view
+        must NOT fill it (the per-user run reset).  Ties on ts order by
+        event_id."""
+        from anansi_ray.pipelines.queries import (
+            SQL_PURCHASE_ATTRIBUTION,
+            q_purchase_attribution,
+        )
+
+        rows = [
+            (0, 100, 3, "view", 0.0),
+            (1, 200, 3, "purchase", 1.0),
+            (2, 150, 7, "purchase", 1.0),   # user 7's first event
+            (3, 300, 7, "click", 0.0),
+            (4, 300, 7, "purchase", 1.0),   # tie ts with event 3 -> click wins
+            (5, 400, 3, "purchase", 1.0),   # view still latest non-purchase
+        ]
+        tbl = _events_tbl(tmp_path, rows)
+        got = q_purchase_attribution(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.register("events", tbl)
+        exp = con.sql(SQL_PURCHASE_ATTRIBUTION).df()
+        assert got["event_id"].tolist() == [1, 2, 4, 5]
+        assert got["touch_type"].tolist() == ["view", None, "click", "view"]
+        assert got.reset_index(drop=True).equals(exp)
+
+
+class TestSnapshotDiff:
+    def test_closed_form_and_oracle(self, ray_session):
+        import pyarrow.parquet as pqq
+
+        from anansi_ray.pipelines.queries import SQL_SNAPSHOT_DIFF, q_snapshot_diff
+
+        got = q_snapshot_diff(SF0001).to_pandas()
+        ids = pqq.read_table(
+            SF0001 + "/documents.parquet", columns=["doc_id"]
+        )["doc_id"].to_pylist()
+        removed = {i for i in ids if i % 11 == 0}
+        changed = {i for i in ids if i % 7 == 0 and i % 11 != 0}
+        added = {i + 10_000_000 for i in ids if i % 13 == 0}
+        by = {c: set(g["doc_id"]) for c, g in got.groupby("change")}
+        assert by.get("removed", set()) == removed
+        assert by.get("changed", set()) == changed
+        assert by.get("added", set()) == added
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF0001}/documents.parquet')"
+        )
+        exp = con.sql(SQL_SNAPSHOT_DIFF).df()
+        assert got.reset_index(drop=True).equals(exp)
