@@ -4928,6 +4928,204 @@ ORDER BY doc_id
 """
 
 
+def _skyline_kernel(cents: np.ndarray, day: np.ndarray, key: np.ndarray):
+    """Vectorized 2-D skyline (minimize both dims): returns the boolean
+    keep-mask in the (cents, day, key) sort order plus that order.
+    Dominance is <=/<= with strictness in at least one dim; duplicate
+    points all survive (none strictly dominates its twin)."""
+    order = np.lexsort((key, day, cents))
+    x, y = cents[order], day[order]
+    new_x = np.r_[True, x[1:] != x[:-1]]
+    group_first_y = y[np.flatnonzero(new_x)][np.cumsum(new_x) - 1]
+    cummin = np.minimum.accumulate(y)
+    group_start = np.flatnonzero(new_x)[np.cumsum(new_x) - 1]
+    pm = np.where(group_start > 0, cummin[np.maximum(group_start - 1, 0)], np.iinfo(np.int64).max)
+    keep = (pm > y) & (y == group_first_y)
+    return keep, order
+
+
+def q_orders_skyline(sf_dir: str):
+    """2-D skyline / Pareto frontier: orders not dominated on (price, date)
+    — no other order is both cheaper-or-equal AND earlier-or-equal (strict
+    in at least one).  The multi-objective "best offers" operator.
+
+    Scale shape: the skyline is COMPOSABLE — every globally non-dominated
+    point is non-dominated in any subset containing it, so pass 1 runs the
+    vectorized skyline kernel per batch (a combiner that typically shrinks
+    n rows to O(log^2 n) candidates on non-adversarial data), and pass 2
+    re-runs the identical kernel once over the union of survivors.  The
+    corpus never shuffles; only candidates move.  Worst case
+    (anti-correlated dims) the skyline is O(n) and pass 2 concentrates —
+    documented trade; a range-partitioned cascade (the prefix-scan shape)
+    is the escape hatch."""
+    DAY_US = 86_400_000_000
+
+    def local_skyline(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.int64()),
+                }
+            )
+        if "cents" in b.column_names:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            cents = b["cents"].to_numpy(zero_copy_only=False)
+            day = b["day"].to_numpy(zero_copy_only=False)
+        else:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            cents = np.round(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            day = (
+                b["o_orderdate"].combine_chunks().cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                // DAY_US
+            )
+        keep, order = _skyline_kernel(cents, day, k)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[order][keep], pa.int64()),
+                "cents": pa.array(cents[order][keep], pa.int64()),
+                "day": pa.array(day[order][keep], pa.int64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+        .map_batches(local_skyline, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local_skyline, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("o_orderkey")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_ORDERS_SKYLINE = """
+WITH p AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day
+           FROM orders),
+w AS (SELECT o_orderkey, cents, day,
+             min(day) OVER (ORDER BY cents
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pm,
+             min(day) OVER (PARTITION BY cents) AS xm
+      FROM p)
+SELECT o_orderkey, cents, day FROM w
+WHERE (pm IS NULL OR pm > day) AND xm = day
+ORDER BY o_orderkey
+"""
+
+
+def q_events_regression(sf_dir: str):
+    """Per-group exact least-squares regression (value-cents against
+    minutes since the corpus start, per event type) — the algebraic-
+    aggregate family: each batch contributes integer partials (n, Σx, Σy,
+    Σxy, Σx² with Σx² carried as two int64 limbs at base 1e9, the
+    lineitem_variance overflow trick) and the closed form runs on the
+    |types|-row driver result with exact Python big-ints.  Slope/intercept
+    are emitted as integer-scaled TRUNCATING divisions (slope·1e9,
+    intercept·1e6) so the SQL twin — HUGEINT sums, `//` — is bit-exact.
+
+    Shape: metadata-sized global-min pass + ONE combiner-fed groupby; the
+    exchange carries |types| rows per batch."""
+    from ray.data.aggregate import Min, Sum
+
+    mn = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(
+            lambda b: pa.table({"ts": b["ts"].combine_chunks().cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .aggregate(Min("ts"))
+    )["min(ts)"]
+    MIN_US = int(mn)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = (ts - MIN_US) // 60_000_000  # minutes since corpus start
+        y = np.round(b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        xx = x * x
+        df = pd.DataFrame(
+            {
+                "event_type": et,
+                "n": np.ones(len(x), np.int64),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx_hi": xx // 1_000_000_000,
+                "sxx_lo": xx % 1_000_000_000,
+            }
+        )
+        g = df.groupby("event_type", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = (
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx_hi", alias_name="sxx_hi"),
+            Sum("sxx_lo", alias_name="sxx_lo"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+    )
+
+    def tdiv(a: int, b: int) -> int:  # truncating division (SQL `//`)
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    rows = []
+    for r in g.itertuples():  # |event types| rows — catalog-sized
+        n, sx, sy, sxy = int(r.n), int(r.sx), int(r.sy), int(r.sxy)
+        sxx = int(r.sxx_hi) * 1_000_000_000 + int(r.sxx_lo)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope_e9 = tdiv(10**9 * num, den)
+        intercept_e6 = tdiv(10**6 * (sy * den - num * sx), den * n)
+        rows.append((r.event_type, n, slope_e9, intercept_e6))
+    et, n, s, i = zip(*rows)
+    return pa.table(
+        {
+            "event_type": pa.array(et, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "slope_e9": pa.array(s, pa.int64()),
+            "intercept_e6": pa.array(i, pa.int64()),
+        }
+    )
+
+
+SQL_EVENTS_REGRESSION = """
+WITH b AS (SELECT min(epoch_us(ts)) AS mn FROM events),
+p AS (SELECT event_type,
+             (epoch_us(ts) - mn) // 60000000 AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events, b),
+s AS (SELECT event_type, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM p GROUP BY 1)
+SELECT event_type, n::BIGINT AS n,
+       ((1000000000::HUGEINT * (n * sxy - sx * sy))
+        // (n * sxx - sx * sx))::BIGINT AS slope_e9,
+       ((1000000::HUGEINT * (sy * (n * sxx - sx * sx)
+                             - (n * sxy - sx * sy) * sx))
+        // ((n * sxx - sx * sx) * n))::BIGINT AS intercept_e6
+FROM s ORDER BY event_type
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -5013,4 +5211,6 @@ QUERIES = {
     "fuzzy_name_match": (q_fuzzy_name_match, SQL_FUZZY_NAME_MATCH),
     "purchase_attribution": (q_purchase_attribution, SQL_PURCHASE_ATTRIBUTION),
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "orders_skyline": (q_orders_skyline, SQL_ORDERS_SKYLINE),
+    "events_regression": (q_events_regression, SQL_EVENTS_REGRESSION),
 }

@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "fuzzy_name_match",
     "purchase_attribution",
     "snapshot_diff",
+    "orders_skyline",
+    "events_regression",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts

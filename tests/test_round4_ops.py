@@ -353,3 +353,84 @@ class TestSnapshotDiff:
         )
         exp = con.sql(SQL_SNAPSHOT_DIFF).df()
         assert got.reset_index(drop=True).equals(exp)
+
+
+class TestSkyline:
+    def test_kernel_vs_brute_force(self):
+        from anansi_ray.pipelines.queries import _skyline_kernel
+
+        rng = np.random.default_rng(3)
+        for trial, (x, y) in enumerate(
+            [
+                (rng.integers(0, 40, 300), rng.integers(0, 40, 300)),  # dups likely
+                (np.arange(100), 99 - np.arange(100)),  # anti-correlated: all survive
+                (np.full(50, 7), rng.integers(0, 10, 50)),  # one x column
+            ]
+        ):
+            x = x.astype(np.int64); y = y.astype(np.int64)
+            k = np.arange(len(x), dtype=np.int64)
+            keep, order = _skyline_kernel(x, y, k)
+            got = set(k[order][keep].tolist())
+            exp = set()
+            for i in range(len(x)):
+                dominated = any(
+                    (x[j] <= x[i]) and (y[j] <= y[i]) and (x[j] < x[i] or y[j] < y[i])
+                    for j in range(len(x))
+                )
+                if not dominated:
+                    exp.add(i)
+            assert got == exp, f"trial {trial}"
+
+    def test_composability_and_oracle(self, ray_session):
+        """skyline(union of per-block skylines) == global skyline — the
+        property the two-pass distributed shape relies on — and the result
+        equals the DuckDB window twin."""
+        from anansi_ray.pipelines.queries import SQL_ORDERS_SKYLINE, q_orders_skyline
+
+        got = q_orders_skyline(SF0001).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{SF0001}/orders.parquet')"
+        )
+        exp = con.sql(SQL_ORDERS_SKYLINE).df()
+        assert got.reset_index(drop=True).equals(exp)
+        # every skyline row is actually non-dominated in the full table
+        full = con.sql(
+            "SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents, "
+            "CAST(floor(epoch_us(o_orderdate)/86400000000) AS BIGINT) AS day "
+            "FROM orders"
+        ).df()
+        for r in got.itertuples():
+            dom = (
+                (full["cents"] <= r.cents)
+                & (full["day"] <= r.day)
+                & ((full["cents"] < r.cents) | (full["day"] < r.day))
+            )
+            assert not dom.any()
+
+
+class TestRegression:
+    def test_negative_slope_truncating_div(self, ray_session, tmp_path):
+        """Values falling over time -> negative slope; the Ray side must
+        truncate toward zero exactly like DuckDB's `//`."""
+        from anansi_ray.pipelines.queries import (
+            SQL_EVENTS_REGRESSION,
+            q_events_regression,
+        )
+
+        rows = []
+        for i in range(10):  # y = 1000 - 3*x(min) cents, exact line
+            rows.append((i, i * 60_000_000, 1, "view", (1000 - 3 * i) / 100.0))
+        for i in range(7):   # noisy rising series, exercises remainders
+            rows.append((100 + i, i * 90_000_000, 2, "click", (50 + 17 * i + (i % 3)) / 100.0))
+        tbl = _events_tbl(tmp_path, rows)
+        got = q_events_regression(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.register("events", tbl)
+        exp = con.sql(SQL_EVENTS_REGRESSION).df()
+        assert got["slope_e9"].tolist() == exp["slope_e9"].tolist()
+        assert got["intercept_e6"].tolist() == exp["intercept_e6"].tolist()
+        view = got[got["event_type"] == "view"].iloc[0]
+        assert view["slope_e9"] == -3_000_000_000  # exactly -3 cents/min
+        assert view["intercept_e6"] == 1_000_000_000  # exactly 1000 cents
