@@ -5126,6 +5126,608 @@ FROM s ORDER BY event_type
 """
 
 
+def q_region_revenue(sf_dir: str):
+    """Snowflake/star join (TPC-H Q5 shape): revenue per region through the
+    dimension chain region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem.
+
+    Scale shape: the CATALOG dims (region, nation — dozens of rows) compose
+    driver-side into one nationkey→region map broadcast via ``ray.put`` and
+    probed block-locally with ``pc.index_in`` (customer is tagged with its
+    region WITHOUT a shuffle — at 100 TB customer is a fact, not a
+    broadcastable dim).  The two fact⋈fact hops (orders⋈customer on
+    custkey, lineitem⋈orders on orderkey) are explicit co-partitioned
+    exchanges with revenue pre-computed per lineitem batch and the final
+    aggregate combined per bucket BEFORE the tiny region rollup."""
+    import ray
+
+    B = 32
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ]
+    dim_ref = ray.put(
+        pa.Table.from_pandas(dim, preserve_index=False).combine_chunks()
+    )
+
+    def tag_customer(b: pa.Table) -> pa.Table:
+        d = ray.get(dim_ref)
+        idx = pc.index_in(b["c_nationkey"], d["n_nationkey"])
+        region = pc.fill_null(d["r_name"].combine_chunks().take(idx), "")
+        key = b["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": b["c_custkey"],
+                "bucket": pa.array((key % B).astype(np.int32), pa.int32()),
+                "region": region,
+                "carry": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+                "side": pa.array(["c"] * len(key), pa.string()),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        key = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": b["o_custkey"],
+                "bucket": pa.array((key % B).astype(np.int32), pa.int32()),
+                "region": pa.array([None] * len(key), pa.string()),
+                "carry": b["o_orderkey"],
+                "side": pa.array(["o"] * len(key), pa.string()),
+            }
+        )
+
+    def join_cust_orders(group: pa.Table) -> pa.Table:
+        # inner join on custkey; emit (orderkey, region) re-tagged for hop 2
+        side = group["side"].to_numpy(zero_copy_only=False)
+        k = group["key"].to_numpy(zero_copy_only=False)
+        cm = side == "c"
+        ck, creg = k[cm], group["region"].to_numpy(zero_copy_only=False)[cm]
+        om = side == "o"
+        ok, ocarry = k[om], group["carry"].to_numpy(zero_copy_only=False)[om]
+        order = np.argsort(ck, kind="stable")
+        pos = np.searchsorted(ck[order], ok)
+        pos = np.clip(pos, 0, max(len(ck) - 1, 0))
+        hit = (len(ck) > 0) & (ck[order][pos] == ok) if len(ck) else np.zeros(
+            len(ok), bool
+        )
+        okey = ocarry[hit]
+        oreg = creg[order][pos[hit]] if len(ck) else creg[:0]
+        return pa.table(
+            {
+                "key": pa.array(okey, pa.int64()),
+                "bucket": pa.array((okey % B).astype(np.int32), pa.int32()),
+                "region": pa.array(oreg, pa.string()),
+                "revenue": pa.array(np.full(len(okey), np.nan), pa.float64()),
+                "side": pa.array(["o"] * len(okey), pa.string()),
+            }
+        )
+
+    def tag_lineitem(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        key = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": b["l_orderkey"],
+                "bucket": pa.array((key % B).astype(np.int32), pa.int32()),
+                "region": pa.array([None] * len(key), pa.string()),
+                "revenue": rev,
+                "side": pa.array(["l"] * len(key), pa.string()),
+            }
+        )
+
+    def join_orders_lineitem(group: pa.Table) -> pa.Table:
+        # inner join on orderkey + per-bucket partial aggregate by region
+        side = group["side"].to_numpy(zero_copy_only=False)
+        k = group["key"].to_numpy(zero_copy_only=False)
+        om = side == "o"
+        ok, oreg = k[om], group["region"].to_numpy(zero_copy_only=False)[om]
+        lm = side == "l"
+        lk, lrev = k[lm], group["revenue"].to_numpy(zero_copy_only=False)[lm]
+        order = np.argsort(ok, kind="stable")
+        pos = np.searchsorted(ok[order], lk)
+        pos = np.clip(pos, 0, max(len(ok) - 1, 0))
+        hit = (ok[order][pos] == lk) if len(ok) else np.zeros(len(lk), bool)
+        regs = oreg[order][pos[hit]] if len(ok) else oreg[:0]
+        revs = lrev[hit]
+        uniq, inv = np.unique(regs, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64) if len(uniq) else np.zeros(0, np.int64)
+        s = np.zeros(len(uniq))
+        np.add.at(s, inv, revs)
+        return pa.table(
+            {
+                "r_name": pa.array(uniq, pa.string()),
+                "revenue": pa.array(s, pa.float64()),
+                "n_items": pa.array(n, pa.int64()),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        tag_customer, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        tag_orders, batch_format="pyarrow"
+    )
+    hop1 = cust.union(orders).groupby("bucket").map_groups(
+        join_cust_orders, batch_format="pyarrow"
+    )
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(tag_lineitem, batch_format="pyarrow")
+    partials = (
+        hop1.union(li)
+        .groupby("bucket")
+        .map_groups(join_orders_lineitem, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = partials.groupby("r_name", as_index=False).agg(
+        revenue=("revenue", "sum"), n_items=("n_items", "sum")
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return pa.Table.from_pandas(out.sort_values("r_name"), preserve_index=False)
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey   = c_custkey
+JOIN lineitem ON l_orderkey  = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_link_triangles(sf_dir: str):
+    """Distributed triangle enumeration (graph analytics beyond
+    PageRank/CC): list every triangle a<b<c of a deterministic link graph
+    synthesized from doc_id — edge families (i, i+1), (i, i+2) and
+    (i, 3i+7) mod n guarantee ≥n triangles so the oracle is non-trivial.
+
+    Scale shape (node-iterator): edges normalize u<v block-locally and
+    deduplicate with ONE (u,v) groupby; wedge generation partitions by
+    u%P and emits neighbor pairs per vertex with a degree-bucketed
+    vectorized kernel (no per-vertex Python — wedge count is bounded by
+    Σ d(d-1)/2, the algorithm's output size); the closing-edge check is a
+    second co-partitioned exchange on the packed (b,c) key with an
+    ``np.isin`` membership probe.  Key packing uses u*(n+1)+v — at
+    10^10 vertices the pack switches to 2×int64 columns, same plan."""
+    P = 32
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def edges(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        x = np.concatenate([i, i, i])
+        y = np.concatenate([(i + 1) % n, (i + 2) % n, (3 * i + 7) % n])
+        u, v = np.minimum(x, y), np.maximum(x, y)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        key = np.unique(u * np.int64(n + 1) + v)
+        return pa.table(
+            {"u": pa.array(key // (n + 1), pa.int64()), "v": pa.array(key % (n + 1), pa.int64())}
+        )
+
+    edge_ds = (
+        docs.map_batches(edges, batch_format="pyarrow").groupby(["u", "v"]).count()
+    )
+
+    def tag_u(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((u % P).astype(np.int32), pa.int32()),
+                "u": b["u"],
+                "v": b["v"],
+            }
+        )
+
+    empty_wedge = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+        }
+    )
+
+    def wedges(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty_wedge
+        u = group["u"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        degs = np.diff(np.r_[starts, len(u)])
+        aa, bb, cc = [], [], []
+        for d in np.unique(degs):  # loop over DEGREE VALUES, not vertices
+            if d < 2:
+                continue
+            runs = starts[degs == d]
+            nb = v[runs[:, None] + np.arange(d)]  # (n_runs, d) neighbor matrix
+            ii, jj = np.triu_indices(d, k=1)
+            aa.append(np.repeat(u[runs], len(ii)))
+            bb.append(nb[:, ii].ravel())
+            cc.append(nb[:, jj].ravel())
+        if not aa:
+            return empty_wedge
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(aa), pa.int64()),
+                "b": pa.array(np.concatenate(bb), pa.int64()),
+                "c": pa.array(np.concatenate(cc), pa.int64()),
+            }
+        )
+
+    wedge_ds = (
+        edge_ds.map_batches(tag_u, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+
+    def tag_wedge(b: pa.Table) -> pa.Table:
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        cc = b["c"].to_numpy(zero_copy_only=False)
+        key = bb * np.int64(n + 1) + cc
+        return pa.table(
+            {
+                "part": pa.array((key % P).astype(np.int32), pa.int32()),
+                "key": pa.array(key, pa.int64()),
+                "a": b["a"],
+                "side": pa.array(["w"] * b.num_rows, pa.string()),
+            }
+        )
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        key = u * np.int64(n + 1) + v
+        return pa.table(
+            {
+                "part": pa.array((key % P).astype(np.int32), pa.int32()),
+                "key": pa.array(key, pa.int64()),
+                "a": pa.array(np.full(len(u), -1, np.int64), pa.int64()),
+                "side": pa.array(["e"] * len(u), pa.string()),
+            }
+        )
+
+    def close_check(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        key = group["key"].to_numpy(zero_copy_only=False)
+        wm = side == "w"
+        keep = wm & np.isin(key, key[side == "e"])
+        a = group["a"].to_numpy(zero_copy_only=False)[keep]
+        k = key[keep]
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(k // (n + 1), pa.int64()),
+                "c": pa.array(k % (n + 1), pa.int64()),
+            }
+        )
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    out = (
+        drop_empty_blocks(
+            wedge_ds.map_batches(tag_wedge, batch_format="pyarrow")
+            .union(edge_ds.map_batches(tag_edge, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(close_check, batch_format="pyarrow")
+            .materialize()
+        )
+        .to_pandas()
+        .sort_values(["a", "b", "c"])
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_LINK_TRIANGLES = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS x, (doc_id + 1) % n AS y FROM documents, nn
+  UNION ALL SELECT doc_id, (doc_id + 2) % n FROM documents, nn
+  UNION ALL SELECT doc_id, (3 * doc_id + 7) % n FROM documents, nn
+),
+e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+      FROM raw WHERE x <> y)
+SELECT e1.u AS a, e1.v AS b, e2.v AS c
+FROM e e1
+JOIN e e2 ON e2.u = e1.v
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+ORDER BY 1, 2, 3
+"""
+
+
+def q_orders_bloom_filter(sf_dir: str):
+    """Bloom-filter–pruned semi join (the scale technique for
+    big-probe ⋈ selective-build): orders of customers in the BUILDING
+    segment.  The build side collapses per block to ONE 16 KiB bitmap row
+    (m=2^17 bits, k=4 Kirsch–Mitzenmacher probes from two splitmix64
+    streams); the driver ORs the block bitmaps (traffic = #blocks ×
+    16 KiB, independent of build rows) and broadcasts once via
+    ``ray.put``.  The probe side tests bits block-locally — only bloom
+    SURVIVORS (true matches + ~0.1% false positives) enter the exact
+    co-partitioned ``np.isin`` verification exchange, so the shuffle
+    moves ~selectivity of the fact table instead of all of it.  The
+    result is EXACT (bloom prunes, verify decides)."""
+    import ray
+
+    M_BITS = 1 << 17
+    MASK = np.uint64(M_BITS - 1)
+    K = 4
+    P = 32
+
+    def _mix(x: np.ndarray, salt: int) -> np.ndarray:
+        z = x.astype(np.uint64) + np.uint64(salt)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    def _positions(keys: np.ndarray) -> np.ndarray:
+        h1 = _mix(keys, 0x9E3779B97F4A7C15)
+        h2 = _mix(keys, 0xD1B54A32D192ED03) | np.uint64(1)
+        return np.stack([(h1 + np.uint64(i) * h2) & MASK for i in range(K)])
+
+    def build_bitmap(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        words = np.zeros(M_BITS // 64, np.uint64)
+        if len(keys):
+            pos = _positions(keys).ravel()
+            np.bitwise_or.at(
+                words,
+                (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        return pa.table({"bitmap": pa.array([words.tobytes()], pa.binary())})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    block_maps = cust.map_batches(build_bitmap, batch_format="pyarrow").take_all()
+    bloom = np.zeros(M_BITS // 64, np.uint64)
+    for r in block_maps:  # #blocks rows, 16 KiB each — catalog traffic
+        bloom |= np.frombuffer(r["bitmap"], np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def probe(b: pa.Table) -> pa.Table:
+        bm = ray.get(bloom_ref)
+        keys = b["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = _positions(keys)
+        ok = np.ones(len(keys), bool)
+        for i in range(K):
+            word = bm[(pos[i] >> np.uint64(6)).astype(np.int64)]
+            ok &= ((word >> (pos[i] & np.uint64(63))) & np.uint64(1)).astype(bool)
+        t = b.filter(pa.array(ok))
+        k = t["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((k % P).astype(np.int32), pa.int32()),
+                "k": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice": t["o_totalprice"],
+                "side": pa.array(["p"] * t.num_rows, pa.string()),
+            }
+        )
+
+    def tag_build(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((k % P).astype(np.int32), pa.int32()),
+                "k": t["c_custkey"],
+                "o_orderkey": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                "o_totalprice": pa.array(np.zeros(len(k)), pa.float64()),
+                "side": pa.array(["b"] * len(k), pa.string()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_custkey": pa.array([], pa.int64()),
+            "o_totalprice": pa.array([], pa.float64()),
+        }
+    )
+
+    def verify(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        side = group["side"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False)
+        keep = (side == "p") & np.isin(k, k[side == "b"])
+        t = group.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["k"],
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    cands = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(probe, batch_format="pyarrow")
+    out = (
+        drop_empty_blocks(
+            cands.union(cust.map_batches(tag_build, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(verify, batch_format="pyarrow")
+            .materialize()
+        )
+        .to_pandas()
+        .sort_values("o_orderkey")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_ORDERS_BLOOM_FILTER = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey
+                AND c.c_mktsegment = 'BUILDING')
+ORDER BY o_orderkey
+"""
+
+
+def q_events_gap_fill(sf_dir: str):
+    """Time-series densification (gap fill): hourly event counts per type
+    with MISSING hours emitted as explicit zeros over the corpus'
+    [min,max] hour span — the input to any windowed model that cannot
+    tolerate implicit gaps.
+
+    Scale shape: a per-batch (type, hour) count combiner collapses every
+    block to ≤ |types|×|hours-in-block| rows before ONE groupby; the
+    grid completion runs on the CATALOG-sized result (|types| × corpus
+    hours), never on events."""
+    from ray.data.aggregate import Sum
+
+    HOUR_US = 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        hr = (
+            b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // HOUR_US
+        )
+        types, tinv = np.unique(et, return_inverse=True)
+        hmin = hr.min() if len(hr) else 0
+        span = int(hr.max() - hmin) + 1 if len(hr) else 1
+        key, inv = np.unique(tinv * span + (hr - hmin), return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        first = np.full(len(key), np.iinfo(np.int64).max)
+        np.minimum.at(first, inv, np.arange(len(inv)))
+        return pa.table(
+            {
+                "event_type": pa.array(et[first], pa.string()),
+                "hour_b": pa.array(hr[first], pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    hist = (
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour_b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    lo, hi = int(hist["hour_b"].min()), int(hist["hour_b"].max())
+    types = sorted(hist["event_type"].unique())
+    hours = np.arange(lo, hi + 1, dtype=np.int64)
+    import pandas as pd
+
+    grid = pd.DataFrame(
+        {
+            "event_type": np.repeat(types, len(hours)),
+            "hour_b": np.tile(hours, len(types)),
+        }
+    )
+    out = grid.merge(hist, on=["event_type", "hour_b"], how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values(["event_type", "hour_b"]), preserve_index=False
+    )
+
+
+SQL_EVENTS_GAP_FILL = """
+WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_b,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+b AS (SELECT min(hour_b) AS lo, max(hour_b) AS hi FROM c),
+h AS (SELECT unnest(generate_series(lo, hi)) AS hour_b FROM b),
+t AS (SELECT DISTINCT event_type FROM events)
+SELECT t.event_type, h.hour_b, coalesce(c.n, 0)::BIGINT AS n
+FROM t CROSS JOIN h
+LEFT JOIN c ON c.event_type = t.event_type AND c.hour_b = h.hour_b
+ORDER BY 1, 2
+"""
+
+
+def q_customer_median_order(sf_dir: str):
+    """HIGH-cardinality grouped exact median (holistic aggregate): the
+    lower median order value per customer.  Unlike the algebraic family
+    (sum/mean/variance combine associatively) a median cannot pre-reduce,
+    so the honest distributed plan is ONE custkey-hash exchange of
+    (custkey, cents) pairs followed by a per-partition vectorized kernel:
+    lexsort, run boundaries, element at off + (n-1)//2 — no per-group
+    Python, no global sort.  Contrast with events_quantiles (LOW-
+    cardinality groups → histogram partials beat the exchange)."""
+    P = 32
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "part": pa.array((k % P).astype(np.int32), pa.int32()),
+                "o_custkey": b["o_custkey"],
+                "cents": cents,
+            }
+        )
+
+    empty = pa.table(
+        {
+            "o_custkey": pa.array([], pa.int64()),
+            "n_orders": pa.array([], pa.int64()),
+            "median_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def median_kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        k = group["o_custkey"].to_numpy(zero_copy_only=False)
+        c = group["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, k))
+        k, c = k[order], c[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        n = np.diff(np.r_[starts, len(k)])
+        med = c[starts + (n - 1) // 2]
+        return pa.table(
+            {
+                "o_custkey": pa.array(k[starts], pa.int64()),
+                "n_orders": pa.array(n.astype(np.int64), pa.int64()),
+                "median_cents": pa.array(med, pa.int64()),
+            }
+        )
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    out = (
+        drop_empty_blocks(
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(median_kernel, batch_format="pyarrow")
+            .materialize()
+        )
+        .to_pandas()
+        .sort_values("o_custkey")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_CUSTOMER_MEDIAN_ORDER = """
+SELECT o_custkey, count(*)::BIGINT AS n_orders,
+       percentile_disc(0.5) WITHIN GROUP
+         (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+         AS median_cents
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -5213,4 +5815,9 @@ QUERIES = {
     "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "orders_skyline": (q_orders_skyline, SQL_ORDERS_SKYLINE),
     "events_regression": (q_events_regression, SQL_EVENTS_REGRESSION),
+    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
+    "link_triangles": (q_link_triangles, SQL_LINK_TRIANGLES),
+    "orders_bloom_filter": (q_orders_bloom_filter, SQL_ORDERS_BLOOM_FILTER),
+    "events_gap_fill": (q_events_gap_fill, SQL_EVENTS_GAP_FILL),
+    "customer_median_order": (q_customer_median_order, SQL_CUSTOMER_MEDIAN_ORDER),
 }

@@ -117,6 +117,11 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "orders_skyline",
     "events_regression",
+    "region_revenue",
+    "link_triangles",
+    "orders_bloom_filter",
+    "events_gap_fill",
+    "customer_median_order",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
