@@ -369,3 +369,40 @@ def lag_lead_window(ds: rd.Dataset) -> rd.Dataset:
         .groupby("part")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def interval_union_sweep(
+    u: np.ndarray, s: np.ndarray, e: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Partition kernel for interval union/coverage: given per-key interval
+    (start, end) pairs — variable lengths allowed — return, per key, the
+    number of merged islands and the total covered span.
+
+    Vectorized sweep: lexsort by (key, start), running max of end with a
+    per-key reset via band-offset accumulation (band product bounded by
+    keys-in-partition × value span; raise the partition count to keep it
+    inside int64).  An island starts where start > previous running end.
+    Used by pipelines.queries.q_user_active_time; kept importable so the
+    variable-length path is unit-testable without a Ray session."""
+    order = np.lexsort((s, u))
+    u, s, e = u[order], s[order], e[order]
+    ustart = np.r_[True, u[1:] != u[:-1]]
+    uid = np.cumsum(ustart) - 1
+    base = min(int(s.min()), int(e.min()))
+    e0 = e - base
+    band = uid * (np.int64(e0.max()) + 1)
+    run_end = np.maximum.accumulate(e0 + band) - band + base
+    prev_end = np.r_[np.int64(0), run_end[:-1]]
+    new_isl = ustart | (s > prev_end)
+    isl = np.cumsum(new_isl) - 1
+    n_isl = int(isl[-1]) + 1
+    isl_start = s[new_isl]
+    isl_end = np.zeros(n_isl, np.int64)
+    np.maximum.at(isl_end, isl, e)
+    cov = isl_end - isl_start
+    uu = u[ustart]
+    isl_uid = uid[new_isl]
+    n_int = np.bincount(isl_uid, minlength=len(uu)).astype(np.int64)
+    covered = np.zeros(len(uu), np.int64)
+    np.add.at(covered, isl_uid, cov)
+    return uu, n_int, covered

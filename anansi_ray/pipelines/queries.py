@@ -5728,6 +5728,96 @@ FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
+def q_user_active_time(sf_dir: str):
+    """Interval union / coverage (merge overlapping intervals): each event
+    opens a 30-minute activity window; per user, overlapping-or-touching
+    windows merge and the output is (n_intervals, covered_us) — the
+    calendar-coverage operator behind billing, SLA and dwell-time
+    pipelines.
+
+    Scale shape: ONE user-hash exchange, then a per-partition vectorized
+    sweep — lexsort by (user, start), running max of interval end with
+    per-user resets (masked ``np.maximum.accumulate``), an island starts
+    where start > previous running end; per-island coverage = island end −
+    island start, summed per user with ``np.add.at``.  No per-user Python,
+    no pair materialization.  The kernel handles VARIABLE-length intervals
+    (the reset uses band-offset accumulation; band product is bounded by
+    users-per-partition × corpus span in µs — raise P to keep it inside
+    int64, the partition count is the natural knob at scale)."""
+    P = 32
+    LEN_US = 1_800_000_000
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        s = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((u % P).astype(np.int32), pa.int32()),
+                "user_id": b["user_id"],
+                "s": pa.array(s, pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_intervals": pa.array([], pa.int64()),
+            "covered_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        s = group["s"].to_numpy(zero_copy_only=False)
+        uu, n_int, covered = fevents.interval_union_sweep(u, s, s + LEN_US)
+        return pa.table(
+            {
+                "user_id": pa.array(uu, pa.int64()),
+                "n_intervals": pa.array(n_int, pa.int64()),
+                "covered_us": pa.array(covered, pa.int64()),
+            }
+        )
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    out = (
+        drop_empty_blocks(
+            _read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(sweep, batch_format="pyarrow")
+            .materialize()
+        )
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_USER_ACTIVE_TIME = """
+WITH p AS (SELECT user_id, epoch_us(ts) AS s,
+                  epoch_us(ts) + 1800000000 AS e
+           FROM events),
+w AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM p),
+g AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS ni
+      FROM w),
+i AS (SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS island
+      FROM g),
+isl AS (SELECT user_id, island, max(e) - min(s) AS cov
+        FROM i GROUP BY 1, 2)
+SELECT user_id, count(*)::BIGINT AS n_intervals,
+       sum(cov)::BIGINT AS covered_us
+FROM isl GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -5820,4 +5910,5 @@ QUERIES = {
     "orders_bloom_filter": (q_orders_bloom_filter, SQL_ORDERS_BLOOM_FILTER),
     "events_gap_fill": (q_events_gap_fill, SQL_EVENTS_GAP_FILL),
     "customer_median_order": (q_customer_median_order, SQL_CUSTOMER_MEDIAN_ORDER),
+    "user_active_time": (q_user_active_time, SQL_USER_ACTIVE_TIME),
 }

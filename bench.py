@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "orders_bloom_filter",
     "events_gap_fill",
     "customer_median_order",
+    "user_active_time",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts

@@ -133,3 +133,53 @@ class TestGroupedMedian:
         exp["n_orders"] = exp["n_orders"].astype("int64")
         exp["median_cents"] = exp["median_cents"].astype("int64")
         pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+class TestIntervalUnion:
+    def test_query_vs_pandas_twin(self):
+        from anansi_ray.pipelines.queries import q_user_active_time
+
+        got = q_user_active_time(SF0001).to_pandas()
+        ev = _pdf("events", ["user_id", "ts"])
+        LEN = 1_800_000_000
+        rows = []
+        for uid, g in ev.groupby("user_id"):
+            s = np.sort(g["ts"].astype("int64").to_numpy())
+            n_int, covered, cur_s, cur_e = 0, 0, None, None
+            for x in s:
+                if cur_e is None or x > cur_e:
+                    if cur_e is not None:
+                        covered += cur_e - cur_s
+                    n_int, cur_s, cur_e = n_int + 1, x, x + LEN
+                else:
+                    cur_e = max(cur_e, x + LEN)
+            covered += cur_e - cur_s
+            rows.append((uid, n_int, covered))
+        exp = pd.DataFrame(rows, columns=["user_id", "n_intervals", "covered_us"])
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+    def test_sweep_variable_lengths_fuzz(self):
+        """The kernel handles VARIABLE-length intervals (the sf tables only
+        exercise constant length): fuzz vs a per-key brute-force union."""
+        from anansi_ray.functions.events import interval_union_sweep
+
+        rng = np.random.default_rng(7)
+        for trial in range(20):
+            n = int(rng.integers(1, 200))
+            u = rng.integers(0, 9, n).astype(np.int64)
+            s = rng.integers(0, 1000, n).astype(np.int64)
+            e = s + rng.integers(1, 50, n).astype(np.int64)
+            uu, n_int, covered = interval_union_sweep(u, s, e)
+            for k, ni, cov in zip(uu, n_int, covered):
+                ivs = sorted(
+                    (int(a), int(b)) for a, b, kk in zip(s, e, u) if kk == k
+                )
+                merged = []
+                for a, b in ivs:
+                    if merged and a <= merged[-1][1]:
+                        merged[-1][1] = max(merged[-1][1], b)
+                    else:
+                        merged.append([a, b])
+                assert ni == len(merged)
+                assert cov == sum(b - a for a, b in merged)
+            assert sorted(uu) == sorted(set(u.tolist()))
