@@ -152,3 +152,137 @@ def pagerank_integer(
     out = ranks.to_pandas().sort_values("doc_id")
     out["pr"] = out["pr"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def khop_reach(
+    docs: rd.Dataset, n_docs: int, hops: int = 3, mod: int = 53, n_parts: int = 32
+) -> pa.Table:
+    """K-hop BFS reachability over the synthetic link graph: for every root
+    (doc_id % mod == 0) the count of DISTINCT nodes reachable within
+    ``hops`` edges (the root itself included).  Returns (root, n_reach)
+    sorted by root.
+
+    Distributed frontier expansion: the edge list is laid out ONCE by
+    ``src % P`` and never moves again; each hop exchanges only the live
+    frontier (root, node) pairs — bounded by Σ_r out-degree^hop, NOT the
+    edge count — joins them block-locally against the co-partitioned edges
+    (searchsorted range expansion, no per-row Python), then anti-joins the
+    expansion against the visited set on a composite pair key so a node is
+    expanded at most once per root.  This is the textbook BSP/Pregel BFS
+    superstep expressed as Dataset exchanges; at a 10^10-node corpus the
+    pair key becomes (root_hash, node) and ``mod`` bounds the root set."""
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    edges = _edges_from_docs(docs, n_docs, n_parts)
+
+    def roots_init(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = i[i % mod == 0]
+        return pa.table(
+            {"root": pa.array(r, pa.int64()), "node": pa.array(r, pa.int64())}
+        )
+
+    visited = docs.map_batches(roots_init, batch_format="pyarrow").materialize()
+    frontier = visited
+
+    def tag_frontier(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False)
+        n = len(node)
+        return pa.table(
+            {
+                "part": pa.array((node % n_parts).astype(np.int32), pa.int32()),
+                "key": pa.array(node, pa.int64()),
+                "dst": b["root"],  # carries the root on frontier rows
+                "pr": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(["f"] * n, pa.string()),
+            }
+        )
+
+    pair_empty = pa.table(
+        {"root": pa.array([], pa.int64()), "node": pa.array([], pa.int64())}
+    )
+
+    def expand_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pair_empty
+        side = np.asarray(g["side"].to_pylist())
+        key = g["key"].to_numpy(zero_copy_only=False)
+        other = g["dst"].to_numpy(zero_copy_only=False)
+        is_e = side == "e"
+        src, dst = key[is_e], other[is_e]
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        fnode, froot = key[~is_e], other[~is_e]
+        lo = np.searchsorted(src, fnode, side="left")
+        hi = np.searchsorted(src, fnode, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return pair_empty
+        roots_rep = np.repeat(froot, cnt)
+        # concatenated [lo_i, hi_i) ranges without a Python loop
+        offs = np.cumsum(cnt) - cnt
+        idx = np.arange(total, dtype=np.int64) - np.repeat(offs, cnt) + np.repeat(lo, cnt)
+        return pa.table(
+            {
+                "root": pa.array(roots_rep, pa.int64()),
+                "node": pa.array(dst[idx], pa.int64()),
+            }
+        )
+
+    def tag_pairs(flag: str):
+        def tag(b: pa.Table) -> pa.Table:
+            root = b["root"].to_numpy(zero_copy_only=False)
+            node = b["node"].to_numpy(zero_copy_only=False)
+            pk = root * np.int64(n_docs) + node
+            return pa.table(
+                {
+                    "part": pa.array((pk % n_parts).astype(np.int32), pa.int32()),
+                    "pk": pa.array(pk, pa.int64()),
+                    "new": pa.array([flag] * len(pk), pa.string()),
+                }
+            )
+
+        return tag
+
+    def fresh_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pair_empty
+        pk = g["pk"].to_numpy(zero_copy_only=False)
+        is_new = np.asarray(g["new"].to_pylist()) == "y"
+        seen = np.unique(pk[~is_new])
+        cand = np.unique(pk[is_new])
+        fresh = cand[np.searchsorted(seen, cand) >= len(seen)] if len(seen) == 0 else cand[
+            ~np.isin(cand, seen, assume_unique=True)
+        ]
+        return pa.table(
+            {
+                "root": pa.array(fresh // n_docs, pa.int64()),
+                "node": pa.array(fresh % n_docs, pa.int64()),
+            }
+        )
+
+    for _ in range(hops):
+        tagged = frontier.map_batches(tag_frontier, batch_format="pyarrow")
+        new_pairs = drop_empty_blocks(
+            edges.union(tagged)
+            .groupby("part")
+            .map_groups(expand_part, batch_format="pyarrow")
+            .materialize()
+        )
+        frontier = drop_empty_blocks(
+            new_pairs.map_batches(tag_pairs("y"), batch_format="pyarrow")
+            .union(visited.map_batches(tag_pairs("n"), batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(fresh_part, batch_format="pyarrow")
+            .materialize()
+        )
+        if frontier.count() == 0:
+            break
+        visited = visited.union(frontier).materialize()
+
+    out = visited.to_pandas().groupby("root").size().reset_index(name="n_reach")
+    out["n_reach"] = out["n_reach"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("root").reset_index(drop=True), preserve_index=False
+    )

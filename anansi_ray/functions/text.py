@@ -567,3 +567,90 @@ def token_doc_pairs(batch: pa.Table, text_col: str = "text", id_col: str = "doc_
             "doc_id": pa.array(pairs["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
         }
     )
+
+
+def bigram_doc_pairs(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-document bigram-multiplicity combiner: one row per (doc_id,
+    distinct adjacent word pair) with its within-doc count ``m``.
+
+    Same single-space word model as :func:`bigram_partial` (the corpus-
+    count side of the bigram-LM join), so the two sides of the
+    corpus-frequency join agree token-for-token.  Vectorized: split →
+    flatten → same-doc mask → one pandas groupby over (doc, pair)."""
+    import pandas as pd
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parts = pc.split_pattern(pc.cast(col, pa.string()), " ")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    counts = pc.fill_null(pc.list_value_length(parts), 0).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    words = pc.list_flatten(parts).to_pandas().to_numpy()
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "bigram": pa.array([], pa.string()),
+            "m": pa.array([], pa.int64()),
+        }
+    )
+    if len(words) < 2:
+        return empty
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    same_doc = doc_idx[1:] == doc_idx[:-1]
+    if not same_doc.any():
+        return empty
+    left = pd.Series(words[:-1][same_doc], dtype=object)
+    right = pd.Series(words[1:][same_doc], dtype=object)
+    df = pd.DataFrame(
+        {
+            "doc_id": ids[doc_idx[:-1][same_doc]],
+            "bigram": (left + " " + right).to_numpy(dtype=object),
+        }
+    )
+    g = df.groupby(["doc_id", "bigram"], sort=False).size().reset_index(name="m")
+    return pa.table(
+        {
+            "doc_id": pa.array(g["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+            "bigram": pa.array(g["bigram"].to_numpy(dtype=object), pa.string()),
+            "m": pa.array(g["m"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+def word_hh_partial(batch: pa.Table, text_col: str = "text", phi_inv: int = 1000) -> pa.Table:
+    """Heavy-hitter candidate combiner (pass 1 of exact two-pass heavy
+    hitters): per batch, count words (single-space model, as
+    :func:`bigram_partial`) and emit ONLY the words whose local share
+    exceeds ``1/phi_inv``, plus one ``kind='t'`` row carrying the batch
+    token total.
+
+    Pigeonhole guarantee: a word with global frequency > N/phi_inv must
+    exceed the threshold in at least one batch, so the union of per-batch
+    candidates is a superset of the global heavy hitters — the exchange
+    carries at most ``phi_inv`` rows per batch instead of the batch
+    vocabulary."""
+    import pandas as pd
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parts = pc.split_pattern(pc.cast(col, pa.string()), " ")
+    words = pc.list_flatten(parts).to_pandas().to_numpy()
+    total = len(words)
+    vc = pd.Series(words, dtype=object).value_counts()
+    cand = vc[vc * phi_inv > total]
+    return pa.table(
+        {
+            "kind": pa.array(["c"] * len(cand) + ["t"], pa.string()),
+            "word": pa.array(
+                list(cand.index.to_numpy(dtype=object)) + [""], pa.string()
+            ),
+            "n": pa.array(
+                np.r_[cand.to_numpy().astype(np.int64), total], pa.int64()
+            ),
+        }
+    )

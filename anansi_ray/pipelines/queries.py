@@ -5818,6 +5818,387 @@ FROM isl GROUP BY 1 ORDER BY 1
 """
 
 
+def q_events_moving_avg(sf_dir: str):
+    """Per-key window-frame aggregate (SUM/COUNT OVER ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW): the rolling-feature operator behind
+    fraud/velocity features.  Values are fixed-pointed to integer
+    10^-4 units on BOTH sides so the frame sum is bit-exact regardless
+    of summation order.
+
+    Scale shape: ONE user-hash exchange, then a per-partition vectorized
+    kernel — lexsort by (user, ts, event_id), inclusive cumsum, frame sum
+    = cs[i] − excl_cs[max(run_start, i−2)] — no per-row Python, no
+    global sort; the frame never crosses a partition because the
+    partition key IS the window's PARTITION BY key."""
+    P = 32
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = pc.cast(
+            pc.round(pc.multiply(b["value"], 10000.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "part": pa.array((u % P).astype(np.int32), pa.int32()),
+                "user_id": b["user_id"],
+                "ts_us": pa.array(ts, pa.int64()),
+                "event_id": b["event_id"],
+                "v": v,
+            }
+        )
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "w_sum": pa.array([], pa.int64()),
+            "w_n": pa.array([], pa.int64()),
+        }
+    )
+
+    def frame_kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, eid, v = u[order], eid[order], v[order]
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        run_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+        cs = np.cumsum(v)
+        lo = np.maximum(run_start, np.arange(n, dtype=np.int64) - 2)
+        excl = cs[lo] - v[lo]
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "w_sum": pa.array(cs - excl, pa.int64()),
+                "w_n": pa.array(
+                    np.arange(n, dtype=np.int64) - lo + 1, pa.int64()
+                ),
+            }
+        )
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    out = (
+        drop_empty_blocks(
+            _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(frame_kernel, batch_format="pyarrow")
+            .materialize()
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_EVENTS_MOVING_AVG = """
+WITH p AS (SELECT event_id, user_id, ts,
+                  CAST(round(value * 10000) AS BIGINT) AS v
+           FROM events)
+SELECT event_id,
+       sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w_sum,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT
+         AS w_n
+FROM p ORDER BY event_id
+"""
+
+
+def q_sliding_distinct_users(sf_dir: str):
+    """Exact DISTINCT-count over OVERLAPPING windows (3-hour window, 1-hour
+    step): the classic trap where summing per-hour distincts is WRONG —
+    the correct distributed plan dedups (window, user) pairs.
+
+    Scale shape: per-batch (user, hour) dedup combiner → ×3 window
+    expansion → ONE pair-hash exchange whose kernel dedups pairs with
+    np.unique and emits per-window partial counts (a pair lives in
+    exactly one partition, so partials are disjoint) → tiny
+    groupby(window) sum.  The composite pair key is (window << 31 | user)
+    — at a 10^10-user corpus it becomes a 128-bit hash, same layout."""
+    P = 32
+    HOUR = 3_600_000_000
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        h = (
+            b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // HOUR
+        )
+        pair = np.unique(h * np.int64(1) * (np.int64(1) << 31) + u)
+        hh, uu = pair >> 31, pair & ((np.int64(1) << 31) - 1)
+        # window w covers hours [w, w+2] → hour h belongs to w ∈ {h-2..h}
+        w = np.concatenate([hh, hh - 1, hh - 2])
+        uu3 = np.concatenate([uu, uu, uu])
+        key = np.unique((w << 31) + uu3)
+        return pa.table(
+            {
+                "part": pa.array((key % P).astype(np.int32), pa.int32()),
+                "key": pa.array(key, pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {"w": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+
+    def dedup_count(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        key = np.unique(group["key"].to_numpy(zero_copy_only=False))
+        w = key >> 31
+        uw, cnt = np.unique(w, return_counts=True)
+        return pa.table(
+            {
+                "w": pa.array(uw, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    out = (
+        drop_empty_blocks(
+            _read(sf_dir, "events", ["ts", "user_id"])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(dedup_count, batch_format="pyarrow")
+            .materialize()
+        )
+        .groupby("w")
+        .aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas()
+        .sort_values("w")
+    )
+    out["window_us"] = out.pop("w").astype("int64") * HOUR
+    out["n_users"] = out["n_users"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["window_us", "n_users"]], preserve_index=False
+    )
+
+
+SQL_SLIDING_DISTINCT_USERS = """
+WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS h
+           FROM events),
+w AS (SELECT user_id, h - i AS w FROM e, range(3) t(i))
+SELECT w * 3600000000 AS window_us,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_link_khop(sf_dir: str):
+    """K-hop BFS reachability on the synthetic link graph (functions/
+    graph.py khop_reach): per root (doc_id % 53 == 0), distinct nodes
+    within ≤3 hops — frontier-only exchanges against a laid-out-once
+    edge list, visited-set anti-join per superstep."""
+    from anansi_ray.functions.graph import khop_reach
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n_docs = docs.count()
+    return khop_reach(docs, n_docs, hops=3, mod=53)
+
+
+SQL_LINK_KHOP = """
+WITH nn AS (SELECT count(*) AS nd FROM documents),
+e AS (SELECT doc_id AS s, (2 * doc_id + 1) % nd AS d FROM documents, nn
+      UNION ALL
+      SELECT doc_id, (3 * doc_id + 7) % nd FROM documents, nn),
+h0 AS (SELECT doc_id AS root, doc_id AS node FROM documents
+       WHERE doc_id % 53 = 0),
+h1 AS (SELECT DISTINCT root, e.d AS node FROM h0 JOIN e ON e.s = h0.node),
+h2 AS (SELECT DISTINCT root, e.d AS node FROM h1 JOIN e ON e.s = h1.node),
+h3 AS (SELECT DISTINCT root, e.d AS node FROM h2 JOIN e ON e.s = h2.node),
+a AS (SELECT root, node FROM h0 UNION SELECT root, node FROM h1
+      UNION SELECT root, node FROM h2 UNION SELECT root, node FROM h3)
+SELECT root, count(*)::BIGINT AS n_reach FROM a GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_bigram_lm_score(sf_dir: str):
+    """Bigram-LM corpus-frequency scoring (the n-gram-LM quality signal of
+    CCNet/Gopher-style filtering, integer-exact): score(doc) = Σ over the
+    doc's adjacent word pairs of the CORPUS-wide count of that pair.
+
+    Scale shape: pass 1 builds corpus bigram counts with the per-batch
+    combiner (functions/text.py bigram_partial) + one groupby(bigram)
+    sum; pass 2 re-reads docs as (doc_id, bigram, m) combiner rows
+    (bigram_doc_pairs); the join is ONE coarse exchange on a
+    deterministic siphash of the bigram string — inside each partition a
+    sorted-array searchsorted probe maps pair → corpus count, emitting
+    per-doc partials; a final tiny groupby(doc_id) sums them.  Nothing
+    token-stream-sized crosses the wire; both exchanges carry
+    vocabulary-bounded rows."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    P = 32
+
+    counts = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(ftext.bigram_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def tag_counts(b: pa.Table) -> pa.Table:
+        bg = b["bigram"].to_pandas()
+        h = pd.util.hash_array(bg.to_numpy(dtype=object))
+        return pa.table(
+            {
+                "part": pa.array((h % P).astype(np.int32), pa.int32()),
+                "bigram": b["bigram"],
+                "doc_id": pa.array(np.full(len(bg), -1, np.int64), pa.int64()),
+                "m": b["n"].cast(pa.int64()),
+            }
+        )
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        pairs = ftext.bigram_doc_pairs(b)
+        bg = pairs["bigram"].to_pandas()
+        h = pd.util.hash_array(bg.to_numpy(dtype=object))
+        return pa.table(
+            {
+                "part": pa.array((h % P).astype(np.int32), pa.int32()),
+                "bigram": pairs["bigram"],
+                "doc_id": pairs["doc_id"],
+                "m": pairs["m"],
+            }
+        )
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+    )
+
+    def probe_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        m = g["m"].to_numpy(zero_copy_only=False)
+        bg = g["bigram"].to_pandas().to_numpy(dtype=object)
+        is_c = doc == -1
+        ck = bg[is_c]
+        cv = m[is_c]
+        order = np.argsort(ck, kind="stable")
+        ck, cv = ck[order], cv[order]
+        dk, dd, dm = bg[~is_c], doc[~is_c], m[~is_c]
+        pos = np.searchsorted(ck, dk)
+        # every doc bigram exists in the corpus counts by construction
+        contrib = dm * cv[pos]
+        ud, inv = np.unique(dd, return_inverse=True)
+        s = np.zeros(len(ud), np.int64)
+        np.add.at(s, inv, contrib)
+        return pa.table(
+            {"doc_id": pa.array(ud, pa.int64()), "s": pa.array(s, pa.int64())}
+        )
+
+    out = (
+        drop_empty_blocks(
+            counts.map_batches(tag_counts, batch_format="pyarrow")
+            .union(
+                _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+                    tag_docs, batch_format="pyarrow"
+                )
+            )
+            .groupby("part")
+            .map_groups(probe_part, batch_format="pyarrow")
+            .materialize()
+        )
+        .groupby("doc_id")
+        .aggregate(Sum("s", alias_name="lm_hits"))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    out["lm_hits"] = out["lm_hits"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_BIGRAM_LM_SCORE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+b AS (SELECT doc_id,
+             unnest(ws[1:len(ws)-1]) || ' ' || unnest(ws[2:len(ws)]) AS bigram
+      FROM w),
+c AS (SELECT bigram, count(*) AS n FROM b GROUP BY 1)
+SELECT b.doc_id, sum(c.n)::BIGINT AS lm_hits
+FROM b JOIN c USING (bigram) GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_heavy_hitter_words(sf_dir: str):
+    """EXACT heavy hitters (words with corpus share > 1/1000) via the
+    two-pass candidate scheme: pass 1's per-batch combiner
+    (functions/text.py word_hh_partial) ships only locally-frequent words
+    plus batch totals — the pigeonhole guarantee makes their union a
+    superset of every global heavy hitter — pass 2 broadcast-filters the
+    candidate set and exact-counts just those words.  Output counts are
+    exact, unlike a Misra-Gries estimate, yet the exchange volume is
+    O(phi_inv × batches), not the corpus vocabulary."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    PHI_INV = 1000
+
+    p1 = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(
+            lambda b: ftext.word_hh_partial(b, phi_inv=PHI_INV),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    total = int(p1.loc[p1["kind"] == "t", "n"].sum())
+    cand = set(p1.loc[p1["kind"] == "c", "word"])
+
+    def count_cands(b: pa.Table) -> pa.Table:
+        col = b["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = (
+            pc.list_flatten(pc.split_pattern(pc.cast(col, pa.string()), " "))
+            .to_pandas()
+            .to_numpy(dtype=object)
+        )
+        s = pd.Series(words, dtype=object)
+        vc = s[s.isin(cand)].value_counts()
+        return pa.table(
+            {
+                "word": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "cnt": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(count_cands, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    out = out[out["cnt"] * PHI_INV > total].sort_values("word")
+    out["cnt"] = out["cnt"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_HEAVY_HITTER_WORDS = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+t AS (SELECT count(*) AS n FROM w),
+c AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1)
+SELECT word, cnt::BIGINT AS cnt FROM c, t
+WHERE cnt * 1000 > n ORDER BY word
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -5911,4 +6292,12 @@ QUERIES = {
     "events_gap_fill": (q_events_gap_fill, SQL_EVENTS_GAP_FILL),
     "customer_median_order": (q_customer_median_order, SQL_CUSTOMER_MEDIAN_ORDER),
     "user_active_time": (q_user_active_time, SQL_USER_ACTIVE_TIME),
+    "events_moving_avg": (q_events_moving_avg, SQL_EVENTS_MOVING_AVG),
+    "sliding_distinct_users": (
+        q_sliding_distinct_users,
+        SQL_SLIDING_DISTINCT_USERS,
+    ),
+    "link_khop": (q_link_khop, SQL_LINK_KHOP),
+    "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
+    "heavy_hitter_words": (q_heavy_hitter_words, SQL_HEAVY_HITTER_WORDS),
 }

@@ -123,6 +123,11 @@ BENCH_QUERIES = [
     "events_gap_fill",
     "customer_median_order",
     "user_active_time",
+    "events_moving_avg",
+    "sliding_distinct_users",
+    "link_khop",
+    "bigram_lm_score",
+    "heavy_hitter_words",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
