@@ -6199,6 +6199,332 @@ WHERE cnt * 1000 > n ORDER BY word
 """
 
 
+def q_shingle_jaccard_join(sf_dir: str):
+    """EXACT set-similarity threshold join (PPJoin-style prefix filtering):
+    all document pairs whose 3-token shingle sets have Jaccard ≥ 0.6 —
+    complete by construction, unlike minhash_near_dup (probabilistic LSH)
+    and ngram_jaccard_pairs (verifies only LSH candidates).
+
+    Prefix-filter lemma: under a global shingle order (df asc, shingle
+    asc), J(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉ and ≥ ⌈t·|B|⌉, so the first
+    |X| − ⌈t·|X|⌉ + 1 shingles of each side must share an element — only
+    those PREFIX shingles (the rarest ones) generate candidates, bounding
+    the per-shingle pair blow-up by rare-shingle df, not corpus df.
+
+    Scale shape: per-batch distinct (doc, shingle) combiner → one
+    shingle-hash exchange stamping global df → one doc exchange computing
+    per-doc prefixes → one shingle-hash exchange enumerating size-filtered
+    prefix pairs (10·min ≥ 6·max prune) → attach_pair_values repartition
+    join (collapses duplicate candidates) → per-pair exact verify with the
+    integer test 10·I ≥ 6·U.  Four coarse exchanges, no driver state, no
+    all-pairs."""
+    import pandas as pd
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    P = 32
+
+    def doc_shingles(b: pa.Table) -> pa.Table:
+        ridx, sh = ftext.shingles_for_batch(b, k=3)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"doc_id": ids[ridx], "sh": np.asarray(sh, dtype=object)}
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+                "sh": pa.array(df["sh"].to_numpy(dtype=object), pa.string()),
+            }
+        )
+
+    # every doc lives in one batch → per-batch dedup is globally distinct
+    pairs = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(doc_shingles, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        vc = b["sh"].to_pandas().value_counts()
+        return pa.table(
+            {
+                "sh": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "df": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = (
+        pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("sh")
+        .aggregate(Sum("df", alias_name="df"))
+        .materialize()
+    )
+
+    def _sh_part(col) -> pa.Array:
+        h = pd.util.hash_array(col.to_pandas().to_numpy(dtype=object))
+        return pa.array((h % P).astype(np.int32), pa.int32())
+
+    def tag_df(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "part": _sh_part(b["sh"]),
+                "sh": b["sh"],
+                "doc_id": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "v": b["df"].cast(pa.int64()),
+            }
+        )
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "part": _sh_part(b["sh"]),
+                "sh": b["sh"],
+                "doc_id": b["doc_id"],
+                "v": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    stamped_empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "sh": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+        }
+    )
+
+    def stamp_df(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return stamped_empty
+        pdf = g.to_pandas().sort_values(["sh", "doc_id"], kind="stable")
+        # the df row (doc_id == -1) sorts first in each shingle run
+        is_d = pdf["doc_id"].to_numpy() == -1
+        dfv = pdf["v"].to_numpy()
+        run = np.cumsum(is_d) - 1
+        dvals = dfv[is_d]
+        keep = ~is_d
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    pdf["doc_id"].to_numpy()[keep], pa.int64()
+                ),
+                "sh": pa.array(
+                    pdf["sh"].to_numpy(dtype=object)[keep], pa.string()
+                ),
+                "df": pa.array(dvals[run[keep]], pa.int64()),
+            }
+        )
+
+    stamped = drop_empty_blocks(
+        df_tbl.map_batches(tag_df, batch_format="pyarrow")
+        .union(pairs.map_batches(tag_pairs, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(stamp_df, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def tag_doc(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part", pa.array((d % P).astype(np.int32), pa.int32())
+        )
+
+    prefix_empty = pa.table(
+        {
+            "sh": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def prefix_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return prefix_empty
+        pdf = g.to_pandas().sort_values(
+            ["doc_id", "df", "sh"], kind="stable"
+        )
+        d = pdf["doc_id"].to_numpy()
+        n_rows = len(d)
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        sizes = np.diff(np.r_[starts, n_rows])
+        n_per = np.repeat(sizes, sizes)
+        pos = np.arange(n_rows) - np.repeat(starts, sizes)
+        alpha = (6 * n_per + 9) // 10  # ceil(0.6 n)
+        keep = pos < (n_per - alpha + 1)
+        return pa.table(
+            {
+                "sh": pa.array(
+                    pdf["sh"].to_numpy(dtype=object)[keep], pa.string()
+                ),
+                "doc_id": pa.array(d[keep], pa.int64()),
+                "n": pa.array(n_per[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    prefixes = drop_empty_blocks(
+        stamped.map_batches(tag_doc, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(prefix_part, batch_format="pyarrow")
+        .materialize()
+    )
+
+    cand_empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+
+    def enum_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return cand_empty
+        pdf = g.to_pandas()
+        m = pdf.merge(pdf, on="sh")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        lo = np.minimum(m["n_x"].to_numpy(), m["n_y"].to_numpy())
+        hi = np.maximum(m["n_x"].to_numpy(), m["n_y"].to_numpy())
+        m = m[10 * lo >= 6 * hi]
+        ab = np.unique(
+            m["doc_id_x"].to_numpy() * np.int64(1 << 31)
+            + m["doc_id_y"].to_numpy()
+        )
+        return pa.table(
+            {
+                "a": pa.array(ab >> 31, pa.int64()),
+                "b": pa.array(ab & ((1 << 31) - 1), pa.int64()),
+            }
+        )
+
+    def tag_sh_only(b: pa.Table) -> pa.Table:
+        return b.append_column("part", _sh_part(b["sh"]))
+
+    cands = drop_empty_blocks(
+        prefixes.map_batches(tag_sh_only, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(enum_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    joined = fdedup.attach_pair_values(
+        cands,
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        "doc_id",
+        "text",
+        pa.string(),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_out, b_out, j_out = [], [], []
+        for a, b, ta, tb in zip(
+            batch["a"].to_pylist(),
+            batch["b"].to_pylist(),
+            batch["val_a"].to_pylist(),
+            batch["val_b"].to_pylist(),
+        ):
+            sa = set(fdedup._shingle_hashes(ta, 3))
+            sb = set(fdedup._shingle_hashes(tb, 3))
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if 10 * inter >= 6 * union:
+                a_out.append(a)
+                b_out.append(b)
+                j_out.append(round(inter / union, 6))
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    out = fdedup._collect_sorted(
+        joined.map_batches(verify, batch_format="pyarrow"), ["a", "b"]
+    )
+    if out is None:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    return out
+
+
+SQL_SHINGLE_JACCARD_JOIN = r"""
+WITH w AS (SELECT doc_id,
+                  regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+           FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(i)),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      FROM g x JOIN g y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2)
+SELECT i.a, i.b,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+WHERE inter * 10 >= 6 * (sa.n + sb.n - inter)
+ORDER BY 1, 2
+"""
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (A-ES / Efraimidis-
+    Spirakis with a hash in place of the random draw): pick the 100
+    documents with the smallest rank = md5_uint(doc_id) / n_chars — longer
+    docs draw proportionally smaller ranks, so inclusion probability scales
+    with the weight, yet the draw is a pure function of the row (re-runs
+    and the SQL twin reproduce it bit-for-bit; IEEE double division is
+    deterministic on both engines).
+
+    Scale shape: per-batch partial top-k combiner (only 100 rows leave any
+    batch) → tiny driver-side final top-k — no sort, no shuffle of the
+    corpus."""
+    import hashlib
+
+    K = 100
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        w = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # md5(decimal id), first 15 hex chars = top 60 bits of the first
+        # big-endian word — one contiguous buffer, no per-row hex strings
+        id_bytes = np.char.mod("%d", ids).astype("S").tolist()
+        md5 = hashlib.md5
+        buf = b"".join([md5(s).digest()[:8] for s in id_bytes])
+        h = (np.frombuffer(buf, dtype=">u8") >> np.uint64(4)).astype(
+            np.float64
+        )
+        rank = h / w
+        keep = np.argsort(rank, kind="stable")[:K]
+        keep = keep[np.argsort(ids[keep])]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "rank": pa.array(rank[keep], pa.float64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.nsmallest(K, "rank").sort_values("doc_id")[["doc_id"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH r AS (SELECT doc_id,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT
+                    / n_chars::DOUBLE AS rank
+           FROM documents)
+SELECT doc_id FROM r ORDER BY rank LIMIT 100
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -6300,4 +6626,6 @@ QUERIES = {
     "link_khop": (q_link_khop, SQL_LINK_KHOP),
     "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
     "heavy_hitter_words": (q_heavy_hitter_words, SQL_HEAVY_HITTER_WORDS),
+    "shingle_jaccard_join": (q_shingle_jaccard_join, SQL_SHINGLE_JACCARD_JOIN),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
 }

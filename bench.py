@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "link_khop",
     "bigram_lm_score",
     "heavy_hitter_words",
+    "shingle_jaccard_join",
+    "weighted_sample",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts

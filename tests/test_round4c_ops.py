@@ -15,7 +15,9 @@ from anansi_ray.pipelines.queries import (
     q_events_moving_avg,
     q_heavy_hitter_words,
     q_link_khop,
+    q_shingle_jaccard_join,
     q_sliding_distinct_users,
+    q_weighted_sample,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -189,3 +191,59 @@ class TestHeavyHitterWords:
             p = word_hh_partial(b, phi_inv=1000).to_pandas()
             cands |= set(p.loc[p["kind"] == "c", "word"])
         assert hh <= cands
+
+
+class TestShingleJaccardJoin:
+    def test_vs_brute_force(self):
+        got = q_shingle_jaccard_join(SF0001).to_pandas()
+        docs = _pdf("documents", ["doc_id", "text"])
+        import re
+
+        sets = {}
+        for _, row in docs.iterrows():
+            ws = re.findall(r"\w+", row["text"].lower())
+            sh = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+            if sh:
+                sets[int(row["doc_id"])] = sh
+        ids = sorted(sets)
+        rows = []
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if 10 * inter >= 6 * union:
+                    rows.append((a, b, round(inter / union, 6)))
+        want = (
+            pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        got = got.sort_values(["a", "b"]).reset_index(drop=True)
+        # completeness AND exactness: the prefix filter must not lose pairs
+        pd.testing.assert_frame_equal(
+            got.astype({"a": "int64", "b": "int64"}), want.astype({"a": "int64", "b": "int64"})
+        )
+
+
+class TestWeightedSample:
+    def test_vs_direct_twin(self):
+        import hashlib
+
+        got = q_weighted_sample(SF0001).to_pandas()
+        docs = _pdf("documents", ["doc_id", "n_chars"])
+        rank = [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) / w
+            for i, w in zip(docs["doc_id"], docs["n_chars"])
+        ]
+        docs = docs.assign(rank=rank).nsmallest(100, "rank")
+        want = (
+            docs[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+    def test_weight_bias(self):
+        # heavier docs must be over-represented vs a uniform draw
+        got = q_weighted_sample(SF0001).to_pandas()
+        docs = _pdf("documents", ["doc_id", "n_chars"])
+        mean_sel = docs.set_index("doc_id").loc[got["doc_id"], "n_chars"].mean()
+        assert mean_sel > docs["n_chars"].mean()
