@@ -1503,3 +1503,253 @@ def passage_dedup(
         .groupby("part")
         .map_groups(reassemble, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity threshold join (PPJoin-style prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def shingle_jaccard_pairs(
+    docs_ds: rd.Dataset,
+    t_num: int = 6,
+    t_den: int = 10,
+    k: int = 3,
+    n_parts: int = 32,
+    new_pred=None,
+) -> pa.Table | None:
+    """EXACT Jaccard-threshold join over k-token shingle sets — complete by
+    construction (prefix-filter lemma), unlike the probabilistic LSH path.
+
+    Under a global shingle order (df asc, shingle asc), J(A,B) ≥ t implies
+    |A∩B| ≥ ⌈t·|A|⌉ and ≥ ⌈t·|B|⌉, so the first |X| − ⌈t·|X|⌉ + 1
+    shingles of each side must share an element — only those PREFIX
+    shingles (the rarest ones) generate candidates, bounding the
+    per-shingle pair blow-up by rare-shingle df, not corpus df.
+
+    ``new_pred(ids) -> bool array`` restricts candidates to CROSS pairs
+    (exactly one side satisfies the predicate) — the incremental-ingest
+    shape: a new shard joins against the standing corpus and corpus×corpus
+    pairs are never enumerated, so the cost per ingest scales with the
+    new shard, not the corpus.
+
+    Pipeline: per-batch distinct (doc, shingle) combiner → shingle-hash
+    exchange stamping global df → doc exchange computing per-doc prefixes
+    → shingle-hash exchange enumerating size-filtered prefix pairs
+    (t_den·min ≥ t_num·max prune) → attach_pair_values repartition join →
+    per-pair exact verify with the integer test t_den·I ≥ t_num·U.
+    Returns (a, b, jaccard) sorted, or None when no pair qualifies."""
+    import pandas as pd
+
+    from anansi_ray.arrowds import drop_empty_blocks
+    from anansi_ray.functions import text as ftext
+
+    def doc_shingles(b: pa.Table) -> pa.Table:
+        ridx, sh = ftext.shingles_for_batch(b, k=k)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"doc_id": ids[ridx], "sh": np.asarray(sh, dtype=object)}
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+                "sh": pa.array(df["sh"].to_numpy(dtype=object), pa.string()),
+            }
+        )
+
+    # every doc lives in one batch → per-batch dedup is globally distinct
+    pairs = docs_ds.map_batches(doc_shingles, batch_format="pyarrow").materialize()
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        vc = b["sh"].to_pandas().value_counts()
+        return pa.table(
+            {
+                "sh": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "df": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    df_tbl = (
+        pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("sh")
+        .aggregate(Sum("df", alias_name="df"))
+        .materialize()
+    )
+
+    def _sh_part(col) -> pa.Array:
+        h = pd.util.hash_array(col.to_pandas().to_numpy(dtype=object))
+        return pa.array((h % n_parts).astype(np.int32), pa.int32())
+
+    def tag_df(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "part": _sh_part(b["sh"]),
+                "sh": b["sh"],
+                "doc_id": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "v": b["df"].cast(pa.int64()),
+            }
+        )
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "part": _sh_part(b["sh"]),
+                "sh": b["sh"],
+                "doc_id": b["doc_id"],
+                "v": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    stamped_empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "sh": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+        }
+    )
+
+    def stamp_df(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return stamped_empty
+        pdf = g.to_pandas().sort_values(["sh", "doc_id"], kind="stable")
+        # the df row (doc_id == -1) sorts first in each shingle run
+        is_d = pdf["doc_id"].to_numpy() == -1
+        dfv = pdf["v"].to_numpy()
+        run = np.cumsum(is_d) - 1
+        dvals = dfv[is_d]
+        keep = ~is_d
+        return pa.table(
+            {
+                "doc_id": pa.array(pdf["doc_id"].to_numpy()[keep], pa.int64()),
+                "sh": pa.array(
+                    pdf["sh"].to_numpy(dtype=object)[keep], pa.string()
+                ),
+                "df": pa.array(dvals[run[keep]], pa.int64()),
+            }
+        )
+
+    stamped = drop_empty_blocks(
+        df_tbl.map_batches(tag_df, batch_format="pyarrow")
+        .union(pairs.map_batches(tag_pairs, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(stamp_df, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def tag_doc(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part", pa.array((d % n_parts).astype(np.int32), pa.int32())
+        )
+
+    prefix_empty = pa.table(
+        {
+            "sh": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def prefix_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return prefix_empty
+        pdf = g.to_pandas().sort_values(["doc_id", "df", "sh"], kind="stable")
+        d = pdf["doc_id"].to_numpy()
+        n_rows = len(d)
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        sizes = np.diff(np.r_[starts, n_rows])
+        n_per = np.repeat(sizes, sizes)
+        pos = np.arange(n_rows) - np.repeat(starts, sizes)
+        alpha = (t_num * n_per + t_den - 1) // t_den  # ceil(t n)
+        keep = pos < (n_per - alpha + 1)
+        return pa.table(
+            {
+                "sh": pa.array(
+                    pdf["sh"].to_numpy(dtype=object)[keep], pa.string()
+                ),
+                "doc_id": pa.array(d[keep], pa.int64()),
+                "n": pa.array(n_per[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    prefixes = drop_empty_blocks(
+        stamped.map_batches(tag_doc, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(prefix_part, batch_format="pyarrow")
+        .materialize()
+    )
+
+    cand_empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+
+    def enum_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return cand_empty
+        pdf = g.to_pandas()
+        m = pdf.merge(pdf, on="sh")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        lo = np.minimum(m["n_x"].to_numpy(), m["n_y"].to_numpy())
+        hi = np.maximum(m["n_x"].to_numpy(), m["n_y"].to_numpy())
+        m = m[t_den * lo >= t_num * hi]
+        if new_pred is not None:
+            # incremental shape: exactly one side is from the new shard
+            nx = new_pred(m["doc_id_x"].to_numpy())
+            ny = new_pred(m["doc_id_y"].to_numpy())
+            m = m[nx != ny]
+        ab = np.unique(
+            m["doc_id_x"].to_numpy() * np.int64(1 << 31)
+            + m["doc_id_y"].to_numpy()
+        )
+        return pa.table(
+            {
+                "a": pa.array(ab >> 31, pa.int64()),
+                "b": pa.array(ab & ((1 << 31) - 1), pa.int64()),
+            }
+        )
+
+    def tag_sh_only(b: pa.Table) -> pa.Table:
+        return b.append_column("part", _sh_part(b["sh"]))
+
+    cands = drop_empty_blocks(
+        prefixes.map_batches(tag_sh_only, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(enum_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    joined = attach_pair_values(
+        cands, docs_ds, "doc_id", "text", pa.string(), n_parts=n_parts
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_out, b_out, j_out = [], [], []
+        for a, b, ta, tb in zip(
+            batch["a"].to_pylist(),
+            batch["b"].to_pylist(),
+            batch["val_a"].to_pylist(),
+            batch["val_b"].to_pylist(),
+        ):
+            sa = set(_shingle_hashes(ta, k))
+            sb = set(_shingle_hashes(tb, k))
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if t_den * inter >= t_num * union:
+                a_out.append(a)
+                b_out.append(b)
+                j_out.append(round(inter / union, 6))
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    return _collect_sorted(
+        joined.map_batches(verify, batch_format="pyarrow"), ["a", "b"]
+    )

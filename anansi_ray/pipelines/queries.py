@@ -6201,244 +6201,12 @@ WHERE cnt * 1000 > n ORDER BY word
 
 def q_shingle_jaccard_join(sf_dir: str):
     """EXACT set-similarity threshold join (PPJoin-style prefix filtering):
-    all document pairs whose 3-token shingle sets have Jaccard ≥ 0.6 —
+    all document pairs whose 3-token shingle sets have Jaccard >= 0.6 --
     complete by construction, unlike minhash_near_dup (probabilistic LSH)
-    and ngram_jaccard_pairs (verifies only LSH candidates).
-
-    Prefix-filter lemma: under a global shingle order (df asc, shingle
-    asc), J(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉ and ≥ ⌈t·|B|⌉, so the first
-    |X| − ⌈t·|X|⌉ + 1 shingles of each side must share an element — only
-    those PREFIX shingles (the rarest ones) generate candidates, bounding
-    the per-shingle pair blow-up by rare-shingle df, not corpus df.
-
-    Scale shape: per-batch distinct (doc, shingle) combiner → one
-    shingle-hash exchange stamping global df → one doc exchange computing
-    per-doc prefixes → one shingle-hash exchange enumerating size-filtered
-    prefix pairs (10·min ≥ 6·max prune) → attach_pair_values repartition
-    join (collapses duplicate candidates) → per-pair exact verify with the
-    integer test 10·I ≥ 6·U.  Four coarse exchanges, no driver state, no
-    all-pairs."""
-    import pandas as pd
-
-    from anansi_ray.arrowds import drop_empty_blocks
-
-    P = 32
-
-    def doc_shingles(b: pa.Table) -> pa.Table:
-        ridx, sh = ftext.shingles_for_batch(b, k=3)
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        df = pd.DataFrame(
-            {"doc_id": ids[ridx], "sh": np.asarray(sh, dtype=object)}
-        ).drop_duplicates()
-        return pa.table(
-            {
-                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
-                "sh": pa.array(df["sh"].to_numpy(dtype=object), pa.string()),
-            }
-        )
-
-    # every doc lives in one batch → per-batch dedup is globally distinct
-    pairs = (
-        _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(doc_shingles, batch_format="pyarrow")
-        .materialize()
-    )
-
-    def count_partial(b: pa.Table) -> pa.Table:
-        vc = b["sh"].to_pandas().value_counts()
-        return pa.table(
-            {
-                "sh": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
-                "df": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
-            }
-        )
-
-    from ray.data.aggregate import Sum
-
-    df_tbl = (
-        pairs.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("sh")
-        .aggregate(Sum("df", alias_name="df"))
-        .materialize()
-    )
-
-    def _sh_part(col) -> pa.Array:
-        h = pd.util.hash_array(col.to_pandas().to_numpy(dtype=object))
-        return pa.array((h % P).astype(np.int32), pa.int32())
-
-    def tag_df(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {
-                "part": _sh_part(b["sh"]),
-                "sh": b["sh"],
-                "doc_id": pa.array(np.full(n, -1, np.int64), pa.int64()),
-                "v": b["df"].cast(pa.int64()),
-            }
-        )
-
-    def tag_pairs(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {
-                "part": _sh_part(b["sh"]),
-                "sh": b["sh"],
-                "doc_id": b["doc_id"],
-                "v": pa.array(np.zeros(n, np.int64), pa.int64()),
-            }
-        )
-
-    stamped_empty = pa.table(
-        {
-            "doc_id": pa.array([], pa.int64()),
-            "sh": pa.array([], pa.string()),
-            "df": pa.array([], pa.int64()),
-        }
-    )
-
-    def stamp_df(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return stamped_empty
-        pdf = g.to_pandas().sort_values(["sh", "doc_id"], kind="stable")
-        # the df row (doc_id == -1) sorts first in each shingle run
-        is_d = pdf["doc_id"].to_numpy() == -1
-        dfv = pdf["v"].to_numpy()
-        run = np.cumsum(is_d) - 1
-        dvals = dfv[is_d]
-        keep = ~is_d
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    pdf["doc_id"].to_numpy()[keep], pa.int64()
-                ),
-                "sh": pa.array(
-                    pdf["sh"].to_numpy(dtype=object)[keep], pa.string()
-                ),
-                "df": pa.array(dvals[run[keep]], pa.int64()),
-            }
-        )
-
-    stamped = drop_empty_blocks(
-        df_tbl.map_batches(tag_df, batch_format="pyarrow")
-        .union(pairs.map_batches(tag_pairs, batch_format="pyarrow"))
-        .groupby("part")
-        .map_groups(stamp_df, batch_format="pyarrow")
-        .materialize()
-    )
-
-    def tag_doc(b: pa.Table) -> pa.Table:
-        d = b["doc_id"].to_numpy(zero_copy_only=False)
-        return b.append_column(
-            "part", pa.array((d % P).astype(np.int32), pa.int32())
-        )
-
-    prefix_empty = pa.table(
-        {
-            "sh": pa.array([], pa.string()),
-            "doc_id": pa.array([], pa.int64()),
-            "n": pa.array([], pa.int64()),
-        }
-    )
-
-    def prefix_part(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return prefix_empty
-        pdf = g.to_pandas().sort_values(
-            ["doc_id", "df", "sh"], kind="stable"
-        )
-        d = pdf["doc_id"].to_numpy()
-        n_rows = len(d)
-        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
-        sizes = np.diff(np.r_[starts, n_rows])
-        n_per = np.repeat(sizes, sizes)
-        pos = np.arange(n_rows) - np.repeat(starts, sizes)
-        alpha = (6 * n_per + 9) // 10  # ceil(0.6 n)
-        keep = pos < (n_per - alpha + 1)
-        return pa.table(
-            {
-                "sh": pa.array(
-                    pdf["sh"].to_numpy(dtype=object)[keep], pa.string()
-                ),
-                "doc_id": pa.array(d[keep], pa.int64()),
-                "n": pa.array(n_per[keep].astype(np.int64), pa.int64()),
-            }
-        )
-
-    prefixes = drop_empty_blocks(
-        stamped.map_batches(tag_doc, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(prefix_part, batch_format="pyarrow")
-        .materialize()
-    )
-
-    cand_empty = pa.table(
-        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-    )
-
-    def enum_pairs(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return cand_empty
-        pdf = g.to_pandas()
-        m = pdf.merge(pdf, on="sh")
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        lo = np.minimum(m["n_x"].to_numpy(), m["n_y"].to_numpy())
-        hi = np.maximum(m["n_x"].to_numpy(), m["n_y"].to_numpy())
-        m = m[10 * lo >= 6 * hi]
-        ab = np.unique(
-            m["doc_id_x"].to_numpy() * np.int64(1 << 31)
-            + m["doc_id_y"].to_numpy()
-        )
-        return pa.table(
-            {
-                "a": pa.array(ab >> 31, pa.int64()),
-                "b": pa.array(ab & ((1 << 31) - 1), pa.int64()),
-            }
-        )
-
-    def tag_sh_only(b: pa.Table) -> pa.Table:
-        return b.append_column("part", _sh_part(b["sh"]))
-
-    cands = drop_empty_blocks(
-        prefixes.map_batches(tag_sh_only, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(enum_pairs, batch_format="pyarrow")
-        .materialize()
-    )
-
-    joined = fdedup.attach_pair_values(
-        cands,
-        _read(sf_dir, "documents", ["doc_id", "text"]),
-        "doc_id",
-        "text",
-        pa.string(),
-    )
-
-    def verify(batch: pa.Table) -> pa.Table:
-        a_out, b_out, j_out = [], [], []
-        for a, b, ta, tb in zip(
-            batch["a"].to_pylist(),
-            batch["b"].to_pylist(),
-            batch["val_a"].to_pylist(),
-            batch["val_b"].to_pylist(),
-        ):
-            sa = set(fdedup._shingle_hashes(ta, 3))
-            sb = set(fdedup._shingle_hashes(tb, 3))
-            inter = len(sa & sb)
-            union = len(sa | sb)
-            if 10 * inter >= 6 * union:
-                a_out.append(a)
-                b_out.append(b)
-                j_out.append(round(inter / union, 6))
-        return pa.table(
-            {
-                "a": pa.array(a_out, pa.int64()),
-                "b": pa.array(b_out, pa.int64()),
-                "jaccard": pa.array(j_out, pa.float64()),
-            }
-        )
-
-    out = fdedup._collect_sorted(
-        joined.map_batches(verify, batch_format="pyarrow"), ["a", "b"]
+    and ngram_jaccard_pairs (verifies only LSH candidates).  Full pipeline
+    and the prefix-filter lemma: functions/dedup.py shingle_jaccard_pairs."""
+    out = fdedup.shingle_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), t_num=6, t_den=10
     )
     if out is None:
         return pa.table(
@@ -6467,6 +6235,70 @@ SELECT i.a, i.b,
 FROM i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
 WHERE inter * 10 >= 6 * (sa.n + sb.n - inter)
 ORDER BY 1, 2
+"""
+
+
+def q_incremental_near_dup(sf_dir: str):
+    """Incremental-ingest near-dup (the production shape: a NEW shard
+    dedupes against the STANDING corpus without the corpus ever re-pairing
+    with itself): docs with doc_id % 10 == 0 are the new shard; output one
+    row per new doc that has a corpus near-dup (3-gram shingle Jaccard ≥
+    0.6) with its match count and best score.
+
+    Rides functions/dedup.py shingle_jaccard_pairs with ``new_pred`` —
+    candidate enumeration drops every corpus×corpus (and new×new) pair at
+    the prefix-bucket kernel, so per-ingest cost scales with the new
+    shard's prefix volume, not the corpus pair count.  Exactness is
+    inherited from the prefix-filter lemma (cross pairs are a subset of
+    the complete join)."""
+    out = fdedup.shingle_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        t_num=6,
+        t_den=10,
+        new_pred=lambda ids: ids % 10 == 0,
+    )
+    if out is None:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_matches": pa.array([], pa.int64()),
+                "best_jaccard": pa.array([], pa.float64()),
+            }
+        )
+    df = out.to_pandas()
+    a, b = df["a"].to_numpy(), df["b"].to_numpy()
+    df["doc_id"] = np.where(a % 10 == 0, a, b)
+    g = (
+        df.groupby("doc_id")
+        .agg(n_matches=("jaccard", "size"), best_jaccard=("jaccard", "max"))
+        .reset_index()
+        .sort_values("doc_id")
+    )
+    g["n_matches"] = g["n_matches"].astype("int64")
+    g["best_jaccard"] = g["best_jaccard"].round(6)
+    return pa.Table.from_pandas(g.reset_index(drop=True), preserve_index=False)
+
+
+SQL_INCREMENTAL_NEAR_DUP = r"""
+WITH w AS (SELECT doc_id,
+                  regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+           FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(i)),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      FROM g x JOIN g y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+q AS (SELECT i.a, i.b,
+             round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+      FROM i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+      WHERE inter * 10 >= 6 * (sa.n + sb.n - inter)
+        AND ((i.a % 10 = 0) != (i.b % 10 = 0)))
+SELECT (CASE WHEN a % 10 = 0 THEN a ELSE b END) AS doc_id,
+       count(*)::BIGINT AS n_matches,
+       round(max(jaccard), 6) AS best_jaccard
+FROM q GROUP BY 1 ORDER BY 1
 """
 
 
@@ -6627,5 +6459,6 @@ QUERIES = {
     "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
     "heavy_hitter_words": (q_heavy_hitter_words, SQL_HEAVY_HITTER_WORDS),
     "shingle_jaccard_join": (q_shingle_jaccard_join, SQL_SHINGLE_JACCARD_JOIN),
+    "incremental_near_dup": (q_incremental_near_dup, SQL_INCREMENTAL_NEAR_DUP),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
 }

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "bigram_lm_score",
     "heavy_hitter_words",
     "shingle_jaccard_join",
+    "incremental_near_dup",
     "weighted_sample",
 ]
 

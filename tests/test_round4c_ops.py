@@ -14,6 +14,7 @@ from anansi_ray.pipelines.queries import (
     q_bigram_lm_score,
     q_events_moving_avg,
     q_heavy_hitter_words,
+    q_incremental_near_dup,
     q_link_khop,
     q_shingle_jaccard_join,
     q_sliding_distinct_users,
@@ -247,3 +248,47 @@ class TestWeightedSample:
         docs = _pdf("documents", ["doc_id", "n_chars"])
         mean_sel = docs.set_index("doc_id").loc[got["doc_id"], "n_chars"].mean()
         assert mean_sel > docs["n_chars"].mean()
+
+
+class TestIncrementalNearDup:
+    def test_vs_brute_force_cross_only(self):
+        import re
+
+        from anansi_ray.pipelines.queries import q_incremental_near_dup
+
+        got = q_incremental_near_dup(SF0001).to_pandas()
+        docs = _pdf("documents", ["doc_id", "text"])
+        sets = {}
+        for _, row in docs.iterrows():
+            ws = re.findall(r"\w+", row["text"].lower())
+            sh = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+            if sh:
+                sets[int(row["doc_id"])] = sh
+        ids = sorted(sets)
+        agg = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if (a % 10 == 0) == (b % 10 == 0):
+                    continue
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if 10 * inter >= 6 * union:
+                    new_id = a if a % 10 == 0 else b
+                    j = round(inter / union, 6)
+                    n, bj = agg.get(new_id, (0, 0.0))
+                    agg[new_id] = (n + 1, max(bj, j))
+        want = (
+            pd.DataFrame(
+                [(d, n, bj) for d, (n, bj) in agg.items()],
+                columns=["doc_id", "n_matches", "best_jaccard"],
+            )
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = want.astype({"doc_id": "int64", "n_matches": "int64"})
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+    def test_no_corpus_corpus_candidates(self):
+        # the incremental shape must never enumerate a corpus x corpus pair
+        got = q_incremental_near_dup(SF0001).to_pandas()
+        assert (got["doc_id"] % 10 == 0).all()
