@@ -6357,6 +6357,485 @@ SELECT doc_id FROM r ORDER BY rank LIMIT 100
 """
 
 
+def q_user_streaks(sf_dir: str):
+    """Gaps-and-islands: longest consecutive-day activity streak per user.
+    Distributed plan: per-batch distinct-(user, day) combiner BEFORE the
+    exchange (the shuffle carries at most one row per user-day per batch,
+    never the event stream), ONE user-hash exchange, then a per-partition
+    vectorized island kernel — lexsort, cross-batch re-dedup, run boundary
+    where the user changes or the day gap exceeds 1, run lengths by
+    boundary diffs, per-user max/sum via ``reduceat``.  No per-row or
+    per-group Python, no global sort."""
+    P = 32
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        d = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY_US
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        u, d = u[keep], d[keep]
+        return pa.table(
+            {
+                "part": pa.array((u % P).astype(np.int32), pa.int32()),
+                "user_id": pa.array(u, pa.int64()),
+                "dayno": pa.array(d, pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "max_streak": pa.array([], pa.int64()),
+            "n_days": pa.array([], pa.int64()),
+        }
+    )
+
+    def island_kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        d = group["dayno"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        u, d = u[keep], d[keep]
+        # island starts: new user OR day gap != 1
+        starts = np.flatnonzero(
+            np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)]
+        )
+        lens = np.diff(np.r_[starts, len(u)])
+        ru = u[starts]  # user of each run (runs are user-contiguous)
+        ustarts = np.flatnonzero(np.r_[True, ru[1:] != ru[:-1]])
+        return pa.table(
+            {
+                "user_id": pa.array(ru[ustarts], pa.int64()),
+                "max_streak": pa.array(
+                    np.maximum.reduceat(lens, ustarts).astype(np.int64), pa.int64()
+                ),
+                "n_days": pa.array(
+                    np.add.reduceat(lens, ustarts).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    out = (
+        drop_empty_blocks(
+            _read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(island_kernel, batch_format="pyarrow")
+            .materialize()
+        )
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_USER_STREAKS = """
+WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dayno
+           FROM events),
+r AS (SELECT user_id, dayno,
+             row_number() OVER (PARTITION BY user_id ORDER BY dayno) AS rn
+      FROM d),
+s AS (SELECT user_id, count(*) AS len FROM r GROUP BY user_id, dayno - rn)
+SELECT user_id, max(len)::BIGINT AS max_streak, sum(len)::BIGINT AS n_days
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+def _cents_hist(sf_dir: str, group_col: str | None):
+    """Shared histogram-partial pass for the order-price robust statistics:
+    per batch, reduce (group, cents) to counts with the composite-key
+    ``np.unique`` pattern of ``q_events_quantiles``, then ONE tiny
+    ``groupby.sum`` exchange.  The merged histogram is bounded by the
+    price DOMAIN (distinct cent values), not the row count — at 100 TB the
+    exchange still moves |domain| rows, so the driver-side quantile finish
+    stays small."""
+    from ray.data.aggregate import Sum
+
+    cols = ["o_totalprice"] + ([group_col] if group_col else [])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = (
+            pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        if group_col is None:
+            key, cnt = np.unique(cents, return_counts=True)
+            return pa.table(
+                {
+                    "cents": pa.array(key, pa.int64()),
+                    "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+        g = b[group_col].to_numpy(zero_copy_only=False)
+        gvals, ginv = np.unique(g, return_inverse=True)
+        cmin = cents.min() if len(cents) else 0
+        span = int(cents.max() - cmin) + 1 if len(cents) else 1
+        key, inv = np.unique(ginv * span + (cents - cmin), return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        first = np.full(len(key), np.iinfo(np.int64).max)
+        np.minimum.at(first, inv, np.arange(len(inv)))
+        return pa.table(
+            {
+                group_col: pa.array(g[first], pa.string()),
+                "cents": pa.array(cents[first], pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    keys = [group_col, "cents"] if group_col else "cents"
+    return (
+        _read(sf_dir, "orders", cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+
+
+def _inv_cdf(values: np.ndarray, counts: np.ndarray, q: float) -> int:
+    """Lower inverse CDF over a (sorted-value, count) histogram — the
+    ``cum >= ceil(q * tot)`` convention shared with the SQL twins."""
+    cum = counts.cumsum()
+    target = int(np.ceil(q * int(cum[-1])))
+    return int(values[np.searchsorted(cum, target, side="left")])
+
+
+def q_orders_mad_outliers(sf_dir: str):
+    """Robust per-group outlier detection via MEDIAN ABSOLUTE DEVIATION —
+    a two-level holistic aggregate (median of |x - median|) that cannot
+    pre-reduce.  The honest distributed plan is ONE domain-bounded
+    histogram exchange (see ``_cents_hist``); median, MAD and the
+    ``|x - med| > 3*MAD`` outlier count all read off the merged histogram
+    driver-side with weighted inverse-CDF — the raw rows never move
+    twice."""
+    hist = _cents_hist(sf_dir, "o_orderpriority")
+    rows = []
+    for pri, grp in hist.groupby("o_orderpriority"):
+        grp = grp.sort_values("cents")
+        v = grp["cents"].to_numpy()
+        c = grp["cnt"].to_numpy()
+        med = _inv_cdf(v, c, 0.5)
+        dev = np.abs(v - med)
+        order = np.argsort(dev, kind="stable")
+        dv, dc = dev[order], c[order]
+        # merge equal deviations (two cent values can share |x - med|)
+        starts = np.flatnonzero(np.r_[True, dv[1:] != dv[:-1]])
+        dvu = dv[starts]
+        dcu = np.add.reduceat(dc, starts)
+        mad = _inv_cdf(dvu, dcu, 0.5)
+        n = int(c.sum())
+        n_out = int(c[dev > 3 * mad].sum())
+        rows.append((pri, n, med, mad, n_out))
+    rows.sort()
+    return pa.table(
+        {
+            "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "median_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "mad_cents": pa.array([r[3] for r in rows], pa.int64()),
+            "n_outliers": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_ORDERS_MAD_OUTLIERS = """
+WITH c AS (SELECT o_orderpriority AS pri,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+h AS (SELECT pri, cents, count(*) AS cnt FROM c GROUP BY 1, 2),
+w AS (SELECT pri, cents, cnt,
+             sum(cnt) OVER (PARTITION BY pri ORDER BY cents) AS cum,
+             sum(cnt) OVER (PARTITION BY pri) AS tot
+      FROM h),
+m AS (SELECT pri, min(CASE WHEN cum >= ceil(0.5 * tot) THEN cents END) AS med
+      FROM w GROUP BY 1),
+d AS (SELECT h.pri, abs(h.cents - m.med) AS dev, h.cnt, m.med
+      FROM h JOIN m USING (pri)),
+dh AS (SELECT pri, dev, sum(cnt) AS cnt FROM d GROUP BY 1, 2),
+dw AS (SELECT pri, dev,
+              sum(cnt) OVER (PARTITION BY pri ORDER BY dev) AS cum,
+              sum(cnt) OVER (PARTITION BY pri) AS tot
+       FROM dh),
+md AS (SELECT pri, min(CASE WHEN cum >= ceil(0.5 * tot) THEN dev END) AS mad
+       FROM dw GROUP BY 1)
+SELECT d.pri AS o_orderpriority, sum(d.cnt)::BIGINT AS n,
+       max(d.med)::BIGINT AS median_cents, max(md.mad)::BIGINT AS mad_cents,
+       sum(CASE WHEN d.dev > 3 * md.mad THEN d.cnt ELSE 0 END)::BIGINT
+         AS n_outliers
+FROM d JOIN md USING (pri) GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_orders_winsorized(sf_dir: str):
+    """Winsorized (p01/p99-clipped) per-status price aggregates: pass 1 is
+    the domain-bounded global cents histogram (``_cents_hist``) from which
+    the driver reads the two clip points; pass 2 re-streams orders with
+    the clip broadcast in the closure, clips with ``np.clip`` and
+    pre-reduces per-status (n, sum, min, max) partials per batch, so the
+    final exchange is |statuses| × |batches| rows.  Two streaming passes,
+    zero materialization."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    hist = _cents_hist(sf_dir, None).sort_values("cents")
+    v = hist["cents"].to_numpy()
+    c = hist["cnt"].to_numpy()
+    lo, hi = _inv_cdf(v, c, 0.01), _inv_cdf(v, c, 0.99)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = (
+            pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        wc = np.clip(cents, lo, hi)
+        s = b["o_orderstatus"].to_numpy(zero_copy_only=False)
+        svals, sinv = np.unique(s, return_inverse=True)
+        n = np.bincount(sinv).astype(np.int64)
+        tot = np.bincount(sinv, weights=wc).astype(np.int64)
+        mn = np.full(len(svals), np.iinfo(np.int64).max)
+        mx = np.full(len(svals), np.iinfo(np.int64).min)
+        np.minimum.at(mn, sinv, wc)
+        np.maximum.at(mx, sinv, wc)
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(svals, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "sum_wcents": pa.array(tot, pa.int64()),
+                "min_wcents": pa.array(mn, pa.int64()),
+                "max_wcents": pa.array(mx, pa.int64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_wcents", alias_name="sum_wcents"),
+            Min("min_wcents", alias_name="min_wcents"),
+            Max("max_wcents", alias_name="max_wcents"),
+        )
+        .to_pandas()
+        .sort_values("o_orderstatus")
+    )
+    for col in ("n", "sum_wcents", "min_wcents", "max_wcents"):
+        out[col] = out[col].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_ORDERS_WINSORIZED = """
+WITH c AS (SELECT o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+h AS (SELECT cents, count(*) AS cnt FROM c GROUP BY 1),
+w AS (SELECT cents, sum(cnt) OVER (ORDER BY cents) AS cum,
+             sum(cnt) OVER () AS tot
+      FROM h),
+q AS (SELECT min(CASE WHEN cum >= ceil(0.01 * tot) THEN cents END) AS lo,
+             min(CASE WHEN cum >= ceil(0.99 * tot) THEN cents END) AS hi
+      FROM w),
+x AS (SELECT o_orderstatus, least(greatest(cents, lo), hi) AS wc FROM c, q)
+SELECT o_orderstatus, count(*)::BIGINT AS n, sum(wc)::BIGINT AS sum_wcents,
+       min(wc)::BIGINT AS min_wcents, max(wc)::BIGINT AS max_wcents
+FROM x GROUP BY 1 ORDER BY 1
+"""
+
+
+def _doc_token_pairs(b: pa.Table):
+    """Vectorized distinct-(doc, token) extraction for a batch: the same
+    ``\\w+`` word model as ``token_df_partial`` (split on ``\\W+``, drop
+    empties), deduped per doc."""
+    import pandas as pd
+
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    col = pc.fill_null(b["text"], "")
+    toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\W+")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    doc = np.repeat(ids, lens)
+    s = flat.to_pandas()
+    mask = (s.str.len() > 0).to_numpy()
+    return pd.DataFrame({"doc_id": doc[mask], "token": s[mask]}).drop_duplicates()
+
+
+def q_token_novelty(sf_dir: str):
+    """Per-document token novelty: how many of a doc's distinct tokens
+    make their CORPUS-FIRST appearance in that doc (first = min doc_id).
+    Two streaming passes, no join shuffle: (a) per-batch per-doc distinct
+    counts — docs never split across batches, so this needs NO exchange;
+    (b) per-batch (token, min-doc) combiner → ``groupby(token).min`` — the
+    exchange carries batch vocabularies — then the vocab-sized result
+    re-aggregates as novel-counts per first-doc.  The two small per-doc
+    tables meet in a driver-side left join (|docs| rows, not |tokens|)."""
+    from ray.data.aggregate import Count, Min
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        df = _doc_token_pairs(b)
+        g = df.groupby("doc_id", sort=False).size()
+        return pa.table(
+            {
+                "doc_id": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+                "n_distinct": pa.array(g.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def first_partial(b: pa.Table) -> pa.Table:
+        df = _doc_token_pairs(b)
+        g = df.groupby("token", sort=False)["doc_id"].min()
+        return pa.table(
+            {
+                "token": pa.array(g.index.to_numpy(object), pa.string()),
+                "doc_id": pa.array(g.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    nd = (
+        docs.map_batches(distinct_partial, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")["n_distinct"]
+    )
+    firsts = (
+        docs.map_batches(first_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_novel"))
+        .to_pandas()
+        .set_index("doc_id")["n_novel"]
+    )
+    base = (
+        _read(sf_dir, "documents", ["doc_id"]).to_pandas().sort_values("doc_id")
+    )
+    base["n_distinct"] = nd.reindex(base["doc_id"]).fillna(0).to_numpy(np.int64)
+    base["n_novel"] = firsts.reindex(base["doc_id"]).fillna(0).to_numpy(np.int64)
+    return pa.Table.from_pandas(base.reset_index(drop=True), preserve_index=False)
+
+
+SQL_TOKEN_NOVELTY = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS token
+  FROM documents),
+f AS (SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+nv AS (SELECT first_doc AS doc_id, count(*) AS n_novel FROM f GROUP BY 1),
+nd AS (SELECT doc_id, count(*) AS n_distinct FROM tok GROUP BY 1)
+SELECT d.doc_id, coalesce(nd.n_distinct, 0)::BIGINT AS n_distinct,
+       coalesce(nv.n_novel, 0)::BIGINT AS n_novel
+FROM documents d LEFT JOIN nd USING (doc_id) LEFT JOIN nv USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_part_copurchase(sf_dir: str):
+    """Market-basket pair mining: the top-100 part pairs co-occurring in
+    the same order.  The naive self-join explodes |order|² rows through
+    the shuffle; here each batch first dedupes (order, part), ONE
+    orderkey-hash exchange co-locates each basket, and a per-partition
+    kernel expands pairs VECTORIZED (repeat/searchsorted index algebra —
+    no Python loop over baskets) and pre-reduces them to (p1, p2, n)
+    partials, so the final pair exchange carries combined counts, never
+    raw pairs.  Baskets are small (avg ~4 lineitems) so the in-partition
+    expansion is O(rows × avg_basket)."""
+    from ray.data.aggregate import Sum
+
+    P = 32
+
+    def dedup_partial(b: pa.Table) -> pa.Table:
+        o = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = b["l_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.r_[True, (o[1:] != o[:-1]) | (p[1:] != p[:-1])]
+        o, p = o[keep], p[keep]
+        return pa.table(
+            {
+                "part": pa.array((o % P).astype(np.int32), pa.int32()),
+                "l_orderkey": pa.array(o, pa.int64()),
+                "l_partkey": pa.array(p, pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "p1": pa.array([], pa.int64()),
+            "p2": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def pair_kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        o = group["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = group["l_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.r_[True, (o[1:] != o[:-1]) | (p[1:] != p[:-1])]
+        o, p = o[keep], p[keep]
+        starts = np.flatnonzero(np.r_[True, o[1:] != o[:-1]])
+        counts = np.diff(np.r_[starts, len(o)])
+        # pair expansion: element i pairs with the rep[i] elements after it
+        # in its own basket (parts sorted, so p1 < p2 holds by construction)
+        local = np.arange(len(p)) - np.repeat(starts, counts)
+        rep = np.repeat(counts, counts) - local - 1
+        total = int(rep.sum())
+        if total == 0:
+            return empty
+        csum = np.concatenate(([0], np.cumsum(rep)))
+        pos = np.arange(total)
+        src = np.searchsorted(csum, pos, side="right") - 1
+        a = p[src]
+        bb = p[src + (pos - csum[src]) + 1]
+        order2 = np.lexsort((bb, a))
+        a, bb = a[order2], bb[order2]
+        bounds = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])])
+        n = np.diff(np.r_[bounds, len(a)])
+        return pa.table(
+            {
+                "p1": pa.array(a[bounds], pa.int64()),
+                "p2": pa.array(bb[bounds], pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    out = (
+        drop_empty_blocks(
+            _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+            .map_batches(dedup_partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(pair_kernel, batch_format="pyarrow")
+            .materialize()
+        )
+        .groupby(["p1", "p2"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = out.sort_values(
+        ["n", "p1", "p2"], ascending=[False, True, True]
+    ).head(100)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_PART_COPURCHASE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*)::BIGINT AS n
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 ORDER BY n DESC, p1, p2 LIMIT 100
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -6461,4 +6940,9 @@ QUERIES = {
     "shingle_jaccard_join": (q_shingle_jaccard_join, SQL_SHINGLE_JACCARD_JOIN),
     "incremental_near_dup": (q_incremental_near_dup, SQL_INCREMENTAL_NEAR_DUP),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "user_streaks": (q_user_streaks, SQL_USER_STREAKS),
+    "orders_mad_outliers": (q_orders_mad_outliers, SQL_ORDERS_MAD_OUTLIERS),
+    "orders_winsorized": (q_orders_winsorized, SQL_ORDERS_WINSORIZED),
+    "token_novelty": (q_token_novelty, SQL_TOKEN_NOVELTY),
+    "part_copurchase": (q_part_copurchase, SQL_PART_COPURCHASE),
 }

@@ -131,6 +131,11 @@ BENCH_QUERIES = [
     "shingle_jaccard_join",
     "incremental_near_dup",
     "weighted_sample",
+    "user_streaks",
+    "orders_mad_outliers",
+    "orders_winsorized",
+    "token_novelty",
+    "part_copurchase",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
