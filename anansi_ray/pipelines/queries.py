@@ -6836,6 +6836,273 @@ GROUP BY 1, 2 ORDER BY n DESC, p1, p2 LIMIT 100
 """
 
 
+def _timeline_exchange(sf_dir: str, cols: list[str], kernel, empty: pa.Table):
+    """Shared skeleton for order-dependent per-user timeline operators
+    (next-event adjacency, time-weighted gaps): project events to the
+    needed columns at the READ, tag ``user_id % P``, ONE co-partitioning
+    exchange, then a per-partition vectorized kernel.  Adjacency needs the
+    user's whole timeline in one place, so — unlike the algebraic
+    aggregates — there is no per-batch combiner; the exchange carries the
+    projected rows exactly once."""
+    P = 32
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part", pa.array((u % P).astype(np.int32), pa.int32())
+        )
+
+    def guarded(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        return kernel(group)
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    return drop_empty_blocks(
+        _read(sf_dir, "events", cols)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(guarded, batch_format="pyarrow")
+        .materialize()
+    )
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user timelines: for
+    every consecutive event pair within a user's (ts, event_id)-ordered
+    history, count (from_type → to_type).  Per-partition kernel: lexsort,
+    same-user adjacency mask, composite-code ``np.unique`` pair reduction —
+    each partition forwards ≤ |types|² rows, so the final exchange is a
+    catalog-sized groupby regardless of corpus size."""
+    from ray.data.aggregate import Sum
+
+    empty = pa.table(
+        {
+            "from_type": pa.array([], pa.string()),
+            "to_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        t = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = group["event_id"].to_numpy(zero_copy_only=False)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, et = u[order], et[order]
+        types, code = np.unique(et, return_inverse=True)
+        same = u[1:] == u[:-1]
+        a, b = code[:-1][same], code[1:][same]
+        key, cnt = np.unique(a * len(types) + b, return_counts=True)
+        return pa.table(
+            {
+                "from_type": pa.array(types[key // len(types)], pa.string()),
+                "to_type": pa.array(types[key % len(types)], pa.string()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        _timeline_exchange(
+            sf_dir, ["user_id", "ts", "event_id", "event_type"], kernel, empty
+        )
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+    )
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT event_type AS from_type, nxt AS to_type, count(*)::BIGINT AS n
+FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_user_twap(sf_dir: str):
+    """Time-weighted value aggregate per user (TWAP building block): each
+    event's value is weighted by the whole seconds until the user's next
+    event; integer fixed-point (value → floor(v·10⁴)) so the weighted sum
+    is summation-order independent and the SQL twin matches bit-for-bit.
+    Same one-exchange timeline skeleton as ``event_transitions``; the
+    kernel finishes per-user with ``reduceat`` — no per-group Python."""
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_gaps": pa.array([], pa.int64()),
+            "sum_gap_s": pa.array([], pa.int64()),
+            "sum_wv": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        t = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = group["event_id"].to_numpy(zero_copy_only=False)
+        v = group["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, t, v = u[order], t[order], v[order]
+        vfp = np.floor(v * 10000.0).astype(np.int64)
+        same = u[1:] == u[:-1]
+        gap_s = (t[1:] - t[:-1]) // 1_000_000
+        uu = u[:-1][same]
+        g = gap_s[same]
+        wv = vfp[:-1][same] * g
+        starts = np.flatnonzero(np.r_[True, uu[1:] != uu[:-1]])
+        if len(uu) == 0:
+            return empty
+        return pa.table(
+            {
+                "user_id": pa.array(uu[starts], pa.int64()),
+                "n_gaps": pa.array(
+                    np.diff(np.r_[starts, len(uu)]).astype(np.int64), pa.int64()
+                ),
+                "sum_gap_s": pa.array(np.add.reduceat(g, starts), pa.int64()),
+                "sum_wv": pa.array(np.add.reduceat(wv, starts), pa.int64()),
+            }
+        )
+
+    out = (
+        _timeline_exchange(
+            sf_dir, ["user_id", "ts", "event_id", "value"], kernel, empty
+        )
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_USER_TWAP = """
+WITH s AS (SELECT user_id, floor(value * 10000)::BIGINT AS vfp,
+                  epoch_us(ts) AS t,
+                  lead(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+           FROM events)
+SELECT user_id, count(*)::BIGINT AS n_gaps,
+       sum((nt - t) // 1000000)::BIGINT AS sum_gap_s,
+       sum(vfp * ((nt - t) // 1000000))::BIGINT AS sum_wv
+FROM s WHERE nt IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_embedding_stats(sf_dir: str):
+    """Per-dimension corpus moments of the embedding matrix (the feature-
+    normalization building block): each batch reduces its vectors to one
+    (Σx, Σx²) pair per dimension — a dim×2 partial, so the driver combine
+    sees #batches × dim rows, never a vector.  Float sums are rounded on
+    both sides to absorb summation-order differences."""
+    def partial(b: pa.Table) -> pa.Table:
+        m = np.vstack(b["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, m.shape[1] + 1), pa.int64()),
+                "n": pa.array(
+                    np.full(m.shape[1], m.shape[0], dtype=np.int64), pa.int64()
+                ),
+                "s1": pa.array(m.sum(axis=0), pa.float64()),
+                "s2": pa.array((m * m).sum(axis=0), pa.float64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "embeddings", ["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby("dim", sort=True)
+        .agg(n=("n", "sum"), sum_v=("s1", "sum"), sum_v2=("s2", "sum"))
+        .reset_index()
+    )
+    out["sum_v"] = out["sum_v"].round(4)
+    out["sum_v2"] = out["sum_v2"].round(4)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_EMBEDDING_STATS = """
+WITH e AS (SELECT unnest(embedding)::DOUBLE AS v,
+                  generate_subscripts(embedding, 1)::BIGINT AS dim
+           FROM embeddings)
+SELECT dim, count(*)::BIGINT AS n,
+       round(sum(v), 4) AS sum_v, round(sum(v * v), 4) AS sum_v2
+FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_type_hour_mi(sf_dir: str):
+    """Mutual information between event type and hour-of-day (the feature-
+    selection / drift-profiling primitive): ONE catalog-sized histogram
+    exchange of (type, hour) counts — per-batch composite-key combiner
+    first — then the |types|×24 joint table yields marginals and
+    MI = Σ p(x,y)·ln(p(x,y)·N / (n(x)·m(y))) driver-side.  The integer
+    histogram is exact; only the final log-sum is float, rounded on both
+    sides."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        hr = (
+            b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 3_600_000_000
+            % 24
+        )
+        types, tinv = np.unique(et, return_inverse=True)
+        key, inv = np.unique(tinv * 24 + hr, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(types[key // 24], pa.string()),
+                "hour": pa.array((key % 24).astype(np.int64), pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    hist = (
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    joint = hist.pivot_table(
+        index="event_type", columns="hour", values="cnt", fill_value=0
+    ).to_numpy(dtype=np.float64)
+    n = joint.sum()
+    px = joint.sum(axis=1, keepdims=True)
+    py = joint.sum(axis=0, keepdims=True)
+    nz = joint > 0
+    mi = float((joint[nz] / n * np.log(joint[nz] * n / (px @ py)[nz])).sum())
+    return pa.table(
+        {
+            "n": pa.array([int(n)], pa.int64()),
+            "mi_nats": pa.array([round(mi, 6)], pa.float64()),
+        }
+    )
+
+
+SQL_TYPE_HOUR_MI = """
+WITH c AS (SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
+                  count(*)::DOUBLE AS cnt
+           FROM events GROUP BY 1, 2),
+t AS (SELECT sum(cnt) AS n FROM c),
+x AS (SELECT event_type, sum(cnt) AS nx FROM c GROUP BY 1),
+y AS (SELECT hour, sum(cnt) AS ny FROM c GROUP BY 1)
+SELECT max(t.n)::BIGINT AS n,
+       round(sum(c.cnt / t.n * ln(c.cnt * t.n / (x.nx * y.ny))), 6) AS mi_nats
+FROM c JOIN x USING (event_type) JOIN y USING (hour) CROSS JOIN t
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -6945,4 +7212,8 @@ QUERIES = {
     "orders_winsorized": (q_orders_winsorized, SQL_ORDERS_WINSORIZED),
     "token_novelty": (q_token_novelty, SQL_TOKEN_NOVELTY),
     "part_copurchase": (q_part_copurchase, SQL_PART_COPURCHASE),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "user_twap": (q_user_twap, SQL_USER_TWAP),
+    "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
+    "type_hour_mi": (q_type_hour_mi, SQL_TYPE_HOUR_MI),
 }

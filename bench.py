@@ -136,6 +136,10 @@ BENCH_QUERIES = [
     "orders_winsorized",
     "token_novelty",
     "part_copurchase",
+    "event_transitions",
+    "user_twap",
+    "embedding_stats",
+    "type_hour_mi",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
