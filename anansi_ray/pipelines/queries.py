@@ -7103,6 +7103,222 @@ FROM c JOIN x USING (event_type) JOIN y USING (hour) CROSS JOIN t
 """
 
 
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def q_events_profile(sf_dir: str):
+    """Columnar table profiling (the data-quality audit primitive): per
+    column, row count, null count and EXACT distinct count.  Each batch
+    melts to distinct (col, value-token) pairs — ``np.unique`` per column
+    first, so only the batch's per-column vocabulary is stringified and
+    shuffled, which collapses low-cardinality columns to a handful of rows
+    — then ONE (col, val) exchange dedupes globally and a catalog-sized
+    count per column finishes.  Distinctness (not the string repr) is what
+    the count needs, so the injective per-type tokenization (epoch int for
+    timestamps, repr for floats) is safe."""
+    from ray.data.aggregate import Count, Sum
+
+    def melt(b: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for name in _PROFILE_COLS:
+            arr = b[name]
+            if pa.types.is_timestamp(arr.type):
+                np_vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            else:
+                np_vals = arr.to_numpy(zero_copy_only=False)
+            u = np.unique(np_vals[~pa.compute.is_null(arr).to_numpy(
+                zero_copy_only=False)]) if arr.null_count else np.unique(np_vals)
+            cols.append(np.full(len(u), name, dtype=object))
+            vals.append(u.astype(str).astype(object))
+        return pa.table(
+            {
+                "col": pa.array(np.concatenate(cols), pa.string()),
+                "val": pa.array(np.concatenate(vals), pa.string()),
+            }
+        )
+
+    def null_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "col": pa.array(_PROFILE_COLS, pa.string()),
+                "n": pa.array([b.num_rows] * len(_PROFILE_COLS), pa.int64()),
+                "n_null": pa.array(
+                    [b[c].null_count for c in _PROFILE_COLS], pa.int64()
+                ),
+            }
+        )
+
+    ev = _read(sf_dir, "events", _PROFILE_COLS)
+    nd = (
+        ev.map_batches(melt, batch_format="pyarrow")
+        .groupby(["col", "val"])
+        .aggregate(Count(alias_name="dup"))
+        .groupby("col")
+        .aggregate(Count(alias_name="n_distinct"))
+        .to_pandas()
+        .set_index("col")["n_distinct"]
+    )
+    base = (
+        ev.map_batches(null_partial, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(Sum("n", alias_name="n"), Sum("n_null", alias_name="n_null"))
+        .to_pandas()
+        .sort_values("col")
+    )
+    base["n_distinct"] = nd.reindex(base["col"]).to_numpy(np.int64)
+    for c in ("n", "n_null", "n_distinct"):
+        base[c] = base[c].astype("int64")
+    return pa.Table.from_pandas(base.reset_index(drop=True), preserve_index=False)
+
+
+SQL_EVENTS_PROFILE = """
+SELECT col, n, n_null, n_distinct FROM (
+  SELECT 'event_id' AS col, count(*)::BIGINT AS n,
+         (count(*) - count(event_id))::BIGINT AS n_null,
+         count(DISTINCT event_id)::BIGINT AS n_distinct FROM events
+  UNION ALL
+  SELECT 'ts', count(*)::BIGINT, (count(*) - count(ts))::BIGINT,
+         count(DISTINCT ts)::BIGINT FROM events
+  UNION ALL
+  SELECT 'user_id', count(*)::BIGINT, (count(*) - count(user_id))::BIGINT,
+         count(DISTINCT user_id)::BIGINT FROM events
+  UNION ALL
+  SELECT 'event_type', count(*)::BIGINT, (count(*) - count(event_type))::BIGINT,
+         count(DISTINCT event_type)::BIGINT FROM events
+  UNION ALL
+  SELECT 'value', count(*)::BIGINT, (count(*) - count(value))::BIGINT,
+         count(DISTINCT value)::BIGINT FROM events
+  UNION ALL
+  SELECT 'props', count(*)::BIGINT, (count(*) - count(props))::BIGINT,
+         count(DISTINCT props)::BIGINT FROM events
+) ORDER BY col
+"""
+
+
+def q_user_state_intervals(sf_dir: str):
+    """SCD-style run compaction: collapse each user's consecutive equal
+    event_type observations into validity intervals (start, end, count) —
+    run-length encoding of a timeline.  Same one-exchange skeleton as
+    ``event_transitions``; the kernel finds run boundaries (user change OR
+    type change) and finishes with three ``reduceat`` sweeps."""
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "start_us": pa.array([], pa.int64()),
+            "end_us": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        t = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = group["event_id"].to_numpy(zero_copy_only=False)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, t, et = u[order], t[order], et[order]
+        starts = np.flatnonzero(
+            np.r_[True, (u[1:] != u[:-1]) | (et[1:] != et[:-1])]
+        )
+        ends = np.r_[starts[1:], len(u)] - 1
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "event_type": pa.array(et[starts], pa.string()),
+                "start_us": pa.array(t[starts], pa.int64()),
+                "end_us": pa.array(t[ends], pa.int64()),
+                "n_events": pa.array(
+                    (ends - starts + 1).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        _timeline_exchange(
+            sf_dir, ["user_id", "ts", "event_id", "event_type"], kernel, empty
+        )
+        .to_pandas()
+        .sort_values(["user_id", "start_us", "end_us", "event_type"])
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_USER_STATE_INTERVALS = """
+WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+                  lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+b AS (SELECT user_id, event_type, t,
+             sum(CASE WHEN prev IS DISTINCT FROM event_type THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY t, event_id) AS run_id
+      FROM s)
+SELECT user_id, event_type, min(t)::BIGINT AS start_us,
+       max(t)::BIGINT AS end_us, count(*)::BIGINT AS n_events
+FROM b GROUP BY user_id, event_type, run_id
+ORDER BY user_id, start_us, end_us, event_type
+"""
+
+
+def q_daily_revenue_delta(sf_dir: str):
+    """Aggregate-then-window: daily revenue with day-over-day delta.  The
+    heavy stage is a per-batch (day, cents) combiner + catalog-sized
+    groupby; the lag/diff runs driver-side on the |days| result — the
+    window never touches the distributed plane because the aggregate
+    already collapsed it."""
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = (
+            b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        days, inv = np.unique(d, return_inverse=True)
+        rev = np.bincount(inv, weights=cents).astype(np.int64)
+        return pa.table(
+            {
+                "dayno": pa.array(days, pa.int64()),
+                "rev_cents": pa.array(rev, pa.int64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("dayno")
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+        .to_pandas()
+        .sort_values("dayno")
+    )
+    out["rev_cents"] = out["rev_cents"].astype("int64")
+    out["delta_cents"] = out["rev_cents"].diff()
+    return pa.table(
+        {
+            "dayno": pa.array(out["dayno"].to_numpy(np.int64), pa.int64()),
+            "rev_cents": pa.array(out["rev_cents"].to_numpy(np.int64), pa.int64()),
+            "delta_cents": pa.array(
+                [None if np.isnan(x) else int(x) for x in out["delta_cents"]],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+SQL_DAILY_REVENUE_DELTA = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS dayno,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+           FROM orders GROUP BY 1)
+SELECT dayno::BIGINT AS dayno, rev::BIGINT AS rev_cents,
+       (rev - lag(rev) OVER (ORDER BY dayno))::BIGINT AS delta_cents
+FROM d ORDER BY dayno
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -7216,4 +7432,7 @@ QUERIES = {
     "user_twap": (q_user_twap, SQL_USER_TWAP),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
     "type_hour_mi": (q_type_hour_mi, SQL_TYPE_HOUR_MI),
+    "events_profile": (q_events_profile, SQL_EVENTS_PROFILE),
+    "user_state_intervals": (q_user_state_intervals, SQL_USER_STATE_INTERVALS),
+    "daily_revenue_delta": (q_daily_revenue_delta, SQL_DAILY_REVENUE_DELTA),
 }

@@ -140,6 +140,9 @@ BENCH_QUERIES = [
     "user_twap",
     "embedding_stats",
     "type_hour_mi",
+    "events_profile",
+    "user_state_intervals",
+    "daily_revenue_delta",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
