@@ -7319,6 +7319,175 @@ FROM d ORDER BY dayno
 """
 
 
+def q_orders_percentile_rank(sf_dir: str):
+    """Windowed rank over HUGE low-cardinality partitions — the skew shape
+    where the exchange strategy of ``events_user_rank`` (user-hash
+    partitions) breaks down: 5 priorities × all orders would put the whole
+    table in 5 groups.  Instead: the domain-bounded (priority, cents)
+    histogram (``_cents_hist``, one tiny exchange) becomes a broadcast
+    strictly-below cumulative per group (``ray.put`` ONCE, read zero-copy
+    per task), and a second streaming pass ranks every row with one
+    ``searchsorted`` — no per-group sort, no skewed shuffle.
+    n_below = rank() − 1 (ties share a rank)."""
+    import ray
+
+    hist = _cents_hist(sf_dir, "o_orderpriority")
+    lut = {}
+    for pri, grp in hist.groupby("o_orderpriority"):
+        grp = grp.sort_values("cents")
+        v = grp["cents"].to_numpy()
+        c = grp["cnt"].to_numpy()
+        below = np.concatenate(([0], c.cumsum()[:-1]))
+        lut[pri] = (v, below, int(c.sum()))
+    lut_ref = ray.put(lut)
+
+    def rank_batch(b: pa.Table) -> pa.Table:
+        lt = ray.get(lut_ref)
+        cents = (
+            pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        pri = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+        n_below = np.empty(len(pri), dtype=np.int64)
+        group_n = np.empty(len(pri), dtype=np.int64)
+        for p in np.unique(pri):
+            m = pri == p
+            v, below, tot = lt[p]
+            n_below[m] = below[np.searchsorted(v, cents[m], side="left")]
+            group_n[m] = tot
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "n_below": pa.array(n_below, pa.int64()),
+                "group_n": pa.array(group_n, pa.int64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+        .map_batches(rank_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("o_orderkey")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_ORDERS_PERCENTILE_RANK = """
+WITH c AS (SELECT o_orderkey, o_orderpriority AS pri,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_orderkey,
+       (rank() OVER (PARTITION BY pri ORDER BY cents) - 1)::BIGINT AS n_below,
+       count(*) OVER (PARTITION BY pri)::BIGINT AS group_n
+FROM c ORDER BY o_orderkey
+"""
+
+
+def q_funnel_latency(sf_dir: str):
+    """Funnel conversion LATENCY (the metric behind events_funnel's
+    counts): per user, seconds from the first view to the first purchase
+    strictly after it; output = conversion count + p50/p90 gap.  Events
+    are filter-pruned to the two stage types per batch, ONE user-hash
+    exchange co-locates each user's stage rows, the kernel resolves both
+    stages with two ``np.minimum.at`` sweeps and pre-reduces gaps to a
+    (gap_s, cnt) histogram, and the driver reads the inverse CDF — the
+    same ``cum >= ceil(q·tot)`` convention as events_quantiles."""
+    P = 32
+
+    def filter_tag(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        m = (et == "view") | (et == "purchase")
+        u = b["user_id"].to_numpy(zero_copy_only=False)[m]
+        return pa.table(
+            {
+                "part": pa.array((u % P).astype(np.int32), pa.int32()),
+                "user_id": pa.array(u, pa.int64()),
+                "t": pa.array(
+                    b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[m],
+                    pa.int64(),
+                ),
+                "is_view": pa.array(et[m] == "view", pa.bool_()),
+            }
+        )
+
+    empty = pa.table(
+        {"gap_s": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+    )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        isv = group["is_view"].to_numpy(zero_copy_only=False)
+        users, code = np.unique(u, return_inverse=True)
+        big = np.iinfo(np.int64).max
+        t_view = np.full(len(users), big)
+        np.minimum.at(t_view, code[isv], t[isv])
+        buy = ~isv
+        valid = buy & (t > t_view[code])
+        t_buy = np.full(len(users), big)
+        np.minimum.at(t_buy, code[valid], t[valid])
+        conv = (t_view < big) & (t_buy < big)
+        gaps = (t_buy[conv] - t_view[conv]) // 1_000_000
+        if len(gaps) == 0:
+            return empty
+        gv, cnt = np.unique(gaps, return_counts=True)
+        return pa.table(
+            {
+                "gap_s": pa.array(gv, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    hist = (
+        drop_empty_blocks(
+            _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+            .map_batches(filter_tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(kernel, batch_format="pyarrow")
+            .materialize()
+        )
+        .groupby("gap_s")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("gap_s")
+    )
+    v = hist["gap_s"].to_numpy()
+    c = hist["cnt"].to_numpy()
+    return pa.table(
+        {
+            "n_converted": pa.array([int(c.sum())], pa.int64()),
+            "p50_gap_s": pa.array([_inv_cdf(v, c, 0.5)], pa.int64()),
+            "p90_gap_s": pa.array([_inv_cdf(v, c, 0.9)], pa.int64()),
+        }
+    )
+
+
+SQL_FUNNEL_LATENCY = """
+WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t_view
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_buy
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t_view
+      GROUP BY 1),
+g AS (SELECT (p.t_buy - v.t_view) // 1000000 AS gap_s
+      FROM p JOIN v USING (user_id)),
+w AS (SELECT gap_s, count(*) AS cnt FROM g GROUP BY 1),
+c AS (SELECT gap_s, sum(cnt) OVER (ORDER BY gap_s) AS cum,
+             sum(cnt) OVER () AS tot
+      FROM w)
+SELECT max(tot)::BIGINT AS n_converted,
+       min(CASE WHEN cum >= ceil(0.5 * tot) THEN gap_s END)::BIGINT AS p50_gap_s,
+       min(CASE WHEN cum >= ceil(0.9 * tot) THEN gap_s END)::BIGINT AS p90_gap_s
+FROM c
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -7435,4 +7604,9 @@ QUERIES = {
     "events_profile": (q_events_profile, SQL_EVENTS_PROFILE),
     "user_state_intervals": (q_user_state_intervals, SQL_USER_STATE_INTERVALS),
     "daily_revenue_delta": (q_daily_revenue_delta, SQL_DAILY_REVENUE_DELTA),
+    "orders_percentile_rank": (
+        q_orders_percentile_rank,
+        SQL_ORDERS_PERCENTILE_RANK,
+    ),
+    "funnel_latency": (q_funnel_latency, SQL_FUNNEL_LATENCY),
 }

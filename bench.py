@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "events_profile",
     "user_state_intervals",
     "daily_revenue_delta",
+    "orders_percentile_rank",
+    "funnel_latency",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
