@@ -160,3 +160,58 @@ def distinct_count_exact(
         .pipe(pa.Table.from_pandas, preserve_index=False)
         .select([group_col, "n_distinct"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable deterministic quantile summary (MRL-style equal-weight spacing)
+# ---------------------------------------------------------------------------
+
+Q_SUMMARY_M = 512
+
+
+def quantile_summary_partial(
+    batch: pa.Table, value_col: str, m: int = Q_SUMMARY_M
+) -> pa.Table:
+    """Per-batch mergeable quantile summary: from the SORTED batch take
+    ``min(m, n)`` evenly spaced order statistics, each carrying weight
+    ``n / taken`` — a simplified Manku–Rajagopalan–Lindsay summary.  The
+    per-batch rank error is ≤ n/(2m); summaries are merged by simple
+    concatenation, so the total error over B batches is bounded by
+    Σ n_b/(2m) = N/(2m) — deterministic, no randomness, and the state
+    that leaves any batch is ≤ m rows regardless of batch size.
+
+    Unlike the exact histogram path (events_quantiles), the summary never
+    assumes a bounded value DOMAIN: it works for continuous values whose
+    distinct count approaches the row count — the 100-TB fallback when a
+    (group, grid-value) histogram would be as big as the data."""
+    v = np.sort(batch[value_col].to_numpy(zero_copy_only=False))
+    n = len(v)
+    if n == 0:
+        return pa.table(
+            {"value": pa.array([], pa.float64()), "weight": pa.array([], pa.float64())}
+        )
+    take = min(m, n)
+    # midpoints of `take` equal-count strata: index (i + 0.5) * n/take
+    idx = ((np.arange(take) + 0.5) * n / take).astype(np.int64)
+    return pa.table(
+        {
+            "value": pa.array(v[idx].astype(np.float64), pa.float64()),
+            "weight": pa.array(np.full(take, n / take), pa.float64()),
+        }
+    )
+
+
+def quantile_summary_estimate(
+    summary: "pd.DataFrame", qs: list[float]
+) -> list[float]:
+    """Weighted lower inverse CDF over the concatenated summaries (the
+    same ``cum >= q * tot`` convention as the exact path)."""
+    s = summary.sort_values("value")
+    v = s["value"].to_numpy()
+    w = s["weight"].to_numpy()
+    cum = w.cumsum()
+    tot = cum[-1]
+    out = []
+    for q in qs:
+        out.append(float(v[np.searchsorted(cum, q * tot, side="left")]))
+    return out

@@ -7488,6 +7488,128 @@ FROM c
 """
 
 
+def q_customer_order_cadence(sf_dir: str):
+    """Purchase-cadence mining (the RFM 'frequency rhythm' signal): per
+    customer with ≥2 orders, the lower-median day gap between consecutive
+    orders.  ONE custkey-hash exchange; the kernel derives the gap
+    SEQUENCE (timeline adjacency) and then takes a per-customer holistic
+    median of the derived sequence — two lexsorts, run boundaries,
+    ``start + (n-1)//2`` pick — composing the timeline and grouped-median
+    patterns without a second exchange."""
+    P = 32
+    DAY_US = 86_400_000_000
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((k % P).astype(np.int32), pa.int32()),
+                "o_custkey": b["o_custkey"],
+                "dayno": pa.array(
+                    b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // DAY_US,
+                    pa.int64(),
+                ),
+                "o_orderkey": b["o_orderkey"],
+            }
+        )
+
+    empty = pa.table(
+        {
+            "o_custkey": pa.array([], pa.int64()),
+            "n_gaps": pa.array([], pa.int64()),
+            "median_gap_days": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        k = group["o_custkey"].to_numpy(zero_copy_only=False)
+        d = group["dayno"].to_numpy(zero_copy_only=False)
+        o = group["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, d, k))
+        k, d = k[order], d[order]
+        same = k[1:] == k[:-1]
+        ku = k[:-1][same]
+        gap = (d[1:] - d[:-1])[same]
+        if len(ku) == 0:
+            return empty
+        order2 = np.lexsort((gap, ku))
+        ku, gap = ku[order2], gap[order2]
+        starts = np.flatnonzero(np.r_[True, ku[1:] != ku[:-1]])
+        n = np.diff(np.r_[starts, len(ku)])
+        med = gap[starts + (n - 1) // 2]
+        return pa.table(
+            {
+                "o_custkey": pa.array(ku[starts], pa.int64()),
+                "n_gaps": pa.array(n.astype(np.int64), pa.int64()),
+                "median_gap_days": pa.array(med, pa.int64()),
+            }
+        )
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    out = (
+        drop_empty_blocks(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(kernel, batch_format="pyarrow")
+            .materialize()
+        )
+        .to_pandas()
+        .sort_values("o_custkey")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_CUSTOMER_ORDER_CADENCE = """
+WITH s AS (SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS d,
+                  lead(epoch_us(o_orderdate) // 86400000000) OVER
+                    (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS nd
+           FROM orders),
+g AS (SELECT o_custkey, nd - d AS gap_d FROM s WHERE nd IS NOT NULL)
+SELECT o_custkey, count(*)::BIGINT AS n_gaps,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_d)::BIGINT
+         AS median_gap_days
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_value_quantile_sketch(sf_dir: str):
+    """Approximate global quantiles via the mergeable deterministic
+    summary (functions/sketch.py quantile_summary_partial): each batch
+    forwards ≤512 weighted order statistics (rank error ≤ N/1024 total),
+    the driver merges by concatenation + weighted inverse CDF.  The
+    100-TB path for CONTINUOUS values where the exact histogram's
+    domain-bounded assumption fails.  No SQL oracle (approximate by
+    construction); the engine test pins the rank-error bound against the
+    exact quantiles."""
+    from anansi_ray.functions.sketch import (
+        quantile_summary_estimate,
+        quantile_summary_partial,
+    )
+
+    summary = (
+        _read(sf_dir, "events", ["value"])
+        .map_batches(
+            lambda b: quantile_summary_partial(b, "value"),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    p50, p90, p99 = quantile_summary_estimate(summary, [0.5, 0.9, 0.99])
+    return pa.table(
+        {
+            "p50_approx": pa.array([round(p50, 6)], pa.float64()),
+            "p90_approx": pa.array([round(p90, 6)], pa.float64()),
+            "p99_approx": pa.array([round(p99, 6)], pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -7609,4 +7731,9 @@ QUERIES = {
         SQL_ORDERS_PERCENTILE_RANK,
     ),
     "funnel_latency": (q_funnel_latency, SQL_FUNNEL_LATENCY),
+    "customer_order_cadence": (
+        q_customer_order_cadence,
+        SQL_CUSTOMER_ORDER_CADENCE,
+    ),
+    "value_quantile_sketch": (q_value_quantile_sketch, None),
 }

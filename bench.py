@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "daily_revenue_delta",
     "orders_percentile_rank",
     "funnel_latency",
+    "customer_order_cadence",
+    "value_quantile_sketch",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
