@@ -6743,9 +6743,10 @@ def q_part_copurchase(sf_dir: str):
     no Python loop over baskets) and pre-reduces them to (p1, p2, n)
     partials, so the final pair exchange carries combined counts, never
     raw pairs.  Baskets are small (avg ~4 lineitems) so the in-partition
-    expansion is O(rows × avg_basket)."""
-    from ray.data.aggregate import Sum
-
+    expansion is O(rows × avg_basket).  The pair key is PACKED into one
+    int64 so the count exchange shuffles a single numeric column, and the
+    top-100 is a per-batch partial top-k — the driver never sees the pair
+    table, only #batches × 100 candidates."""
     P = 32
 
     def dedup_partial(b: pa.Table) -> pa.Table:
@@ -6764,16 +6765,19 @@ def q_part_copurchase(sf_dir: str):
         )
 
     empty = pa.table(
+        {"pk": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+    pair_empty = pa.table(
         {
-            "p1": pa.array([], pa.int64()),
-            "p2": pa.array([], pa.int64()),
+            "pkpart": pa.array([], pa.int32()),
+            "pk": pa.array([], pa.int64()),
             "n": pa.array([], pa.int64()),
         }
     )
 
     def pair_kernel(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return empty
+            return pair_empty
         o = group["l_orderkey"].to_numpy(zero_copy_only=False)
         p = group["l_partkey"].to_numpy(zero_copy_only=False)
         order = np.lexsort((p, o))
@@ -6788,27 +6792,50 @@ def q_part_copurchase(sf_dir: str):
         rep = np.repeat(counts, counts) - local - 1
         total = int(rep.sum())
         if total == 0:
-            return empty
+            return pair_empty
         csum = np.concatenate(([0], np.cumsum(rep)))
         pos = np.arange(total)
         src = np.searchsorted(csum, pos, side="right") - 1
         a = p[src]
         bb = p[src + (pos - csum[src]) + 1]
-        order2 = np.lexsort((bb, a))
-        a, bb = a[order2], bb[order2]
-        bounds = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])])
-        n = np.diff(np.r_[bounds, len(a)])
+        # single packed int64 pair key (partkey < 2^31 by TPC-H construction)
+        # so the pair exchange shuffles ONE numeric column, and (n desc, pk
+        # asc) ordering equals (n desc, p1, p2) for the top-k
+        pk = a * np.int64(1 << 31) + bb
+        key, inv = np.unique(pk, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
         return pa.table(
             {
-                "p1": pa.array(a[bounds], pa.int64()),
-                "p2": pa.array(bb[bounds], pa.int64()),
-                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "pkpart": pa.array((key % P).astype(np.int32), pa.int32()),
+                "pk": pa.array(key, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    def combine_topk(g: pa.Table) -> pa.Table:
+        # per-pk-partition combine + partial top-100: each pk lives in
+        # exactly one partition, so the global top-100 is contained in the
+        # union of these partials — at most 100 rows leave any partition.
+        # A coarse 32-way exchange beats groupby(pk): at corpus scale the
+        # pair keys are nearly all distinct, so a key-sorted aggregate
+        # would full-sort the pair table to merge almost nothing.
+        if g.num_rows == 0:
+            return empty
+        pk = g["pk"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        key, inv = np.unique(pk, return_inverse=True)
+        tot = np.bincount(inv, weights=n).astype(np.int64)
+        order = np.lexsort((key, -tot))[:100]
+        return pa.table(
+            {
+                "pk": pa.array(key[order], pa.int64()),
+                "n": pa.array(tot[order], pa.int64()),
             }
         )
 
     from anansi_ray.arrowds import drop_empty_blocks
 
-    out = (
+    parts = (
         drop_empty_blocks(
             _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
             .map_batches(dedup_partial, batch_format="pyarrow")
@@ -6816,15 +6843,21 @@ def q_part_copurchase(sf_dir: str):
             .map_groups(pair_kernel, batch_format="pyarrow")
             .materialize()
         )
-        .groupby(["p1", "p2"])
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("pkpart")
+        .map_groups(combine_topk, batch_format="pyarrow")
         .to_pandas()
     )
-    out = out.sort_values(
-        ["n", "p1", "p2"], ascending=[False, True, True]
-    ).head(100)
-    out["n"] = out["n"].astype("int64")
-    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    n = parts["n"].to_numpy()
+    pk = parts["pk"].to_numpy()
+    order = np.lexsort((pk, -n))[:100]
+    pk, n = pk[order], n[order]
+    return pa.table(
+        {
+            "p1": pa.array(pk >> 31, pa.int64()),
+            "p2": pa.array(pk & ((1 << 31) - 1), pa.int64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        }
+    )
 
 
 SQL_PART_COPURCHASE = """
