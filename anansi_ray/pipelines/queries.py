@@ -7145,11 +7145,18 @@ def q_events_profile(sf_dir: str):
     melts to distinct (col, value-token) pairs — ``np.unique`` per column
     first, so only the batch's per-column vocabulary is stringified and
     shuffled, which collapses low-cardinality columns to a handful of rows
-    — then ONE (col, val) exchange dedupes globally and a catalog-sized
-    count per column finishes.  Distinctness (not the string repr) is what
-    the count needs, so the injective per-type tokenization (epoch int for
-    timestamps, repr for floats) is safe."""
-    from ray.data.aggregate import Count, Sum
+    — then ONE coarse 32-way hash(col,val) exchange and a per-partition
+    distinct-count kernel.  Each (col, val) pair lands in exactly one
+    partition, so per-partition distinct counts SUM to the global count —
+    no key-sorted aggregate ever sorts the (mostly-distinct) value space.
+    Distinctness (not the string repr) is what the count needs, so the
+    injective per-type tokenization (epoch int for timestamps, repr for
+    floats) is safe."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    P = 32
 
     def melt(b: pa.Table) -> pa.Table:
         cols, vals = [], []
@@ -7163,10 +7170,30 @@ def q_events_profile(sf_dir: str):
                 zero_copy_only=False)]) if arr.null_count else np.unique(np_vals)
             cols.append(np.full(len(u), name, dtype=object))
             vals.append(u.astype(str).astype(object))
+        col = np.concatenate(cols)
+        val = np.concatenate(vals)
+        h = pd.util.hash_array(np.char.add(col.astype(str), val.astype(str)))
         return pa.table(
             {
-                "col": pa.array(np.concatenate(cols), pa.string()),
-                "val": pa.array(np.concatenate(vals), pa.string()),
+                "part": pa.array((h % P).astype(np.int32), pa.int32()),
+                "col": pa.array(col, pa.string()),
+                "val": pa.array(val, pa.string()),
+            }
+        )
+
+    nd_empty = pa.table(
+        {"col": pa.array([], pa.string()), "nd": pa.array([], pa.int64())}
+    )
+
+    def distinct_kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return nd_empty
+        df = g.select(["col", "val"]).to_pandas().drop_duplicates()
+        cnt = df.groupby("col", sort=False).size()
+        return pa.table(
+            {
+                "col": pa.array(cnt.index.to_numpy(object), pa.string()),
+                "nd": pa.array(cnt.to_numpy(np.int64), pa.int64()),
             }
         )
 
@@ -7181,13 +7208,18 @@ def q_events_profile(sf_dir: str):
             }
         )
 
+    from anansi_ray.arrowds import drop_empty_blocks
+
     ev = _read(sf_dir, "events", _PROFILE_COLS)
     nd = (
-        ev.map_batches(melt, batch_format="pyarrow")
-        .groupby(["col", "val"])
-        .aggregate(Count(alias_name="dup"))
+        drop_empty_blocks(
+            ev.map_batches(melt, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(distinct_kernel, batch_format="pyarrow")
+            .materialize()
+        )
         .groupby("col")
-        .aggregate(Count(alias_name="n_distinct"))
+        .aggregate(Sum("nd", alias_name="n_distinct"))
         .to_pandas()
         .set_index("col")["n_distinct"]
     )
