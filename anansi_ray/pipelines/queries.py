@@ -7675,6 +7675,193 @@ def q_value_quantile_sketch(sf_dir: str):
     )
 
 
+def _customer_rfm_base(sf_dir: str):
+    """Customer-level (recency, frequency, monetary) metrics: one algebraic
+    custkey groupby (Max/Count/Sum — combiner-friendly), recency measured
+    in days back from the corpus's last order day."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    DAY_US = 86_400_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "dayno": pa.array(
+                    b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // DAY_US,
+                    pa.int64(),
+                ),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    base = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Max("dayno", alias_name="last_day"),
+            Count(alias_name="freq"),
+            Sum("cents", alias_name="monetary"),
+        )
+        .to_pandas()
+    )
+    max_day = int(base["last_day"].max())
+    base["recency"] = (max_day - base["last_day"]).astype("int64")
+    base["freq"] = base["freq"].astype("int64")
+    base["monetary"] = base["monetary"].astype("int64")
+    return base
+
+
+def _quintile_cuts(v: np.ndarray) -> list[int]:
+    """p20/p40/p60/p80 cut points under the shared ``cum >= ceil(q·tot)``
+    lower-inverse-CDF convention (computed from the value histogram, so
+    the same cuts fall out of a domain-bounded distributed histogram at
+    scale)."""
+    vals, cnt = np.unique(v, return_counts=True)
+    return [_inv_cdf(vals, cnt, q) for q in (0.2, 0.4, 0.6, 0.8)]
+
+
+def q_customer_rfm(sf_dir: str):
+    """RFM scoring (the classic retention segmentation): per customer,
+    quintile scores 1–5 for recency (lower = better = 5), frequency and
+    monetary value.  Scores come from QUANTILE THRESHOLDS (score = 1 +
+    #cuts at-or-below the value), not NTILE row-splitting, so ties score
+    identically, the result is permutation-invariant, and the
+    distributed plan needs only the customer-level algebraic groupby plus
+    three domain-bounded histograms — no global sort, no row numbering."""
+    base = _customer_rfm_base(sf_dir)
+
+    def score(v: np.ndarray, cuts: list[int], invert: bool) -> np.ndarray:
+        # score = 1 + #cuts strictly below the value (ties-at-cut go LOW,
+        # so equal values always score equally); recency inverts (recent
+        # = low days = best = 5)
+        s = 1 + sum((v > c).astype(np.int64) for c in cuts)
+        return (6 - s) if invert else s
+
+    out = base.sort_values("o_custkey")
+    r = score(out["recency"].to_numpy(), _quintile_cuts(out["recency"].to_numpy()), True)
+    f = score(out["freq"].to_numpy(), _quintile_cuts(out["freq"].to_numpy()), False)
+    m = score(
+        out["monetary"].to_numpy(), _quintile_cuts(out["monetary"].to_numpy()), False
+    )
+    return pa.table(
+        {
+            "o_custkey": pa.array(out["o_custkey"].to_numpy(np.int64), pa.int64()),
+            "r_score": pa.array(r, pa.int64()),
+            "f_score": pa.array(f, pa.int64()),
+            "m_score": pa.array(m, pa.int64()),
+        }
+    )
+
+
+SQL_CUSTOMER_RFM = """
+WITH b AS (SELECT o_custkey,
+                  max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+                  count(*) AS freq,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary
+           FROM orders GROUP BY 1),
+m AS (SELECT max(last_day) AS max_day FROM b),
+r AS (SELECT o_custkey, (max_day - last_day) AS recency, freq, monetary
+      FROM b CROSS JOIN m),
+cuts AS (
+  SELECT metric, q,
+         min(CASE WHEN cum >= ceil(qq * tot) THEN v END) AS cut
+  FROM (
+    SELECT metric, v, cnt,
+           sum(cnt) OVER (PARTITION BY metric ORDER BY v) AS cum,
+           sum(cnt) OVER (PARTITION BY metric) AS tot
+    FROM (SELECT 'r' AS metric, recency AS v, count(*) AS cnt FROM r GROUP BY 1, 2
+          UNION ALL
+          SELECT 'f', freq, count(*) FROM r GROUP BY 1, 2
+          UNION ALL
+          SELECT 'm', monetary, count(*) FROM r GROUP BY 1, 2)
+  ) h CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS q,
+                         unnest([0.2, 0.4, 0.6, 0.8]) AS qq)
+  GROUP BY 1, 2, qq
+),
+p AS (SELECT metric, list(cut ORDER BY q) AS c FROM cuts GROUP BY 1)
+SELECT r.o_custkey,
+       (6 - (1 + (recency > pr.c[1])::INT + (recency > pr.c[2])::INT
+               + (recency > pr.c[3])::INT + (recency > pr.c[4])::INT))::BIGINT
+         AS r_score,
+       (1 + (freq > pf.c[1])::INT + (freq > pf.c[2])::INT
+          + (freq > pf.c[3])::INT + (freq > pf.c[4])::INT)::BIGINT AS f_score,
+       (1 + (monetary > pm.c[1])::INT + (monetary > pm.c[2])::INT
+          + (monetary > pm.c[3])::INT + (monetary > pm.c[4])::INT)::BIGINT
+         AS m_score
+FROM r, p pr, p pf, p pm
+WHERE pr.metric = 'r' AND pf.metric = 'f' AND pm.metric = 'm'
+ORDER BY r.o_custkey
+"""
+
+
+def q_revenue_pareto(sf_dir: str):
+    """Pareto concentration ("how many customers produce 80% of
+    revenue"): customer revenue via the algebraic groupby, then the
+    answer reads off the revenue-value HISTOGRAM — customers sharing a
+    revenue value contribute interchangeably, so the minimal count is
+    #customers in higher value classes + the partial take from the
+    boundary class: no global sort, no row numbering, deterministic
+    regardless of tie order."""
+    from ray.data.aggregate import Sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    rev = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="rev"))
+        .to_pandas()
+    )
+    vals, cnt = np.unique(rev["rev"].to_numpy(), return_counts=True)
+    # descending revenue classes
+    vals, cnt = vals[::-1], cnt[::-1]
+    class_rev = vals * cnt
+    cum_rev = class_rev.cumsum()
+    tot = int(cum_rev[-1])
+    target = int(np.ceil(0.8 * tot))
+    k = int(np.searchsorted(cum_rev, target, side="left"))
+    above_rev = int(cum_rev[k - 1]) if k > 0 else 0
+    above_n = int(cnt[:k].sum())
+    need = int(np.ceil((target - above_rev) / vals[k]))
+    return pa.table(
+        {
+            "n_customers": pa.array([int(cnt.sum())], pa.int64()),
+            "n_top80": pa.array([above_n + need], pa.int64()),
+            "total_rev_cents": pa.array([tot], pa.int64()),
+        }
+    )
+
+
+SQL_REVENUE_PARETO = """
+WITH r AS (SELECT o_custkey,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+           FROM orders GROUP BY 1),
+w AS (SELECT rev,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey) AS cum,
+             sum(rev) OVER () AS tot,
+             row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn
+      FROM r)
+SELECT (SELECT count(*) FROM r)::BIGINT AS n_customers,
+       min(rn)::BIGINT AS n_top80,
+       max(tot)::BIGINT AS total_rev_cents
+FROM w WHERE cum >= ceil(0.8 * tot)
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -7801,4 +7988,6 @@ QUERIES = {
         SQL_CUSTOMER_ORDER_CADENCE,
     ),
     "value_quantile_sketch": (q_value_quantile_sketch, None),
+    "customer_rfm": (q_customer_rfm, SQL_CUSTOMER_RFM),
+    "revenue_pareto": (q_revenue_pareto, SQL_REVENUE_PARETO),
 }

@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "funnel_latency",
     "customer_order_cadence",
     "value_quantile_sketch",
+    "customer_rfm",
+    "revenue_pareto",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
