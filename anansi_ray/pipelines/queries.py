@@ -7862,6 +7862,153 @@ FROM w WHERE cum >= ceil(0.8 * tot)
 """
 
 
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit (data-governance primitive): how many
+    quasi-identifier groups — (status, priority, 30-day bucket) — have
+    fewer than k=10 members, and how many rows sit in them.  Per-batch
+    composite-key combiner BEFORE the exchange, one catalog-sized
+    groupby, three-scalar driver finish."""
+    from ray.data.aggregate import Sum
+
+    K = 10
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        mo = (
+            b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+            // 30
+        )
+        df = pd.DataFrame(
+            {
+                "o_orderstatus": b["o_orderstatus"].to_numpy(zero_copy_only=False),
+                "o_orderpriority": b["o_orderpriority"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "mo": mo,
+            }
+        )
+        g = df.groupby(
+            ["o_orderstatus", "o_orderpriority", "mo"], sort=False
+        ).size()
+        out = g.reset_index(name="n")
+        return pa.table(
+            {
+                "o_orderstatus": pa.array(
+                    out["o_orderstatus"].to_numpy(object), pa.string()
+                ),
+                "o_orderpriority": pa.array(
+                    out["o_orderpriority"].to_numpy(object), pa.string()
+                ),
+                "mo": pa.array(out["mo"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    g = (
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_orderdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority", "mo"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = g["n"].to_numpy()
+    small = n < K
+    return pa.table(
+        {
+            "n_groups": pa.array([len(n)], pa.int64()),
+            "n_small_groups": pa.array([int(small.sum())], pa.int64()),
+            "n_rows_at_risk": pa.array([int(n[small].sum())], pa.int64()),
+        }
+    )
+
+
+SQL_K_ANONYMITY = """
+WITH g AS (SELECT o_orderstatus, o_orderpriority,
+                  (epoch_us(o_orderdate) // 86400000000) // 30 AS mo,
+                  count(*) AS n
+           FROM orders GROUP BY 1, 2, 3)
+SELECT count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN n < 10 THEN 1 ELSE 0 END)::BIGINT AS n_small_groups,
+       sum(CASE WHEN n < 10 THEN n ELSE 0 END)::BIGINT AS n_rows_at_risk
+FROM g
+"""
+
+
+def q_impute_missing(sf_dir: str):
+    """Group-mean imputation (data repair): events whose ``event_id % 13
+    == 0`` are treated as missing their value (deterministic synthetic
+    missingness, same device as the URL-synthesis queries) and imputed
+    with the per-type INTEGER mean (fixed-point floor division — exact on
+    both engines, no float averaging).  Pass 1: per-batch (type, Σvfp, n)
+    partials over non-missing rows → tiny groupby; pass 2 re-streams the
+    missing rows with the catalog-sized mean table in the closure."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        keep = eid % 13 != 0
+        et = b["event_type"].to_numpy(zero_copy_only=False)[keep]
+        vfp = np.floor(
+            b["value"].to_numpy(zero_copy_only=False)[keep] * 10000.0
+        ).astype(np.int64)
+        types, inv = np.unique(et, return_inverse=True)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "s": pa.array(np.bincount(inv, weights=vfp).astype(np.int64), pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            }
+        )
+
+    means = (
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    mean_fp = {
+        t: int(s) // int(n)
+        for t, s, n in zip(means["event_type"], means["s"], means["n"])
+    }
+
+    def impute(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        m = eid % 13 == 0
+        et = b["event_type"].to_numpy(zero_copy_only=False)[m]
+        # factorize once per batch, probe the catalog dict once per TYPE
+        types, inv = np.unique(et, return_inverse=True)
+        lut = np.array([mean_fp[t] for t in types], dtype=np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[m], pa.int64()),
+                "event_type": pa.array(et, pa.string()),
+                "value_fp": pa.array(lut[inv] if len(types) else lut, pa.int64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "events", ["event_id", "event_type"])
+        .map_batches(impute, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_IMPUTE_MISSING = """
+WITH m AS (SELECT event_type, sum(floor(value * 10000)::BIGINT) AS s,
+                  count(*) AS n
+           FROM events WHERE event_id % 13 <> 0 GROUP BY 1)
+SELECT e.event_id, e.event_type, (m.s // m.n)::BIGINT AS value_fp
+FROM events e JOIN m USING (event_type)
+WHERE e.event_id % 13 = 0 ORDER BY e.event_id
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -7990,4 +8137,6 @@ QUERIES = {
     "value_quantile_sketch": (q_value_quantile_sketch, None),
     "customer_rfm": (q_customer_rfm, SQL_CUSTOMER_RFM),
     "revenue_pareto": (q_revenue_pareto, SQL_REVENUE_PARETO),
+    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
+    "impute_missing": (q_impute_missing, SQL_IMPUTE_MISSING),
 }

@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "value_quantile_sketch",
     "customer_rfm",
     "revenue_pareto",
+    "k_anonymity",
+    "impute_missing",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
