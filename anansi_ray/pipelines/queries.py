@@ -8009,6 +8009,134 @@ WHERE e.event_id % 13 = 0 ORDER BY e.event_id
 """
 
 
+def q_gini_coefficient(sf_dir: str):
+    """Gini inequality coefficient of customer revenue — the classic
+    concentration statistic, computed EXACTLY from the revenue value
+    histogram: for a value class (x, c) starting at cumulative position s,
+    Σ rank·x over the class is x·(c·s + c(c+1)/2), so
+    G = 2·Σ rank·x / (n·Σx) − (n+1)/n falls out of one algebraic groupby
+    + one domain-bounded histogram with INTEGER arithmetic until the final
+    division — permutation-invariant under ties, no global sort."""
+    from ray.data.aggregate import Sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    rev = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="rev"))
+        .to_pandas()
+    )
+    vals, cnt = np.unique(rev["rev"].to_numpy(), return_counts=True)
+    n = int(cnt.sum())
+    tot = int((vals * cnt).sum())
+    starts = np.concatenate(([0], cnt.cumsum()[:-1]))
+    # Σ rank·x with ranks 1..n ascending (integer-exact)
+    rank_sum = int((vals * (cnt * starts + cnt * (cnt + 1) // 2)).sum())
+    gini = 2.0 * rank_sum / (n * tot) - (n + 1) / n
+    return pa.table(
+        {
+            "n_customers": pa.array([n], pa.int64()),
+            "gini": pa.array([round(gini, 6)], pa.float64()),
+        }
+    )
+
+
+SQL_GINI_COEFFICIENT = """
+WITH r AS (SELECT o_custkey,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+           FROM orders GROUP BY 1),
+w AS (SELECT rev,
+             row_number() OVER (ORDER BY rev, o_custkey) AS rn,
+             count(*) OVER () AS n,
+             sum(rev) OVER () AS tot
+      FROM r)
+SELECT max(n)::BIGINT AS n_customers,
+       round(2.0 * sum(rn * rev) / (max(n) * max(tot))
+             - (max(n) + 1.0) / max(n), 6) AS gini
+FROM w
+"""
+
+
+def q_nb_token_model(sf_dir: str):
+    """Naive-Bayes training table (language-conditional token counts):
+    the top-20 tokens per language by corpus count.  Per-batch (lang,
+    token) count combiner BEFORE the exchange, groupby-sum, then a
+    per-batch partial top-20-per-lang so the driver finish sees
+    #batches × |langs| × 20 rows, never the vocabulary."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        lang = b["lang"].to_numpy(zero_copy_only=False)
+        col = pc.fill_null(b["text"], "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\W+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_pandas()
+        lg = np.repeat(lang, lens)
+        mask = (flat.str.len() > 0).to_numpy()
+        df = (
+            pd.DataFrame({"lang": lg[mask], "token": flat[mask]})
+            .groupby(["lang", "token"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"].to_numpy(object), pa.string()),
+                "token": pa.array(df["token"].to_numpy(object), pa.string()),
+                "cnt": pa.array(df["cnt"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def topk_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(
+            ["lang", "cnt", "token"], ascending=[True, False, True]
+        )
+        df = df.groupby("lang", sort=False).head(20)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(topk_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = out.sort_values(
+        ["lang", "cnt", "token"], ascending=[True, False, True]
+    )
+    out = out.groupby("lang", sort=False).head(20).reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_NB_TOKEN_MODEL = r"""
+WITH tok AS (
+  SELECT lang,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS token
+  FROM documents),
+c AS (SELECT lang, token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
+r AS (SELECT lang, token, cnt,
+             row_number() OVER
+               (PARTITION BY lang ORDER BY cnt DESC, token) AS rn
+      FROM c)
+SELECT lang, token, cnt FROM r WHERE rn <= 20 ORDER BY lang, cnt DESC, token
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -8139,4 +8267,6 @@ QUERIES = {
     "revenue_pareto": (q_revenue_pareto, SQL_REVENUE_PARETO),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "impute_missing": (q_impute_missing, SQL_IMPUTE_MISSING),
+    "gini_coefficient": (q_gini_coefficient, SQL_GINI_COEFFICIENT),
+    "nb_token_model": (q_nb_token_model, SQL_NB_TOKEN_MODEL),
 }

@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "revenue_pareto",
     "k_anonymity",
     "impute_missing",
+    "gini_coefficient",
+    "nb_token_model",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
