@@ -8137,6 +8137,204 @@ SELECT lang, token, cnt FROM r WHERE rn <= 20 ORDER BY lang, cnt DESC, token
 """
 
 
+def q_daily_anomalies(sf_dir: str):
+    """Time-series anomaly detection with INTEGER-EXACT z-score test:
+    per event type, flag days whose count deviates > 2σ from the type's
+    daily mean.  (cnt−μ)² > 4σ² is multiplied through by n² so both
+    engines compare (n·cnt − S)² > 4·(n·S2 − S²) in pure integers — no
+    float variance crosses engines.  One catalog-sized (type, day)
+    histogram exchange; the test runs on the |types|×|days| result."""
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        d = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY_US
+        types, tinv = np.unique(et, return_inverse=True)
+        dmin = d.min() if len(d) else 0
+        span = int(d.max() - dmin) + 1 if len(d) else 1
+        key, inv = np.unique(tinv * span + (d - dmin), return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        first = np.full(len(key), np.iinfo(np.int64).max)
+        np.minimum.at(first, inv, np.arange(len(inv)))
+        return pa.table(
+            {
+                "event_type": pa.array(et[first], pa.string()),
+                "dayno": pa.array(d[first], pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    hist = (
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "dayno"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for et, grp in hist.groupby("event_type"):
+        c = grp["n"].to_numpy().astype(object)  # python ints: no overflow
+        n = len(c)
+        S = sum(c)
+        S2 = sum(x * x for x in c)
+        lhs = [(n * x - S) ** 2 for x in c]
+        rhs = 4 * (n * S2 - S * S)
+        for day, cnt, l in zip(grp["dayno"], grp["n"], lhs):
+            if l > rhs:
+                rows.append((et, int(day), int(cnt)))
+    rows.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "dayno": pa.array([r[1] for r in rows], pa.int64()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_DAILY_ANOMALIES = """
+WITH c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS dayno,
+                  count(*)::HUGEINT AS n
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, count(*)::HUGEINT AS nn, sum(n) AS S,
+             sum(n * n) AS S2
+      FROM c GROUP BY 1)
+SELECT c.event_type, c.dayno::BIGINT AS dayno, c.n::BIGINT AS n
+FROM c JOIN s USING (event_type)
+WHERE (s.nn * c.n - s.S) * (s.nn * c.n - s.S) > 4 * (s.nn * s.S2 - s.S * s.S)
+ORDER BY 1, 2
+"""
+
+
+def q_duplicate_orders_audit(sf_dir: str):
+    """Same-day repeat-order audit: (custkey, day) pairs with more than
+    one order — the financial-integrity HAVING>1 shape.  Per-batch
+    composite-key combiner, ONE groupby, HAVING filter inside the Dataset
+    plan (the non-duplicate mass never reaches the driver)."""
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False)
+        d = (
+            b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        order = np.lexsort((d, k))
+        ks, ds = k[order], d[order]
+        starts = np.flatnonzero(
+            np.r_[True, (ks[1:] != ks[:-1]) | (ds[1:] != ds[:-1])]
+        )
+        n = np.diff(np.r_[starts, len(ks)])
+        return pa.table(
+            {
+                "o_custkey": pa.array(ks[starts], pa.int64()),
+                "dayno": pa.array(ds[starts], pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def having(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["n"], 1))
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_custkey", "dayno"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(having, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["o_custkey", "dayno"])
+    )
+    for c in ("o_custkey", "dayno", "n"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_DUPLICATE_ORDERS_AUDIT = """
+SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS dayno,
+       count(*)::BIGINT AS n
+FROM orders GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2
+"""
+
+
+def q_user_coverage_audit(sf_dir: str):
+    """Cross-table key-coverage audit (full-outer-join cardinality without
+    the join): |event users ∩ customers|, events-only, customers-only —
+    per-batch distinct-key combiners on each side, one shared key-hash
+    exchange with a side bitmask OR-reduce per key, three-scalar finish."""
+    from ray.data.aggregate import Max
+
+    def partial(col: str, is_events: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            u = np.unique(b[col].to_numpy(zero_copy_only=False))
+            one = np.full(len(u), 1, np.int64)
+            zero = np.zeros(len(u), np.int64)
+            return pa.table(
+                {
+                    "key": pa.array(u, pa.int64()),
+                    "m_e": pa.array(one if is_events else zero, pa.int64()),
+                    "m_c": pa.array(zero if is_events else one, pa.int64()),
+                }
+            )
+
+        return fn
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        # after the per-key aggregate each key appears exactly once, so
+        # per-block counts of the three outcomes sum to the global answer
+        e = b["m_e"].to_numpy(zero_copy_only=False) > 0
+        c = b["m_c"].to_numpy(zero_copy_only=False) > 0
+        return pa.table(
+            {
+                "n_both": pa.array([int((e & c).sum())], pa.int64()),
+                "n_events_only": pa.array([int((e & ~c).sum())], pa.int64()),
+                "n_customers_only": pa.array([int((~e & c).sum())], pa.int64()),
+            }
+        )
+
+    ev = _read(sf_dir, "events", ["user_id"]).map_batches(
+        partial("user_id", True), batch_format="pyarrow"
+    )
+    cu = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        partial("c_custkey", False), batch_format="pyarrow"
+    )
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    parts = (
+        drop_empty_blocks(ev.union(cu).materialize())
+        .groupby("key")
+        .aggregate(Max("m_e", alias_name="m_e"), Max("m_c", alias_name="m_c"))
+        .map_batches(count_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "n_both": pa.array([int(parts["n_both"].sum())], pa.int64()),
+            "n_events_only": pa.array(
+                [int(parts["n_events_only"].sum())], pa.int64()
+            ),
+            "n_customers_only": pa.array(
+                [int(parts["n_customers_only"].sum())], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_USER_COVERAGE_AUDIT = """
+WITH e AS (SELECT DISTINCT user_id AS key FROM events),
+c AS (SELECT DISTINCT c_custkey AS key FROM customer)
+SELECT (SELECT count(*) FROM e JOIN c USING (key))::BIGINT AS n_both,
+       (SELECT count(*) FROM e ANTI JOIN c USING (key))::BIGINT
+         AS n_events_only,
+       (SELECT count(*) FROM c ANTI JOIN e USING (key))::BIGINT
+         AS n_customers_only
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -8269,4 +8467,10 @@ QUERIES = {
     "impute_missing": (q_impute_missing, SQL_IMPUTE_MISSING),
     "gini_coefficient": (q_gini_coefficient, SQL_GINI_COEFFICIENT),
     "nb_token_model": (q_nb_token_model, SQL_NB_TOKEN_MODEL),
+    "daily_anomalies": (q_daily_anomalies, SQL_DAILY_ANOMALIES),
+    "duplicate_orders_audit": (
+        q_duplicate_orders_audit,
+        SQL_DUPLICATE_ORDERS_AUDIT,
+    ),
+    "user_coverage_audit": (q_user_coverage_audit, SQL_USER_COVERAGE_AUDIT),
 }

@@ -153,6 +153,9 @@ BENCH_QUERIES = [
     "impute_missing",
     "gini_coefficient",
     "nb_token_model",
+    "daily_anomalies",
+    "duplicate_orders_audit",
+    "user_coverage_audit",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
