@@ -8335,6 +8335,325 @@ SELECT (SELECT count(*) FROM e JOIN c USING (key))::BIGINT AS n_both,
 """
 
 
+def q_part_return_rates(sf_dir: str):
+    """Return-rate per brand through a fact ⋈ fact-sized-dim join: at
+    100 TB the part table is NOT broadcastable, so both sides exchange
+    ONCE on ``partkey % P`` — the lineitem side pre-reduced per batch to
+    (partkey, returned, total) partials, the part side carrying only
+    (partkey, brand) — and the partition kernel resolves brand via
+    ``searchsorted`` against its local dim slice, forwarding per-brand
+    partials (≤ |brands| rows per partition)."""
+    from ray.data.aggregate import Sum
+
+    P = 32
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        k = b["l_partkey"].to_numpy(zero_copy_only=False)
+        ret = (
+            b["l_returnflag"].to_numpy(zero_copy_only=False) == "R"
+        ).astype(np.int64)
+        keys, inv = np.unique(k, return_inverse=True)
+        tot = np.bincount(inv).astype(np.int64)
+        r = np.bincount(inv, weights=ret).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((keys % P).astype(np.int32), pa.int32()),
+                "key": pa.array(keys, pa.int64()),
+                "brand": pa.array([""] * len(keys), pa.string()),
+                "ret": pa.array(r, pa.int64()),
+                "tot": pa.array(tot, pa.int64()),
+            }
+        )
+
+    def part_side(b: pa.Table) -> pa.Table:
+        k = b["p_partkey"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        return pa.table(
+            {
+                "part": pa.array((k % P).astype(np.int32), pa.int32()),
+                "key": pa.array(k, pa.int64()),
+                "brand": b["p_brand"],
+                "ret": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "tot": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "p_brand": pa.array([], pa.string()),
+            "n_lineitems": pa.array([], pa.int64()),
+            "n_returned": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        ret = g["ret"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        is_dim = ret == -1
+        dk = key[is_dim]
+        db = g["brand"].to_numpy(zero_copy_only=False)[is_dim]
+        order = np.argsort(dk, kind="stable")
+        dk, db = dk[order], db[order]
+        fk = key[~is_dim]
+        fr = ret[~is_dim]
+        ft = g["tot"].to_numpy(zero_copy_only=False)[~is_dim]
+        idx = np.searchsorted(dk, fk)
+        brands = db[idx]  # FK integrity: every l_partkey exists in part
+        u, inv = np.unique(brands, return_inverse=True)
+        return pa.table(
+            {
+                "p_brand": pa.array(u, pa.string()),
+                "n_lineitems": pa.array(
+                    np.bincount(inv, weights=ft).astype(np.int64), pa.int64()
+                ),
+                "n_returned": pa.array(
+                    np.bincount(inv, weights=fr).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_returnflag"]).map_batches(
+        li_partial, batch_format="pyarrow"
+    )
+    pt = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        part_side, batch_format="pyarrow"
+    )
+    out = (
+        drop_empty_blocks(li.union(pt).materialize())
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("n_lineitems", alias_name="n_lineitems"),
+            Sum("n_returned", alias_name="n_returned"),
+        )
+        .to_pandas()
+        .sort_values("p_brand")
+    )
+    for c in ("n_lineitems", "n_returned"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_PART_RETURN_RATES = """
+SELECT p.p_brand, count(*)::BIGINT AS n_lineitems,
+       sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+         AS n_returned
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_ship_latency(sf_dir: str):
+    """Order-to-first-ship latency quantiles per priority: orders ⋈
+    lineitem co-partitioned on orderkey (lineitem pre-reduced per batch to
+    (orderkey, min shipday)), per-order gap days in the partition kernel,
+    then the small-domain (priority, gap) histogram finishes with the
+    shared inverse-CDF convention."""
+    from ray.data.aggregate import Sum
+
+    P = 32
+    DAY_US = 86_400_000_000
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        d = (
+            b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        keys, inv = np.unique(k, return_inverse=True)
+        mn = np.full(len(keys), np.iinfo(np.int64).max)
+        np.minimum.at(mn, inv, d)
+        return pa.table(
+            {
+                "part": pa.array((keys % P).astype(np.int32), pa.int32()),
+                "key": pa.array(keys, pa.int64()),
+                "day": pa.array(mn, pa.int64()),
+                "pri": pa.array([""] * len(keys), pa.string()),
+                "side": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
+            }
+        )
+
+    def o_side(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        d = (
+            b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY_US
+        )
+        return pa.table(
+            {
+                "part": pa.array((k % P).astype(np.int32), pa.int32()),
+                "key": pa.array(k, pa.int64()),
+                "day": pa.array(d, pa.int64()),
+                "pri": b["o_orderpriority"],
+                "side": pa.array(np.ones(len(k), np.int8), pa.int8()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "pri": pa.array([], pa.string()),
+            "gap": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        om = side == 1
+        ok, od = key[om], day[om]
+        op = g["pri"].to_numpy(zero_copy_only=False)[om]
+        order = np.argsort(ok, kind="stable")
+        ok, od, op = ok[order], od[order], op[order]
+        lm = ~om
+        lk = key[lm]
+        lmin = day[lm]
+        # combine lineitem partials per orderkey (several batches may
+        # contribute a min for the same order)
+        lo = np.argsort(lk, kind="stable")
+        lk, lmin = lk[lo], lmin[lo]
+        starts = np.flatnonzero(np.r_[True, lk[1:] != lk[:-1]])
+        lkey = lk[starts]
+        lday = np.minimum.reduceat(lmin, starts)
+        idx = np.searchsorted(ok, lkey)
+        gap = lday - od[idx]
+        pri = op[idx]
+        import pandas as pd
+
+        df = (
+            pd.DataFrame({"pri": pri, "gap": gap})
+            .groupby(["pri", "gap"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "pri": pa.array(df["pri"].to_numpy(object), pa.string()),
+                "gap": pa.array(df["gap"].to_numpy(np.int64), pa.int64()),
+                "cnt": pa.array(df["cnt"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        li_partial, batch_format="pyarrow"
+    )
+    od = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(o_side, batch_format="pyarrow")
+    hist = (
+        drop_empty_blocks(li.union(od).materialize())
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby(["pri", "gap"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    rows = []
+    for pri, grp in hist.groupby("pri"):
+        grp = grp.sort_values("gap")
+        v = grp["gap"].to_numpy()
+        c = grp["cnt"].to_numpy()
+        rows.append(
+            (pri, int(c.sum()), _inv_cdf(v, c, 0.5), _inv_cdf(v, c, 0.9))
+        )
+    rows.sort()
+    return pa.table(
+        {
+            "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+            "n_orders": pa.array([r[1] for r in rows], pa.int64()),
+            "p50_days": pa.array([r[2] for r in rows], pa.int64()),
+            "p90_days": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_SHIP_LATENCY = """
+WITH f AS (SELECT l_orderkey,
+                  min(epoch_us(l_shipdate) // 86400000000) AS ship_day
+           FROM lineitem GROUP BY 1),
+g AS (SELECT o.o_orderpriority AS pri,
+             f.ship_day - epoch_us(o.o_orderdate) // 86400000000 AS gap
+      FROM orders o JOIN f ON f.l_orderkey = o.o_orderkey),
+h AS (SELECT pri, gap, count(*) AS cnt FROM g GROUP BY 1, 2),
+w AS (SELECT pri, gap, cnt,
+             sum(cnt) OVER (PARTITION BY pri ORDER BY gap) AS cum,
+             sum(cnt) OVER (PARTITION BY pri) AS tot
+      FROM h)
+SELECT pri AS o_orderpriority, max(tot)::BIGINT AS n_orders,
+       min(CASE WHEN cum >= ceil(0.5 * tot) THEN gap END)::BIGINT AS p50_days,
+       min(CASE WHEN cum >= ceil(0.9 * tot) THEN gap END)::BIGINT AS p90_days
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_hapax_stats(sf_dir: str):
+    """Per-document lexical statistics (type-token ratio building block):
+    total tokens, distinct types, and within-doc hapax legomena (tokens
+    occurring exactly once in the doc).  Documents never split across
+    batches, so the whole operator is ONE streaming pass with ZERO
+    exchange — the per-batch kernel factorizes (doc, token) pairs and
+    counts with ``bincount``."""
+    import pandas as pd
+
+    def kernel(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        col = pc.fill_null(b["text"], "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\W+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_pandas()
+        doc = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        mask = (flat.str.len() > 0).to_numpy()
+        df = pd.DataFrame({"d": doc[mask], "t": flat[mask].to_numpy()})
+        per = df.groupby(["d", "t"], sort=False).size()
+        dd = per.index.get_level_values(0).to_numpy()
+        c = per.to_numpy()
+        n_tok = np.bincount(doc[mask], minlength=len(ids)).astype(np.int64)
+        n_types = np.bincount(dd, minlength=len(ids)).astype(np.int64)
+        n_hapax = np.bincount(dd, weights=(c == 1), minlength=len(ids)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tok": pa.array(n_tok, pa.int64()),
+                "n_types": pa.array(n_types, pa.int64()),
+                "n_hapax": pa.array(n_hapax, pa.int64()),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(kernel, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_HAPAX_STATS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS t
+  FROM documents),
+f AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT d.doc_id, coalesce(sum(f.c), 0)::BIGINT AS n_tok,
+       coalesce(count(f.t), 0)::BIGINT AS n_types,
+       coalesce(sum(CASE WHEN f.c = 1 THEN 1 ELSE 0 END), 0)::BIGINT
+         AS n_hapax
+FROM documents d LEFT JOIN f USING (doc_id) GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -8473,4 +8792,7 @@ QUERIES = {
         SQL_DUPLICATE_ORDERS_AUDIT,
     ),
     "user_coverage_audit": (q_user_coverage_audit, SQL_USER_COVERAGE_AUDIT),
+    "part_return_rates": (q_part_return_rates, SQL_PART_RETURN_RATES),
+    "ship_latency": (q_ship_latency, SQL_SHIP_LATENCY),
+    "hapax_stats": (q_hapax_stats, SQL_HAPAX_STATS),
 }

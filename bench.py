@@ -156,6 +156,9 @@ BENCH_QUERIES = [
     "daily_anomalies",
     "duplicate_orders_audit",
     "user_coverage_audit",
+    "part_return_rates",
+    "ship_latency",
+    "hapax_stats",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
