@@ -8654,6 +8654,141 @@ FROM documents d LEFT JOIN f USING (doc_id) GROUP BY 1 ORDER BY 1
 """
 
 
+def q_priority_price_extremes(sf_dir: str):
+    """ARG-extremes with DETERMINISTIC tie-breaking: per priority, the
+    cheapest and most expensive order and WHICH order holds each extreme
+    (ties → smallest orderkey — DuckDB's arg_min leaves ties unspecified,
+    so the twin pins the same rule explicitly).  Per-batch partial
+    arg-extremes are associative under the (value, key) lexicographic
+    order, so each batch forwards ≤ |priorities| rows."""
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        pri = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        key = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        # lexsort by (pri, cents, key): first row per pri = arg-min with
+        # min-key tie rule; for arg-max sort (pri, -cents, key)
+        rows = []
+        for sign in (1, -1):
+            order = np.lexsort((key, sign * cents, pri))
+            p = pri[order]
+            first = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+            rows.append((p[first], cents[order][first], key[order][first]))
+        (pmin, cmin, kmin), (pmax, cmax, kmax) = rows
+        df = pd.DataFrame(
+            {
+                "pri": pmin,
+                "min_cents": cmin,
+                "min_orderkey": kmin,
+                "max_cents": cmax,
+                "max_orderkey": kmax,
+            }
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = (
+        _read(
+            sf_dir, "orders", ["o_orderpriority", "o_totalprice", "o_orderkey"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    rows = []
+    for pri, grp in parts.groupby("pri"):
+        lo = grp.sort_values(["min_cents", "min_orderkey"]).iloc[0]
+        hi = grp.sort_values(
+            ["max_cents", "max_orderkey"], ascending=[False, True]
+        ).iloc[0]
+        rows.append(
+            (
+                pri,
+                int(lo["min_cents"]),
+                int(lo["min_orderkey"]),
+                int(hi["max_cents"]),
+                int(hi["max_orderkey"]),
+            )
+        )
+    rows.sort()
+    return pa.table(
+        {
+            "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+            "min_cents": pa.array([r[1] for r in rows], pa.int64()),
+            "min_orderkey": pa.array([r[2] for r in rows], pa.int64()),
+            "max_cents": pa.array([r[3] for r in rows], pa.int64()),
+            "max_orderkey": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_PRIORITY_PRICE_EXTREMES = """
+WITH c AS (SELECT o_orderpriority AS pri, o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+lo AS (SELECT pri, min(cents) AS min_cents FROM c GROUP BY 1),
+hi AS (SELECT pri, max(cents) AS max_cents FROM c GROUP BY 1)
+SELECT lo.pri AS o_orderpriority, lo.min_cents,
+       (SELECT min(o_orderkey) FROM c
+         WHERE c.pri = lo.pri AND c.cents = lo.min_cents) AS min_orderkey,
+       hi.max_cents,
+       (SELECT min(o_orderkey) FROM c
+         WHERE c.pri = hi.pri AND c.cents = hi.max_cents) AS max_orderkey
+FROM lo JOIN hi USING (pri) ORDER BY 1
+"""
+
+
+def q_adoption_curve(sf_dir: str):
+    """Cumulative adoption curve: per day, how many NEW users appeared
+    (first-ever event) and the running total.  First-seen day is a
+    per-batch (user, min day) combiner + ONE user groupby-min; the
+    day-level count and cumulative sum finish on the catalog-sized
+    |days| result driver-side."""
+    from ray.data.aggregate import Min
+
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        d = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY_US
+        users, inv = np.unique(u, return_inverse=True)
+        mn = np.full(len(users), np.iinfo(np.int64).max)
+        np.minimum.at(mn, inv, d)
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "dayno": pa.array(mn, pa.int64()),
+            }
+        )
+
+    firsts = (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("dayno", alias_name="dayno"))
+        .to_pandas()
+    )
+    days, cnt = np.unique(firsts["dayno"].to_numpy(), return_counts=True)
+    return pa.table(
+        {
+            "dayno": pa.array(days, pa.int64()),
+            "n_new": pa.array(cnt.astype(np.int64), pa.int64()),
+            "n_cum": pa.array(cnt.cumsum().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_ADOPTION_CURVE = """
+WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS dayno
+           FROM events GROUP BY 1),
+d AS (SELECT dayno, count(*) AS n_new FROM f GROUP BY 1)
+SELECT dayno::BIGINT AS dayno, n_new::BIGINT AS n_new,
+       sum(n_new) OVER (ORDER BY dayno)::BIGINT AS n_cum
+FROM d ORDER BY dayno
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -8795,4 +8930,9 @@ QUERIES = {
     "part_return_rates": (q_part_return_rates, SQL_PART_RETURN_RATES),
     "ship_latency": (q_ship_latency, SQL_SHIP_LATENCY),
     "hapax_stats": (q_hapax_stats, SQL_HAPAX_STATS),
+    "priority_price_extremes": (
+        q_priority_price_extremes,
+        SQL_PRIORITY_PRICE_EXTREMES,
+    ),
+    "adoption_curve": (q_adoption_curve, SQL_ADOPTION_CURVE),
 }

@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "part_return_rates",
     "ship_latency",
     "hapax_stats",
+    "priority_price_extremes",
+    "adoption_curve",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
