@@ -116,3 +116,19 @@ def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
             exc,
         )
         return ds
+
+
+def ts_us(col: "pa.ChunkedArray | pa.Array") -> "pa.ChunkedArray | pa.Array":
+    """Epoch-microsecond int64 view of a column, UNIT-SAFE: a timestamp of
+    any unit (s/ms/us/ns) is first normalized to microseconds — matching
+    DuckDB's ``epoch_us`` — while an already-integer column passes
+    through.  A bare ``cast(int64)`` on a timestamp silently yields the
+    STORAGE unit (ns parquet → ns ints), which corrupts every day/hour
+    bucketing kernel downstream; this helper is the single conversion
+    point (found by the tie-heavy timeline fuzz)."""
+    t = col.type
+    if pa.types.is_timestamp(t):
+        if t.unit != "us":
+            col = col.cast(pa.timestamp("us", tz=t.tz))
+        return col.cast(pa.int64())
+    return col.cast(pa.int64())

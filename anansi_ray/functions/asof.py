@@ -43,6 +43,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from anansi_ray.arrowds import ts_us
+
 from anansi_ray.arrowds import drop_empty_blocks as _drop_empty_blocks
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
@@ -84,9 +86,9 @@ def asof_join(
         cols: dict = {
             "part": _part_of(keys, n_parts),
             "k": pa.array(keys, pa.int64()),
-            "t": batch[build_on].combine_chunks().cast(pa.int64()),
+            "t": ts_us(batch[build_on].combine_chunks()),
             "side": pa.array(np.zeros(n, np.int8), pa.int8()),
-            "tb": batch[build_tiebreak].combine_chunks().cast(pa.int64()),
+            "tb": ts_us(batch[build_tiebreak].combine_chunks()),
         }
         for c in payload:
             cols[f"p_{c}"] = batch[c]
@@ -100,7 +102,7 @@ def asof_join(
         cols: dict = {
             "part": _part_of(keys, n_parts),
             "k": pa.array(keys, pa.int64()),
-            "t": batch[probe_on].combine_chunks().cast(pa.int64()),
+            "t": ts_us(batch[probe_on].combine_chunks()),
             "side": pa.array(np.ones(n, np.int8), pa.int8()),
             "tb": pa.array(np.zeros(n, np.int64), pa.int64()),
         }

@@ -16,6 +16,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from anansi_ray.arrowds import ts_us
+
 HOUR_US = 3_600_000_000
 
 
@@ -49,7 +51,7 @@ def tumbling_window(ds: rd.Dataset, window_us: int = HOUR_US) -> rd.Dataset:
     row per key per batch, not raw events."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = ts_us(batch["ts"]).to_numpy(zero_copy_only=False)
         return _window_partial(
             batch["user_id"].to_numpy(zero_copy_only=False),
             (ts // window_us) * window_us,
@@ -92,7 +94,7 @@ def sliding_window(
     k = window_us // hop_us
 
     def explode(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = ts_us(batch["ts"]).to_numpy(zero_copy_only=False)
         users = batch["user_id"].to_numpy(zero_copy_only=False)
         vals = batch["value"].to_numpy(zero_copy_only=False)
         base = (ts // hop_us) * hop_us
@@ -171,7 +173,7 @@ def session_windows(ds: rd.Dataset, gap_us: int = HOUR_US) -> rd.Dataset:
             {
                 "part": _part_np(u.to_numpy(zero_copy_only=False), n_parts),
                 "user_id": u,
-                "ts": batch["ts"].combine_chunks().cast(pa.int64()),
+                "ts": ts_us(batch["ts"].combine_chunks()),
                 "event_id": batch["event_id"].combine_chunks().cast(pa.int64()),
                 "value": batch["value"].combine_chunks().cast(pa.float64()),
             }
@@ -253,7 +255,7 @@ def burst_heads(ds: rd.Dataset, gap_us: int = HOUR_US) -> rd.Dataset:
             {
                 "part": _part_np(u.to_numpy(zero_copy_only=False), n_parts),
                 "user_id": u,
-                "ts": batch["ts"].combine_chunks().cast(pa.int64()),
+                "ts": ts_us(batch["ts"].combine_chunks()),
                 "event_id": batch["event_id"].combine_chunks().cast(pa.int64()),
             }
         )
@@ -314,7 +316,7 @@ def lag_lead_window(ds: rd.Dataset) -> rd.Dataset:
             {
                 "part": _part_np(u.to_numpy(zero_copy_only=False), n_parts),
                 "user_id": u,
-                "ts": batch["ts"].combine_chunks().cast(pa.int64()),
+                "ts": ts_us(batch["ts"].combine_chunks()),
                 "event_id": batch["event_id"].combine_chunks().cast(pa.int64()),
                 "value": batch["value"].combine_chunks().cast(pa.float64()),
             }

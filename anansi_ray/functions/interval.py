@@ -33,6 +33,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from anansi_ray.arrowds import ts_us
+
 from anansi_ray.arrowds import drop_empty_blocks as _drop_empty_blocks
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
@@ -73,7 +75,7 @@ def interval_join_agg(
         cols: dict = {
             "part": _part_of(keys, n_parts),
             "k": pa.array(keys, pa.int64()),
-            "t": batch[point_t].combine_chunks().cast(pa.int64()),
+            "t": ts_us(batch[point_t].combine_chunks()),
             "side": pa.array(np.zeros(n, np.int8), pa.int8()),
             "v": batch[point_val].combine_chunks().cast(pa.float64()),
         }
@@ -87,7 +89,7 @@ def interval_join_agg(
         cols: dict = {
             "part": _part_of(keys, n_parts),
             "k": pa.array(keys, pa.int64()),
-            "t": batch[interval_lo].combine_chunks().cast(pa.int64()),
+            "t": ts_us(batch[interval_lo].combine_chunks()),
             "side": pa.array(np.ones(n, np.int8), pa.int8()),
             "v": pa.array(np.zeros(n, np.float64), pa.float64()),
         }

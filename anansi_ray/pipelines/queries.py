@@ -18,6 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from anansi_ray.arrowds import ts_us
 from anansi_ray.canon import canon_batch, normalize_content_type
 from anansi_ray.functions import dedup as fdedup
 from anansi_ray.functions import events as fevents
@@ -2637,7 +2638,7 @@ def q_orders_running_total(sf_dir: str):
         return pa.table(
             {
                 "o_orderkey": b["o_orderkey"],
-                "o_date_us": b["o_orderdate"].cast(pa.int64()),
+                "o_date_us": ts_us(b["o_orderdate"]),
                 "cents": cents,
             }
         )
@@ -3234,7 +3235,7 @@ def q_events_funnel(sf_dir: str):
         if g.num_rows == 0:
             return empty
         u = g["user_id"].to_numpy(zero_copy_only=False)
-        ts = g["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = ts_us(g["ts"].combine_chunks()).to_numpy(zero_copy_only=False)
         et = np.asarray(g["event_type"].to_pylist())
         uniq, inv = np.unique(u, return_inverse=True)
         inf = np.iinfo(np.int64).max
@@ -4061,7 +4062,7 @@ def q_users_retention(sf_dir: str):
     mm = (
         _read(sf_dir, "events", ["ts"])
         .map_batches(
-            lambda b: pa.table({"ts": b["ts"].combine_chunks().cast(pa.int64())}),
+            lambda b: pa.table({"ts": ts_us(b["ts"].combine_chunks())}),
             batch_format="pyarrow",
         )
         .aggregate(Min("ts"), Max("ts"))
@@ -4071,7 +4072,7 @@ def q_users_retention(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = ts_us(b["ts"].combine_chunks()).to_numpy(zero_copy_only=False)
         half = (2 * ts > pivot).astype(np.int64)
         key = u * 2 + half
         uniq = np.unique(key)
@@ -4431,7 +4432,7 @@ def q_cohort_retention(sf_dir: str):
     def pairs(b: pa.Table) -> pa.Table:
         u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         d = (
-            b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ts_us(b["ts"].combine_chunks()).to_numpy(zero_copy_only=False)
             // DAY_US
         )
         key = np.unique(u * 1_000_000 + d)
@@ -4748,7 +4749,7 @@ def q_purchase_attribution(sf_dir: str):
                 "part": pa.array((u % P).astype(np.int32), pa.int32()),
                 "user_id": b["user_id"],
                 "event_id": b["event_id"],
-                "ts": b["ts"].combine_chunks().cast(pa.int64()),
+                "ts": ts_us(b["ts"].combine_chunks()),
                 "event_type": b["event_type"],
             }
         )
@@ -4979,7 +4980,7 @@ def q_orders_skyline(sf_dir: str):
                 b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
             ).astype(np.int64)
             day = (
-                b["o_orderdate"].combine_chunks().cast(pa.int64()).to_numpy(
+                ts_us(b["o_orderdate"].combine_chunks()).to_numpy(
                     zero_copy_only=False
                 )
                 // DAY_US
@@ -5038,7 +5039,7 @@ def q_events_regression(sf_dir: str):
     mn = (
         _read(sf_dir, "events", ["ts"])
         .map_batches(
-            lambda b: pa.table({"ts": b["ts"].combine_chunks().cast(pa.int64())}),
+            lambda b: pa.table({"ts": ts_us(b["ts"].combine_chunks())}),
             batch_format="pyarrow",
         )
         .aggregate(Min("ts"))
@@ -5049,7 +5050,7 @@ def q_events_regression(sf_dir: str):
         import pandas as pd
 
         et = b["event_type"].to_numpy(zero_copy_only=False)
-        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = ts_us(b["ts"].combine_chunks()).to_numpy(zero_copy_only=False)
         x = (ts - MIN_US) // 60_000_000  # minutes since corpus start
         y = np.round(b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         xx = x * x
@@ -5596,7 +5597,7 @@ def q_events_gap_fill(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         et = b["event_type"].to_numpy(zero_copy_only=False)
         hr = (
-            b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ts_us(b["ts"].combine_chunks()).to_numpy(zero_copy_only=False)
             // HOUR_US
         )
         types, tinv = np.unique(et, return_inverse=True)
@@ -5749,7 +5750,7 @@ def q_user_active_time(sf_dir: str):
 
     def tag(b: pa.Table) -> pa.Table:
         u = b["user_id"].to_numpy(zero_copy_only=False)
-        s = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s = ts_us(b["ts"].combine_chunks()).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "part": pa.array((u % P).astype(np.int32), pa.int32()),
@@ -5834,7 +5835,7 @@ def q_events_moving_avg(sf_dir: str):
 
     def tag(b: pa.Table) -> pa.Table:
         u = b["user_id"].to_numpy(zero_copy_only=False)
-        ts = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = ts_us(b["ts"].combine_chunks()).to_numpy(zero_copy_only=False)
         v = pc.cast(
             pc.round(pc.multiply(b["value"], 10000.0)), pa.int64()
         )
@@ -5928,7 +5929,7 @@ def q_sliding_distinct_users(sf_dir: str):
     def tag(b: pa.Table) -> pa.Table:
         u = b["user_id"].to_numpy(zero_copy_only=False)
         h = (
-            b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ts_us(b["ts"].combine_chunks()).to_numpy(zero_copy_only=False)
             // HOUR
         )
         pair = np.unique(h * np.int64(1) * (np.int64(1) << 31) + u)
@@ -6371,7 +6372,7 @@ def q_user_streaks(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         u = b["user_id"].to_numpy(zero_copy_only=False)
-        d = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY_US
+        d = ts_us(b["ts"]).to_numpy(zero_copy_only=False) // DAY_US
         order = np.lexsort((d, u))
         u, d = u[order], d[order]
         keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
@@ -6920,7 +6921,7 @@ def q_event_transitions(sf_dir: str):
 
     def kernel(group: pa.Table) -> pa.Table:
         u = group["user_id"].to_numpy(zero_copy_only=False)
-        t = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = ts_us(group["ts"]).to_numpy(zero_copy_only=False)
         e = group["event_id"].to_numpy(zero_copy_only=False)
         et = group["event_type"].to_numpy(zero_copy_only=False)
         order = np.lexsort((e, t, u))
@@ -6978,7 +6979,7 @@ def q_user_twap(sf_dir: str):
 
     def kernel(group: pa.Table) -> pa.Table:
         u = group["user_id"].to_numpy(zero_copy_only=False)
-        t = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = ts_us(group["ts"]).to_numpy(zero_copy_only=False)
         e = group["event_id"].to_numpy(zero_copy_only=False)
         v = group["value"].to_numpy(zero_copy_only=False)
         order = np.lexsort((e, t, u))
@@ -7085,7 +7086,7 @@ def q_type_hour_mi(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         et = b["event_type"].to_numpy(zero_copy_only=False)
         hr = (
-            b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ts_us(b["ts"]).to_numpy(zero_copy_only=False)
             // 3_600_000_000
             % 24
         )
@@ -7278,7 +7279,7 @@ def q_user_state_intervals(sf_dir: str):
 
     def kernel(group: pa.Table) -> pa.Table:
         u = group["user_id"].to_numpy(zero_copy_only=False)
-        t = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = ts_us(group["ts"]).to_numpy(zero_copy_only=False)
         e = group["event_id"].to_numpy(zero_copy_only=False)
         et = group["event_type"].to_numpy(zero_copy_only=False)
         order = np.lexsort((e, t, u))
@@ -7337,7 +7338,7 @@ def q_daily_revenue_delta(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         d = (
-            b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ts_us(b["o_orderdate"]).to_numpy(zero_copy_only=False)
             // DAY_US
         )
         cents = pc.cast(
@@ -7468,7 +7469,7 @@ def q_funnel_latency(sf_dir: str):
                 "part": pa.array((u % P).astype(np.int32), pa.int32()),
                 "user_id": pa.array(u, pa.int64()),
                 "t": pa.array(
-                    b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[m],
+                    ts_us(b["ts"]).to_numpy(zero_copy_only=False)[m],
                     pa.int64(),
                 ),
                 "is_view": pa.array(et[m] == "view", pa.bool_()),
@@ -7571,7 +7572,7 @@ def q_customer_order_cadence(sf_dir: str):
                 "part": pa.array((k % P).astype(np.int32), pa.int32()),
                 "o_custkey": b["o_custkey"],
                 "dayno": pa.array(
-                    b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    ts_us(b["o_orderdate"]).to_numpy(zero_copy_only=False)
                     // DAY_US,
                     pa.int64(),
                 ),
@@ -7688,7 +7689,7 @@ def _customer_rfm_base(sf_dir: str):
             {
                 "o_custkey": b["o_custkey"],
                 "dayno": pa.array(
-                    b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    ts_us(b["o_orderdate"]).to_numpy(zero_copy_only=False)
                     // DAY_US,
                     pa.int64(),
                 ),
@@ -7877,7 +7878,7 @@ def q_k_anonymity(sf_dir: str):
         import pandas as pd
 
         mo = (
-            b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ts_us(b["o_orderdate"]).to_numpy(zero_copy_only=False)
             // DAY_US
             // 30
         )
@@ -8150,7 +8151,7 @@ def q_daily_anomalies(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         et = b["event_type"].to_numpy(zero_copy_only=False)
-        d = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY_US
+        d = ts_us(b["ts"]).to_numpy(zero_copy_only=False) // DAY_US
         types, tinv = np.unique(et, return_inverse=True)
         dmin = d.min() if len(d) else 0
         span = int(d.max() - dmin) + 1 if len(d) else 1
@@ -8220,7 +8221,7 @@ def q_duplicate_orders_audit(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         k = b["o_custkey"].to_numpy(zero_copy_only=False)
         d = (
-            b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ts_us(b["o_orderdate"]).to_numpy(zero_copy_only=False)
             // DAY_US
         )
         order = np.lexsort((d, k))
@@ -8462,7 +8463,7 @@ def q_ship_latency(sf_dir: str):
     def li_partial(b: pa.Table) -> pa.Table:
         k = b["l_orderkey"].to_numpy(zero_copy_only=False)
         d = (
-            b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ts_us(b["l_shipdate"]).to_numpy(zero_copy_only=False)
             // DAY_US
         )
         keys, inv = np.unique(k, return_inverse=True)
@@ -8481,7 +8482,7 @@ def q_ship_latency(sf_dir: str):
     def o_side(b: pa.Table) -> pa.Table:
         k = b["o_orderkey"].to_numpy(zero_copy_only=False)
         d = (
-            b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ts_us(b["o_orderdate"]).to_numpy(zero_copy_only=False)
             // DAY_US
         )
         return pa.table(
@@ -8751,7 +8752,7 @@ def q_adoption_curve(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         u = b["user_id"].to_numpy(zero_copy_only=False)
-        d = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // DAY_US
+        d = ts_us(b["ts"]).to_numpy(zero_copy_only=False) // DAY_US
         users, inv = np.unique(u, return_inverse=True)
         mn = np.full(len(users), np.iinfo(np.int64).max)
         np.minimum.at(mn, inv, d)
