@@ -411,6 +411,53 @@ def run_stage_only(num_cpus: int) -> dict:
     return out
 
 
+#: operator-plane scaling basket — one representative per distributed
+#: pattern: shuffle-banded dedup, text aggregate with per-batch combiner,
+#: columnar aggregate, co-partitioned join, session partition kernel,
+#: broadcast-matmul ANN.  Together they cover the data-processing axis the
+#: fetch-parse-extract stage (axis A) does not.
+OPS_BASKET = [
+    x
+    for x in os.environ.get(
+        "GRAFT_OPS_BASKET",
+        "minhash_near_dup,token_df,lineitem_agg,"
+        "order_lineitem_join,events_sessions,knn_cosine",
+    ).split(",")
+    if x
+]
+
+
+def run_ops_only(num_cpus: int) -> dict:
+    """One timed pass of the operator basket over SF_DIR (fresh session).
+
+    A cheap warm query runs first (untimed) so Ray worker startup /
+    import cost doesn't land on the first basket item."""
+    _init_ray(num_cpus)
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def force(res):
+        if hasattr(res, "to_arrow_refs"):
+            _consume(res)
+
+    force(qs["token_count"](SF_DIR))  # warm: spins up the worker pool
+    times: dict[str, float] = {}
+    t0 = time.time()
+    for name in OPS_BASKET:
+        tq = time.time()
+        force(qs[name](SF_DIR))
+        times[name] = round(time.time() - tq, 2)
+    wall = time.time() - t0
+    return {
+        "scale": SF_DIR,
+        "wall_sec": round(wall, 2),
+        "ops": times,
+        "num_cpus": num_cpus,
+        "host_memband_sec": _host_health_sec(),
+    }
+
+
 SCALING_LEVELS = tuple(
     int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,8,32").split(",")
 )
@@ -470,9 +517,69 @@ def run_scaling() -> dict:
     return out
 
 
+OPS_SCALING_LEVELS = tuple(
+    int(x) for x in os.environ.get("GRAFT_OPS_SCALING_LEVELS", "8,32").split(",")
+)
+
+
+def run_scaling_ops() -> dict:
+    """North-rule evidence, axis B: the operator basket (dedup / text /
+    aggregate / join / window / ANN) on the SAME sf input at two
+    parallelism levels, each in a fresh process.  Interleaved reps,
+    best-of-N per level (see run_scaling for the CPU-steal rationale);
+    throughput proxy is 1/wall of the whole basket."""
+    raw: dict[int, list] = {n: [] for n in OPS_SCALING_LEVELS}
+    for _rep in range(SCALING_REPS):
+        for ncpu in OPS_SCALING_LEVELS:
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(ncpu),
+                GRAFT_BENCH_MODE="ops",
+            )
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            raw[ncpu].append(json.loads(proc.stdout.strip().splitlines()[-1]))
+    best = {n: min(r["wall_sec"] for r in raw[n]) for n in OPS_SCALING_LEVELS}
+    out = {
+        "metric": "operator-basket scaling efficiency (N vs 4N parallelism)",
+        "unit": "sec (basket wall)",
+        "sf": SF_DIR,
+        "basket": OPS_BASKET,
+        "reps": SCALING_REPS,
+        "wall_sec": {str(n): best[n] for n in OPS_SCALING_LEVELS},
+        "raw": {
+            str(n): [
+                {
+                    "wall_sec": r["wall_sec"],
+                    "ops": r["ops"],
+                    "host_memband_sec": r.get("host_memband_sec"),
+                }
+                for r in raw[n]
+            ]
+            for n in OPS_SCALING_LEVELS
+        },
+    }
+    lv = sorted(OPS_SCALING_LEVELS)
+    for lo, hi in zip(lv, lv[1:]):
+        if hi == 4 * lo:
+            out[f"efficiency_{lo}_to_{hi}"] = round(
+                (best[lo] / best[hi]) / 4, 3
+            )
+    return out
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-ops" in sys.argv:
+        print(json.dumps(run_scaling_ops()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif os.environ.get("GRAFT_BENCH_MODE") == "ops":
+        print(json.dumps(run_ops_only(NUM_CPUS)))
     elif os.environ.get("GRAFT_BENCH_MODE") == "stage":
         print(json.dumps(run_stage_only(NUM_CPUS)))
     else:
