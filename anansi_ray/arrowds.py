@@ -93,8 +93,14 @@ def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
             return ds
         if not refs:
             # every block empty: keep exactly ONE, carrying a real
-            # (non-empty) schema when any block has one
-            ref, md, _, schema = keep_empty
+            # (non-empty) schema when any block has one.  The kept block
+            # must be PHYSICALLY typed — re-wrapping the original ref only
+            # fixes the metadata, and ``to_pandas`` reads the block bytes,
+            # so an all-filtered result would still reach the driver as a
+            # 0-column frame (tiny-input sweep, round 4).
+            ref, md, has_fields, schema = keep_empty
+            if has_fields:
+                ref = ray.put(schema.empty_table())
             refs.append(ref)
             mds.append(BlockMetadataWithSchema(md, schema))
         execution_plan = ExecutionPlan(
@@ -116,6 +122,26 @@ def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
             exc,
         )
         return ds
+
+
+def stable_pandas(ds: rd.Dataset):
+    """``ds.to_pandas()`` that keeps the column schema on an ALL-EMPTY
+    dataset.
+
+    ``to_pandas`` iterates ``iter_batches``, which yields nothing for
+    0-row blocks — so a fully-filtered result reaches the driver as a
+    0-column frame no matter how well-typed the blocks are, and the
+    finishing ``sort_values``/``groupby`` raises KeyError.  At scale some
+    partition is always empty, so every driver-side finish must tolerate
+    this shape.  Falls back to the dataset-level schema (Arrow path) to
+    rebuild the typed empty frame."""
+    df = ds.to_pandas()
+    if len(df.columns) == 0:
+        schema = ds.schema(fetch_if_missing=True)
+        base = getattr(schema, "base_schema", None)
+        if isinstance(base, pa.Schema) and len(base.names):
+            return base.empty_table().to_pandas()
+    return df
 
 
 def ts_us(col: "pa.ChunkedArray | pa.Array") -> "pa.ChunkedArray | pa.Array":

@@ -44,6 +44,24 @@ def _read(sf_dir: str, name: str, columns=None) -> rd.Dataset:
     ).map_batches(_strip_meta, batch_format="pyarrow")
 
 
+def _stable(df, schema: dict):
+    """Reinstate the declared output columns on an all-empty driver frame.
+
+    Ray's ``map_batches``/``map_groups`` never invoke the UDF on an empty
+    input block and emit a schema-LESS empty block instead (the streaming
+    executor warns ``new schema: .``); a pipeline whose every row is
+    filtered out therefore reaches the driver as a 0-column DataFrame and
+    the finishing ``sort_values``/``groupby`` raises KeyError.  A no-op
+    whenever any column survived; ``schema`` maps column name → pandas
+    dtype string.  At scale some partition is ALWAYS empty, so every
+    driver-side finish must tolerate this shape (tiny-input sweep)."""
+    import pandas as pd
+
+    if len(df) == 0 and not set(schema) <= set(df.columns):
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in schema.items()})
+    return df
+
+
 # ---------------------------------------------------------------------------
 # URL-kernel queries (M1-M4, M9, F1) — URLs synthesized deterministically
 # from doc_id so the DuckDB oracle can derive the identical input.
@@ -675,11 +693,15 @@ def q_segment_revenue(sf_dir: str):
     def join(batch: pa.Table) -> pa.Table:
         cust = ray.get(ref)
         idx = pc.index_in(batch["o_custkey"], cust["c_custkey"])
-        seg = pc.fill_null(cust["c_mktsegment"].combine_chunks().take(idx), "")
+        # inner-join semantics: drop orders whose custkey is absent from
+        # the dim side (FK integrity hides this on full data; a sliced
+        # input must not invent a '' segment the SQL twin can't produce)
+        hit = pc.is_valid(idx)
+        seg = cust["c_mktsegment"].combine_chunks().take(idx.filter(hit))
         return pa.table(
             {
                 "c_mktsegment": seg,
-                "o_totalprice": batch["o_totalprice"],
+                "o_totalprice": batch["o_totalprice"].filter(hit),
             }
         )
 
@@ -694,6 +716,9 @@ def q_segment_revenue(sf_dir: str):
             Count(alias_name="n_orders"),
         )
         .to_pandas()
+    )
+    out = _stable(
+        out, {"c_mktsegment": "object", "revenue": "float64", "n_orders": "int64"}
     )
     out["revenue"] = out["revenue"].round(2)
     out["n_orders"] = out["n_orders"].astype("int64")
@@ -1185,6 +1210,10 @@ def q_order_lineitem_join(sf_dir: str):
         .groupby("bucket")
         .map_groups(join_bucket, batch_format="pyarrow")
         .to_pandas()
+    )
+    partials = _stable(
+        partials,
+        {"o_orderstatus": "object", "revenue": "float64", "n_items": "int64"},
     )
     out = partials.groupby("o_orderstatus", as_index=False).agg(
         revenue=("revenue", "sum"), n_items=("n_items", "sum")
@@ -1859,7 +1888,10 @@ def q_decontaminate(sf_dir: str):
             }
         )
 
-    out = docs.map_batches(probe, batch_format="pyarrow").to_pandas().sort_values("doc_id")
+    out = _stable(
+        docs.map_batches(probe, batch_format="pyarrow").to_pandas(),
+        {"doc_id": "int64", "n_hits": "int64"},
+    ).sort_values("doc_id")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -2557,6 +2589,10 @@ def q_order_lineitem_join_salted(sf_dir: str):
         .map_groups(join_bucket, batch_format="pyarrow")
         .materialize()
     ).to_pandas()
+    partials = _stable(
+        partials,
+        {"o_orderstatus": "object", "revenue": "float64", "n_items": "int64"},
+    )
     out = partials.groupby("o_orderstatus", as_index=False).agg(
         revenue=("revenue", "sum"), n_items=("n_items", "sum")
     )
@@ -3124,18 +3160,16 @@ def q_orders_with_returns(sf_dir: str):
             {"o_orderkey": t["k"], "o_orderstatus": t["o_orderstatus"]}
         )
 
-    from anansi_ray.arrowds import drop_empty_blocks
+    from anansi_ray.arrowds import drop_empty_blocks, stable_pandas
 
-    out = (
+    out = stable_pandas(
         drop_empty_blocks(
             probe.union(bd)
             .groupby("part")
             .map_groups(semi, batch_format="pyarrow")
             .materialize()
         )
-        .to_pandas()
-        .sort_values("o_orderkey")
-    )
+    ).sort_values("o_orderkey")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -3614,10 +3648,22 @@ ORDER BY user_id
 """
 
 
-def _pivot_wide(sf_dir: str):
+#: declared pivot vocabulary — SQL PIVOT requires its IN-list up front and
+#: the DuckDB twins hardcode these five columns, so the Ray pivot pins the
+#: same contract: absent types yield zero-filled columns (an input slice
+#: carrying only 3 of the 5 types must still produce the 5-type-wide
+#: schema), and any type OUTSIDE the list is ignored, exactly like
+#: ``PIVOT ... IN (...)``.
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _pivot_wide(sf_dir: str, types=PIVOT_EVENT_TYPES):
     """Shared distributed pivot plan (see q_events_pivot): returns the
-    aggregated wide Dataset (one row per user) plus the discovered type
-    list — q_events_unpivot chains its melt on this without re-deriving."""
+    aggregated wide Dataset (one row per user) plus the type list —
+    q_events_unpivot chains its melt on this without re-deriving.  Pass
+    ``types=None`` to DISCOVER the vocabulary with a tiny distinct pass
+    (per-batch unique combiner, ≤ |types| rows per block reach the
+    driver) instead of declaring it."""
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
@@ -3626,13 +3672,13 @@ def _pivot_wide(sf_dir: str):
         u = np.unique(b["event_type"].to_numpy(zero_copy_only=False))
         return pa.table({"event_type": pa.array(u, pa.string())})
 
-    types = sorted(
-        set(
+    if types is None:
+        types = set(
             ds.map_batches(type_partial, batch_format="pyarrow")
             .to_pandas()["event_type"]
             .tolist()
         )
-    )
+    types = sorted(types)
 
     def wide_partial(b: pa.Table) -> pa.Table:
         users = b["user_id"].to_numpy(zero_copy_only=False)
@@ -3669,11 +3715,12 @@ def q_events_pivot(sf_dir: str):
     column pair per event type — the long→wide reshape every feature/metric
     table needs.
 
-    Scale shape: the type set is DISCOVERED by a tiny distinct pass (per-
-    batch unique combiner, ≤ |types| rows per block reach the driver), then
-    ONE user-keyed groupby whose input is a per-batch wide combiner (np
-    factorize + bincount per type), so the exchange carries ≤ |users per
-    batch| wide rows — never the event stream."""
+    Scale shape: the type vocabulary is declared up front (SQL PIVOT
+    IN-list contract; pass ``types=None`` to _pivot_wide to discover it
+    with a tiny distinct pass instead), then ONE user-keyed groupby whose
+    input is a per-batch wide combiner (np factorize + bincount per
+    type), so the exchange carries ≤ |users per batch| wide rows — never
+    the event stream."""
     wide, types = _pivot_wide(sf_dir)
     out = wide.to_pandas().sort_values("user_id")
     for t in types:
@@ -5262,6 +5309,9 @@ def q_region_revenue(sf_dir: str):
         .map_groups(join_orders_lineitem, batch_format="pyarrow")
         .to_pandas()
     )
+    partials = _stable(
+        partials, {"r_name": "object", "revenue": "float64", "n_items": "int64"}
+    )
     out = partials.groupby("r_name", as_index=False).agg(
         revenue=("revenue", "sum"), n_items=("n_items", "sum")
     )
@@ -5553,21 +5603,19 @@ def q_orders_bloom_filter(sf_dir: str):
             }
         )
 
-    from anansi_ray.arrowds import drop_empty_blocks
+    from anansi_ray.arrowds import drop_empty_blocks, stable_pandas
 
     cands = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
     ).map_batches(probe, batch_format="pyarrow")
-    out = (
+    out = stable_pandas(
         drop_empty_blocks(
             cands.union(cust.map_batches(tag_build, batch_format="pyarrow"))
             .groupby("part")
             .map_groups(verify, batch_format="pyarrow")
             .materialize()
         )
-        .to_pandas()
-        .sort_values("o_orderkey")
-    )
+    ).sort_values("o_orderkey")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -6848,6 +6896,7 @@ def q_part_copurchase(sf_dir: str):
         .map_groups(combine_topk, batch_format="pyarrow")
         .to_pandas()
     )
+    parts = _stable(parts, {"pk": "int64", "n": "int64"})
     n = parts["n"].to_numpy()
     pk = parts["pk"].to_numpy()
     order = np.lexsort((pk, -n))[:100]
@@ -7521,8 +7570,18 @@ def q_funnel_latency(sf_dir: str):
         .groupby("gap_s")
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
-        .sort_values("gap_s")
     )
+    hist = _stable(hist, {"gap_s": "int64", "cnt": "int64"}).sort_values("gap_s")
+    if len(hist) == 0:
+        # zero conversions: the SQL twin's aggregate-over-empty yields one
+        # all-NULL row, not an empty result — mirror it
+        return pa.table(
+            {
+                "n_converted": pa.array([None], pa.int64()),
+                "p50_gap_s": pa.array([None], pa.int64()),
+                "p90_gap_s": pa.array([None], pa.int64()),
+            }
+        )
     v = hist["gap_s"].to_numpy()
     c = hist["cnt"].to_numpy()
     return pa.table(
@@ -7614,9 +7673,9 @@ def q_customer_order_cadence(sf_dir: str):
             }
         )
 
-    from anansi_ray.arrowds import drop_empty_blocks
+    from anansi_ray.arrowds import drop_empty_blocks, stable_pandas
 
-    out = (
+    out = stable_pandas(
         drop_empty_blocks(
             _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
             .map_batches(tag, batch_format="pyarrow")
@@ -7624,9 +7683,7 @@ def q_customer_order_cadence(sf_dir: str):
             .map_groups(kernel, batch_format="pyarrow")
             .materialize()
         )
-        .to_pandas()
-        .sort_values("o_custkey")
-    )
+    ).sort_values("o_custkey")
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
@@ -8248,8 +8305,10 @@ def q_duplicate_orders_audit(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
         .map_batches(having, batch_format="pyarrow")
         .to_pandas()
-        .sort_values(["o_custkey", "dayno"])
     )
+    out = _stable(
+        out, {"o_custkey": "int64", "dayno": "int64", "n": "int64"}
+    ).sort_values(["o_custkey", "dayno"])
     for c in ("o_custkey", "dayno", "n"):
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
@@ -8400,8 +8459,15 @@ def q_part_return_rates(sf_dir: str):
         fk = key[~is_dim]
         fr = ret[~is_dim]
         ft = g["tot"].to_numpy(zero_copy_only=False)[~is_dim]
-        idx = np.searchsorted(dk, fk)
-        brands = db[idx]  # FK integrity: every l_partkey exists in part
+        # inner-join semantics: drop fact rows whose dim key is absent
+        # (FK integrity holds in full TPC-H data, but a sliced/filtered
+        # input must not crash or mis-assign to a neighboring key)
+        idx = np.clip(np.searchsorted(dk, fk), 0, max(len(dk) - 1, 0))
+        hit = (dk[idx] == fk) if len(dk) else np.zeros(len(fk), bool)
+        if not hit.any():
+            return empty
+        fr, ft = fr[hit], ft[hit]
+        brands = db[idx[hit]]
         u, inv = np.unique(brands, return_inverse=True)
         return pa.table(
             {
@@ -8433,8 +8499,11 @@ def q_part_return_rates(sf_dir: str):
             Sum("n_returned", alias_name="n_returned"),
         )
         .to_pandas()
-        .sort_values("p_brand")
     )
+    out = _stable(
+        out,
+        {"p_brand": "object", "n_lineitems": "int64", "n_returned": "int64"},
+    ).sort_values("p_brand")
     for c in ("n_lineitems", "n_returned"):
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
@@ -8517,6 +8586,8 @@ def q_ship_latency(sf_dir: str):
         lm = ~om
         lk = key[lm]
         lmin = day[lm]
+        if len(lk) == 0 or len(ok) == 0:
+            return empty
         # combine lineitem partials per orderkey (several batches may
         # contribute a min for the same order)
         lo = np.argsort(lk, kind="stable")
@@ -8524,9 +8595,14 @@ def q_ship_latency(sf_dir: str):
         starts = np.flatnonzero(np.r_[True, lk[1:] != lk[:-1]])
         lkey = lk[starts]
         lday = np.minimum.reduceat(lmin, starts)
-        idx = np.searchsorted(ok, lkey)
-        gap = lday - od[idx]
-        pri = op[idx]
+        # inner-join semantics: drop lineitem keys whose order row is
+        # absent from this partition's slice of the input
+        idx = np.clip(np.searchsorted(ok, lkey), 0, len(ok) - 1)
+        hit = ok[idx] == lkey
+        if not hit.any():
+            return empty
+        gap = lday[hit] - od[idx[hit]]
+        pri = op[idx[hit]]
         import pandas as pd
 
         df = (
@@ -8559,6 +8635,7 @@ def q_ship_latency(sf_dir: str):
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
     )
+    hist = _stable(hist, {"pri": "object", "gap": "int64", "cnt": "int64"})
     rows = []
     for pri, grp in hist.groupby("pri"):
         grp = grp.sort_values("gap")
