@@ -124,6 +124,37 @@ def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
         return ds
 
 
+def stable_frame(df, schema: dict):
+    """Reinstate declared output columns on an all-empty driver frame.
+
+    Ray's ``map_batches``/``map_groups`` never invoke the UDF on an empty
+    input block and emit a schema-LESS empty block instead, so a pipeline
+    whose every row is filtered out (or whose source is empty) reaches the
+    driver as a 0-column DataFrame and the finishing ``sort_values``/
+    ``groupby`` raises KeyError.  A no-op whenever the columns survived;
+    ``schema`` maps column name → pandas dtype string."""
+    import pandas as pd
+
+    if len(df) == 0 and not set(schema) <= set(df.columns):
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=t) for c, t in schema.items()}
+        )
+    return df
+
+
+def _schema_empty_frame(ds: rd.Dataset):
+    """Typed 0-row DataFrame from the dataset-level schema, or None if the
+    schema is unavailable / not an Arrow schema."""
+    try:
+        schema = ds.schema(fetch_if_missing=True)
+    except Exception:  # pragma: no cover - schema fetch is best-effort here
+        return None
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema) and len(base.names):
+        return base.empty_table().to_pandas()
+    return None
+
+
 def stable_pandas(ds: rd.Dataset):
     """``ds.to_pandas()`` that keeps the column schema on an ALL-EMPTY
     dataset.
@@ -137,11 +168,44 @@ def stable_pandas(ds: rd.Dataset):
     rebuild the typed empty frame."""
     df = ds.to_pandas()
     if len(df.columns) == 0:
-        schema = ds.schema(fetch_if_missing=True)
-        base = getattr(schema, "base_schema", None)
-        if isinstance(base, pa.Schema) and len(base.names):
-            return base.empty_table().to_pandas()
+        fixed = _schema_empty_frame(ds)
+        if fixed is not None:
+            return fixed
     return df
+
+
+_STABLE_TO_PANDAS_INSTALLED = False
+
+
+def install_stable_to_pandas() -> None:
+    """Make ``Dataset.to_pandas`` schema-stable process-wide.
+
+    Every driver-side query finish funnels through ``to_pandas``; the
+    0-row → 0-column loss described in ``stable_pandas`` therefore breaks
+    ANY pipeline whose result is empty (a filter that matched nothing, an
+    empty input partition — at 100 TB a certainty somewhere).  Rather than
+    wrap all ~130 call sites, this installs ``stable_pandas``'s recovery
+    directly onto ``ray.data.Dataset.to_pandas`` — behavior is unchanged
+    whenever any column survives; only the all-empty shape gains its
+    declared schema back.  Idempotent; the original is kept on
+    ``__wrapped__``."""
+    global _STABLE_TO_PANDAS_INSTALLED
+    if _STABLE_TO_PANDAS_INSTALLED:
+        return
+    orig = rd.Dataset.to_pandas
+
+    def to_pandas(self, *args, **kwargs):
+        df = orig(self, *args, **kwargs)
+        if len(df.columns) == 0:
+            fixed = _schema_empty_frame(self)
+            if fixed is not None:
+                return fixed
+        return df
+
+    to_pandas.__wrapped__ = orig
+    to_pandas.__doc__ = orig.__doc__
+    rd.Dataset.to_pandas = to_pandas
+    _STABLE_TO_PANDAS_INSTALLED = True
 
 
 def ts_us(col: "pa.ChunkedArray | pa.Array") -> "pa.ChunkedArray | pa.Array":

@@ -70,7 +70,10 @@ def kmeans_local(
     fully sequential orchestration."""
     ids = tbl[id_col].to_numpy(zero_copy_only=False)
     if len(ids) == 0:
-        raise ValueError("kmeans: empty input")
+        # empty in, empty out (same contract as the distributed path)
+        return pa.table(
+            {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+        )
     # fewer rows than k: every row is its own centroid (same clamp as the
     # distributed path, so the twins stay bit-identical)
     k = min(k, len(ids))
@@ -119,7 +122,10 @@ def kmeans_distributed(
         if t.num_rows
     ]
     if not parts:
-        raise ValueError("kmeans: empty input")
+        # empty in, empty out (same contract as kmeans_local)
+        return pa.table(
+            {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+        )
     seed = pa.concat_tables(parts)
     sids = seed["id"].to_numpy(zero_copy_only=False)
     # same fewer-rows-than-k clamp as kmeans_local (the seed table holds

@@ -1150,6 +1150,15 @@ def embedding_near_dup_pairs(
 
     full = ds.select_columns([id_col, "embedding"]).materialize()
     tbl = pa.concat_tables(ray.get(full.to_arrow_refs()), promote_options="default")
+    if id_col not in tbl.column_names:
+        # all-empty input: blocks are schema-less, no pairs exist
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
     ids = tbl[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
     mat = _emb_np(tbl)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -1265,6 +1274,15 @@ def embedding_near_dup_lsh(
     import ray
 
     first = ds.limit(1).to_pandas()
+    if len(first) == 0:
+        # empty corpus: no buckets, no candidate pairs
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
     dim = len(first["embedding"].iloc[0])
     planes_ref = ray.put(lsh_planes(dim, n_tables, n_bits, seed))
 

@@ -149,7 +149,11 @@ def pagerank_integer(
             .materialize()
         )
 
-    out = ranks.to_pandas().sort_values("doc_id")
+    from anansi_ray.arrowds import stable_frame
+
+    out = stable_frame(
+        ranks.to_pandas(), {"doc_id": "int64", "pr": "int64"}
+    ).sort_values("doc_id")
     out["pr"] = out["pr"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -281,7 +285,14 @@ def khop_reach(
             break
         visited = visited.union(frontier).materialize()
 
-    out = visited.to_pandas().groupby("root").size().reset_index(name="n_reach")
+    from anansi_ray.arrowds import stable_frame
+
+    out = (
+        stable_frame(visited.to_pandas(), {"root": "int64", "node": "int64"})
+        .groupby("root")
+        .size()
+        .reset_index(name="n_reach")
+    )
     out["n_reach"] = out["n_reach"].astype("int64")
     return pa.Table.from_pandas(
         out.sort_values("root").reset_index(drop=True), preserve_index=False

@@ -70,13 +70,15 @@ def ordered_prefix_sum(
             }
         )
 
-    hist = (
+    from anansi_ray.arrowds import stable_frame
+
+    hist = stable_frame(
         ds.map_batches(key_hist, batch_format="pyarrow")
         .groupby("k")
         .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-        .sort_values("k")
-    )
+        .to_pandas(),
+        {"k": "int64", "c": "int64"},
+    ).sort_values("k")
     keys = hist["k"].to_numpy()
     cum = hist["c"].to_numpy().cumsum()
     total = int(cum[-1]) if len(cum) else 0
@@ -109,13 +111,13 @@ def ordered_prefix_sum(
             }
         )
 
-    totals = (
+    totals = stable_frame(
         tagged.map_batches(part_sums, batch_format="pyarrow")
         .groupby("part")
         .aggregate(Sum("s", alias_name="s"))
-        .to_pandas()
-        .sort_values("part")
-    )
+        .to_pandas(),
+        {"part": "int64", "s": "int64"},
+    ).sort_values("part")
     n_eff = int(boundaries.size) + 1
     offsets = np.zeros(n_eff, dtype=np.int64)
     psums = np.zeros(n_eff, dtype=np.int64)

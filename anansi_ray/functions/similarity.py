@@ -54,6 +54,16 @@ def knn_brute(
         lambda b: b.filter(pc.is_in(pc.cast(b[id_col], pa.int64()), value_set=q_arr)),
         batch_format="pyarrow",
     ).to_pandas()
+    if len(q_tbl) == 0:
+        # empty corpus (or no query id present): nothing to rank
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
     q_tbl = q_tbl.sort_values(id_col)
     q_ids = q_tbl[id_col].to_numpy(dtype=np.int64)
     q_mat = np.asarray(list(q_tbl["embedding"]), dtype=np.float64)
@@ -129,6 +139,11 @@ class IvfIndex:
 
     def build(self, ds: rd.Dataset, id_col: str = "vec_id", sample_limit: int = 100_000):
         sample = ds.limit(sample_limit).to_pandas()
+        if len(sample) == 0:
+            # empty corpus: no cells to train; search() returns empty
+            self.centroids = np.zeros((0, 1))
+            self.assigned = ds.materialize()
+            return self
         mat = np.asarray(list(sample["embedding"]), dtype=np.float64)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         rng = np.random.default_rng(self.seed)
@@ -170,6 +185,15 @@ class IvfIndex:
             ),
             batch_format="pyarrow",
         ).to_pandas()
+        if len(q_df) == 0 or len(self.centroids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         q_df = q_df.sort_values(id_col)
         q_ids = q_df[id_col].to_numpy(dtype=np.int64)
         q_mat = np.asarray(list(q_df["embedding"]), dtype=np.float64)
@@ -227,11 +251,19 @@ class IvfIndex:
                 }
             )
 
-        out = (
+        from anansi_ray.arrowds import stable_frame
+
+        out = stable_frame(
             self.assigned.map_batches(scan, batch_format="pyarrow")
             .groupby("query_id")
             .map_groups(final_topk, batch_format="pyarrow")
-            .to_pandas()
+            .to_pandas(),
+            {
+                "query_id": "int64",
+                "rank": "int64",
+                "vec_id": "int64",
+                "cosine": "float64",
+            },
         )
         out = out.sort_values(["query_id", "rank"])
         return pa.Table.from_pandas(out, preserve_index=False)

@@ -110,6 +110,11 @@ def approx_distinct(
         .aggregate(Max("rho", alias_name="rho"))
         .to_pandas()
     )
+    from anansi_ray.arrowds import stable_frame
+
+    merged = stable_frame(
+        merged, {group_col: "object", "register": "int64", "rho": "int64"}
+    )
     out_groups, out_est = [], []
     for g, sub in merged.groupby(group_col, sort=True):
         dense = np.zeros(HLL_M, np.int64)
@@ -148,14 +153,19 @@ def distinct_count_exact(
             }
         )
 
+    from anansi_ray.arrowds import stable_frame
+
     pairs = ds.map_batches(pair_partial, batch_format="pyarrow")
     # second dedup across batches, then count per group
     return (
-        pairs.groupby([group_col, key_col])
-        .aggregate(Count(alias_name="n"))
-        .groupby(group_col)
-        .aggregate(Count(alias_name="n_distinct"))
-        .to_pandas()
+        stable_frame(
+            pairs.groupby([group_col, key_col])
+            .aggregate(Count(alias_name="n"))
+            .groupby(group_col)
+            .aggregate(Count(alias_name="n_distinct"))
+            .to_pandas(),
+            {group_col: "object", "n_distinct": "int64"},
+        )
         .sort_values(group_col)
         .pipe(pa.Table.from_pandas, preserve_index=False)
         .select([group_col, "n_distinct"])
@@ -206,6 +216,9 @@ def quantile_summary_estimate(
 ) -> list[float]:
     """Weighted lower inverse CDF over the concatenated summaries (the
     same ``cum >= q * tot`` convention as the exact path)."""
+    if len(summary) == 0:
+        # no data at all: every quantile of the empty distribution is NaN
+        return [float("nan")] * len(qs)
     s = summary.sort_values("value")
     v = s["value"].to_numpy()
     w = s["weight"].to_numpy()

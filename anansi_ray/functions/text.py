@@ -328,6 +328,10 @@ def shingles_for_batch(
     as one Python comprehension over the shingle windows (a rolling-hash
     variant would avoid even that at the cost of an oracle that can't
     recompute it — the string form keeps the twin exact)."""
+    if text_col not in batch.column_names:
+        # a schema-less empty table (Ray never runs UDFs on empty blocks,
+        # so driver-side callers can hold a 0-column batch)
+        return np.array([], dtype=np.int64), []
     col = pc.fill_null(batch[text_col], "")
     toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\W+")
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)

@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from anansi_ray.arrowds import ts_us
+from anansi_ray.arrowds import install_stable_to_pandas, ts_us
 from anansi_ray.canon import canon_batch, normalize_content_type
 from anansi_ray.functions import dedup as fdedup
 from anansi_ray.functions import events as fevents
@@ -27,6 +27,10 @@ from anansi_ray.functions import similarity as fsim
 from anansi_ray.functions import text as ftext
 from anansi_ray.model import CrawlConfig
 from anansi_ray.stages.policies import scheme_policy
+
+# every query finish funnels through Dataset.to_pandas — make it keep the
+# declared column schema when the result is ALL-empty (see arrowds)
+install_stable_to_pandas()
 
 
 def _strip_meta(batch: pa.Table) -> pa.Table:
@@ -39,9 +43,26 @@ def _strip_meta(batch: pa.Table) -> pa.Table:
 
 
 def _read(sf_dir: str, name: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(
-        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
-    ).map_batches(_strip_meta, batch_format="pyarrow")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ds = rd.read_parquet(path, columns=columns)
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        # a directory of part files (multi-block fixtures)
+        n_rows = sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        n_rows = pq.read_metadata(path).num_rows
+    if n_rows == 0:
+        # nothing to strip, and the bare read keeps its (parquet) schema —
+        # a map_batches over an all-empty dataset would erase it (Ray
+        # never runs UDFs on empty blocks), breaking every downstream
+        # consumer that asks ds.schema()
+        return ds
+    return ds.map_batches(_strip_meta, batch_format="pyarrow")
 
 
 def _stable(df, schema: dict):
@@ -55,11 +76,38 @@ def _stable(df, schema: dict):
     whenever any column survived; ``schema`` maps column name → pandas
     dtype string.  At scale some partition is ALWAYS empty, so every
     driver-side finish must tolerate this shape (tiny-input sweep)."""
-    import pandas as pd
+    from anansi_ray.arrowds import stable_frame
 
-    if len(df) == 0 and not set(schema) <= set(df.columns):
-        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in schema.items()})
+    return stable_frame(df, schema)
+
+
+def _stable_t(df, empty_tbl: pa.Table):
+    """``_stable`` with the schema taken from the query's own typed empty
+    Arrow table (the one its partition kernel already returns for empty
+    groups)."""
+    if len(df) == 0 and not set(empty_tbl.schema.names) <= set(df.columns):
+        return empty_tbl.to_pandas()
     return df
+
+
+def _with_schema(ds: rd.Dataset, empty_tbl: pa.Table) -> rd.Dataset:
+    """Attach the declared output schema to a Dataset-returning query by
+    unioning ONE typed 0-row block.
+
+    On an all-empty input Ray cannot know a map chain's output schema
+    (UDFs never run on empty blocks, so every block downstream of the
+    read is schema-less and ``ds.schema()`` is None) — the sentinel block
+    is the only carrier, making ``to_pandas``/downstream unions schema-
+    stable while adding zero rows and one no-op input to the plan."""
+    from anansi_ray.arrowds import from_arrow_local
+
+    return ds.union(from_arrow_local([empty_tbl]))
+
+
+def _empty_tbl(spec: dict) -> pa.Table:
+    """Typed 0-row table from a {column: arrow type} spec (the sentinel
+    argument for ``_with_schema``)."""
+    return pa.table({c: pa.array([], t) for c, t in spec.items()})
 
 
 # ---------------------------------------------------------------------------
@@ -98,8 +146,19 @@ def q_url_cache_key(sf_dir: str):
             }
         )
 
-    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        kernel, batch_format="pyarrow"
+    return _with_schema(
+        _read(sf_dir, "documents", ["doc_id"]).map_batches(
+            kernel, batch_format="pyarrow"
+        ),
+        _empty_tbl(
+            {
+                "doc_id": pa.int64(),
+                "url": pa.string(),
+                "url_hash": pa.string(),
+                "shorthash": pa.int64(),
+                "tinyhash": pa.int64(),
+            }
+        ),
     )
 
 
@@ -130,8 +189,18 @@ def q_url_root(sf_dir: str):
             }
         )
 
-    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        kernel, batch_format="pyarrow"
+    return _with_schema(
+        _read(sf_dir, "documents", ["doc_id"]).map_batches(
+            kernel, batch_format="pyarrow"
+        ),
+        _empty_tbl(
+            {
+                "doc_id": pa.int64(),
+                "host": pa.string(),
+                "root_url": pa.string(),
+                "root_hash": pa.string(),
+            }
+        ),
     )
 
 
@@ -166,8 +235,17 @@ def q_content_type_normalize(sf_dir: str):
             }
         )
 
-    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        kernel, batch_format="pyarrow"
+    return _with_schema(
+        _read(sf_dir, "documents", ["doc_id"]).map_batches(
+            kernel, batch_format="pyarrow"
+        ),
+        _empty_tbl(
+            {
+                "doc_id": pa.int64(),
+                "content_type": pa.string(),
+                "normalized": pa.string(),
+            }
+        ),
     )
 
 
@@ -211,8 +289,17 @@ def q_scheme_policy(sf_dir: str):
             }
         )
 
-    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        kernel, batch_format="pyarrow"
+    return _with_schema(
+        _read(sf_dir, "documents", ["doc_id"]).map_batches(
+            kernel, batch_format="pyarrow"
+        ),
+        _empty_tbl(
+            {
+                "doc_id": pa.int64(),
+                "scheme": pa.string(),
+                "decision": pa.string(),
+            }
+        ),
     )
 
 
@@ -235,7 +322,10 @@ FROM documents
 
 
 def q_dedup_exact(sf_dir: str):
-    return fdedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return _with_schema(
+        fdedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"])),
+        _empty_tbl({"text_hash": pa.string(), "doc_id": pa.int64()}),
+    )
 
 
 SQL_DEDUP_EXACT = """
@@ -245,8 +335,17 @@ FROM documents GROUP BY 1
 
 
 def q_token_count(sf_dir: str):
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        ftext.token_count_batch, batch_format="pyarrow"
+    return _with_schema(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            ftext.token_count_batch, batch_format="pyarrow"
+        ),
+        _empty_tbl(
+            {
+                "doc_id": pa.int64(),
+                "n_tokens_ws": pa.int64(),
+                "n_tokens": pa.int64(),
+            }
+        ),
     )
 
 
@@ -259,8 +358,19 @@ FROM documents
 
 
 def q_quality_score(sf_dir: str):
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        ftext.quality_score_batch, batch_format="pyarrow"
+    return _with_schema(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            ftext.quality_score_batch, batch_format="pyarrow"
+        ),
+        _empty_tbl(
+            {
+                "doc_id": pa.int64(),
+                "n_chars": pa.int64(),
+                "punct_ratio": pa.float64(),
+                "stopword_ratio": pa.float64(),
+                "mean_word_len": pa.float64(),
+            }
+        ),
     )
 
 
@@ -286,7 +396,10 @@ def q_fingerprint(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         ftext.fingerprint_batch, batch_format="pyarrow"
     )
-    return ds.select_columns(["doc_id", "fp_md5"])
+    return _with_schema(
+        ds.select_columns(["doc_id", "fp_md5"]),
+        _empty_tbl({"doc_id": pa.int64(), "fp_md5": pa.string()}),
+    )
 
 
 SQL_FINGERPRINT = r"""
@@ -296,8 +409,11 @@ FROM documents
 
 
 def q_lang_id(sf_dir: str):
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        ftext.lang_id_batch, batch_format="pyarrow"
+    return _with_schema(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            ftext.lang_id_batch, batch_format="pyarrow"
+        ),
+        _empty_tbl({"doc_id": pa.int64(), "lang_pred": pa.string()}),
     )
 
 
@@ -411,8 +527,11 @@ def q_minhash_near_dup(sf_dir: str):
 
 
 def q_simhash(sf_dir: str):
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        fdedup.simhash_batch, batch_format="pyarrow"
+    return _with_schema(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            fdedup.simhash_batch, batch_format="pyarrow"
+        ),
+        _empty_tbl({"doc_id": pa.int64(), "simhash": pa.string()}),
     )
 
 
@@ -550,8 +669,18 @@ def q_knn_ivf(sf_dir: str):
 
 
 def q_events_hourly(sf_dir: str):
-    return fevents.tumbling_window(
-        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return _with_schema(
+        fevents.tumbling_window(
+            _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+        ),
+        _empty_tbl(
+            {
+                "user_id": pa.int64(),
+                "window_us": pa.int64(),
+                "n_events": pa.int64(),
+                "sum_value": pa.float64(),
+            }
+        ),
     )
 
 
@@ -565,8 +694,18 @@ FROM events GROUP BY 1, 2
 
 
 def q_events_sliding(sf_dir: str):
-    return fevents.sliding_window(
-        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return _with_schema(
+        fevents.sliding_window(
+            _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+        ),
+        _empty_tbl(
+            {
+                "user_id": pa.int64(),
+                "window_us": pa.int64(),
+                "n_events": pa.int64(),
+                "sum_value": pa.float64(),
+            }
+        ),
     )
 
 
@@ -582,8 +721,20 @@ GROUP BY 1, 2
 
 
 def q_events_sessions(sf_dir: str):
-    return fevents.session_windows(
-        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return _with_schema(
+        fevents.session_windows(
+            _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+        ),
+        _empty_tbl(
+            {
+                "user_id": pa.int64(),
+                "session_id": pa.int64(),
+                "n_events": pa.int64(),
+                "start_us": pa.int64(),
+                "end_us": pa.int64(),
+                "sum_value": pa.float64(),
+            }
+        ),
     )
 
 
@@ -592,13 +743,12 @@ def q_events_throttle(sf_dir: str):
     event of every >1h-gap burst per user (functions/events.py
     burst_heads) — the session kernel's partition shape with a
     head-row projection.  Sorted driver-side for the oracle compare."""
-    out = (
+    out = _stable(
         fevents.burst_heads(
             _read(sf_dir, "events", ["event_id", "ts", "user_id"])
-        )
-        .to_pandas()
-        .sort_values("event_id")
-    )
+        ).to_pandas(),
+        {"event_id": "int64", "user_id": "int64", "ts_us": "int64"},
+    ).sort_values("event_id")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -658,6 +808,17 @@ def q_lineitem_agg(sf_dir: str):
             Count(alias_name="count_order"),
         )
         .to_pandas()
+    )
+    out = _stable(
+        out,
+        {
+            "l_returnflag": "object",
+            "l_linestatus": "object",
+            "sum_qty": "float64",
+            "sum_base_price": "float64",
+            "avg_disc": "float64",
+            "count_order": "int64",
+        },
     )
     out["sum_qty"] = out["sum_qty"].round(2)
     out["sum_base_price"] = out["sum_base_price"].round(2)
@@ -776,6 +937,9 @@ def q_events_props(sf_dir: str):
         .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
         .to_pandas()
     )
+    out = _stable(
+        out, {"event_type": "object", "sum_k": "int64", "n": "int64"}
+    )
     out["sum_k"] = out["sum_k"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return pa.Table.from_pandas(out.sort_values("event_type"), preserve_index=False)
@@ -853,6 +1017,18 @@ def q_events_asof_orders(sf_dir: str):
         )
         if t.num_rows
     ]
+    if not parts:
+        parts = [
+            pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_matched": pa.array([], pa.int64()),
+                    "sum_price": pa.array([], pa.float64()),
+                    "chk": pa.array([], pa.int64()),
+                }
+            )
+        ]
     out = pa.concat_tables(parts).to_pandas()
     out["sum_price"] = out["sum_price"].round(2)
     return pa.Table.from_pandas(out.sort_values("user_id"), preserve_index=False)
@@ -896,6 +1072,7 @@ def q_token_df(sf_dir: str):
         .limit(500)
         .to_pandas()
     )
+    out = _stable(out, {"token": "object", "df": "int64"})
     out["df"] = out["df"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -933,7 +1110,15 @@ def q_orders_events_window(sf_dir: str):
         interval_len_us=7 * 86400 * 1_000_000,
         interval_carry=["o_orderkey"],
     )
-    out = out_ds.drop_columns(["part"]).to_pandas()
+    out = _stable(
+        out_ds.drop_columns(["part"]).to_pandas(),
+        {
+            "user_id": "int64",
+            "o_orderkey": "int64",
+            "n_points": "int64",
+            "sum_val": "float64",
+        },
+    )
     out["sum_val"] = out["sum_val"].round(2)
     return pa.Table.from_pandas(out.sort_values("o_orderkey"), preserve_index=False)
 
@@ -959,7 +1144,16 @@ def q_pack_sequences(sf_dir: str):
     from anansi_ray.functions.packing import pack_sequences
 
     out = pack_sequences(_read(sf_dir, "documents", ["doc_id", "text"]))
-    df = out.to_pandas().sort_values("doc_id")
+    df = _stable(
+        out.to_pandas(),
+        {
+            "bucket": "int64",
+            "doc_id": "int64",
+            "seq_idx": "int64",
+            "offset": "int64",
+            "n_tokens": "int64",
+        },
+    ).sort_values("doc_id")
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -1002,6 +1196,9 @@ def q_events_quantiles(sf_dir: str):
         .groupby(["event_type", "gv"])
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
+    )
+    hist = _stable(
+        hist, {"event_type": "object", "gv": "int64", "cnt": "int64"}
     )
     rows = []
     for et, grp in hist.groupby("event_type"):
@@ -1130,6 +1327,15 @@ def q_stratified_sample(sf_dir: str):
         )
         if t.num_rows
     ]
+    if not parts:
+        # empty corpus: no stratum has any member
+        return pa.table(
+            {
+                "lang": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
     merged = pa.concat_tables(parts)
     out = _topk(
         np.asarray(merged["lang"].to_pylist(), dtype=object),
@@ -1790,16 +1996,22 @@ def q_tfidf_top_terms(sf_dir: str):
         .limit(512)
         .to_pandas()
     )
+    vocab_tbl = _stable(vocab_tbl, {"token": "object", "df": "int64"})
     vocab_df = dict(zip(vocab_tbl["token"], vocab_tbl["df"].astype(int)))
 
-    out = (
+    out = _stable(
         docs.map_batches(
             lambda b: ftext.tfidf_score_batch(b, vocab_df, n_docs, top_k=3),
             batch_format="pyarrow",
-        )
-        .to_pandas()
-        .sort_values(["doc_id", "score", "token"], ascending=[True, False, True])
-    )
+        ).to_pandas(),
+        {
+            "doc_id": "int64",
+            "token": "object",
+            "tf": "int64",
+            "df": "int64",
+            "score": "float64",
+        },
+    ).sort_values(["doc_id", "score", "token"], ascending=[True, False, True])
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -1971,6 +2183,7 @@ def q_quality_filter_p10(sf_dir: str):
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
     )
+    hist = _stable(hist, {"lang": "object", "gv": "int64", "cnt": "int64"})
     thr: dict[str, int] = {}
     for lang, grp in hist.groupby("lang"):
         grp = grp.sort_values("gv")
@@ -1990,11 +2203,10 @@ def q_quality_filter_p10(sf_dir: str):
         bar = thr_vals[pos.astype(np.int64)]
         return batch.filter(pa.array(gv >= bar))
 
-    out = (
-        scored.map_batches(keep_above, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("doc_id")
-    )
+    out = _stable(
+        scored.map_batches(keep_above, batch_format="pyarrow").to_pandas(),
+        {"doc_id": "int64", "lang": "object", "score": "float64"},
+    ).sort_values("doc_id")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -2051,12 +2263,17 @@ def q_pii_redact(sf_dir: str):
         )
         return ftext.pii_redact_batch(withpii)
 
-    out = (
+    out = _stable(
         _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(kernel, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("doc_id")
-    )
+        .to_pandas(),
+        {
+            "doc_id": "int64",
+            "clean_text": "object",
+            "n_emails": "int64",
+            "n_ips": "int64",
+        },
+    ).sort_values("doc_id")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -2088,12 +2305,17 @@ def q_repetition_ratio(sf_dir: str):
     (the boilerplate/spam detector every corpus-quality pass runs).
     Batch-local factorized counting (text.py repetition_batch), zero
     shuffle."""
-    out = (
+    out = _stable(
         _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(ftext.repetition_batch, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("doc_id")
-    )
+        .to_pandas(),
+        {
+            "doc_id": "int64",
+            "n_tokens": "int64",
+            "n_unique": "int64",
+            "repetition": "float64",
+        },
+    ).sort_values("doc_id")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -2147,6 +2369,9 @@ def q_top_docs_per_lang(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
         .map_batches(partial_topk, batch_format="pyarrow")
         .to_pandas()
+    )
+    partials = _stable(
+        partials, {"lang": "object", "doc_id": "int64", "n_chars": "int64"}
     )
     final = partials.sort_values(
         ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
@@ -2204,8 +2429,10 @@ def q_domain_mix_weights(sf_dir: str):
             Sum("total_chars", alias_name="total_chars"),
         )
         .to_pandas()
-        .sort_values("source")
     )
+    g = _stable(
+        g, {"source": "object", "n_docs": "int64", "total_chars": "int64"}
+    ).sort_values("source")
     sq = np.sqrt(g["n_docs"].to_numpy(np.float64))
     g["weight"] = np.round(sq / sq.sum(), 6)
     g = g.astype({"n_docs": "int64", "total_chars": "int64"})
@@ -2288,6 +2515,14 @@ def q_customer_no_orders(sf_dir: str):
         .map_groups(anti_bucket, batch_format="pyarrow")
         .materialize()
     ).to_pandas()
+    partials = _stable(
+        partials,
+        {
+            "c_mktsegment": "object",
+            "n_customers": "int64",
+            "total_acctbal": "float64",
+        },
+    )
     out = partials.groupby("c_mktsegment", as_index=False).agg(
         n_customers=("n_customers", "sum"), total_acctbal=("total_acctbal", "sum")
     )
@@ -2316,11 +2551,17 @@ def q_events_lag_lead(sf_dir: str):
     lag_lead_window).  Only exact ops, so the DuckDB twin matches
     bit-for-bit."""
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    out = (
-        fevents.lag_lead_window(ev)
-        .to_pandas()
-        .sort_values("event_id")
-    )
+    out = _stable(
+        fevents.lag_lead_window(ev).to_pandas(),
+        {
+            "event_id": "int64",
+            "user_id": "int64",
+            "rn": "int64",
+            "prev_value": "float64",
+            "next_value": "float64",
+            "delta": "float64",
+        },
+    ).sort_values("event_id")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -2402,8 +2643,10 @@ def q_label_centroids(sf_dir: str):
         .groupby(["label", "i"])
         .aggregate(Sum("sum_val", alias_name="sum_val"), Sum("n", alias_name="n"))
         .to_pandas()
-        .sort_values(["label", "i"])
     )
+    g = _stable(
+        g, {"label": "int64", "i": "int64", "sum_val": "float64", "n": "int64"}
+    ).sort_values(["label", "i"])
     g["mean_val"] = np.round(g["sum_val"] / g["n"], 6)
     g = g.astype({"label": "int64", "i": "int64", "n": "int64"})
     return pa.Table.from_pandas(
@@ -2452,12 +2695,12 @@ def q_text_normalize(sf_dir: str):
             }
         )
 
-    out = (
+    out = _stable(
         _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(kernel, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("doc_id")
-    )
+        .to_pandas(),
+        {"doc_id": "int64", "norm_text": "object", "n_chars_norm": "int64"},
+    ).sort_values("doc_id")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -2512,6 +2755,7 @@ def q_order_lineitem_join_salted(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
+    freq = _stable(freq, {"key": "int64", "n": "int64"})
     thresh = 4.0 * freq["n"].mean()
     hot = set(freq.loc[freq["n"] > thresh, "key"].astype("int64").tolist())
     import ray
@@ -2611,7 +2855,10 @@ def q_passage_dedup(sf_dir: str):
     groupby(chunk).min exchange whose min row IS the survivor → coarse
     partition-kernel reassembly)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = fdedup.passage_dedup(ds, chunk_words=10).to_pandas()
+    out = _stable(
+        fdedup.passage_dedup(ds, chunk_words=10).to_pandas(),
+        {"doc_id": "int64", "text": "object"},
+    )
     return pa.Table.from_pandas(out.sort_values("doc_id"), preserve_index=False)
 
 
@@ -2645,7 +2892,10 @@ def q_bigram_topk(sf_dir: str):
         .groupby("bigram")
         .aggregate(Sum("n", alias_name="n"))
     )
-    top = counts.sort(["n", "bigram"], descending=[True, False]).limit(50).to_pandas()
+    top = _stable(
+        counts.sort(["n", "bigram"], descending=[True, False]).limit(50).to_pandas(),
+        {"bigram": "object", "n": "int64"},
+    )
     top["n"] = top["n"].astype("int64")
     return pa.Table.from_pandas(top, preserve_index=False)
 
@@ -2689,6 +2939,7 @@ def q_orders_running_total(sf_dir: str):
         keep_cols=["o_orderkey"],
         out_col="running_cents",
     ).to_pandas()
+    out = _stable(out, {"o_orderkey": "int64", "running_cents": "int64"})
     return pa.Table.from_pandas(out.sort_values("o_orderkey"), preserve_index=False)
 
 
@@ -2752,6 +3003,7 @@ def q_orders_ntile(sf_dir: str):
         .map_batches(to_tile, batch_format="pyarrow")
         .to_pandas()
     )
+    out = _stable(out, {"o_orderkey": "int64", "quartile": "int64"})
     return pa.Table.from_pandas(out.sort_values("o_orderkey"), preserve_index=False)
 
 
@@ -2821,6 +3073,7 @@ def q_epoch_shuffle(sf_dir: str):
         keep_cols=["doc_id"],
         out_col="pos",
     ).to_pandas()
+    out = _stable(out, {"doc_id": "int64", "pos": "int64"})
     return pa.Table.from_pandas(out.sort_values("doc_id"), preserve_index=False)
 
 
@@ -2869,6 +3122,7 @@ def q_corpus_mixture(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
+    counts = _stable(counts, {"source": "object", "n": "int64"})
     sources = counts["source"].to_numpy()
     ns = counts["n"].to_numpy().astype(np.int64)
     total = int(ns.sum())
@@ -2902,7 +3156,10 @@ def q_corpus_mixture(sf_dir: str):
             }
         )
 
-    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    out = _stable(
+        ds.map_batches(keep, batch_format="pyarrow").to_pandas(),
+        {"doc_id": "int64", "source": "object"},
+    )
     return pa.Table.from_pandas(out.sort_values("doc_id"), preserve_index=False)
 
 
@@ -2940,6 +3197,15 @@ def q_lineitem_rollup(sf_dir: str):
     )
     import pandas as pd
 
+    finest = _stable(
+        finest,
+        {
+            "l_returnflag": "object",
+            "l_linestatus": "object",
+            "sum_qty": "float64",
+            "count_order": "int64",
+        },
+    )
     lvl1 = finest.groupby("l_returnflag", as_index=False).agg(
         sum_qty=("sum_qty", "sum"), count_order=("count_order", "sum")
     )
@@ -2948,7 +3214,8 @@ def q_lineitem_rollup(sf_dir: str):
         {
             "l_returnflag": ["ALL"],
             "l_linestatus": ["ALL"],
-            "sum_qty": [finest["sum_qty"].sum()],
+            # SQL SUM over the empty grand-total grouping set is NULL
+            "sum_qty": [finest["sum_qty"].sum() if len(finest) else None],
             "count_order": [finest["count_order"].sum()],
         }
     )
@@ -3072,8 +3339,10 @@ def q_customer_order_profile(sf_dir: str):
             .materialize()
         )
         .to_pandas()
-        .sort_values("c_custkey")
     )
+    out = _stable(
+        out, {"c_custkey": "int64", "n_orders": "int64", "sum_cents": "int64"}
+    ).sort_values("c_custkey")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -3162,13 +3431,16 @@ def q_orders_with_returns(sf_dir: str):
 
     from anansi_ray.arrowds import drop_empty_blocks, stable_pandas
 
-    out = stable_pandas(
-        drop_empty_blocks(
-            probe.union(bd)
-            .groupby("part")
-            .map_groups(semi, batch_format="pyarrow")
-            .materialize()
-        )
+    out = _stable_t(
+        stable_pandas(
+            drop_empty_blocks(
+                probe.union(bd)
+                .groupby("part")
+                .map_groups(semi, batch_format="pyarrow")
+                .materialize()
+            )
+        ),
+        empty,
     ).sort_values("o_orderkey")
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -3213,8 +3485,10 @@ def q_orders_price_histogram(sf_dir: str):
         .groupby("bin")
         .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
         .to_pandas()
-        .sort_values("bin")
     )
+    out = _stable(
+        out, {"bin": "int64", "n": "int64", "sum_cents": "int64"}
+    ).sort_values("bin")
     out["n"] = out["n"].astype("int64")
     out["sum_cents"] = out["sum_cents"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -3304,8 +3578,21 @@ def q_events_funnel(sf_dir: str):
         .groupby(["stage_idx", "stage"])
         .aggregate(Sum("users", alias_name="users"))
         .to_pandas()
-        .sort_values("stage_idx")
     )
+    out = _stable(
+        out, {"stage_idx": "int64", "stage": "object", "users": "int64"}
+    ).sort_values("stage_idx")
+    if len(out) == 0:
+        # SQL twin on empty: each stage's COUNT-over-empty row survives
+        import pandas as pd
+
+        out = pd.DataFrame(
+            {
+                "stage_idx": np.arange(len(STAGES), dtype=np.int64),
+                "stage": list(STAGES),
+                "users": np.zeros(len(STAGES), np.int64),
+            }
+        )
     out["users"] = out["users"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -3389,8 +3676,10 @@ def q_customer_order_list(sf_dir: str):
             .materialize()
         )
         .to_pandas()
-        .sort_values("o_custkey")
     )
+    out = _stable(
+        out, {"o_custkey": "int64", "order_keys": "object"}
+    ).sort_values("o_custkey")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -3448,8 +3737,17 @@ def q_lineitem_variance(sf_dir: str):
             Sum("lo", alias_name="lo"),
         )
         .to_pandas()
-        .sort_values("l_returnflag")
     )
+    agg = _stable(
+        agg,
+        {
+            "l_returnflag": "object",
+            "n": "int64",
+            "sum_cents": "int64",
+            "hi": "int64",
+            "lo": "int64",
+        },
+    ).sort_values("l_returnflag")
     var = [
         (int(n) * (int(hi) * LIMB + int(lo)) - int(s) * int(s))
         // (int(n) * int(n))
@@ -3632,7 +3930,16 @@ def q_events_latest(sf_dir: str):
         .map_groups(kernel, batch_format="pyarrow")
         .to_pandas()
     )
-    out = out.sort_values("user_id")
+    out = _stable(
+        out,
+        {
+            "user_id": "int64",
+            "event_id": "int64",
+            "ts": "datetime64[us]",
+            "event_type": "object",
+            "value": "float64",
+        },
+    ).sort_values("user_id")
     return pa.Table.from_pandas(
         out[["user_id", "event_id", "ts", "event_type", "value"]],
         preserve_index=False,
@@ -3722,7 +4029,11 @@ def q_events_pivot(sf_dir: str):
     type), so the exchange carries ≤ |users per batch| wide rows — never
     the event stream."""
     wide, types = _pivot_wide(sf_dir)
-    out = wide.to_pandas().sort_values("user_id")
+    wide_schema = {"user_id": "int64"}
+    for t in types:
+        wide_schema[f"n_{t}"] = "int64"
+        wide_schema[f"val_{t}"] = "float64"
+    out = _stable(wide.to_pandas(), wide_schema).sort_values("user_id")
     for t in types:
         out[f"val_{t}"] = out[f"val_{t}"].round(2)
         out[f"n_{t}"] = out[f"n_{t}"].astype("int64")
@@ -3773,11 +4084,10 @@ def q_events_unpivot(sf_dir: str):
             }
         )
 
-    out = (
-        wide.map_batches(melt, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(["user_id", "metric"])
-    )
+    out = _stable(
+        wide.map_batches(melt, batch_format="pyarrow").to_pandas(),
+        {"user_id": "int64", "metric": "object", "v": "float64"},
+    ).sort_values(["user_id", "metric"])
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -3847,6 +4157,9 @@ def q_daily_activity(sf_dir: str):
             Sum("n_events", alias_name="n_events"),
         )
         .to_pandas()
+    )
+    out = (
+        _stable(out, {"day": "int64", "n_orders": "int64", "n_events": "int64"})
         .sort_values("day")
         .astype({"day": "int64", "n_orders": "int64", "n_events": "int64"})
     )
@@ -3933,8 +4246,26 @@ def q_events_user_rank(sf_dir: str):
         .groupby(["event_type", "n"])
         .aggregate(Sum("c", alias_name="c"))
         .to_pandas()
-        .sort_values(["event_type", "n"], ascending=[True, False])
     )
+    hist = _stable(
+        hist, {"event_type": "object", "n": "int64", "c": "int64"}
+    ).sort_values(["event_type", "n"], ascending=[True, False])
+    if len(hist) == 0:
+        # no events at all: the window over an empty partition set is empty
+        import pandas as pd
+
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "rnk": pd.Series([], dtype="int64"),
+                    "drnk": pd.Series([], dtype="int64"),
+                }
+            ),
+            preserve_index=False,
+        )
     # driver-side prefix sums over the tiny tie histogram
     types = hist["event_type"].to_numpy()
     nn = hist["n"].to_numpy().astype(np.int64)
@@ -4068,17 +4399,16 @@ def q_events_mode(sf_dir: str):
             }
         )
 
-    out = (
+    out = _stable(
         drop_empty_blocks(
             _read(sf_dir, "events", ["user_id", "event_type"])
             .map_batches(partial, batch_format="pyarrow")
             .groupby("part")
             .map_groups(kernel, batch_format="pyarrow")
             .materialize()
-        )
-        .to_pandas()
-        .sort_values("user_id")
-    )
+        ).to_pandas(),
+        {"user_id": "int64", "top_type": "object", "n": "int64"},
+    ).sort_values("user_id")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -4115,7 +4445,8 @@ def q_users_retention(sf_dir: str):
         .aggregate(Min("ts"), Max("ts"))
     )
     lo, hi = mm["min(ts)"], mm["max(ts)"]
-    pivot = lo + hi
+    # empty events: min/max are None and no user can appear in either half
+    pivot = (lo + hi) if lo is not None and hi is not None else 0
 
     def partial(b: pa.Table) -> pa.Table:
         u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -4136,12 +4467,15 @@ def q_users_retention(sf_dir: str):
         .groupby("user_id")
         .aggregate(Min("h", alias_name="h0"), Max("h", alias_name="h1"))
     )
-    t = g.map_batches(
-        lambda b: b.filter(
-            pc.and_(pc.equal(b["h0"], 0), pc.equal(b["h1"], 1))
-        ).select(["user_id"]),
-        batch_format="pyarrow",
-    ).to_pandas()
+    t = _stable(
+        g.map_batches(
+            lambda b: b.filter(
+                pc.and_(pc.equal(b["h0"], 0), pc.equal(b["h1"], 1))
+            ).select(["user_id"]),
+            batch_format="pyarrow",
+        ).to_pandas(),
+        {"user_id": "int64"},
+    )
     return pa.Table.from_pandas(
         t.sort_values("user_id").astype({"user_id": "int64"}), preserve_index=False
     )
@@ -4174,6 +4508,15 @@ def q_lineitem_cube(sf_dir: str):
         )
         .to_pandas()
     )
+    finest = _stable(
+        finest,
+        {
+            "l_returnflag": "object",
+            "l_linestatus": "object",
+            "sum_qty": "float64",
+            "count_order": "int64",
+        },
+    )
     by_flag = finest.groupby("l_returnflag", as_index=False).agg(
         sum_qty=("sum_qty", "sum"), count_order=("count_order", "sum")
     )
@@ -4186,7 +4529,8 @@ def q_lineitem_cube(sf_dir: str):
         {
             "l_returnflag": ["ALL"],
             "l_linestatus": ["ALL"],
-            "sum_qty": [finest["sum_qty"].sum()],
+            # SQL SUM over an empty grand-total grouping set is NULL
+            "sum_qty": [finest["sum_qty"].sum() if len(finest) else None],
             "count_order": [finest["count_order"].sum()],
         }
     )
@@ -4305,6 +4649,11 @@ def q_event_type_pairs(sf_dir: str):
         .groupby(["type_a", "type_b"])
         .aggregate(Sum("n_users", alias_name="n_users"))
         .to_pandas()
+    )
+    out = (
+        _stable(
+            out, {"type_a": "object", "type_b": "object", "n_users": "int64"}
+        )
         .sort_values(["type_a", "type_b"])
         .astype({"n_users": "int64"})
     )
@@ -4342,6 +4691,16 @@ def q_doc_chunks(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(ftext.chunk_documents_batch, batch_format="pyarrow")
         .to_pandas()
+    )
+    out = _stable(
+        out,
+        {
+            "doc_id": "int64",
+            "chunk_idx": "int64",
+            "start_pos": "int64",
+            "chunk_len": "int64",
+            "code_sum": "int64",
+        },
     )
     return pa.Table.from_pandas(
         out.sort_values(["doc_id", "chunk_idx"]), preserve_index=False
@@ -4446,8 +4805,10 @@ def q_inverted_index(sf_dir: str):
             .materialize()
         )
         .to_pandas()
-        .sort_values("token")
     )
+    out = _stable(
+        out, {"token": "object", "df": "int64", "postings": "object"}
+    ).sort_values("token")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -4538,6 +4899,11 @@ def q_cohort_retention(sf_dir: str):
         .groupby(["cohort_day", "day_offset"])
         .aggregate(Sum("n", alias_name="n_users"))
         .to_pandas()
+    )
+    out = (
+        _stable(
+            out, {"cohort_day": "int64", "day_offset": "int64", "n_users": "int64"}
+        )
         .sort_values(["cohort_day", "day_offset"])
         .astype({"n_users": "int64"})
     )
@@ -4675,8 +5041,18 @@ def q_zorder_layout(sf_dir: str):
             Max("max_y", alias_name="max_y"),
         )
         .to_pandas()
-        .sort_values("zcell")
     )
+    out = _stable(
+        out,
+        {
+            "zcell": "int64",
+            "n_rows": "int64",
+            "min_x": "int64",
+            "max_x": "int64",
+            "min_y": "int64",
+            "max_y": "int64",
+        },
+    ).sort_values("zcell")
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -4721,7 +5097,8 @@ def q_fuzzy_name_match(sf_dir: str):
         )
         .groupby("p_name")
         .count()
-        .to_pandas()["p_name"]
+        .to_pandas()
+        .pipe(_stable, {"p_name": "object"})["p_name"]
         .to_numpy()
     )
     vocab = np.sort(vocab)
@@ -4843,8 +5220,10 @@ def q_purchase_attribution(sf_dir: str):
             .materialize()
         )
         .to_pandas()
-        .sort_values("event_id")
     )
+    out = _stable(
+        out, {"event_id": "int64", "touch_type": "object"}
+    ).sort_values("event_id")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -4953,7 +5332,10 @@ def q_snapshot_diff(sf_dir: str):
             }
         )
 
-    out = g.map_batches(classify, batch_format="pyarrow").to_pandas()
+    out = _stable(
+        g.map_batches(classify, batch_format="pyarrow").to_pandas(),
+        {"doc_id": "int64", "change": "object"},
+    )
     out["doc_id"] = out["doc_id"].astype("int64")
     return pa.Table.from_pandas(out.sort_values("doc_id"), preserve_index=False)
 
@@ -5041,14 +5423,14 @@ def q_orders_skyline(sf_dir: str):
             }
         )
 
-    out = (
+    out = _stable(
         _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
         .map_batches(local_skyline, batch_format="pyarrow")
         .repartition(1)
         .map_batches(local_skyline, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("o_orderkey")
-    )
+        .to_pandas(),
+        {"o_orderkey": "int64", "cents": "int64", "day": "int64"},
+    ).sort_values("o_orderkey")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -5091,7 +5473,9 @@ def q_events_regression(sf_dir: str):
         )
         .aggregate(Min("ts"))
     )["min(ts)"]
-    MIN_US = int(mn)
+    # empty events: Min over nothing is None; any origin works since the
+    # grouped pass below produces zero rows either way
+    MIN_US = int(mn) if mn is not None else 0
 
     def partial(b: pa.Table) -> pa.Table:
         import pandas as pd
@@ -5128,8 +5512,19 @@ def q_events_regression(sf_dir: str):
             Sum("sxx_lo", alias_name="sxx_lo"),
         )
         .to_pandas()
-        .sort_values("event_type")
     )
+    g = _stable(
+        g,
+        {
+            "event_type": "object",
+            "n": "int64",
+            "sx": "int64",
+            "sy": "int64",
+            "sxy": "int64",
+            "sxx_hi": "int64",
+            "sxx_lo": "int64",
+        },
+    ).sort_values("event_type")
 
     def tdiv(a: int, b: int) -> int:  # truncating division (SQL `//`)
         q = abs(a) // abs(b)
@@ -5144,6 +5539,15 @@ def q_events_regression(sf_dir: str):
         slope_e9 = tdiv(10**9 * num, den)
         intercept_e6 = tdiv(10**6 * (sy * den - num * sx), den * n)
         rows.append((r.event_type, n, slope_e9, intercept_e6))
+    if not rows:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "slope_e9": pa.array([], pa.int64()),
+                "intercept_e6": pa.array([], pa.int64()),
+            }
+        )
     et, n, s, i = zip(*rows)
     return pa.table(
         {
@@ -5190,8 +5594,14 @@ def q_region_revenue(sf_dir: str):
 
     B = 32
 
-    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
-    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nat = _stable(
+        _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas(),
+        {"n_nationkey": "int64", "n_regionkey": "int64"},
+    )
+    reg = _stable(
+        _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas(),
+        {"r_regionkey": "int64", "r_name": "object"},
+    )
     dim = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")[
         ["n_nationkey", "r_name"]
     ]
@@ -5466,17 +5876,16 @@ def q_link_triangles(sf_dir: str):
 
     from anansi_ray.arrowds import drop_empty_blocks
 
-    out = (
+    out = _stable(
         drop_empty_blocks(
             wedge_ds.map_batches(tag_wedge, batch_format="pyarrow")
             .union(edge_ds.map_batches(tag_edge, batch_format="pyarrow"))
             .groupby("part")
             .map_groups(close_check, batch_format="pyarrow")
             .materialize()
-        )
-        .to_pandas()
-        .sort_values(["a", "b", "c"])
-    )
+        ).to_pandas(),
+        {"a": "int64", "b": "int64", "c": "int64"},
+    ).sort_values(["a", "b", "c"])
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -5608,13 +6017,16 @@ def q_orders_bloom_filter(sf_dir: str):
     cands = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
     ).map_batches(probe, batch_format="pyarrow")
-    out = stable_pandas(
-        drop_empty_blocks(
-            cands.union(cust.map_batches(tag_build, batch_format="pyarrow"))
-            .groupby("part")
-            .map_groups(verify, batch_format="pyarrow")
-            .materialize()
-        )
+    out = _stable_t(
+        stable_pandas(
+            drop_empty_blocks(
+                cands.union(cust.map_batches(tag_build, batch_format="pyarrow"))
+                .groupby("part")
+                .map_groups(verify, batch_format="pyarrow")
+                .materialize()
+            )
+        ),
+        empty,
     ).sort_values("o_orderkey")
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -5670,6 +6082,13 @@ def q_events_gap_fill(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
+    hist = _stable(
+        hist, {"event_type": "object", "hour_b": "int64", "n": "int64"}
+    )
+    if len(hist) == 0:
+        # SQL twin on empty: generate_series(NULL, NULL) unnests to zero
+        # rows, so the gap-filled grid is itself empty
+        return pa.Table.from_pandas(hist, preserve_index=False)
     lo, hi = int(hist["hour_b"].min()), int(hist["hour_b"].max())
     types = sorted(hist["event_type"].unique())
     hours = np.arange(lo, hi + 1, dtype=np.int64)
@@ -5754,17 +6173,16 @@ def q_customer_median_order(sf_dir: str):
 
     from anansi_ray.arrowds import drop_empty_blocks
 
-    out = (
+    out = _stable_t(
         drop_empty_blocks(
             _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
             .map_batches(tag, batch_format="pyarrow")
             .groupby("part")
             .map_groups(median_kernel, batch_format="pyarrow")
             .materialize()
-        )
-        .to_pandas()
-        .sort_values("o_custkey")
-    )
+        ).to_pandas(),
+        empty,
+    ).sort_values("o_custkey")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -5831,17 +6249,16 @@ def q_user_active_time(sf_dir: str):
 
     from anansi_ray.arrowds import drop_empty_blocks
 
-    out = (
+    out = _stable_t(
         drop_empty_blocks(
             _read(sf_dir, "events", ["user_id", "ts"])
             .map_batches(tag, batch_format="pyarrow")
             .groupby("part")
             .map_groups(sweep, batch_format="pyarrow")
             .materialize()
-        )
-        .to_pandas()
-        .sort_values("user_id")
-    )
+        ).to_pandas(),
+        empty,
+    ).sort_values("user_id")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -5932,17 +6349,16 @@ def q_events_moving_avg(sf_dir: str):
 
     from anansi_ray.arrowds import drop_empty_blocks
 
-    out = (
+    out = _stable_t(
         drop_empty_blocks(
             _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
             .map_batches(tag, batch_format="pyarrow")
             .groupby("part")
             .map_groups(frame_kernel, batch_format="pyarrow")
             .materialize()
-        )
-        .to_pandas()
-        .sort_values("event_id")
-    )
+        ).to_pandas(),
+        empty,
+    ).sort_values("event_id")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -6025,8 +6441,8 @@ def q_sliding_distinct_users(sf_dir: str):
         .groupby("w")
         .aggregate(Sum("n", alias_name="n_users"))
         .to_pandas()
-        .sort_values("w")
     )
+    out = _stable(out, {"w": "int64", "n_users": "int64"}).sort_values("w")
     out["window_us"] = out.pop("w").astype("int64") * HOUR
     out["n_users"] = out["n_users"].astype("int64")
     return pa.Table.from_pandas(
@@ -6167,7 +6583,9 @@ def q_bigram_lm_score(sf_dir: str):
         .groupby("doc_id")
         .aggregate(Sum("s", alias_name="lm_hits"))
         .to_pandas()
-        .sort_values("doc_id")
+    )
+    out = _stable(out, {"doc_id": "int64", "lm_hits": "int64"}).sort_values(
+        "doc_id"
     )
     out["lm_hits"] = out["lm_hits"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -6206,6 +6624,7 @@ def q_heavy_hitter_words(sf_dir: str):
         )
         .to_pandas()
     )
+    p1 = _stable(p1, {"kind": "object", "word": "object", "n": "int64"})
     total = int(p1.loc[p1["kind"] == "t", "n"].sum())
     cand = set(p1.loc[p1["kind"] == "c", "word"])
 
@@ -6234,6 +6653,7 @@ def q_heavy_hitter_words(sf_dir: str):
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
     )
+    out = _stable(out, {"word": "object", "cnt": "int64"})
     out = out[out["cnt"] * PHI_INV > total].sort_values("word")
     out["cnt"] = out["cnt"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -6393,6 +6813,7 @@ def q_weighted_sample(sf_dir: str):
         .map_batches(partial_topk, batch_format="pyarrow")
         .to_pandas()
     )
+    parts = _stable(parts, {"doc_id": "int64", "rank": "float64"})
     out = parts.nsmallest(K, "rank").sort_values("doc_id")[["doc_id"]]
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
@@ -6471,17 +6892,16 @@ def q_user_streaks(sf_dir: str):
 
     from anansi_ray.arrowds import drop_empty_blocks
 
-    out = (
+    out = _stable(
         drop_empty_blocks(
             _read(sf_dir, "events", ["user_id", "ts"])
             .map_batches(partial, batch_format="pyarrow")
             .groupby("part")
             .map_groups(island_kernel, batch_format="pyarrow")
             .materialize()
-        )
-        .to_pandas()
-        .sort_values("user_id")
-    )
+        ).to_pandas(),
+        {"user_id": "int64", "max_streak": "int64", "n_days": "int64"},
+    ).sort_values("user_id")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -6539,13 +6959,17 @@ def _cents_hist(sf_dir: str, group_col: str | None):
         )
 
     keys = [group_col, "cents"] if group_col else "cents"
-    return (
+    out = (
         _read(sf_dir, "orders", cols)
         .map_batches(partial, batch_format="pyarrow")
         .groupby(keys)
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
     )
+    schema = {"cents": "int64", "cnt": "int64"}
+    if group_col:
+        schema = {group_col: "object", **schema}
+    return _stable(out, schema)
 
 
 def _inv_cdf(values: np.ndarray, counts: np.ndarray, q: float) -> int:
@@ -6635,7 +7059,11 @@ def q_orders_winsorized(sf_dir: str):
     hist = _cents_hist(sf_dir, None).sort_values("cents")
     v = hist["cents"].to_numpy()
     c = hist["cnt"].to_numpy()
-    lo, hi = _inv_cdf(v, c, 0.01), _inv_cdf(v, c, 0.99)
+    # empty orders: no clip points and the per-status groupby below
+    # produces 0 rows either way — any clip bound works
+    lo, hi = (
+        (_inv_cdf(v, c, 0.01), _inv_cdf(v, c, 0.99)) if len(v) else (0, 0)
+    )
 
     def partial(b: pa.Table) -> pa.Table:
         cents = (
@@ -6672,8 +7100,17 @@ def q_orders_winsorized(sf_dir: str):
             Max("max_wcents", alias_name="max_wcents"),
         )
         .to_pandas()
-        .sort_values("o_orderstatus")
     )
+    out = _stable(
+        out,
+        {
+            "o_orderstatus": "object",
+            "n": "int64",
+            "sum_wcents": "int64",
+            "min_wcents": "int64",
+            "max_wcents": "int64",
+        },
+    ).sort_values("o_orderstatus")
     for col in ("n", "sum_wcents", "min_wcents", "max_wcents"):
         out[col] = out[col].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -6746,20 +7183,19 @@ def q_token_novelty(sf_dir: str):
         )
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    nd = (
-        docs.map_batches(distinct_partial, batch_format="pyarrow")
-        .to_pandas()
-        .set_index("doc_id")["n_distinct"]
-    )
-    firsts = (
+    nd = _stable(
+        docs.map_batches(distinct_partial, batch_format="pyarrow").to_pandas(),
+        {"doc_id": "int64", "n_distinct": "int64"},
+    ).set_index("doc_id")["n_distinct"]
+    firsts = _stable(
         docs.map_batches(first_partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .groupby("doc_id")
         .aggregate(Count(alias_name="n_novel"))
-        .to_pandas()
-        .set_index("doc_id")["n_novel"]
-    )
+        .to_pandas(),
+        {"doc_id": "int64", "n_novel": "int64"},
+    ).set_index("doc_id")["n_novel"]
     base = (
         _read(sf_dir, "documents", ["doc_id"]).to_pandas().sort_values("doc_id")
     )
@@ -6994,8 +7430,10 @@ def q_event_transitions(sf_dir: str):
         .groupby(["from_type", "to_type"])
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
-        .sort_values(["from_type", "to_type"])
     )
+    out = _stable(
+        out, {"from_type": "object", "to_type": "object", "n": "int64"}
+    ).sort_values(["from_type", "to_type"])
     out["n"] = out["n"].astype("int64")
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
@@ -7053,13 +7491,17 @@ def q_user_twap(sf_dir: str):
             }
         )
 
-    out = (
+    out = _stable(
         _timeline_exchange(
             sf_dir, ["user_id", "ts", "event_id", "value"], kernel, empty
-        )
-        .to_pandas()
-        .sort_values("user_id")
-    )
+        ).to_pandas(),
+        {
+            "user_id": "int64",
+            "n_gaps": "int64",
+            "sum_gap_s": "int64",
+            "sum_wv": "int64",
+        },
+    ).sort_values("user_id")
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
@@ -7101,6 +7543,9 @@ def q_embedding_stats(sf_dir: str):
         _read(sf_dir, "embeddings", ["embedding"])
         .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
+    )
+    parts = _stable(
+        parts, {"dim": "int64", "n": "int64", "s1": "float64", "s2": "float64"}
     )
     out = (
         parts.groupby("dim", sort=True)
@@ -7157,6 +7602,14 @@ def q_type_hour_mi(sf_dir: str):
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
     )
+    if len(hist) == 0:
+        # SQL aggregate-over-empty: one all-NULL row
+        return pa.table(
+            {
+                "n": pa.array([None], pa.int64()),
+                "mi_nats": pa.array([None], pa.float64()),
+            }
+        )
     joint = hist.pivot_table(
         index="event_type", columns="hour", values="cnt", fill_value=0
     ).to_numpy(dtype=np.float64)
@@ -7271,16 +7724,29 @@ def q_events_profile(sf_dir: str):
         .groupby("col")
         .aggregate(Sum("nd", alias_name="n_distinct"))
         .to_pandas()
-        .set_index("col")["n_distinct"]
     )
+    nd = _stable(nd, {"col": "object", "n_distinct": "int64"}).set_index(
+        "col"
+    )["n_distinct"]
     base = (
         ev.map_batches(null_partial, batch_format="pyarrow")
         .groupby("col")
         .aggregate(Sum("n", alias_name="n"), Sum("n_null", alias_name="n_null"))
         .to_pandas()
-        .sort_values("col")
     )
-    base["n_distinct"] = nd.reindex(base["col"]).to_numpy(np.int64)
+    base = _stable(base, {"col": "object", "n": "int64", "n_null": "int64"})
+    if len(base) == 0:
+        # SQL twin on empty: each UNION branch still emits its (col, 0,
+        # 0, 0) row — counts over an empty table are 0, not absent
+        import pandas as pd
+
+        base = pd.DataFrame(
+            {"col": sorted(_PROFILE_COLS), "n": 0, "n_null": 0}
+        )
+    base = base.sort_values("col")
+    base["n_distinct"] = (
+        nd.reindex(base["col"]).fillna(0).to_numpy(np.int64)
+    )
     for c in ("n", "n_null", "n_distinct"):
         base[c] = base[c].astype("int64")
     return pa.Table.from_pandas(base.reset_index(drop=True), preserve_index=False)
@@ -7349,13 +7815,18 @@ def q_user_state_intervals(sf_dir: str):
             }
         )
 
-    out = (
+    out = _stable(
         _timeline_exchange(
             sf_dir, ["user_id", "ts", "event_id", "event_type"], kernel, empty
-        )
-        .to_pandas()
-        .sort_values(["user_id", "start_us", "end_us", "event_type"])
-    )
+        ).to_pandas(),
+        {
+            "user_id": "int64",
+            "event_type": "object",
+            "start_us": "int64",
+            "end_us": "int64",
+            "n_events": "int64",
+        },
+    ).sort_values(["user_id", "start_us", "end_us", "event_type"])
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
@@ -7408,7 +7879,9 @@ def q_daily_revenue_delta(sf_dir: str):
         .groupby("dayno")
         .aggregate(Sum("rev_cents", alias_name="rev_cents"))
         .to_pandas()
-        .sort_values("dayno")
+    )
+    out = _stable(out, {"dayno": "int64", "rev_cents": "int64"}).sort_values(
+        "dayno"
     )
     out["rev_cents"] = out["rev_cents"].astype("int64")
     out["delta_cents"] = out["rev_cents"].diff()
@@ -7478,12 +7951,12 @@ def q_orders_percentile_rank(sf_dir: str):
             }
         )
 
-    out = (
+    out = _stable(
         _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
         .map_batches(rank_batch, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("o_orderkey")
-    )
+        .to_pandas(),
+        {"o_orderkey": "int64", "n_below": "int64", "group_n": "int64"},
+    ).sort_values("o_orderkey")
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
@@ -7675,14 +8148,17 @@ def q_customer_order_cadence(sf_dir: str):
 
     from anansi_ray.arrowds import drop_empty_blocks, stable_pandas
 
-    out = stable_pandas(
-        drop_empty_blocks(
-            _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
-            .map_batches(tag, batch_format="pyarrow")
-            .groupby("part")
-            .map_groups(kernel, batch_format="pyarrow")
-            .materialize()
-        )
+    out = _stable_t(
+        stable_pandas(
+            drop_empty_blocks(
+                _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+                .map_batches(tag, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(kernel, batch_format="pyarrow")
+                .materialize()
+            )
+        ),
+        empty,
     ).sort_values("o_custkey")
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
@@ -7767,7 +8243,16 @@ def _customer_rfm_base(sf_dir: str):
         )
         .to_pandas()
     )
-    max_day = int(base["last_day"].max())
+    base = _stable(
+        base,
+        {
+            "o_custkey": "int64",
+            "last_day": "int64",
+            "freq": "int64",
+            "monetary": "int64",
+        },
+    )
+    max_day = int(base["last_day"].max()) if len(base) else 0
     base["recency"] = (max_day - base["last_day"]).astype("int64")
     base["freq"] = base["freq"].astype("int64")
     base["monetary"] = base["monetary"].astype("int64")
@@ -7801,6 +8286,15 @@ def q_customer_rfm(sf_dir: str):
         return (6 - s) if invert else s
 
     out = base.sort_values("o_custkey")
+    if len(out) == 0:
+        return pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "r_score": pa.array([], pa.int64()),
+                "f_score": pa.array([], pa.int64()),
+                "m_score": pa.array([], pa.int64()),
+            }
+        )
     r = score(out["recency"].to_numpy(), _quintile_cuts(out["recency"].to_numpy()), True)
     f = score(out["freq"].to_numpy(), _quintile_cuts(out["freq"].to_numpy()), False)
     m = score(
@@ -7884,6 +8378,17 @@ def q_revenue_pareto(sf_dir: str):
         .aggregate(Sum("cents", alias_name="rev"))
         .to_pandas()
     )
+    rev = _stable(rev, {"o_custkey": "int64", "rev": "int64"})
+    if len(rev) == 0:
+        # SQL twin on empty: n_customers = count-over-empty = 0, the
+        # min/max aggregates go NULL
+        return pa.table(
+            {
+                "n_customers": pa.array([0], pa.int64()),
+                "n_top80": pa.array([None], pa.int64()),
+                "total_rev_cents": pa.array([None], pa.int64()),
+            }
+        )
     vals, cnt = np.unique(rev["rev"].to_numpy(), return_counts=True)
     # descending revenue classes
     vals, cnt = vals[::-1], cnt[::-1]
@@ -7972,8 +8477,27 @@ def q_k_anonymity(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
+    g = _stable(
+        g,
+        {
+            "o_orderstatus": "object",
+            "o_orderpriority": "object",
+            "mo": "int64",
+            "n": "int64",
+        },
+    )
     n = g["n"].to_numpy()
     small = n < K
+    if len(n) == 0:
+        # SQL twin on empty: the group count is 0 but its SUM-based
+        # companions aggregate over nothing and go NULL
+        return pa.table(
+            {
+                "n_groups": pa.array([0], pa.int64()),
+                "n_small_groups": pa.array([None], pa.int64()),
+                "n_rows_at_risk": pa.array([None], pa.int64()),
+            }
+        )
     return pa.table(
         {
             "n_groups": pa.array([len(n)], pa.int64()),
@@ -8028,6 +8552,7 @@ def q_impute_missing(sf_dir: str):
         .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
         .to_pandas()
     )
+    means = _stable(means, {"event_type": "object", "s": "int64", "n": "int64"})
     mean_fp = {
         t: int(s) // int(n)
         for t, s, n in zip(means["event_type"], means["s"], means["n"])
@@ -8048,12 +8573,12 @@ def q_impute_missing(sf_dir: str):
             }
         )
 
-    out = (
+    out = _stable(
         _read(sf_dir, "events", ["event_id", "event_type"])
         .map_batches(impute, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("event_id")
-    )
+        .to_pandas(),
+        {"event_id": "int64", "event_type": "object", "value_fp": "int64"},
+    ).sort_values("event_id")
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
@@ -8094,6 +8619,15 @@ def q_gini_coefficient(sf_dir: str):
         .aggregate(Sum("cents", alias_name="rev"))
         .to_pandas()
     )
+    rev = _stable(rev, {"o_custkey": "int64", "rev": "int64"})
+    if len(rev) == 0:
+        # SQL aggregate-over-empty: one all-NULL row
+        return pa.table(
+            {
+                "n_customers": pa.array([None], pa.int64()),
+                "gini": pa.array([None], pa.float64()),
+            }
+        )
     vals, cnt = np.unique(rev["rev"].to_numpy(), return_counts=True)
     n = int(cnt.sum())
     tot = int((vals * cnt).sum())
@@ -8173,6 +8707,7 @@ def q_nb_token_model(sf_dir: str):
         .map_batches(topk_partial, batch_format="pyarrow")
         .to_pandas()
     )
+    out = _stable(out, {"lang": "object", "token": "object", "cnt": "int64"})
     out = out.sort_values(
         ["lang", "cnt", "token"], ascending=[True, False, True]
     )
@@ -8230,6 +8765,9 @@ def q_daily_anomalies(sf_dir: str):
         .groupby(["event_type", "dayno"])
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
+    )
+    hist = _stable(
+        hist, {"event_type": "object", "dayno": "int64", "n": "int64"}
     )
     rows = []
     for et, grp in hist.groupby("event_type"):
@@ -8370,6 +8908,10 @@ def q_user_coverage_audit(sf_dir: str):
         .aggregate(Max("m_e", alias_name="m_e"), Max("m_c", alias_name="m_c"))
         .map_batches(count_partial, batch_format="pyarrow")
         .to_pandas()
+    )
+    parts = _stable(
+        parts,
+        {"n_both": "int64", "n_events_only": "int64", "n_customers_only": "int64"},
     )
     return pa.table(
         {
@@ -8709,12 +9251,17 @@ def q_hapax_stats(sf_dir: str):
             }
         )
 
-    out = (
+    out = _stable(
         _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(kernel, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("doc_id")
-    )
+        .to_pandas(),
+        {
+            "doc_id": "int64",
+            "n_tok": "int64",
+            "n_types": "int64",
+            "n_hapax": "int64",
+        },
+    ).sort_values("doc_id")
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
@@ -8773,6 +9320,16 @@ def q_priority_price_extremes(sf_dir: str):
         )
         .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
+    )
+    parts = _stable(
+        parts,
+        {
+            "pri": "object",
+            "min_cents": "int64",
+            "min_orderkey": "int64",
+            "max_cents": "int64",
+            "max_orderkey": "int64",
+        },
     )
     rows = []
     for pri, grp in parts.groupby("pri"):
@@ -8847,6 +9404,7 @@ def q_adoption_curve(sf_dir: str):
         .aggregate(Min("dayno", alias_name="dayno"))
         .to_pandas()
     )
+    firsts = _stable(firsts, {"user_id": "int64", "dayno": "int64"})
     days, cnt = np.unique(firsts["dayno"].to_numpy(), return_counts=True)
     return pa.table(
         {
