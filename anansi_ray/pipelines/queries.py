@@ -9425,6 +9425,199 @@ FROM d ORDER BY dayno
 """
 
 
+def q_merge_upsert(sf_dir: str):
+    """Distributed MERGE / upsert (the CDC table-maintenance primitive):
+    apply a change stream to a base table — latest change per key wins,
+    keys only in the stream INSERT, keys only in the base KEEP.
+
+    Base = customer balances (cents).  Change stream derives from orders:
+    each customer's LATEST order (by orderdate, orderkey) updates their
+    balance; every ``o_orderkey % 97 == 0`` order also inserts a fresh
+    key (``o_orderkey + 10^10`` — disjoint from custkeys by construction).
+
+    Scale shape: the change stream first collapses to one row per key
+    with a per-batch latest-row combiner (lexsort, last-of-run) and ONE
+    key-hash exchange whose partition kernel repeats the argmax — the
+    standard distributed latest-wins reduction; base and changes then
+    co-partition on the same key hash and each partition kernel resolves
+    membership with one ``np.isin`` per side.  No row multiplication, no
+    broadcast: both sides can be arbitrarily large."""
+    P = 32
+    DAY_US = 86_400_000_000
+    INS_OFF = 10_000_000_000
+
+    def chg_partial(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False)
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        day = ts_us(b["o_orderdate"]).to_numpy(zero_copy_only=False) // DAY_US
+        bal = (
+            pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        # latest row per key within the batch (combiner): lexsort by
+        # (key, day, orderkey); the last row of each key run is the argmax
+        order = np.lexsort((ok, day, k))
+        ks = k[order]
+        last = np.r_[ks[1:] != ks[:-1], True]
+        sel = order[last]
+        # pack the recency rank so partitions can re-argmax exactly:
+        # day < 2^20 and orderkey < 2^43 at any tested scale
+        pack = day[sel] * (1 << 43) + ok[sel]
+        return pa.table(
+            {
+                "part": pa.array((ks[last] % P).astype(np.int32), pa.int32()),
+                "key": pa.array(ks[last], pa.int64()),
+                "pack": pa.array(pack, pa.int64()),
+                "bal": pa.array(bal[sel], pa.int64()),
+            }
+        )
+
+    def latest_kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "bal": pa.array([], pa.int64())}
+            )
+        k = g["key"].to_numpy(zero_copy_only=False)
+        pk = g["pack"].to_numpy(zero_copy_only=False)
+        bal = g["bal"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, k))
+        ks = k[order]
+        last = np.r_[ks[1:] != ks[:-1], True]
+        sel = order[last]
+        return pa.table(
+            {
+                "key": pa.array(ks[last], pa.int64()),
+                "bal": pa.array(bal[sel], pa.int64()),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+    updates = (
+        orders.map_batches(chg_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(latest_kernel, batch_format="pyarrow")
+    )
+
+    def ins_rows(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        m = ok % 97 == 0
+        bal = (
+            pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)[m]
+        )
+        return pa.table(
+            {
+                "key": pa.array(ok[m] + INS_OFF, pa.int64()),
+                "bal": pa.array(bal, pa.int64()),
+            }
+        )
+
+    inserts = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        ins_rows, batch_format="pyarrow"
+    )
+
+    def tag(side: str):
+        def _t(b: pa.Table) -> pa.Table:
+            k = b["key"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "part": pa.array((k % P).astype(np.int32), pa.int32()),
+                    "key": b["key"],
+                    "bal": b["bal"],
+                    "side": pa.array([side] * b.num_rows, pa.string()),
+                }
+            )
+
+        return _t
+
+    def base_rows(b: pa.Table) -> pa.Table:
+        bal = (
+            pc.cast(pc.round(pc.multiply(b["c_acctbal"], 100.0)), pa.int64())
+        )
+        return pa.table({"key": b["c_custkey"], "bal": bal})
+
+    base = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        base_rows, batch_format="pyarrow"
+    )
+
+    empty = pa.table(
+        {
+            "key": pa.array([], pa.int64()),
+            "balance_cents": pa.array([], pa.int64()),
+            "action": pa.array([], pa.string()),
+        }
+    )
+
+    def merge_kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        side = g["side"].to_numpy(zero_copy_only=False)
+        k = g["key"].to_numpy(zero_copy_only=False)
+        bal = g["bal"].to_numpy(zero_copy_only=False)
+        is_c = side == "c"
+        ck, cb = k[is_c], bal[is_c]
+        bk, bb = k[~is_c], bal[~is_c]
+        in_base = np.isin(ck, bk)
+        keep = ~np.isin(bk, ck)
+        out_k = np.concatenate([ck, bk[keep]])
+        out_b = np.concatenate([cb, bb[keep]])
+        out_a = np.concatenate(
+            [
+                np.where(in_base, "update", "insert"),
+                np.full(int(keep.sum()), "keep", dtype=object),
+            ]
+        )
+        return pa.table(
+            {
+                "key": pa.array(out_k, pa.int64()),
+                "balance_cents": pa.array(out_b, pa.int64()),
+                "action": pa.array(out_a, pa.string()),
+            }
+        )
+
+    changes = updates.union(inserts).map_batches(tag("c"), batch_format="pyarrow")
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    out = _stable_t(
+        drop_empty_blocks(
+            base.map_batches(tag("b"), batch_format="pyarrow")
+            .union(changes)
+            .groupby("part")
+            .map_groups(merge_kernel, batch_format="pyarrow")
+            .materialize()
+        ).to_pandas(),
+        empty,
+    ).sort_values("key")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_MERGE_UPSERT = """
+WITH latest AS (
+  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS bal,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders),
+ch AS (
+  SELECT o_custkey AS key, bal FROM latest WHERE rn = 1
+  UNION ALL
+  SELECT o_orderkey + 10000000000,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+  FROM orders WHERE o_orderkey % 97 = 0),
+base AS (
+  SELECT c_custkey AS key, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer)
+SELECT coalesce(c.key, b.key) AS key,
+       coalesce(c.bal, b.bal) AS balance_cents,
+       CASE WHEN c.key IS NOT NULL AND b.key IS NOT NULL THEN 'update'
+            WHEN c.key IS NOT NULL THEN 'insert'
+            ELSE 'keep' END AS action
+FROM base b FULL OUTER JOIN ch c ON b.key = c.key
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -9571,4 +9764,5 @@ QUERIES = {
         SQL_PRIORITY_PRICE_EXTREMES,
     ),
     "adoption_curve": (q_adoption_curve, SQL_ADOPTION_CURVE),
+    "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
 }

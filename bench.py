@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "hapax_stats",
     "priority_price_extremes",
     "adoption_curve",
+    "merge_upsert",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
