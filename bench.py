@@ -401,6 +401,9 @@ def run_full() -> dict:
         qtimes[name] = round(time.time() - t0, 2)
     out["queries"] = qtimes
     out["value"] = round(time.time() - t_total, 2)
+    # end-of-run probe: a run that STARTED healthy can degrade mid-flight
+    # (and vice versa) — both stamps are needed to adjudicate the numbers
+    out["host_memband_sec_end"] = _host_health_sec()
     return out
 
 
