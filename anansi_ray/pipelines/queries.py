@@ -2727,15 +2727,18 @@ def q_order_lineitem_join_salted(sf_dir: str):
     bucket task) and the matching build-side rows are REPLICATED to all R
     salts (FP-Hadoop-style skew handling).
 
-    Heavy-hitter detection is itself distributed: a per-batch partial
-    count → small groupby → driver-side threshold (keys above 4× the mean
-    bucket share are "hot" — a tiny broadcast list).  Cold keys flow
-    exactly like the unsalted join (salt 0), so the overhead is
-    proportional to the skew, not the input."""
+    Heavy-hitter detection is itself distributed AND cheap: per-batch
+    partial counts → ONE coarse 32-way hash exchange (never a sort over
+    the ~unique key domain) → in-partition exact per-key combine, emitting
+    only keys above 4× the partition-local mean count.  Because every
+    occurrence of a key lands in one partition, the emitted counts are
+    exact; the threshold being partition-local (≈ global under hash
+    partitioning) is fine because salting is correctness-neutral — the
+    join result is identical whatever the hot set, only the load balance
+    changes.  Cold keys flow exactly like the unsalted join (salt 0), so
+    the overhead is proportional to the skew, not the input."""
     R = 4  # salt replicas for hot keys
     B = 32
-
-    from ray.data.aggregate import Sum
 
     li_keys = _read(sf_dir, "lineitem", ["l_orderkey"])
 
@@ -2745,22 +2748,33 @@ def q_order_lineitem_join_salted(sf_dir: str):
         return pa.table(
             {
                 "key": pa.array(uniq, pa.int64()),
+                "bucket": pa.array((uniq % B).astype(np.int32), pa.int32()),
                 "n": pa.array(counts.astype(np.int64), pa.int64()),
             }
         )
 
-    freq = (
+    def hot_in_bucket(group: pa.Table) -> pa.Table:
+        k = group["key"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(k, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, n)
+        thresh = 4.0 * (tot.sum() / max(len(uniq), 1))
+        hotk = uniq[tot > thresh]
+        return pa.table({"key": pa.array(hotk, pa.int64())})
+
+    hot_df = (
         li_keys.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("key")
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("bucket")
+        .map_groups(hot_in_bucket, batch_format="pyarrow")
         .to_pandas()
     )
-    freq = _stable(freq, {"key": "int64", "n": "int64"})
-    thresh = 4.0 * freq["n"].mean()
-    hot = set(freq.loc[freq["n"] > thresh, "key"].astype("int64").tolist())
+    hot_df = _stable(hot_df, {"key": "int64"})
     import ray
 
-    hot_ref = ray.put(np.array(sorted(hot), dtype=np.int64))
+    hot_ref = ray.put(
+        np.sort(hot_df["key"].to_numpy().astype(np.int64))
+    )
 
     def tag_lineitem(b: pa.Table) -> pa.Table:
         hot_arr = ray.get(hot_ref)
