@@ -1551,11 +1551,14 @@ def shingle_jaccard_pairs(
     pairs are never enumerated, so the cost per ingest scales with the
     new shard, not the corpus.
 
-    Pipeline: per-batch distinct (doc, shingle) combiner → shingle-hash
-    exchange stamping global df → doc exchange computing per-doc prefixes
-    → shingle-hash exchange enumerating size-filtered prefix pairs
-    (t_den·min ≥ t_num·max prune) → attach_pair_values repartition join →
-    per-pair exact verify with the integer test t_den·I ≥ t_num·U.
+    Pipeline: per-batch distinct (doc, shingle) combiner → ONE shingle-hash
+    exchange stamping global df in-kernel (rows per shingle are globally
+    distinct and co-located after the exchange, so df = run length — no
+    separate counting aggregate over the string key domain) → doc exchange
+    computing per-doc prefixes → shingle-hash exchange enumerating
+    size-filtered prefix pairs (t_den·min ≥ t_num·max prune) →
+    attach_pair_values repartition join → per-pair exact verify with the
+    integer test t_den·I ≥ t_num·U.
     Returns (a, b, jaccard) sorted, or None when no pair qualifies."""
     import pandas as pd
 
@@ -1576,51 +1579,14 @@ def shingle_jaccard_pairs(
         )
 
     # every doc lives in one batch → per-batch dedup is globally distinct
-    pairs = docs_ds.map_batches(doc_shingles, batch_format="pyarrow").materialize()
-
-    def count_partial(b: pa.Table) -> pa.Table:
-        vc = b["sh"].to_pandas().value_counts()
-        return pa.table(
-            {
-                "sh": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
-                "df": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
-            }
-        )
-
-    from ray.data.aggregate import Sum
-
-    df_tbl = (
-        pairs.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("sh")
-        .aggregate(Sum("df", alias_name="df"))
-        .materialize()
-    )
+    pairs = docs_ds.map_batches(doc_shingles, batch_format="pyarrow")
 
     def _sh_part(col) -> pa.Array:
         h = pd.util.hash_array(col.to_pandas().to_numpy(dtype=object))
         return pa.array((h % n_parts).astype(np.int32), pa.int32())
 
-    def tag_df(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {
-                "part": _sh_part(b["sh"]),
-                "sh": b["sh"],
-                "doc_id": pa.array(np.full(n, -1, np.int64), pa.int64()),
-                "v": b["df"].cast(pa.int64()),
-            }
-        )
-
     def tag_pairs(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table(
-            {
-                "part": _sh_part(b["sh"]),
-                "sh": b["sh"],
-                "doc_id": b["doc_id"],
-                "v": pa.array(np.zeros(n, np.int64), pa.int64()),
-            }
-        )
+        return b.append_column("part", _sh_part(b["sh"]))
 
     stamped_empty = pa.table(
         {
@@ -1631,28 +1597,28 @@ def shingle_jaccard_pairs(
     )
 
     def stamp_df(g: pa.Table) -> pa.Table:
+        # (doc_id, sh) rows are globally distinct and every row of a
+        # shingle lands in this part, so df(sh) == its run length here —
+        # no separate counting aggregate over the string key domain.
         if g.num_rows == 0:
             return stamped_empty
         pdf = g.to_pandas().sort_values(["sh", "doc_id"], kind="stable")
-        # the df row (doc_id == -1) sorts first in each shingle run
-        is_d = pdf["doc_id"].to_numpy() == -1
-        dfv = pdf["v"].to_numpy()
-        run = np.cumsum(is_d) - 1
-        dvals = dfv[is_d]
-        keep = ~is_d
+        sh = pdf["sh"].to_numpy(dtype=object)
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        sizes = np.diff(np.r_[starts, len(sh)])
+        dfv = np.repeat(sizes, sizes).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(pdf["doc_id"].to_numpy()[keep], pa.int64()),
-                "sh": pa.array(
-                    pdf["sh"].to_numpy(dtype=object)[keep], pa.string()
+                "doc_id": pa.array(
+                    pdf["doc_id"].to_numpy(dtype=np.int64), pa.int64()
                 ),
-                "df": pa.array(dvals[run[keep]], pa.int64()),
+                "sh": pa.array(sh, pa.string()),
+                "df": pa.array(dfv, pa.int64()),
             }
         )
 
     stamped = drop_empty_blocks(
-        df_tbl.map_batches(tag_df, batch_format="pyarrow")
-        .union(pairs.map_batches(tag_pairs, batch_format="pyarrow"))
+        pairs.map_batches(tag_pairs, batch_format="pyarrow")
         .groupby("part")
         .map_groups(stamp_df, batch_format="pyarrow")
         .materialize()
