@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 R0 = 1_000_000_000  # initial rank, fixed-point 1e9
@@ -53,8 +54,6 @@ def pagerank_integer(
 ) -> pa.Table:
     """``iters`` supersteps of integer PageRank; returns (doc_id, pr)
     sorted by doc_id.  ``docs`` needs only a ``doc_id`` column."""
-    from ray.data.aggregate import Sum
-
     from anansi_ray.arrowds import drop_empty_blocks
 
     edges = _edges_from_docs(docs, n_docs, n_parts)
@@ -103,9 +102,8 @@ def pagerank_integer(
     def contrib_part(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return empty
-        side = np.asarray(g["side"].to_pylist())
         key = g["key"].to_numpy(zero_copy_only=False)
-        is_r = side == "r"
+        is_r = pc.equal(g["side"], "r").to_numpy(zero_copy_only=False)
         rk = key[is_r]
         rv = g["pr"].to_numpy(zero_copy_only=False)[is_r]
         order = np.argsort(rk)
@@ -123,15 +121,42 @@ def pagerank_integer(
             {"dst": pa.array(uniq, pa.int64()), "c": pa.array(s, pa.int64())}
         )
 
-    def finish(b: pa.Table) -> pa.Table:
+    def tag_dst(b: pa.Table) -> pa.Table:
+        d = b["dst"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": b["dst"],
-                "pr": pa.array(
-                    BASE + b["c"].to_numpy(zero_copy_only=False), pa.int64()
-                ),
+                "part": pa.array((d % n_parts).astype(np.int32), pa.int32()),
+                "dst": b["dst"],
+                "c": b["c"],
             }
         )
+
+    rank_empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "pr": pa.array([], pa.int64())}
+    )
+
+    def sum_part(g: pa.Table) -> pa.Table:
+        # coarse-part combine: every contribution for a dst lands in this
+        # part, so the per-dst total is exact in-kernel — never a sorted
+        # aggregate over the ~unique dst domain (integer sums, so the
+        # bit-equal contract is summation-order-free).
+        if g.num_rows == 0:
+            return rank_empty
+        d = g["dst"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(d, return_inverse=True)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, c)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "pr": pa.array(BASE + s, pa.int64()),
+            }
+        )
+
+    baseline_tagged = baseline.map_batches(
+        tag_dst, batch_format="pyarrow"
+    ).materialize()
 
     for _ in range(iters):
         tagged = ranks.map_batches(tag_ranks, batch_format="pyarrow")
@@ -141,11 +166,11 @@ def pagerank_integer(
             .map_groups(contrib_part, batch_format="pyarrow")
             .materialize()
         )
-        ranks = (
-            contrib.union(baseline)
-            .groupby("dst")
-            .aggregate(Sum("c", alias_name="c"))
-            .map_batches(finish, batch_format="pyarrow")
+        ranks = drop_empty_blocks(
+            contrib.map_batches(tag_dst, batch_format="pyarrow")
+            .union(baseline_tagged)
+            .groupby("part")
+            .map_groups(sum_part, batch_format="pyarrow")
             .materialize()
         )
 
@@ -209,10 +234,9 @@ def khop_reach(
     def expand_part(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return pair_empty
-        side = np.asarray(g["side"].to_pylist())
         key = g["key"].to_numpy(zero_copy_only=False)
         other = g["dst"].to_numpy(zero_copy_only=False)
-        is_e = side == "e"
+        is_e = pc.equal(g["side"], "e").to_numpy(zero_copy_only=False)
         src, dst = key[is_e], other[is_e]
         order = np.argsort(src, kind="stable")
         src, dst = src[order], dst[order]
@@ -253,7 +277,7 @@ def khop_reach(
         if g.num_rows == 0:
             return pair_empty
         pk = g["pk"].to_numpy(zero_copy_only=False)
-        is_new = np.asarray(g["new"].to_pylist()) == "y"
+        is_new = pc.equal(g["new"], "y").to_numpy(zero_copy_only=False)
         seen = np.unique(pk[~is_new])
         cand = np.unique(pk[is_new])
         fresh = cand[np.searchsorted(seen, cand) >= len(seen)] if len(seen) == 0 else cand[
