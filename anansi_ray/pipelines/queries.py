@@ -6507,29 +6507,21 @@ def q_bigram_lm_score(sf_dir: str):
     CCNet/Gopher-style filtering, integer-exact): score(doc) = Σ over the
     doc's adjacent word pairs of the CORPUS-wide count of that pair.
 
-    Scale shape: pass 1 builds corpus bigram counts with the per-batch
-    combiner (functions/text.py bigram_partial) + one groupby(bigram)
-    sum; pass 2 re-reads docs as (doc_id, bigram, m) combiner rows
-    (bigram_doc_pairs); the join is ONE coarse exchange on a
-    deterministic siphash of the bigram string — inside each partition a
-    sorted-array searchsorted probe maps pair → corpus count, emitting
-    per-doc partials; a final tiny groupby(doc_id) sums them.  Nothing
-    token-stream-sized crosses the wire; both exchanges carry
-    vocabulary-bounded rows."""
+    Scale shape: pass 1 emits per-batch corpus partials (functions/text.py
+    bigram_partial) straight into the join exchange — all partials for a
+    bigram hash to one partition, so the global count is combined
+    IN-KERNEL (never a sorted aggregate over the vocabulary); pass 2
+    re-reads docs as (doc_id, bigram, m) combiner rows (bigram_doc_pairs);
+    the join is ONE coarse exchange on a deterministic siphash of the
+    bigram string — inside each partition a sorted-array searchsorted
+    probe maps pair → corpus count, emitting per-doc partials; a final
+    coarse doc-part exchange combines them.  Nothing token-stream-sized
+    crosses the wire; both exchanges carry vocabulary-bounded rows."""
     import pandas as pd
-    from ray.data.aggregate import Sum
 
     from anansi_ray.arrowds import drop_empty_blocks
 
     P = 32
-
-    counts = (
-        _read(sf_dir, "documents", ["text"])
-        .map_batches(ftext.bigram_partial, batch_format="pyarrow")
-        .groupby("bigram")
-        .aggregate(Sum("n", alias_name="n"))
-        .materialize()
-    )
 
     def tag_counts(b: pa.Table) -> pa.Table:
         bg = b["bigram"].to_pandas()
@@ -6567,10 +6559,16 @@ def q_bigram_lm_score(sf_dir: str):
         m = g["m"].to_numpy(zero_copy_only=False)
         bg = g["bigram"].to_pandas().to_numpy(dtype=object)
         is_c = doc == -1
-        ck = bg[is_c]
-        cv = m[is_c]
-        order = np.argsort(ck, kind="stable")
-        ck, cv = ck[order], cv[order]
+        order = np.argsort(bg[is_c], kind="stable")
+        ck_s, cv_s = bg[is_c][order], m[is_c][order]
+        # combine per-batch corpus partials: every partial for a bigram
+        # lands in this part, so its global count is a run sum here
+        new = np.r_[True, ck_s[1:] != ck_s[:-1]] if len(ck_s) else np.zeros(0, bool)
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        ck = ck_s[starts]
+        cv = np.zeros(len(starts), np.int64)
+        np.add.at(cv, run_id, cv_s)
         dk, dd, dm = bg[~is_c], doc[~is_c], m[~is_c]
         pos = np.searchsorted(ck, dk)
         # every doc bigram exists in the corpus counts by construction
@@ -6582,10 +6580,39 @@ def q_bigram_lm_score(sf_dir: str):
             {"doc_id": pa.array(ud, pa.int64()), "s": pa.array(s, pa.int64())}
         )
 
+    def tag_doc_part(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "dpart", pa.array((d % P).astype(np.int32), pa.int32())
+        )
+
+    final_empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "lm_hits": pa.array([], pa.int64())}
+    )
+
+    def sum_doc_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return final_empty
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(d, return_inverse=True)
+        tot = np.zeros(len(ud), np.int64)
+        np.add.at(tot, inv, s)
+        return pa.table(
+            {
+                "doc_id": pa.array(ud, pa.int64()),
+                "lm_hits": pa.array(tot, pa.int64()),
+            }
+        )
+
+    counts_src = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(ftext.bigram_partial, batch_format="pyarrow")
+        .map_batches(tag_counts, batch_format="pyarrow")
+    )
     out = (
         drop_empty_blocks(
-            counts.map_batches(tag_counts, batch_format="pyarrow")
-            .union(
+            counts_src.union(
                 _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
                     tag_docs, batch_format="pyarrow"
                 )
@@ -6594,8 +6621,9 @@ def q_bigram_lm_score(sf_dir: str):
             .map_groups(probe_part, batch_format="pyarrow")
             .materialize()
         )
-        .groupby("doc_id")
-        .aggregate(Sum("s", alias_name="lm_hits"))
+        .map_batches(tag_doc_part, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(sum_doc_part, batch_format="pyarrow")
         .to_pandas()
     )
     out = _stable(out, {"doc_id": "int64", "lm_hits": "int64"}).sort_values(
