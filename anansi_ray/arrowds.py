@@ -124,6 +124,135 @@ def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
         return ds
 
 
+_COARSE_OPS = ("sum", "min", "max", "count")
+
+
+def coarse_agg(
+    ds: rd.Dataset,
+    key: str,
+    aggs: dict,
+    n_parts: int = 32,
+    key_type: "pa.DataType | None" = None,
+) -> rd.Dataset:
+    """Aggregate by a (near-)unique key via ONE coarse hash exchange.
+
+    ``groupby(key).aggregate(...)`` on a high-cardinality key is Ray's
+    sort-based shuffle: it range-sorts the whole key domain to merge keys
+    that mostly appear once — ~10× slower than exchanging on a 32-value
+    hash of the key and combining in-kernel (every row of a key lands in
+    one partition, so per-key results are exact there).  This is the
+    repo-wide primitive for that shape.
+
+    ``aggs`` maps output column → ("sum"|"min"|"max"|"count", input_col);
+    for "count" the input_col is ignored.  Rows are pre-combined per batch
+    BEFORE the exchange (the combiner/partial-aggregate step), so shuffle
+    volume is bounded by per-batch distinct keys.  Integer sums are
+    summation-order-free; float sums follow the same per-key in-partition
+    ordering every run (sorted by key), so results are deterministic.
+
+    The key may be integer or string (strings hash via
+    ``pandas.util.hash_array`` — deterministic across processes).
+    Returns a Dataset of (key, *outputs) with empty blocks dropped.
+    """
+    import numpy as np
+    import pandas as pd
+
+    for op, _ in aggs.values():
+        if op not in _COARSE_OPS:
+            raise ValueError(f"coarse_agg: unknown op {op!r}")
+
+    # resolve output Arrow types (for the typed-empty contract)
+    in_types: dict[str, pa.DataType] = {}
+    try:
+        schema = ds.schema(fetch_if_missing=True)
+        base = getattr(schema, "base_schema", schema)
+        if isinstance(base, pa.Schema):
+            in_types = dict(zip(base.names, base.types))
+    except Exception:
+        pass
+    if key_type is None:
+        key_type = in_types.get(key, pa.int64())
+    key_is_str = pa.types.is_string(key_type) or pa.types.is_large_string(key_type)
+
+    def out_type(op: str, col: str) -> pa.DataType:
+        if op == "count":
+            return pa.int64()
+        t = in_types.get(col, pa.int64())
+        if op == "sum" and pa.types.is_integer(t):
+            return pa.int64()
+        return t
+
+    out_types = {name: out_type(op, col) for name, (op, col) in aggs.items()}
+    empty_tbl = pa.table(
+        {key: pa.array([], key_type)}
+        | {name: pa.array([], t) for name, t in out_types.items()}
+    )
+
+    def _combine(tbl: pa.Table, ops: dict) -> pa.Table:
+        if key_is_str:
+            k = tbl[key].to_pandas().to_numpy(dtype=object)
+        else:
+            k = tbl[key].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        new = (
+            np.r_[True, ks[1:] != ks[:-1]] if len(ks) else np.zeros(0, bool)
+        )
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        cols = {key: pa.array(ks[starts], key_type)}
+        for name, (op, col) in ops.items():
+            if op == "count":
+                v = np.diff(np.r_[starts, len(ks)]).astype(np.int64)
+            else:
+                x = tbl[col].to_numpy(zero_copy_only=False)[order]
+                if op == "sum":
+                    acc_t = (
+                        np.int64 if pa.types.is_integer(out_types[name]) else np.float64
+                    )
+                    v = np.zeros(len(starts), acc_t)
+                    np.add.at(v, run_id, x)
+                elif op == "min":
+                    v = x[starts].copy()
+                    np.minimum.at(v, run_id, x)
+                else:  # max
+                    v = x[starts].copy()
+                    np.maximum.at(v, run_id, x)
+            cols[name] = pa.array(v, out_types[name])
+        return pa.table(cols)
+
+    # after the per-batch pre-combine, counts become sums of partial counts
+    final_ops = {
+        name: ("sum" if op == "count" else op, name) for name, (op, _) in aggs.items()
+    }
+
+    def pre_combine(b: pa.Table) -> pa.Table:
+        t = _combine(b, aggs)
+        if key_is_str:
+            h = pd.util.hash_array(t[key].to_pandas().to_numpy(dtype=object))
+            part = (h % n_parts).astype(np.int32)
+        else:
+            part = (
+                t[key].to_numpy(zero_copy_only=False) % n_parts
+            ).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    def finish_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty_tbl
+        return _combine(g, final_ops)
+
+    # typed 0-row sentinel: a fully empty source never invokes the UDFs,
+    # so without it the result would reach the driver schema-less
+    return drop_empty_blocks(
+        ds.map_batches(pre_combine, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(finish_part, batch_format="pyarrow")
+        .union(from_arrow_local(empty_tbl))
+        .materialize()
+    )
+
+
 def stable_frame(df, schema: dict):
     """Reinstate declared output columns on an all-empty driver frame.
 
