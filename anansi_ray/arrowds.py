@@ -129,7 +129,7 @@ _COARSE_OPS = ("sum", "min", "max", "count")
 
 def coarse_agg(
     ds: rd.Dataset,
-    key: str,
+    key: "str | list[str]",
     aggs: dict,
     n_parts: int = 32,
     key_type: "pa.DataType | None" = None,
@@ -143,6 +143,8 @@ def coarse_agg(
     one partition, so per-key results are exact there).  This is the
     repo-wide primitive for that shape.
 
+    ``key`` is one column name or a list (composite keys combine the
+    per-column hashes for the partition assignment and lexsort in-kernel).
     ``aggs`` maps output column → ("sum"|"min"|"max"|"count", input_col);
     for "count" the input_col is ignored.  Rows are pre-combined per batch
     BEFORE the exchange (the combiner/partial-aggregate step), so shuffle
@@ -150,12 +152,14 @@ def coarse_agg(
     summation-order-free; float sums follow the same per-key in-partition
     ordering every run (sorted by key), so results are deterministic.
 
-    The key may be integer or string (strings hash via
+    Keys may be integer or string (strings hash via
     ``pandas.util.hash_array`` — deterministic across processes).
-    Returns a Dataset of (key, *outputs) with empty blocks dropped.
+    Returns a Dataset of (*keys, *outputs) with empty blocks dropped.
     """
     import numpy as np
     import pandas as pd
+
+    keys = [key] if isinstance(key, str) else list(key)
 
     for op, _ in aggs.values():
         if op not in _COARSE_OPS:
@@ -170,9 +174,13 @@ def coarse_agg(
             in_types = dict(zip(base.names, base.types))
     except Exception:
         pass
-    if key_type is None:
-        key_type = in_types.get(key, pa.int64())
-    key_is_str = pa.types.is_string(key_type) or pa.types.is_large_string(key_type)
+    key_types = {}
+    for k in keys:
+        t = in_types.get(k, key_type if key_type is not None else pa.int64())
+        key_types[k] = t
+
+    def _is_str(t: pa.DataType) -> bool:
+        return pa.types.is_string(t) or pa.types.is_large_string(t)
 
     def out_type(op: str, col: str) -> pa.DataType:
         if op == "count":
@@ -184,26 +192,40 @@ def coarse_agg(
 
     out_types = {name: out_type(op, col) for name, (op, col) in aggs.items()}
     empty_tbl = pa.table(
-        {key: pa.array([], key_type)}
+        {k: pa.array([], t) for k, t in key_types.items()}
         | {name: pa.array([], t) for name, t in out_types.items()}
     )
 
+    def _key_np(tbl: pa.Table, k: str):
+        if _is_str(key_types[k]):
+            return tbl[k].to_pandas().to_numpy(dtype=object)
+        return tbl[k].to_numpy(zero_copy_only=False)
+
     def _combine(tbl: pa.Table, ops: dict) -> pa.Table:
-        if key_is_str:
-            k = tbl[key].to_pandas().to_numpy(dtype=object)
-        else:
-            k = tbl[key].to_numpy(zero_copy_only=False)
-        order = np.argsort(k, kind="stable")
-        ks = k[order]
-        new = (
-            np.r_[True, ks[1:] != ks[:-1]] if len(ks) else np.zeros(0, bool)
+        karrs = [_key_np(tbl, k) for k in keys]
+        # lexsort: last key in the list is the primary sort key for
+        # np.lexsort, so reverse — any consistent order works here
+        order = np.lexsort(karrs[::-1]) if len(karrs) > 1 else np.argsort(
+            karrs[0], kind="stable"
         )
+        ksorted = [a[order] for a in karrs]
+        n = len(order)
+        if n:
+            diff = np.zeros(n - 1, bool)
+            for a in ksorted:
+                diff |= a[1:] != a[:-1]
+            new = np.r_[True, diff]
+        else:
+            new = np.zeros(0, bool)
         starts = np.flatnonzero(new)
         run_id = np.cumsum(new) - 1
-        cols = {key: pa.array(ks[starts], key_type)}
+        cols = {
+            k: pa.array(a[starts], key_types[k])
+            for k, a in zip(keys, ksorted)
+        }
         for name, (op, col) in ops.items():
             if op == "count":
-                v = np.diff(np.r_[starts, len(ks)]).astype(np.int64)
+                v = np.diff(np.r_[starts, n]).astype(np.int64)
             else:
                 x = tbl[col].to_numpy(zero_copy_only=False)[order]
                 if op == "sum":
@@ -228,13 +250,15 @@ def coarse_agg(
 
     def pre_combine(b: pa.Table) -> pa.Table:
         t = _combine(b, aggs)
-        if key_is_str:
-            h = pd.util.hash_array(t[key].to_pandas().to_numpy(dtype=object))
-            part = (h % n_parts).astype(np.int32)
-        else:
-            part = (
-                t[key].to_numpy(zero_copy_only=False) % n_parts
-            ).astype(np.int32)
+        h = np.zeros(t.num_rows, np.uint64)
+        for k in keys:
+            a = _key_np(t, k)
+            if _is_str(key_types[k]):
+                hk = pd.util.hash_array(a)
+            else:
+                hk = pd.util.hash_array(np.ascontiguousarray(a))
+            h = h * np.uint64(31) + hk
+        part = (h % np.uint64(n_parts)).astype(np.int32)
         return t.append_column("part", pa.array(part, pa.int32()))
 
     def finish_part(g: pa.Table) -> pa.Table:

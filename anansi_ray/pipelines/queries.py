@@ -1059,15 +1059,19 @@ def q_token_df(sf_dir: str):
     """Corpus-level document frequency (the IDF building block): token
     explode → per-batch (doc, token) dedup + partial counts (combiner
     BEFORE the exchange — the shuffle carries per-batch vocabularies, not
-    the token stream) → groupby(token).sum → top-500 by (df desc, token).
+    the token stream) → coarse_agg hash exchange (never a sort over the
+    vocabulary) → top-500 by (df desc, token).
     Integer-exact, so the SQL twin matches bit-for-bit."""
-    from ray.data.aggregate import Sum
+    from anansi_ray.arrowds import coarse_agg
 
     out = (
-        _read(sf_dir, "documents", ["text"])
-        .map_batches(ftext.token_df_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("df", alias_name="df"))
+        coarse_agg(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                ftext.token_df_partial, batch_format="pyarrow"
+            ),
+            "token",
+            {"df": ("sum", "df")},
+        )
         .sort(["df", "token"], descending=[True, False])
         .limit(500)
         .to_pandas()
@@ -1984,14 +1988,16 @@ def q_tfidf_top_terms(sf_dir: str):
     (score desc, token asc), all batch-local.  No token-level shuffle at
     any corpus size: the only exchange is the df groupby over per-batch
     vocabulary partials."""
-    from ray.data.aggregate import Sum
+    from anansi_ray.arrowds import coarse_agg
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = docs.count()
     vocab_tbl = (
-        docs.map_batches(ftext.token_df_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("df", alias_name="df"))
+        coarse_agg(
+            docs.map_batches(ftext.token_df_partial, batch_format="pyarrow"),
+            "token",
+            {"df": ("sum", "df")},
+        )
         .sort(["df", "token"], descending=[True, False])
         .limit(512)
         .to_pandas()
@@ -2896,15 +2902,16 @@ FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
 def q_bigram_topk(sf_dir: str):
     """Corpus-wide top-50 adjacent word pairs: per-batch vectorized
     bigram-count combiner (functions/text.py bigram_partial) → one
-    groupby(bigram) sum on a uniform string key → distributed
-    sort + limit for the top-k (only 50 rows reach the driver)."""
-    from ray.data.aggregate import Sum
+    coarse_agg hash exchange on the bigram string (never a sort over the
+    vocabulary) → distributed sort + limit for the top-k (only 50 rows
+    reach the driver)."""
+    from anansi_ray.arrowds import coarse_agg
 
     ds = _read(sf_dir, "documents", ["text"])
-    counts = (
-        ds.map_batches(ftext.bigram_partial, batch_format="pyarrow")
-        .groupby("bigram")
-        .aggregate(Sum("n", alias_name="n"))
+    counts = coarse_agg(
+        ds.map_batches(ftext.bigram_partial, batch_format="pyarrow"),
+        "bigram",
+        {"n": ("sum", "n")},
     )
     top = _stable(
         counts.sort(["n", "bigram"], descending=[True, False]).limit(50).to_pandas(),
@@ -3291,11 +3298,13 @@ def q_customer_order_profile(sf_dir: str):
             }
         )
 
-    orders_agg = (
+    from anansi_ray.arrowds import coarse_agg
+
+    orders_agg = coarse_agg(
         _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
-        .map_batches(orders_partial, batch_format="pyarrow")
-        .groupby("c_custkey")
-        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+        .map_batches(orders_partial, batch_format="pyarrow"),
+        "c_custkey",
+        {"n": ("sum", "n"), "cents": ("sum", "cents")},
     )
 
     def tag(side: str):
@@ -4475,11 +4484,14 @@ def q_users_retention(sf_dir: str):
             }
         )
 
-    g = (
-        _read(sf_dir, "events", ["user_id", "ts"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Min("h", alias_name="h0"), Max("h", alias_name="h1"))
+    from anansi_ray.arrowds import coarse_agg
+
+    g = coarse_agg(
+        _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        "user_id",
+        {"h0": ("min", "h"), "h1": ("max", "h")},
     )
     t = _stable(
         g.map_batches(
@@ -4960,11 +4972,14 @@ def q_users_churn(sf_dir: str):
             }
         )
 
-    g = (
-        _read(sf_dir, "events", ["user_id", "event_type", "value"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Max("h", alias_name="h1"))
+    from anansi_ray.arrowds import coarse_agg
+
+    g = coarse_agg(
+        _read(sf_dir, "events", ["user_id", "event_type", "value"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        "user_id",
+        {"h1": ("max", "h")},
     )
     t = g.map_batches(
         lambda b: b.filter(pc.equal(b["h1"], 0)).select(["user_id"]),

@@ -81,6 +81,34 @@ def test_string_key(ray_session):
     assert (got["n"].to_numpy() == ref["n"].to_numpy()).all()
 
 
+def test_composite_key(ray_session):
+    rng = np.random.default_rng(3)
+    n = 15_000
+    tbl = pa.table(
+        {
+            "lang": pa.array(
+                [f"l{int(i)}" for i in rng.integers(0, 5, n)], pa.string()
+            ),
+            "tok": pa.array(rng.integers(0, 2_000, n), pa.int64()),
+            "c": pa.array(rng.integers(1, 9, n), pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(7)
+    aggs = {"cnt": ("sum", "c"), "n": ("count", "c"), "mx": ("max", "c")}
+    got = (
+        coarse_agg(ds, ["lang", "tok"], aggs)
+        .to_pandas()
+        .sort_values(["lang", "tok"])
+        .reset_index(drop=True)
+    )
+    ref = _ref(ds, ["lang", "tok"], aggs)
+    ref = ref.sort_values(["lang", "tok"]).reset_index(drop=True)
+    assert got["lang"].tolist() == ref["lang"].tolist()
+    assert (got["tok"].to_numpy() == ref["tok"].to_numpy()).all()
+    for c in ("cnt", "n", "mx"):
+        assert (got[c].to_numpy() == ref[c].to_numpy()).all(), c
+
+
 def test_empty_input_keeps_schema(ray_session):
     tbl = pa.table(
         {"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
