@@ -4028,14 +4028,18 @@ def _pivot_wide(sf_dir: str, types=PIVOT_EVENT_TYPES):
             )
         return pa.table(cols)
 
-    aggs = []
+    from anansi_ray.arrowds import coarse_agg
+
+    aggs = {}
     for t in types:
-        aggs.append(Sum(f"n_{t}", alias_name=f"n_{t}"))
-        aggs.append(Sum(f"val_{t}", alias_name=f"val_{t}"))
+        aggs[f"n_{t}"] = ("sum", f"n_{t}")
+        aggs[f"val_{t}"] = ("sum", f"val_{t}")
     return (
-        ds.map_batches(wide_partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(*aggs),
+        coarse_agg(
+            ds.map_batches(wide_partial, batch_format="pyarrow"),
+            "user_id",
+            aggs,
+        ),
         types,
     )
 
@@ -4240,12 +4244,14 @@ def q_events_user_rank(sf_dir: str):
             }
         )
 
-    counts = (
-        _read(sf_dir, "events", ["event_type", "user_id"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "user_id"])
-        .aggregate(Sum("n", alias_name="n"))
-        .materialize()
+    from anansi_ray.arrowds import coarse_agg
+
+    counts = coarse_agg(
+        _read(sf_dir, "events", ["event_type", "user_id"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["event_type", "user_id"],
+        {"n": ("sum", "n")},
     )
 
     def hist_partial(b: pa.Table) -> pa.Table:
@@ -4264,12 +4270,13 @@ def q_events_user_rank(sf_dir: str):
             }
         )
 
-    hist = (
-        counts.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby(["event_type", "n"])
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-    )
+    from anansi_ray.arrowds import coarse_agg
+
+    hist = coarse_agg(
+        counts.map_batches(hist_partial, batch_format="pyarrow"),
+        ["event_type", "n"],
+        {"c": ("sum", "c")},
+    ).to_pandas()
     hist = _stable(
         hist, {"event_type": "object", "n": "int64", "c": "int64"}
     ).sort_values(["event_type", "n"], ascending=[True, False])
@@ -5058,16 +5065,21 @@ def q_zorder_layout(sf_dir: str):
             }
         )
 
+    from anansi_ray.arrowds import coarse_agg
+
     out = (
-        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("zcell")
-        .aggregate(
-            Sum("n", alias_name="n_rows"),
-            Min("min_x", alias_name="min_x"),
-            Max("max_x", alias_name="max_x"),
-            Min("min_y", alias_name="min_y"),
-            Max("max_y", alias_name="max_y"),
+        coarse_agg(
+            _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            "zcell",
+            {
+                "n_rows": ("sum", "n"),
+                "min_x": ("min", "min_x"),
+                "max_x": ("max", "max_x"),
+                "min_y": ("min", "min_y"),
+                "max_y": ("max", "max_y"),
+            },
         )
         .to_pandas()
     )
@@ -5328,19 +5340,20 @@ def q_snapshot_diff(sf_dir: str):
             }
         )
 
-    from ray.data.aggregate import Count, Max, Min
+    from anansi_ray.arrowds import coarse_agg
 
-    g = (
-        _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(to_sides, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(
-            Count(alias_name="n"),
-            Min("side", alias_name="s0"),
-            Max("side", alias_name="s1"),
-            Min("h", alias_name="h0"),
-            Max("h", alias_name="h1"),
-        )
+    g = coarse_agg(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            to_sides, batch_format="pyarrow"
+        ),
+        "doc_id",
+        {
+            "n": ("count", "side"),
+            "s0": ("min", "side"),
+            "s1": ("max", "side"),
+            "h0": ("min", "h"),
+            "h1": ("max", "h"),
+        },
     )
 
     def classify(b: pa.Table) -> pa.Table:
@@ -6459,18 +6472,19 @@ def q_sliding_distinct_users(sf_dir: str):
 
     from anansi_ray.arrowds import drop_empty_blocks
 
-    out = (
+    from anansi_ray.arrowds import coarse_agg
+
+    out = coarse_agg(
         drop_empty_blocks(
             _read(sf_dir, "events", ["ts", "user_id"])
             .map_batches(tag, batch_format="pyarrow")
             .groupby("part")
             .map_groups(dedup_count, batch_format="pyarrow")
             .materialize()
-        )
-        .groupby("w")
-        .aggregate(Sum("n", alias_name="n_users"))
-        .to_pandas()
-    )
+        ),
+        "w",
+        {"n_users": ("sum", "n")},
+    ).to_pandas()
     out = _stable(out, {"w": "int64", "n_users": "int64"}).sort_values("w")
     out["window_us"] = out.pop("w").astype("int64") * HOUR
     out["n_users"] = out["n_users"].astype("int64")
@@ -6703,13 +6717,15 @@ def q_heavy_hitter_words(sf_dir: str):
             }
         )
 
-    out = (
-        _read(sf_dir, "documents", ["text"])
-        .map_batches(count_cands, batch_format="pyarrow")
-        .groupby("word")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
-    )
+    from anansi_ray.arrowds import coarse_agg
+
+    out = coarse_agg(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            count_cands, batch_format="pyarrow"
+        ),
+        "word",
+        {"cnt": ("sum", "cnt")},
+    ).to_pandas()
     out = _stable(out, {"word": "object", "cnt": "int64"})
     out = out[out["cnt"] * PHI_INV > total].sort_values("word")
     out["cnt"] = out["cnt"].astype("int64")
@@ -7015,14 +7031,16 @@ def _cents_hist(sf_dir: str, group_col: str | None):
             }
         )
 
+    from anansi_ray.arrowds import coarse_agg
+
     keys = [group_col, "cents"] if group_col else "cents"
-    out = (
-        _read(sf_dir, "orders", cols)
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(keys)
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
-    )
+    out = coarse_agg(
+        _read(sf_dir, "orders", cols).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys,
+        {"cnt": ("sum", "cnt")},
+    ).to_pandas()
     schema = {"cents": "int64", "cnt": "int64"}
     if group_col:
         schema = {group_col: "object", **schema}
@@ -7244,13 +7262,18 @@ def q_token_novelty(sf_dir: str):
         docs.map_batches(distinct_partial, batch_format="pyarrow").to_pandas(),
         {"doc_id": "int64", "n_distinct": "int64"},
     ).set_index("doc_id")["n_distinct"]
+    from anansi_ray.arrowds import coarse_agg
+
     firsts = _stable(
-        docs.map_batches(first_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n_novel"))
-        .to_pandas(),
+        coarse_agg(
+            coarse_agg(
+                docs.map_batches(first_partial, batch_format="pyarrow"),
+                "token",
+                {"doc_id": ("min", "doc_id")},
+            ),
+            "doc_id",
+            {"n_novel": ("count", "doc_id")},
+        ).to_pandas(),
         {"doc_id": "int64", "n_novel": "int64"},
     ).set_index("doc_id")["n_novel"]
     base = (
@@ -8289,17 +8312,18 @@ def _customer_rfm_base(sf_dir: str):
             }
         )
 
-    base = (
+    from anansi_ray.arrowds import coarse_agg
+
+    base = coarse_agg(
         _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
-        .map_batches(prep, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(
-            Max("dayno", alias_name="last_day"),
-            Count(alias_name="freq"),
-            Sum("cents", alias_name="monetary"),
-        )
-        .to_pandas()
-    )
+        .map_batches(prep, batch_format="pyarrow"),
+        "o_custkey",
+        {
+            "last_day": ("max", "dayno"),
+            "freq": ("count", "dayno"),
+            "monetary": ("sum", "cents"),
+        },
+    ).to_pandas()
     base = _stable(
         base,
         {
@@ -8428,13 +8452,15 @@ def q_revenue_pareto(sf_dir: str):
             }
         )
 
-    rev = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(prep, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("cents", alias_name="rev"))
-        .to_pandas()
-    )
+    from anansi_ray.arrowds import coarse_agg
+
+    rev = coarse_agg(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        "o_custkey",
+        {"rev": ("sum", "cents")},
+    ).to_pandas()
     rev = _stable(rev, {"o_custkey": "int64", "rev": "int64"})
     if len(rev) == 0:
         # SQL twin on empty: n_customers = count-over-empty = 0, the
@@ -8669,13 +8695,15 @@ def q_gini_coefficient(sf_dir: str):
             }
         )
 
-    rev = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(prep, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("cents", alias_name="rev"))
-        .to_pandas()
-    )
+    from anansi_ray.arrowds import coarse_agg
+
+    rev = coarse_agg(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        "o_custkey",
+        {"rev": ("sum", "cents")},
+    ).to_pandas()
     rev = _stable(rev, {"o_custkey": "int64", "rev": "int64"})
     if len(rev) == 0:
         # SQL aggregate-over-empty: one all-NULL row
@@ -8756,11 +8784,16 @@ def q_nb_token_model(sf_dir: str):
         df = df.groupby("lang", sort=False).head(20)
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    from anansi_ray.arrowds import coarse_agg
+
     out = (
-        _read(sf_dir, "documents", ["lang", "text"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["lang", "token"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        coarse_agg(
+            _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            ["lang", "token"],
+            {"cnt": ("sum", "cnt")},
+        )
         .map_batches(topk_partial, batch_format="pyarrow")
         .to_pandas()
     )
@@ -8893,11 +8926,16 @@ def q_duplicate_orders_audit(sf_dir: str):
     def having(b: pa.Table) -> pa.Table:
         return b.filter(pc.greater(b["n"], 1))
 
+    from anansi_ray.arrowds import coarse_agg
+
     out = (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["o_custkey", "dayno"])
-        .aggregate(Sum("n", alias_name="n"))
+        coarse_agg(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            ["o_custkey", "dayno"],
+            {"n": ("sum", "n")},
+        )
         .map_batches(having, batch_format="pyarrow")
         .to_pandas()
     )
@@ -8959,10 +8997,14 @@ def q_user_coverage_audit(sf_dir: str):
     )
     from anansi_ray.arrowds import drop_empty_blocks
 
+    from anansi_ray.arrowds import coarse_agg
+
     parts = (
-        drop_empty_blocks(ev.union(cu).materialize())
-        .groupby("key")
-        .aggregate(Max("m_e", alias_name="m_e"), Max("m_c", alias_name="m_c"))
+        coarse_agg(
+            drop_empty_blocks(ev.union(cu).materialize()),
+            "key",
+            {"m_e": ("max", "m_e"), "m_c": ("max", "m_c")},
+        )
         .map_batches(count_partial, batch_format="pyarrow")
         .to_pandas()
     )
@@ -9454,13 +9496,15 @@ def q_adoption_curve(sf_dir: str):
             }
         )
 
-    firsts = (
-        _read(sf_dir, "events", ["user_id", "ts"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Min("dayno", alias_name="dayno"))
-        .to_pandas()
-    )
+    from anansi_ray.arrowds import coarse_agg
+
+    firsts = coarse_agg(
+        _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        "user_id",
+        {"dayno": ("min", "dayno")},
+    ).to_pandas()
     firsts = _stable(firsts, {"user_id": "int64", "dayno": "int64"})
     days, cnt = np.unique(firsts["dayno"].to_numpy(), return_counts=True)
     return pa.table(
