@@ -9719,6 +9719,158 @@ ORDER BY 1
 """
 
 
+def q_word_pmi(sf_dir: str):
+    """Word-pair PMI over a bounded vocabulary (collocation mining — the
+    classic corpus statistic behind phrase detection and feature
+    selection): for the corpus's top-50 tokens by document frequency,
+    every pair (a < b) co-occurring in ≥ 5 documents with its pointwise
+    mutual information ln(n_ab · N / (df_a · df_b)).
+
+    Scale shape (two bounded passes, no pair-level shuffle):
+    pass 1 rides the token_df combiner + coarse_agg hash exchange and
+    keeps only the top-V vocabulary (V = 50, fixed — the only sort is
+    over per-batch vocabularies, never the token stream); pass 2
+    broadcasts the alphabetically-indexed vocab, maps each doc's distinct
+    tokens to vocab indices block-locally, enumerates within-doc pairs
+    with an offset-sweep (≤ V−1 vectorized shifts), and bincounts into a
+    V×V partial per batch — every batch forwards ≤ V(V−1)/2 rows, so the
+    driver-side finish is O(V²), independent of corpus size.  The vocab
+    marginals ARE the pass-1 df values, so no third pass."""
+    import ray
+
+    from anansi_ray.arrowds import coarse_agg
+
+    V = 50
+    MIN_AB = 5
+
+    empty = pa.table(
+        {
+            "tok_a": pa.array([], pa.string()),
+            "tok_b": pa.array([], pa.string()),
+            "n_ab": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64()),
+        }
+    )
+
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    vocab_df = _stable(
+        coarse_agg(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                ftext.token_df_partial, batch_format="pyarrow"
+            ),
+            "token",
+            {"df": ("sum", "df")},
+        )
+        .sort(["df", "token"], descending=[True, False])
+        .limit(V)
+        .to_pandas(),
+        {"token": "object", "df": "int64"},
+    )
+    if len(vocab_df) == 0:
+        return empty
+    # index vocab ALPHABETICALLY so within-doc index order == pair identity
+    # order (tok_a < tok_b) without a per-pair string compare
+    vocab_df = vocab_df.sort_values("token").reset_index(drop=True)
+    vocab_arr = pa.array(vocab_df["token"].to_numpy(dtype=object), pa.string())
+    df_by_idx = vocab_df["df"].to_numpy(np.int64)
+    vocab_ref = ray.put(vocab_arr)
+
+    pair_empty = pa.table(
+        {
+            "ia": pa.array([], pa.int32()),
+            "ib": pa.array([], pa.int32()),
+            "n_ab": pa.array([], pa.int64()),
+        }
+    )
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_ref)
+        col = pc.fill_null(b["text"], "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\W+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        hits = pc.index_in(flat, voc)
+        m = pc.is_valid(hits).to_numpy(zero_copy_only=False)
+        vidx = pc.fill_null(hits, 0).to_numpy(zero_copy_only=False)
+        d, v = doc[m], vidx[m].astype(np.int64)
+        if len(d) == 0:
+            return pair_empty
+        # distinct (doc, vocab idx), sorted — strictly increasing v per doc
+        key = d * np.int64(V) + v
+        key = np.unique(key)
+        d, v = key // V, key % V
+        counts = np.zeros(V * V, np.int64)
+        n = len(d)
+        max_m = int(np.bincount(d, minlength=1).max()) if n else 0
+        for off in range(1, max_m):
+            same = d[: n - off] == d[off:]
+            np.add.at(counts, v[: n - off][same] * V + v[off:][same], 1)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "ia": pa.array((nz // V).astype(np.int32), pa.int32()),
+                "ib": pa.array((nz % V).astype(np.int32), pa.int32()),
+                "n_ab": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    parts = _stable(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .to_pandas(),
+        {"ia": "int32", "ib": "int32", "n_ab": "int64"},
+    )
+    agg = parts.groupby(["ia", "ib"], as_index=False)["n_ab"].sum()
+    agg = agg[agg["n_ab"] >= MIN_AB]
+    if len(agg) == 0:
+        return empty
+    ia = agg["ia"].to_numpy(np.int64)
+    ib = agg["ib"].to_numpy(np.int64)
+    n_ab = agg["n_ab"].to_numpy(np.int64)
+    pmi = np.round(
+        np.log(
+            n_ab.astype(np.float64)
+            * float(n_docs)
+            / (df_by_idx[ia].astype(np.float64) * df_by_idx[ib])
+        ),
+        6,
+    )
+    toks = vocab_df["token"].to_numpy(dtype=object)
+    out = pa.table(
+        {
+            "tok_a": pa.array(toks[ia], pa.string()),
+            "tok_b": pa.array(toks[ib], pa.string()),
+            "n_ab": pa.array(n_ab, pa.int64()),
+            "pmi": pa.array(pmi, pa.float64()),
+        }
+    )
+    return out.sort_by([("tok_a", "ascending"), ("tok_b", "ascending")])
+
+
+SQL_WORD_PMI = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS t
+  FROM documents),
+df AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
+vocab AS (SELECT t, df FROM df ORDER BY df DESC, t LIMIT 50),
+vt AS (SELECT doc_id, t FROM tok WHERE t IN (SELECT t FROM vocab)),
+pairs AS (SELECT x.t AS tok_a, y.t AS tok_b, count(*) AS n_ab
+          FROM vt x JOIN vt y ON x.doc_id = y.doc_id AND x.t < y.t
+          GROUP BY 1, 2),
+nd AS (SELECT count(*) AS n FROM documents)
+SELECT p.tok_a, p.tok_b, p.n_ab::BIGINT AS n_ab,
+       round(ln(p.n_ab * 1.0 * nd.n / (va.df * vb.df)), 6) AS pmi
+FROM pairs p
+CROSS JOIN nd
+JOIN vocab va ON va.t = p.tok_a
+JOIN vocab vb ON vb.t = p.tok_b
+WHERE p.n_ab >= 5
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -9866,4 +10018,5 @@ QUERIES = {
     ),
     "adoption_curve": (q_adoption_curve, SQL_ADOPTION_CURVE),
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
+    "word_pmi": (q_word_pmi, SQL_WORD_PMI),
 }

@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "priority_price_extremes",
     "adoption_curve",
     "merge_upsert",
+    "word_pmi",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
