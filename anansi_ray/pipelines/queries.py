@@ -9848,6 +9848,185 @@ def q_word_pmi(sf_dir: str):
     return out.sort_by([("tok_a", "ascending"), ("tok_b", "ascending")])
 
 
+def q_leakage_split_audit(sf_dir: str):
+    """Group-safe train/validation split with a cross-split leakage audit
+    (the step every training-data pipeline runs before handing a corpus
+    to a trainer): documents are assigned to 'train'/'val' by a
+    deterministic hash of their SOURCE (domain-level split — near-dup
+    pages from one site can never straddle the boundary), and the audit
+    counts exact-text collisions that still cross it (identical pages
+    syndicated across domains).
+
+    Scale shape: the split is a pure per-row function (md5 over each
+    batch's few DISTINCT sources, mapped back via ``pc.index_in`` —
+    never per row); per-split doc/char totals are 2-row partials per
+    batch; distinct-source counts ride coarse_agg on source; the leak
+    audit dedupes (text-hash, split) per batch, exchanges ONCE on a
+    64-bit text hash, and counts hashes holding both splits with a
+    run-length kernel — the shuffle carries one row per distinct
+    (text, split) per batch, never text payloads."""
+    import hashlib
+
+    from anansi_ray.arrowds import coarse_agg, drop_empty_blocks
+
+    P = 32
+
+    def _split_of(sources: np.ndarray) -> np.ndarray:
+        # md5(source) first 8 hex chars as uint32 % 10 — mirrors the SQL
+        # twin's ('0x' || substr(md5(source),1,8))::UINTEGER % 10
+        buckets = np.empty(len(sources), np.int64)
+        for i, s in enumerate(sources):
+            buckets[i] = (
+                int.from_bytes(
+                    hashlib.md5(str(s).encode()).digest()[:4], "big"
+                )
+                % 10
+            )
+        return np.where(buckets < 8, "train", "val")
+
+    def _row_splits(b: pa.Table) -> np.ndarray:
+        src = pc.fill_null(b["source"], "").to_pandas().to_numpy(dtype=object)
+        uniq, inv = np.unique(src, return_inverse=True)
+        return _split_of(uniq)[inv]
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        sp = _row_splits(b)
+        nch = b["n_chars"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"split": sp, "n": 1, "nch": nch})
+        g = df.groupby("split", as_index=False).agg(
+            n_docs=("n", "sum"), n_chars_sum=("nch", "sum")
+        )
+        return pa.table(
+            {
+                "split": pa.array(g["split"].to_numpy(dtype=object), pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(np.int64), pa.int64()),
+                "n_chars_sum": pa.array(
+                    g["n_chars_sum"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def src_partial(b: pa.Table) -> pa.Table:
+        src = pc.fill_null(b["source"], "").to_pandas().to_numpy(dtype=object)
+        uniq = np.unique(src)
+        return pa.table({"source": pa.array(uniq, pa.string())})
+
+    def src_split_counts(b: pa.Table) -> pa.Table:
+        src = b["source"].to_pandas().to_numpy(dtype=object)
+        sp = _split_of(src)
+        uniq, cnt = np.unique(sp, return_counts=True)
+        return pa.table(
+            {
+                "split": pa.array(uniq, pa.string()),
+                "n_sources": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def leak_partial(b: pa.Table) -> pa.Table:
+        sp = _row_splits(b)
+        txt = pc.fill_null(b["text"], "").to_pandas().to_numpy(dtype=object)
+        md5 = hashlib.md5
+        h = np.fromiter(
+            (
+                int.from_bytes(md5(str(t).encode()).digest()[:8], "big") >> 4
+                for t in txt
+            ),
+            dtype=np.int64,
+            count=len(txt),
+        )
+        key = np.unique(h * 2 + (sp == "val"))
+        hh = key >> 1
+        return pa.table(
+            {
+                "part": pa.array((hh % P).astype(np.int32), pa.int32()),
+                "h": pa.array(hh, pa.int64()),
+                "sbit": pa.array((key & 1).astype(np.int8), pa.int8()),
+            }
+        )
+
+    leak_empty = pa.table({"n": pa.array([], pa.int64())})
+
+    def leak_kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return leak_empty
+        h = g["h"].to_numpy(zero_copy_only=False)
+        sb = g["sbit"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.unique(h * 2 + sb)
+        hh = key >> 1
+        starts = np.flatnonzero(np.r_[True, hh[1:] != hh[:-1]])
+        sizes = np.diff(np.r_[starts, len(hh)])
+        return pa.table({"n": pa.array([int((sizes == 2).sum())], pa.int64())})
+
+    docs = _read(sf_dir, "documents", ["text", "source", "n_chars"])
+    stats = _stable(
+        docs.map_batches(stats_partial, batch_format="pyarrow").to_pandas(),
+        {"split": "object", "n_docs": "int64", "n_chars_sum": "int64"},
+    )
+    stats = stats.groupby("split", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_chars_sum=("n_chars_sum", "sum")
+    )
+    if len(stats) == 0:
+        return pa.table(
+            {
+                "split": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_sources": pa.array([], pa.int64()),
+                "n_chars_sum": pa.array([], pa.int64()),
+                "n_leaked_texts": pa.array([], pa.int64()),
+            }
+        )
+    srcs = _stable(
+        coarse_agg(
+            docs.map_batches(src_partial, batch_format="pyarrow"),
+            "source",
+            {"n": ("count", "source")},
+        )
+        .map_batches(src_split_counts, batch_format="pyarrow")
+        .to_pandas(),
+        {"split": "object", "n_sources": "int64"},
+    )
+    srcs = srcs.groupby("split", as_index=False)["n_sources"].sum()
+    leaks = _stable(
+        drop_empty_blocks(
+            docs.map_batches(leak_partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(leak_kernel, batch_format="pyarrow")
+            .materialize()
+        ).to_pandas(),
+        {"n": "int64"},
+    )
+    n_leak = int(leaks["n"].sum())
+    out = stats.merge(srcs, on="split", how="left")
+    out["n_sources"] = out["n_sources"].fillna(0).astype("int64")
+    out["n_leaked_texts"] = np.int64(n_leak)
+    out = out[
+        ["split", "n_docs", "n_sources", "n_chars_sum", "n_leaked_texts"]
+    ].sort_values("split")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_LEAKAGE_SPLIT_AUDIT = """
+WITH s AS (SELECT coalesce(text, '') AS text, n_chars,
+                  coalesce(source, '') AS source,
+                  CASE WHEN ('0x' || substr(md5(coalesce(source, '')), 1, 8))
+                            ::UINTEGER % 10 < 8
+                       THEN 'train' ELSE 'val' END AS split
+           FROM documents),
+leak AS (SELECT count(*) AS n FROM (
+           SELECT text FROM s GROUP BY text
+           HAVING count(DISTINCT split) = 2)),
+g AS (SELECT split, count(*) AS n_docs,
+             count(DISTINCT source) AS n_sources,
+             sum(n_chars) AS n_chars_sum
+      FROM s GROUP BY 1)
+SELECT g.split, g.n_docs::BIGINT AS n_docs, g.n_sources::BIGINT AS n_sources,
+       g.n_chars_sum::BIGINT AS n_chars_sum, leak.n::BIGINT AS n_leaked_texts
+FROM g CROSS JOIN leak ORDER BY 1
+"""
+
+
 SQL_WORD_PMI = r"""
 WITH tok AS (
   SELECT DISTINCT doc_id,
@@ -10019,4 +10198,5 @@ QUERIES = {
     "adoption_curve": (q_adoption_curve, SQL_ADOPTION_CURVE),
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "word_pmi": (q_word_pmi, SQL_WORD_PMI),
+    "leakage_split_audit": (q_leakage_split_audit, SQL_LEAKAGE_SPLIT_AUDIT),
 }

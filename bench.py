@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "adoption_curve",
     "merge_upsert",
     "word_pmi",
+    "leakage_split_audit",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
