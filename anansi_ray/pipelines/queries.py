@@ -9848,6 +9848,133 @@ def q_word_pmi(sf_dir: str):
     return out.sort_by([("tok_a", "ascending"), ("tok_b", "ascending")])
 
 
+def q_events_watermark(sf_dir: str):
+    """Streaming late-data accounting under a global ingest watermark
+    (Flink/Beam bounded-disorder semantics): events arrive with a
+    deterministic per-event network delay (0–2 h, a hash of event_id);
+    the watermark is the max event time seen over all STRICTLY earlier
+    arrivals, and an event is LATE (dropped by a 1-hour
+    allowed-lateness rule) if its own time lags the watermark by more
+    than D.  Output: kept/dropped counts and worst observed lateness per
+    event type.
+
+    Scale shape: the watermark is an exclusive running max over the
+    arrival order — functions/scan.py ordered_watermark, the same
+    3-pass equal-count-range scan as the running total (max is
+    associative): boundaries on the arrival hour, per-part max partials
+    exclusive-max-scanned on the driver, ONE coarse exchange with a
+    block-local ``np.maximum.accumulate``.  The final per-type rollup is
+    a ≤|types|-row partial per batch."""
+    D_US = 3_600_000_000
+    HOUR_US = 3_600_000_000
+
+    from anansi_ray.functions.scan import ordered_watermark
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = ts_us(b["ts"]).to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        # (eid * 2654435761) % 7200 computed modularly so it never
+        # overflows int64 at any event_id scale (the SQL twin multiplies
+        # directly — BIGINT-safe there up to ~3.5e9 events)
+        delay = ((eid % 7200) * (2654435761 % 7200)) % 7200
+        at = t + delay * 1_000_000
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "event_id": b["event_id"],
+                "t": pa.array(t, pa.int64()),
+                "at": pa.array(at, pa.int64()),
+                "at_hour": pa.array(at // HOUR_US, pa.int64()),
+            }
+        )
+
+    wm = ordered_watermark(
+        _read(sf_dir, "events", ["event_id", "ts", "event_type"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        range_col="at_hour",
+        order_cols=["at", "event_id"],
+        ts_col="t",
+        keep_cols=["event_type", "t"],
+    )
+
+    def rollup(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = b["t"].to_numpy(zero_copy_only=False)
+        hi = b["wm_hi"].to_numpy(zero_copy_only=False)
+        valid = b["wm_valid"].to_numpy(zero_copy_only=False)
+        late = valid & (t < hi - D_US)
+        amt = np.where(late, hi - t, 0)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "kept": (~late).astype(np.int64),
+                "dropped": late.astype(np.int64),
+                "amt": amt,
+            }
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            n_kept=("kept", "sum"),
+            n_dropped=("dropped", "sum"),
+            max_late_us=("amt", "max"),
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    g["event_type"].to_numpy(dtype=object), pa.string()
+                ),
+                "n_kept": pa.array(g["n_kept"].to_numpy(np.int64), pa.int64()),
+                "n_dropped": pa.array(
+                    g["n_dropped"].to_numpy(np.int64), pa.int64()
+                ),
+                "max_late_us": pa.array(
+                    g["max_late_us"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    parts = _stable(
+        wm.map_batches(rollup, batch_format="pyarrow").to_pandas(),
+        {
+            "event_type": "object",
+            "n_kept": "int64",
+            "n_dropped": "int64",
+            "max_late_us": "int64",
+        },
+    )
+    out = parts.groupby("event_type", as_index=False).agg(
+        n_kept=("n_kept", "sum"),
+        n_dropped=("n_dropped", "sum"),
+        max_late_us=("max_late_us", "max"),
+    )
+    out["max_late_us"] = out["max_late_us"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("event_type").reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+SQL_EVENTS_WATERMARK = """
+WITH a AS (SELECT event_type, epoch_us(ts) AS t, event_id,
+                  epoch_us(ts) + ((event_id * 2654435761) % 7200) * 1000000
+                    AS at
+           FROM events),
+w AS (SELECT event_type, t,
+             max(t) OVER (ORDER BY at, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hi
+      FROM a)
+SELECT event_type,
+       (count(*) FILTER (hi IS NULL OR t >= hi - 3600000000))::BIGINT
+         AS n_kept,
+       (count(*) FILTER (hi IS NOT NULL AND t < hi - 3600000000))::BIGINT
+         AS n_dropped,
+       coalesce(max(CASE WHEN hi IS NOT NULL AND t < hi - 3600000000
+                         THEN hi - t END), 0)::BIGINT AS max_late_us
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_leakage_split_audit(sf_dir: str):
     """Group-safe train/validation split with a cross-split leakage audit
     (the step every training-data pipeline runs before handing a corpus
@@ -10199,4 +10326,5 @@ QUERIES = {
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
     "word_pmi": (q_word_pmi, SQL_WORD_PMI),
     "leakage_split_audit": (q_leakage_split_audit, SQL_LEAKAGE_SPLIT_AUDIT),
+    "events_watermark": (q_events_watermark, SQL_EVENTS_WATERMARK),
 }

@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "merge_upsert",
     "word_pmi",
     "leakage_split_audit",
+    "events_watermark",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
