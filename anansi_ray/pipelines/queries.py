@@ -9848,6 +9848,116 @@ def q_word_pmi(sf_dir: str):
     return out.sort_by([("tok_a", "ascending"), ("tok_b", "ascending")])
 
 
+def q_embedding_quantize(sf_dir: str):
+    """Scalar (int8-style) embedding quantization — the storage/ANN-memory
+    step: per-dimension [min, max] codebook learned in one pass, then
+    every value mapped to floor((x − min)/(max − min)·255).  Output: the
+    per-dim codebook plus the integer-exact sum of assigned codes (the
+    oracle-checkable fingerprint of the whole quantized matrix — a value
+    compare over n·d codes without shipping them).
+
+    Scale shape (two streaming passes, zero shuffle): pass 1 reduces each
+    batch to a dim-row (min, max) partial; the driver combines #batches ×
+    dim rows into the codebook and broadcasts it via ``ray.put``; pass 2
+    quantizes block-locally in float64 (identical IEEE ops to the SQL
+    twin — min/max carry no arithmetic, so both sides see bit-equal
+    inputs and ``floor`` is rounding-mode-free) and emits a dim-row
+    (Σcode, n) partial."""
+    import ray
+
+    empty = pa.table(
+        {
+            "dim": pa.array([], pa.int64()),
+            "dmin": pa.array([], pa.float64()),
+            "dmax": pa.array([], pa.float64()),
+            "sum_q": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        m = np.vstack(b["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, m.shape[1] + 1), pa.int64()),
+                "dmin": pa.array(m.min(axis=0), pa.float64()),
+                "dmax": pa.array(m.max(axis=0), pa.float64()),
+            }
+        )
+
+    mm = _stable(
+        _read(sf_dir, "embeddings", ["embedding"])
+        .map_batches(mm_partial, batch_format="pyarrow")
+        .to_pandas(),
+        {"dim": "int64", "dmin": "float64", "dmax": "float64"},
+    )
+    if len(mm) == 0:
+        return empty
+    book = (
+        mm.groupby("dim", sort=True)
+        .agg(dmin=("dmin", "min"), dmax=("dmax", "max"))
+        .reset_index()
+    )
+    dmin = book["dmin"].to_numpy(np.float64)
+    dmax = book["dmax"].to_numpy(np.float64)
+    book_ref = ray.put((dmin, dmax))
+
+    def q_partial(b: pa.Table) -> pa.Table:
+        lo, hi = ray.get(book_ref)
+        m = np.vstack(b["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        rng = hi - lo
+        qv = np.floor((m - lo) / np.where(rng > 0, rng, 1.0) * 255.0)
+        qv = np.where(rng > 0, qv, 0.0).astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, m.shape[1] + 1), pa.int64()),
+                "sum_q": pa.array(qv.sum(axis=0), pa.int64()),
+                "n": pa.array(
+                    np.full(m.shape[1], m.shape[0], dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    parts = _stable(
+        _read(sf_dir, "embeddings", ["embedding"])
+        .map_batches(q_partial, batch_format="pyarrow")
+        .to_pandas(),
+        {"dim": "int64", "sum_q": "int64", "n": "int64"},
+    )
+    agg = (
+        parts.groupby("dim", sort=True)
+        .agg(sum_q=("sum_q", "sum"), n=("n", "sum"))
+        .reset_index()
+    )
+    out = book.merge(agg, on="dim")
+    out["dmin"] = out["dmin"].round(6)
+    out["dmax"] = out["dmax"].round(6)
+    return pa.Table.from_pandas(
+        out[["dim", "dmin", "dmax", "sum_q", "n"]], preserve_index=False
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH ex AS (SELECT unnest(embedding)::DOUBLE AS x,
+                   generate_subscripts(embedding, 1)::BIGINT AS dim
+            FROM embeddings),
+mm AS (SELECT dim, min(x) AS dmin, max(x) AS dmax FROM ex GROUP BY 1),
+q AS (SELECT ex.dim,
+             CASE WHEN mm.dmax > mm.dmin
+                  THEN floor((ex.x - mm.dmin) / (mm.dmax - mm.dmin) * 255)
+                  ELSE 0 END AS qv
+      FROM ex JOIN mm USING (dim))
+SELECT mm.dim, round(mm.dmin, 6) AS dmin, round(mm.dmax, 6) AS dmax,
+       sum(q.qv)::BIGINT AS sum_q, count(*)::BIGINT AS n
+FROM q JOIN mm USING (dim)
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
 def q_events_watermark(sf_dir: str):
     """Streaming late-data accounting under a global ingest watermark
     (Flink/Beam bounded-disorder semantics): events arrive with a
@@ -10327,4 +10437,5 @@ QUERIES = {
     "word_pmi": (q_word_pmi, SQL_WORD_PMI),
     "leakage_split_audit": (q_leakage_split_audit, SQL_LEAKAGE_SPLIT_AUDIT),
     "events_watermark": (q_events_watermark, SQL_EVENTS_WATERMARK),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
 }

@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "word_pmi",
     "leakage_split_audit",
     "events_watermark",
+    "embedding_quantize",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
