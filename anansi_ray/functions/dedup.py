@@ -1535,6 +1535,7 @@ def shingle_jaccard_pairs(
     k: int = 3,
     n_parts: int = 32,
     new_pred=None,
+    sim: str = "jaccard",
 ) -> pa.Table | None:
     """EXACT Jaccard-threshold join over k-token shingle sets — complete by
     construction (prefix-filter lemma), unlike the probabilistic LSH path.
@@ -1559,7 +1560,20 @@ def shingle_jaccard_pairs(
     size-filtered prefix pairs (t_den·min ≥ t_num·max prune) →
     attach_pair_values repartition join → per-pair exact verify with the
     integer test t_den·I ≥ t_num·U.
-    Returns (a, b, jaccard) sorted, or None when no pair qualifies."""
+
+    ``sim="overlap"`` switches the measure to the OVERLAP COEFFICIENT
+    I/min(|A|,|B|) — the containment join that catches a short document
+    quoted inside a long one, where Jaccard is diluted by the long side's
+    size.  The prefix lemma then pigeonholes only the SMALLER side (any
+    ≥⌈t·|A|⌉-subset of A hits A's first |A|−⌈t·|A|⌉+1 shingles), so
+    candidates pair prefix rows against ALL co-bucketed rows of
+    equal-or-larger docs (no size-ratio prune exists — a tiny doc can be
+    contained in any doc), and the verify test is t_den·I ≥ t_num·min.
+    Returns (a, b, jaccard|overlap) sorted, or None when no pair
+    qualifies."""
+    if sim not in ("jaccard", "overlap"):
+        raise ValueError(f"sim must be jaccard|overlap, got {sim!r}")
+    overlap = sim == "overlap"
     import pandas as pd
 
     from anansi_ray.arrowds import drop_empty_blocks
@@ -1635,6 +1649,7 @@ def shingle_jaccard_pairs(
             "sh": pa.array([], pa.string()),
             "doc_id": pa.array([], pa.int64()),
             "n": pa.array([], pa.int64()),
+            "pref": pa.array([], pa.bool_()),
         }
     )
 
@@ -1649,7 +1664,10 @@ def shingle_jaccard_pairs(
         n_per = np.repeat(sizes, sizes)
         pos = np.arange(n_rows) - np.repeat(starts, sizes)
         alpha = (t_num * n_per + t_den - 1) // t_den  # ceil(t n)
-        keep = pos < (n_per - alpha + 1)
+        pref = pos < (n_per - alpha + 1)
+        # jaccard pairs prefix×prefix, so non-prefix rows never travel;
+        # overlap pairs prefix×ALL, so every row travels with its flag
+        keep = np.ones(n_rows, bool) if overlap else pref
         return pa.table(
             {
                 "sh": pa.array(
@@ -1657,6 +1675,7 @@ def shingle_jaccard_pairs(
                 ),
                 "doc_id": pa.array(d[keep], pa.int64()),
                 "n": pa.array(n_per[keep].astype(np.int64), pa.int64()),
+                "pref": pa.array(pref[keep], pa.bool_()),
             }
         )
 
@@ -1675,20 +1694,33 @@ def shingle_jaccard_pairs(
         if g.num_rows == 0:
             return cand_empty
         pdf = g.to_pandas()
-        m = pdf.merge(pdf, on="sh")
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        lo = np.minimum(m["n_x"].to_numpy(), m["n_y"].to_numpy())
-        hi = np.maximum(m["n_x"].to_numpy(), m["n_y"].to_numpy())
-        m = m[t_den * lo >= t_num * hi]
-        if new_pred is not None:
-            # incremental shape: exactly one side is from the new shard
-            nx = new_pred(m["doc_id_x"].to_numpy())
-            ny = new_pred(m["doc_id_y"].to_numpy())
-            m = m[nx != ny]
-        ab = np.unique(
-            m["doc_id_x"].to_numpy() * np.int64(1 << 31)
-            + m["doc_id_y"].to_numpy()
-        )
+        if overlap:
+            # prefix(smaller) × all(equal-or-larger): the pigeonholed
+            # shared shingle is in the SMALL side's prefix and anywhere
+            # in the large side
+            m = pdf[pdf["pref"]].merge(pdf, on="sh")
+            m = m[
+                (m["doc_id_x"] != m["doc_id_y"])
+                & (m["n_x"].to_numpy() <= m["n_y"].to_numpy())
+            ]
+            dx, dy = m["doc_id_x"].to_numpy(), m["doc_id_y"].to_numpy()
+            lo_id, hi_id = np.minimum(dx, dy), np.maximum(dx, dy)
+            ab = np.unique(lo_id * np.int64(1 << 31) + hi_id)
+        else:
+            m = pdf.merge(pdf, on="sh")
+            m = m[m["doc_id_x"] < m["doc_id_y"]]
+            lo = np.minimum(m["n_x"].to_numpy(), m["n_y"].to_numpy())
+            hi = np.maximum(m["n_x"].to_numpy(), m["n_y"].to_numpy())
+            m = m[t_den * lo >= t_num * hi]
+            if new_pred is not None:
+                # incremental shape: exactly one side is from the new shard
+                nx = new_pred(m["doc_id_x"].to_numpy())
+                ny = new_pred(m["doc_id_y"].to_numpy())
+                m = m[nx != ny]
+            ab = np.unique(
+                m["doc_id_x"].to_numpy() * np.int64(1 << 31)
+                + m["doc_id_y"].to_numpy()
+            )
         return pa.table(
             {
                 "a": pa.array(ab >> 31, pa.int64()),
@@ -1710,6 +1742,8 @@ def shingle_jaccard_pairs(
         cands, docs_ds, "doc_id", "text", pa.string(), n_parts=n_parts
     )
 
+    sim_col = "overlap" if overlap else "jaccard"
+
     def verify(batch: pa.Table) -> pa.Table:
         a_out, b_out, j_out = [], [], []
         for a, b, ta, tb in zip(
@@ -1721,16 +1755,16 @@ def shingle_jaccard_pairs(
             sa = set(_shingle_hashes(ta, k))
             sb = set(_shingle_hashes(tb, k))
             inter = len(sa & sb)
-            union = len(sa | sb)
-            if t_den * inter >= t_num * union:
+            denom = min(len(sa), len(sb)) if overlap else len(sa | sb)
+            if denom > 0 and t_den * inter >= t_num * denom:
                 a_out.append(a)
                 b_out.append(b)
-                j_out.append(round(inter / union, 6))
+                j_out.append(round(inter / denom, 6))
         return pa.table(
             {
                 "a": pa.array(a_out, pa.int64()),
                 "b": pa.array(b_out, pa.int64()),
-                "jaccard": pa.array(j_out, pa.float64()),
+                sim_col: pa.array(j_out, pa.float64()),
             }
         )
 

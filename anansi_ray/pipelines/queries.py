@@ -9848,6 +9848,52 @@ def q_word_pmi(sf_dir: str):
     return out.sort_by([("tok_a", "ascending"), ("tok_b", "ascending")])
 
 
+def q_shingle_overlap_join(sf_dir: str):
+    """EXACT containment join (overlap coefficient ≥ 0.8 over 3-token
+    shingle sets): finds a short document quoted/embedded inside a longer
+    one — pairs Jaccard-based dedup structurally misses because the long
+    side's size dilutes the union.  Same PPJoin machinery as
+    shingle_jaccard_join with the asymmetric prefix lemma: only the
+    SMALLER side is pigeonholed, so candidates pair prefix rows against
+    all co-bucketed rows of equal-or-larger docs (no size-ratio prune
+    exists for containment).  functions/dedup.py shingle_jaccard_pairs
+    (sim="overlap")."""
+    out = fdedup.shingle_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        t_num=8,
+        t_den=10,
+        sim="overlap",
+    )
+    if out is None:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "overlap": pa.array([], pa.float64()),
+            }
+        )
+    return out
+
+
+SQL_SHINGLE_OVERLAP_JOIN = r"""
+WITH w AS (SELECT doc_id,
+                  regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+           FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(i)),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+      FROM g x JOIN g y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2)
+SELECT i.a, i.b,
+       round(inter * 1.0 / least(sa.n, sb.n), 6) AS overlap
+FROM i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+WHERE inter * 10 >= 8 * least(sa.n, sb.n)
+ORDER BY 1, 2
+"""
+
+
 def q_embedding_quantize(sf_dir: str):
     """Scalar (int8-style) embedding quantization — the storage/ANN-memory
     step: per-dimension [min, max] codebook learned in one pass, then
@@ -10438,4 +10484,5 @@ QUERIES = {
     "leakage_split_audit": (q_leakage_split_audit, SQL_LEAKAGE_SPLIT_AUDIT),
     "events_watermark": (q_events_watermark, SQL_EVENTS_WATERMARK),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "shingle_overlap_join": (q_shingle_overlap_join, SQL_SHINGLE_OVERLAP_JOIN),
 }

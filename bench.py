@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "leakage_split_audit",
     "events_watermark",
     "embedding_quantize",
+    "shingle_overlap_join",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
