@@ -9848,6 +9848,224 @@ def q_word_pmi(sf_dir: str):
     return out.sort_by([("tok_a", "ascending"), ("tok_b", "ascending")])
 
 
+def q_user_value_ewma(sf_dir: str):
+    """Time-decayed per-user feature (the recency-weighted engagement
+    score feature stores compute): decayed_value = Σ value·2^(−k) where
+    k counts events BACK from the user's latest (k=0 = most recent).
+    The decay base is 1/2, so every weight is an exact power of two
+    (``np.ldexp``) and the weighted terms are bit-identical on both
+    engines — only the final summation order differs, absorbed by
+    round(6).
+
+    Scale shape: ONE user-hash exchange; the partition kernel lexsorts
+    by (user, ts, id), derives k from segment positions, and reduces
+    each user with ``np.add.reduceat`` — no per-user Python, no global
+    sort."""
+    P = 32
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((u % P).astype(np.int32), pa.int32()),
+                "user_id": b["user_id"],
+                "t": ts_us(b["ts"]),
+                "event_id": b["event_id"],
+                "value": b["value"],
+            }
+        )
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "decayed_value": pa.array([], pa.float64()),
+        }
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        v = g["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        sizes = np.diff(np.r_[starts, len(u)])
+        ends = starts + sizes
+        # k = distance back from the segment's LAST event (exact 2^-k)
+        k = (np.repeat(ends, sizes) - 1 - np.arange(len(u))).astype(np.int64)
+        w = np.ldexp(1.0, -np.minimum(k, 1074))
+        dec = np.add.reduceat(v * w, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "n_events": pa.array(sizes.astype(np.int64), pa.int64()),
+                "decayed_value": pa.array(dec, pa.float64()),
+            }
+        )
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    out = _stable(
+        drop_empty_blocks(
+            _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(kernel, batch_format="pyarrow")
+            .materialize()
+        ).to_pandas(),
+        {"user_id": "int64", "n_events": "int64", "decayed_value": "float64"},
+    ).sort_values("user_id")
+    out["decayed_value"] = out["decayed_value"].round(6)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_USER_VALUE_EWMA = """
+WITH r AS (SELECT user_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) - 1
+                    AS k
+           FROM events)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(sum(value * pow(0.5, k)), 6) AS decayed_value
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_path_trigrams(sf_dir: str):
+    """Sequential pattern mining: the 25 most common 3-step event-type
+    paths (consecutive triples in each user's timeline) — the funnel-
+    discovery primitive, one step richer than the Markov pair matrix
+    (event_transitions).
+
+    Scale shape: ONE user-hash exchange; the partition kernel lexsorts by
+    (user, ts, id), forms trigrams with two same-user shifts (pure
+    slicing), and pre-counts paths before the tiny |types|³-keyed
+    driver rollup — the shuffle carries events once, path counts are
+    bounded by the cubed type alphabet, not the corpus."""
+    P = 32
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((u % P).astype(np.int32), pa.int32()),
+                "user_id": b["user_id"],
+                "t": ts_us(b["ts"]),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+            }
+        )
+
+    empty = pa.table(
+        {"path": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows < 3:
+            return empty
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        ty = g["event_type"].to_pandas().to_numpy(dtype=object)
+        order = np.lexsort((e, t, u))
+        u, ty = u[order], ty[order]
+        same2 = u[:-2] == u[2:]
+        a, b2, c = ty[:-2][same2], ty[1:-1][same2], ty[2:][same2]
+        if len(a) == 0:
+            return empty
+        import pandas as pd
+
+        paths = pd.Series(a) + ">" + pd.Series(b2) + ">" + pd.Series(c)
+        cnt = paths.value_counts()
+        return pa.table(
+            {
+                "path": pa.array(cnt.index.to_numpy(dtype=object), pa.string()),
+                "n": pa.array(cnt.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    from anansi_ray.arrowds import drop_empty_blocks
+
+    parts = _stable(
+        drop_empty_blocks(
+            _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(kernel, batch_format="pyarrow")
+            .materialize()
+        ).to_pandas(),
+        {"path": "object", "n": "int64"},
+    )
+    out = parts.groupby("path", as_index=False)["n"].sum()
+    out = out.sort_values(["n", "path"], ascending=[False, True]).head(25)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_PATH_TRIGRAMS = """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type, 1) OVER w AS t2,
+                  lead(event_type, 2) OVER w AS t3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (SELECT event_type || '>' || t2 || '>' || t3 AS path
+      FROM s WHERE t3 IS NOT NULL)
+SELECT path, count(*)::BIGINT AS n
+FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 25
+"""
+
+
+def q_embedding_gram(sf_dir: str):
+    """Distributed Gram matrix of the embedding corpus (the PCA /
+    whitening building block): G[i,j] = Σ over vectors of xᵢ·xⱼ, upper
+    triangle.  Each batch reduces its vectors to ONE d×d partial via a
+    single ``X.T @ X`` matmul — the driver combine sees #batches × d(d+1)/2
+    rows, never a vector; float summation-order noise is absorbed by
+    round(4) exactly as embedding_stats does."""
+    def partial(b: pa.Table) -> pa.Table:
+        m = np.vstack(b["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        g = m.T @ m
+        d = g.shape[0]
+        iu = np.triu_indices(d)
+        return pa.table(
+            {
+                "dim_i": pa.array(iu[0].astype(np.int64) + 1, pa.int64()),
+                "dim_j": pa.array(iu[1].astype(np.int64) + 1, pa.int64()),
+                "gram": pa.array(g[iu], pa.float64()),
+            }
+        )
+
+    parts = _stable(
+        _read(sf_dir, "embeddings", ["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas(),
+        {"dim_i": "int64", "dim_j": "int64", "gram": "float64"},
+    )
+    out = (
+        parts.groupby(["dim_i", "dim_j"], as_index=False)["gram"]
+        .sum()
+        .sort_values(["dim_i", "dim_j"])
+    )
+    out["gram"] = out["gram"].round(4)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_EMBEDDING_GRAM = """
+WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1)::BIGINT AS dim,
+                   unnest(embedding)::DOUBLE AS x
+            FROM embeddings)
+SELECT a.dim AS dim_i, b.dim AS dim_j, round(sum(a.x * b.x), 4) AS gram
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_shingle_overlap_join(sf_dir: str):
     """EXACT containment join (overlap coefficient ≥ 0.8 over 3-token
     shingle sets): finds a short document quoted/embedded inside a longer
@@ -10485,4 +10703,7 @@ QUERIES = {
     "events_watermark": (q_events_watermark, SQL_EVENTS_WATERMARK),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "shingle_overlap_join": (q_shingle_overlap_join, SQL_SHINGLE_OVERLAP_JOIN),
+    "user_value_ewma": (q_user_value_ewma, SQL_USER_VALUE_EWMA),
+    "path_trigrams": (q_path_trigrams, SQL_PATH_TRIGRAMS),
+    "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
 }

@@ -167,6 +167,9 @@ BENCH_QUERIES = [
     "events_watermark",
     "embedding_quantize",
     "shingle_overlap_join",
+    "user_value_ewma",
+    "path_trigrams",
+    "embedding_gram",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
