@@ -9848,6 +9848,279 @@ def q_word_pmi(sf_dir: str):
     return out.sort_by([("tok_a", "ascending"), ("tok_b", "ascending")])
 
 
+def q_source_kl_divergence(sf_dir: str):
+    """Domain-shift detector: per-source KL divergence of the source's
+    token distribution from the corpus distribution, both restricted to
+    (and renormalized over) the corpus's top-50 tokens by term count —
+    the drift statistic a corpus-mixture pipeline watches when a new
+    crawl shard arrives.
+
+    Scale shape: pass 1 = term-count combiner → coarse_agg hash exchange
+    → fixed top-V vocabulary (the only sort is over per-batch vocabs);
+    pass 2 maps tokens to broadcast vocab indices block-locally and
+    pre-counts (source, idx) per batch; ONE coarse exchange on (source,
+    idx) collapses the counts, a second source-hash exchange computes
+    each source's 50-term KL in-kernel.  Shuffle volume is bounded by
+    |sources|·V, never the token stream."""
+    import ray
+
+    from anansi_ray.arrowds import coarse_agg, drop_empty_blocks
+
+    V = 50
+    P = 32
+
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n_vocab_tokens": pa.array([], pa.int64()),
+            "kl": pa.array([], pa.float64()),
+        }
+    )
+
+    def term_partial(b: pa.Table) -> pa.Table:
+        col = pc.fill_null(b["text"], "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\W+")
+        flat = pc.list_flatten(toks)
+        s = flat.to_pandas()
+        s = s[s.str.len() > 0]
+        cnt = s.value_counts()
+        return pa.table(
+            {
+                "token": pa.array(cnt.index.to_numpy(dtype=object), pa.string()),
+                "c": pa.array(cnt.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    vocab_df = _stable(
+        coarse_agg(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                term_partial, batch_format="pyarrow"
+            ),
+            "token",
+            {"c": ("sum", "c")},
+        )
+        .sort(["c", "token"], descending=[True, False])
+        .limit(V)
+        .to_pandas(),
+        {"token": "object", "c": "int64"},
+    )
+    if len(vocab_df) == 0:
+        return empty
+    vocab_df = vocab_df.sort_values("token").reset_index(drop=True)
+    vocab_arr = pa.array(vocab_df["token"].to_numpy(dtype=object), pa.string())
+    gc = vocab_df["c"].to_numpy(np.int64)
+    pg = gc.astype(np.float64) / float(gc.sum())
+    bcast = ray.put((vocab_arr, pg))
+
+    def src_counts(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        voc, _ = ray.get(bcast)
+        col = pc.fill_null(b["text"], "")
+        src = pc.fill_null(b["source"], "").to_pandas().to_numpy(dtype=object)
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\W+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        hits = pc.index_in(flat, voc)
+        m = pc.is_valid(hits).to_numpy(zero_copy_only=False)
+        idx = pc.fill_null(hits, 0).to_numpy(zero_copy_only=False)[m].astype(
+            np.int64
+        )
+        ssrc = src[doc[m]]
+        df = (
+            pd.DataFrame({"source": ssrc, "idx": idx})
+            .groupby(["source", "idx"], sort=False)
+            .size()
+            .reset_index(name="cs")
+        )
+        return pa.table(
+            {
+                "source": pa.array(df["source"].to_numpy(dtype=object), pa.string()),
+                "idx": pa.array(df["idx"].to_numpy(np.int64), pa.int64()),
+                "cs": pa.array(df["cs"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    counts = coarse_agg(
+        _read(sf_dir, "documents", ["text", "source"]).map_batches(
+            src_counts, batch_format="pyarrow"
+        ),
+        ["source", "idx"],
+        {"cs": ("sum", "cs")},
+    )
+
+    def tag_src(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_array(b["source"].to_pandas().to_numpy(dtype=object))
+        return b.append_column(
+            "spart", pa.array((h % P).astype(np.int32), pa.int32())
+        )
+
+    def kl_kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        _, pgv = ray.get(bcast)
+        pdf = g.to_pandas().sort_values(["source", "idx"], kind="stable")
+        src = pdf["source"].to_numpy(dtype=object)
+        idx = pdf["idx"].to_numpy(np.int64)
+        cs = pdf["cs"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        sizes = np.diff(np.r_[starts, len(src)])
+        tot = np.add.reduceat(cs, starts).astype(np.float64)
+        ps = cs.astype(np.float64) / np.repeat(tot, sizes)
+        terms = ps * np.log(ps / pgv[idx])
+        kl = np.add.reduceat(terms, starts)
+        return pa.table(
+            {
+                "source": pa.array(src[starts], pa.string()),
+                "n_vocab_tokens": pa.array(
+                    np.add.reduceat(cs, starts).astype(np.int64), pa.int64()
+                ),
+                "kl": pa.array(np.round(kl, 6), pa.float64()),
+            }
+        )
+
+    out = _stable(
+        drop_empty_blocks(
+            counts.map_batches(tag_src, batch_format="pyarrow")
+            .groupby("spart")
+            .map_groups(kl_kernel, batch_format="pyarrow")
+            .materialize()
+        ).to_pandas(),
+        {"source": "object", "n_vocab_tokens": "int64", "kl": "float64"},
+    ).sort_values("source")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_SOURCE_KL_DIVERGENCE = r"""
+WITH tok AS (SELECT coalesce(source, '') AS source,
+                    unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                              '\w+')) AS t
+             FROM documents),
+cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+vocab AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 50),
+gtot AS (SELECT sum(c) AS g FROM vocab),
+sc AS (SELECT source, t, count(*) AS cs FROM tok
+       WHERE t IN (SELECT t FROM vocab) GROUP BY 1, 2),
+stot AS (SELECT source, sum(cs) AS s FROM sc GROUP BY 1)
+SELECT sc.source, stot.s::BIGINT AS n_vocab_tokens,
+       round(sum((sc.cs * 1.0 / stot.s)
+                 * ln((sc.cs * 1.0 / stot.s) / (v.c * 1.0 / gtot.g))), 6)
+         AS kl
+FROM sc
+JOIN vocab v ON v.t = sc.t
+JOIN stot ON stot.source = sc.source
+CROSS JOIN gtot
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def q_link_degree_stats(sf_dir: str):
+    """Degree distribution of the synthesized link graph (the first
+    diagnostic run on any web graph — spotting hubs and the power-law
+    tail): one row per distinct degree with its vertex count.
+
+    Scale shape: edges normalize u<v and dedup block-locally, ONE (u,v)
+    groupby dedups globally (same plan as link_triangles), per-batch
+    endpoint-count partials ride coarse_agg on the vertex id, and the
+    degree histogram is a second coarse_agg on the (tiny) degree
+    domain."""
+    from anansi_ray.arrowds import coarse_agg
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+    if n == 0:
+        return pa.table(
+            {
+                "degree": pa.array([], pa.int64()),
+                "n_vertices": pa.array([], pa.int64()),
+            }
+        )
+
+    def edges(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        x = np.concatenate([i, i, i])
+        y = np.concatenate([(i + 1) % n, (i + 2) % n, (3 * i + 7) % n])
+        u, v = np.minimum(x, y), np.maximum(x, y)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        key = np.unique(u * np.int64(n + 1) + v)
+        return pa.table(
+            {
+                "u": pa.array(key // (n + 1), pa.int64()),
+                "v": pa.array(key % (n + 1), pa.int64()),
+            }
+        )
+
+    edge_ds = (
+        docs.map_batches(edges, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .count()
+    )
+
+    def endpoint_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(uniq, pa.int64()),
+                "d": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    deg = coarse_agg(
+        edge_ds.map_batches(endpoint_partial, batch_format="pyarrow"),
+        "node",
+        {"degree": ("sum", "d")},
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        d = b["degree"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "degree": pa.array(uniq, pa.int64()),
+                "n_vertices": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = _stable(
+        coarse_agg(
+            deg.map_batches(hist_partial, batch_format="pyarrow"),
+            "degree",
+            {"n_vertices": ("sum", "n_vertices")},
+        ).to_pandas(),
+        {"degree": "int64", "n_vertices": "int64"},
+    ).sort_values("degree")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_LINK_DEGREE_STATS = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS x, (doc_id + 1) % n AS y FROM documents, nn
+  UNION ALL SELECT doc_id, (doc_id + 2) % n FROM documents, nn
+  UNION ALL SELECT doc_id, (3 * doc_id + 7) % n FROM documents, nn
+),
+e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+      FROM raw WHERE x <> y),
+deg AS (SELECT node, count(*) AS degree FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1)
+SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_vertices
+FROM deg GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_user_value_ewma(sf_dir: str):
     """Time-decayed per-user feature (the recency-weighted engagement
     score feature stores compute): decayed_value = Σ value·2^(−k) where
@@ -10706,4 +10979,6 @@ QUERIES = {
     "user_value_ewma": (q_user_value_ewma, SQL_USER_VALUE_EWMA),
     "path_trigrams": (q_path_trigrams, SQL_PATH_TRIGRAMS),
     "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
+    "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
+    "link_degree_stats": (q_link_degree_stats, SQL_LINK_DEGREE_STATS),
 }

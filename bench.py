@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "user_value_ewma",
     "path_trigrams",
     "embedding_gram",
+    "source_kl_divergence",
+    "link_degree_stats",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
