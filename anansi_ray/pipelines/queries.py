@@ -1871,6 +1871,28 @@ def q_crawl_media_pipeline(sf_dir: str):
     )
 
 
+SQL_MEDIA_PAYLOAD_DEDUP = f"""
+WITH refs AS (
+  SELECT doc_id, unnest(media_refs) AS media_ref
+  FROM read_parquet('{ORACLE_DIR}/crawl_docs_flat.parquet')),
+p AS (
+  SELECT doc_id, media_ref,
+         repeat('media:' || media_ref, length(media_ref) % 5 + 1)
+           AS payload_str
+  FROM refs),
+h AS (
+  SELECT doc_id, media_ref, md5(payload_str) AS payload_md5,
+         length(payload_str)::BIGINT AS payload_bytes,
+         doc_id || '|' || media_ref AS keeper
+  FROM p)
+SELECT payload_md5, count(*)::BIGINT AS n_refs,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       min(payload_bytes) AS payload_bytes,
+       min(keeper) AS keeper
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
 SQL_CRAWL_MEDIA_PIPELINE = f"""
 WITH refs AS (
   SELECT doc_id, unnest(media_refs) AS media_ref
@@ -9848,6 +9870,75 @@ def q_word_pmi(sf_dir: str):
     return out.sort_by([("tok_a", "ascending"), ("tok_b", "ascending")])
 
 
+def q_media_payload_dedup(sf_dir: str):
+    """Exact media dedup by content hash over the crawl's interleaved
+    output (the image/audio analogue of dedup_exact — identical payloads
+    referenced from many documents collapse to one keeper): one row per
+    distinct payload with its reference count, distinct-document count,
+    byte size and the lexicographically-first (doc, ref) keeper.
+
+    Scale shape: payloads NEVER shuffle — each batch hashes its payload
+    bytes block-locally and forwards only (md5, keeper, bytes, doc-flag)
+    rows; ONE coarse_agg hash exchange on the 128-bit content key does
+    count/sum/min in-kernel.  The per-batch (md5, doc) first-occurrence
+    flag makes the distinct-doc count a plain SUM because a document's
+    spans never split across batches."""
+    import hashlib
+
+    from anansi_ray.arrowds import coarse_agg
+    from anansi_ray.functions.spans import flatten_spans_batch
+
+    docs = _crawl_results()["documents"]
+    flat = flatten_spans_batch(docs)
+
+    def explode_hash(batch: pa.Table) -> pa.Table:
+        md5s, keepers, sizes, flags = [], [], [], []
+        seen: set = set()
+        for d, rs in zip(
+            batch["doc_id"].to_pylist(), batch["media_refs"].to_pylist()
+        ):
+            for r in rs or ():
+                payload = ("media:" + r) * (len(r) % 5 + 1)
+                h = hashlib.md5(payload.encode()).hexdigest()
+                md5s.append(h)
+                keepers.append(f"{d}|{r}")
+                sizes.append(len(payload))
+                flags.append(1 if (h, d) not in seen else 0)
+                seen.add((h, d))
+        return pa.table(
+            {
+                "payload_md5": pa.array(md5s, pa.string()),
+                "keeper": pa.array(keepers, pa.string()),
+                "payload_bytes": pa.array(sizes, pa.int64()),
+                "docflag": pa.array(flags, pa.int64()),
+            }
+        )
+
+    media = rd.from_arrow(flat.select(["doc_id", "media_refs"])).map_batches(
+        explode_hash, batch_format="pyarrow"
+    )
+    out = _stable(
+        coarse_agg(
+            media,
+            "payload_md5",
+            {
+                "n_refs": ("count", "payload_md5"),
+                "n_docs": ("sum", "docflag"),
+                "payload_bytes": ("min", "payload_bytes"),
+                "keeper": ("min", "keeper"),
+            },
+        ).to_pandas(),
+        {
+            "payload_md5": "object",
+            "n_refs": "int64",
+            "n_docs": "int64",
+            "payload_bytes": "int64",
+            "keeper": "object",
+        },
+    ).sort_values("payload_md5")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
 def q_source_kl_divergence(sf_dir: str):
     """Domain-shift detector: per-source KL divergence of the source's
     token distribution from the corpus distribution, both restricted to
@@ -10981,4 +11072,5 @@ QUERIES = {
     "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
     "link_degree_stats": (q_link_degree_stats, SQL_LINK_DEGREE_STATS),
+    "media_payload_dedup": (q_media_payload_dedup, SQL_MEDIA_PAYLOAD_DEDUP),
 }

@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "embedding_gram",
     "source_kl_divergence",
     "link_degree_stats",
+    "media_payload_dedup",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
