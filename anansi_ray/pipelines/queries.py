@@ -9870,6 +9870,65 @@ def q_word_pmi(sf_dir: str):
     return out.sort_by([("tok_a", "ascending"), ("tok_b", "ascending")])
 
 
+def q_diversified_topk(sf_dir: str):
+    """Diversity-constrained global top-k (the corpus-sampling rule
+    "best 50 documents but at most 2 per source", preventing one hub
+    domain from filling the whole budget).
+
+    Scale shape: the per-source cap makes the partial ASSOCIATIVE — the
+    per-source top-2 of a union equals the per-source top-2 over each
+    batch's per-source top-2 — so every batch forwards ≤ 2·|its sources|
+    rows and the driver finish re-caps and takes the global 50.  No
+    shuffle at all; ties break by (n_chars DESC, doc_id ASC) on both
+    engines."""
+    K = 50
+    CAP = 2
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+                "source": pc.fill_null(b["source"], "")
+                .to_pandas()
+                .to_numpy(dtype=object),
+                "n_chars": b["n_chars"].to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df.sort_values(
+            ["source", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        keep = df.groupby("source", sort=False).head(CAP)
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    parts = _stable(
+        _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas(),
+        {"doc_id": "int64", "source": "object", "n_chars": "int64"},
+    )
+    parts = parts.sort_values(
+        ["source", "n_chars", "doc_id"], ascending=[True, False, True]
+    )
+    capped = parts.groupby("source", sort=False).head(CAP)
+    out = capped.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(
+        K
+    )[["doc_id", "source", "n_chars"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_DIVERSIFIED_TOPK = """
+WITH r AS (SELECT doc_id, coalesce(source, '') AS source, n_chars,
+                  row_number() OVER (PARTITION BY coalesce(source, '')
+                                     ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents)
+SELECT doc_id, source, n_chars
+FROM r WHERE rn <= 2
+ORDER BY n_chars DESC, doc_id LIMIT 50
+"""
+
+
 def q_media_payload_dedup(sf_dir: str):
     """Exact media dedup by content hash over the crawl's interleaved
     output (the image/audio analogue of dedup_exact — identical payloads
@@ -11073,4 +11132,5 @@ QUERIES = {
     "source_kl_divergence": (q_source_kl_divergence, SQL_SOURCE_KL_DIVERGENCE),
     "link_degree_stats": (q_link_degree_stats, SQL_LINK_DEGREE_STATS),
     "media_payload_dedup": (q_media_payload_dedup, SQL_MEDIA_PAYLOAD_DEDUP),
+    "diversified_topk": (q_diversified_topk, SQL_DIVERSIFIED_TOPK),
 }

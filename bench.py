@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "source_kl_divergence",
     "link_degree_stats",
     "media_payload_dedup",
+    "diversified_topk",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
