@@ -1472,7 +1472,7 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v7"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v8"  # bump whenever artifact-affecting code changes
 # v6: added the k-means assignment twin (kmeans.parquet)
 # v7: added the sequence-packing twin (pack.parquet)
 # v4: vectorized shingle hashing (token-hash fold) changed signature values
@@ -1586,6 +1586,13 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
             ]
         ),
         os.path.join(ORACLE_DIR, "crawl_docs_flat.parquet"),
+    )
+
+    # 1b. the tiny web's redirect edges (url → redirect), for the
+    #     redirect-alias resolution twin's recursive CTE
+    pq.write_table(
+        tables["web"].select(["url", "redirect"]),
+        os.path.join(ORACLE_DIR, "web_redirects.parquet"),
     )
 
     # 2. the synthetic media table (payloads included: DuckDB recomputes
@@ -9870,6 +9877,89 @@ def q_word_pmi(sf_dir: str):
     return out.sort_by([("tok_a", "ascending"), ("tok_b", "ascending")])
 
 
+def q_redirect_aliases(sf_dir: str):
+    """Redirect-chain alias resolution over the synthetic web (the crawl
+    dedup step that collapses 301/302 alias URLs onto their canonical
+    target): for every redirecting URL, follow the chain up to 10 hops
+    and report the terminal target and hop count.
+
+    Scale shape: the redirect map (3xx rows only — a small fraction of
+    the web) broadcasts once via ``ray.put`` as a sorted key/target pair
+    and each batch resolves its chains with ≤9 vectorized searchsorted
+    sweeps over only its still-active rows; at a 10^10 frontier where
+    the 3xx subset outgrows the broadcast envelope, the hop becomes the
+    frontier-only hash-exchange join of functions/graph.py khop_reach —
+    same per-hop volume, one exchange per hop.  Twin = recursive CTE
+    with the identical 10-hop cap."""
+    import ray
+
+    from anansi_ray import fixtures
+
+    web = fixtures.generate("tiny", seed=42)["web"]
+    sel = web.select(["url", "redirect"])
+    red = pc.fill_null(sel["redirect"], "").to_pandas().to_numpy(dtype=object)
+    urls = sel["url"].to_pandas().to_numpy(dtype=object)
+    has = np.array([len(r) > 0 for r in red], bool)
+    keys = urls[has]
+    tgts = red[has]
+    order = np.argsort(keys)
+    map_ref = ray.put((keys[order], tgts[order]))
+
+    def resolve(b: pa.Table) -> pa.Table:
+        k, t = ray.get(map_ref)
+        src = b["url"].to_pandas().to_numpy(dtype=object)
+        first = pc.fill_null(b["redirect"], "").to_pandas().to_numpy(dtype=object)
+        m = np.array([len(r) > 0 for r in first], bool)
+        src, cur = src[m], first[m]
+        d = np.ones(len(src), np.int64)
+        active = np.ones(len(src), bool)
+        for _ in range(9):
+            if not active.any():
+                break
+            c = cur[active]
+            pos = np.searchsorted(k, c)
+            pos = np.minimum(pos, max(len(k) - 1, 0))
+            hit = (k[pos] == c) if len(k) else np.zeros(len(c), bool)
+            nxt = np.where(hit, t[pos] if len(k) else c, c)
+            idx = np.flatnonzero(active)
+            cur[idx[hit]] = nxt[hit]
+            d[idx[hit]] += 1
+            active[idx[~hit]] = False
+        return pa.table(
+            {
+                "url": pa.array(src, pa.string()),
+                "canonical": pa.array(cur, pa.string()),
+                "n_hops": pa.array(d, pa.int64()),
+            }
+        )
+
+    out = _stable(
+        rd.from_arrow(sel)
+        .map_batches(resolve, batch_format="pyarrow")
+        .to_pandas(),
+        {"url": "object", "canonical": "object", "n_hops": "int64"},
+    ).sort_values("url")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_REDIRECT_ALIASES = f"""
+WITH RECURSIVE chain(src, cur, d) AS (
+  SELECT url, redirect, 1
+  FROM read_parquet('{ORACLE_DIR}/web_redirects.parquet')
+  WHERE redirect IS NOT NULL AND redirect <> ''
+  UNION ALL
+  SELECT c.src, w.redirect, c.d + 1
+  FROM chain c
+  JOIN read_parquet('{ORACLE_DIR}/web_redirects.parquet') w
+    ON w.url = c.cur
+  WHERE w.redirect IS NOT NULL AND w.redirect <> '' AND c.d < 10)
+SELECT src AS url, cur AS canonical, d::BIGINT AS n_hops
+FROM chain
+QUALIFY row_number() OVER (PARTITION BY src ORDER BY d DESC) = 1
+ORDER BY 1
+"""
+
+
 def q_diversified_topk(sf_dir: str):
     """Diversity-constrained global top-k (the corpus-sampling rule
     "best 50 documents but at most 2 per source", preventing one hub
@@ -11133,4 +11223,5 @@ QUERIES = {
     "link_degree_stats": (q_link_degree_stats, SQL_LINK_DEGREE_STATS),
     "media_payload_dedup": (q_media_payload_dedup, SQL_MEDIA_PAYLOAD_DEDUP),
     "diversified_topk": (q_diversified_topk, SQL_DIVERSIFIED_TOPK),
+    "redirect_aliases": (q_redirect_aliases, SQL_REDIRECT_ALIASES),
 }

@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "link_degree_stats",
     "media_payload_dedup",
     "diversified_topk",
+    "redirect_aliases",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
