@@ -9877,6 +9877,153 @@ def q_word_pmi(sf_dir: str):
     return out.sort_by([("tok_a", "ascending"), ("tok_b", "ascending")])
 
 
+def _daily_revenue(sf_dir: str):
+    """Shared combiner: exact daily revenue in cents (catalog-sized)."""
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = ts_us(b["o_orderdate"]).to_numpy(zero_copy_only=False) // DAY_US
+        cents = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        days, inv = np.unique(d, return_inverse=True)
+        rev = np.bincount(inv, weights=cents).astype(np.int64)
+        return pa.table(
+            {
+                "dayno": pa.array(days, pa.int64()),
+                "rev_cents": pa.array(rev, pa.int64()),
+            }
+        )
+
+    out = _stable(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("dayno")
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"))
+        .to_pandas(),
+        {"dayno": "int64", "rev_cents": "int64"},
+    ).sort_values("dayno")
+    return out
+
+
+def q_revenue_trend_theilsen(sf_dir: str):
+    """Robust trend estimation (Theil–Sen): the median of all pairwise
+    day-to-day slopes of daily revenue — the outlier-immune alternative
+    to least squares (one flash-sale day cannot move it).
+
+    Scale shape: the distributed stage is the same per-batch (day,
+    cents) combiner + catalog groupby every daily query rides; the
+    O(|days|²) pairwise-slope enumeration then runs on the CATALOG-sized
+    day table (thousands of rows even at 100 TB, since the day domain is
+    the calendar, not the corpus).  The median is pinned to the
+    (n−1)//2 order statistic so both engines pick the same element —
+    each slope is one IEEE division, bit-identical across engines."""
+    days_df = _daily_revenue(sf_dir)
+    d = days_df["dayno"].to_numpy(np.int64)
+    r = days_df["rev_cents"].to_numpy(np.int64)
+    empty = pa.table(
+        {
+            "n_pairs": pa.array([], pa.int64()),
+            "slope_cents_per_day": pa.array([], pa.float64()),
+        }
+    )
+    if len(d) < 2:
+        return empty
+    iu = np.triu_indices(len(d), k=1)
+    slopes = (r[iu[1]] - r[iu[0]]).astype(np.float64) / (
+        d[iu[1]] - d[iu[0]]
+    ).astype(np.float64)
+    slopes.sort(kind="stable")
+    med = slopes[(len(slopes) - 1) // 2]
+    return pa.table(
+        {
+            "n_pairs": pa.array([len(slopes)], pa.int64()),
+            "slope_cents_per_day": pa.array([round(float(med), 6)], pa.float64()),
+        }
+    )
+
+
+SQL_REVENUE_TREND_THEILSEN = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS dayno,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+           FROM orders GROUP BY 1),
+s AS (SELECT (b.rev - a.rev) * 1.0 / (b.dayno - a.dayno) AS slope
+      FROM d a JOIN d b ON b.dayno > a.dayno),
+r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+             count(*) OVER () AS n
+      FROM s)
+SELECT n::BIGINT AS n_pairs, round(slope, 6) AS slope_cents_per_day
+FROM r WHERE rn = (n - 1) // 2 + 1
+"""
+
+
+def q_revenue_backtest(sf_dir: str):
+    """Forecast backtest (the eval loop of any demand model): a lag-7
+    seasonal-naive forecast of daily revenue scored by weekday with
+    WMAPE.  Error sums stay integer cents — the single float division
+    happens once per weekday row.
+
+    Scale shape: identical to revenue_trend_theilsen — distributed
+    (day, cents) combiner + catalog groupby, then the lag join and
+    weekday rollup on the calendar-sized day table."""
+    days_df = _daily_revenue(sf_dir)
+    d = days_df["dayno"].to_numpy(np.int64)
+    r = days_df["rev_cents"].to_numpy(np.int64)
+    empty = pa.table(
+        {
+            "weekday": pa.array([], pa.int64()),
+            "n_days": pa.array([], pa.int64()),
+            "sum_abs_err_cents": pa.array([], pa.int64()),
+            "sum_actual_cents": pa.array([], pa.int64()),
+            "wmape": pa.array([], pa.float64()),
+        }
+    )
+    if len(d) == 0:
+        return empty
+    pos = np.searchsorted(d, d - 7)
+    pos = np.minimum(pos, len(d) - 1)
+    hit = d[pos] == d - 7
+    act, fc = r[hit], r[pos][hit]
+    wd = d[hit] % 7
+    if len(act) == 0:
+        return empty
+    uniq, inv = np.unique(wd, return_inverse=True)
+    n = np.bincount(inv).astype(np.int64)
+    abs_err = np.abs(act - fc)
+    se = np.zeros(len(uniq), np.int64)
+    np.add.at(se, inv, abs_err)
+    sa = np.zeros(len(uniq), np.int64)
+    np.add.at(sa, inv, act)
+    return pa.table(
+        {
+            "weekday": pa.array(uniq, pa.int64()),
+            "n_days": pa.array(n, pa.int64()),
+            "sum_abs_err_cents": pa.array(se, pa.int64()),
+            "sum_actual_cents": pa.array(sa, pa.int64()),
+            "wmape": pa.array(
+                np.round(se.astype(np.float64) / sa.astype(np.float64), 6),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+SQL_REVENUE_BACKTEST = """
+WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS dayno,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+           FROM orders GROUP BY 1),
+j AS (SELECT a.dayno, a.rev AS actual, b.rev AS fcst
+      FROM d a JOIN d b ON b.dayno = a.dayno - 7)
+SELECT (dayno % 7)::BIGINT AS weekday, count(*)::BIGINT AS n_days,
+       sum(abs(actual - fcst))::BIGINT AS sum_abs_err_cents,
+       sum(actual)::BIGINT AS sum_actual_cents,
+       round(sum(abs(actual - fcst)) * 1.0 / sum(actual), 6) AS wmape
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_redirect_aliases(sf_dir: str):
     """Redirect-chain alias resolution over the synthetic web (the crawl
     dedup step that collapses 301/302 alias URLs onto their canonical
@@ -11224,4 +11371,9 @@ QUERIES = {
     "media_payload_dedup": (q_media_payload_dedup, SQL_MEDIA_PAYLOAD_DEDUP),
     "diversified_topk": (q_diversified_topk, SQL_DIVERSIFIED_TOPK),
     "redirect_aliases": (q_redirect_aliases, SQL_REDIRECT_ALIASES),
+    "revenue_trend_theilsen": (
+        q_revenue_trend_theilsen,
+        SQL_REVENUE_TREND_THEILSEN,
+    ),
+    "revenue_backtest": (q_revenue_backtest, SQL_REVENUE_BACKTEST),
 }

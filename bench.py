@@ -175,6 +175,8 @@ BENCH_QUERIES = [
     "media_payload_dedup",
     "diversified_topk",
     "redirect_aliases",
+    "revenue_trend_theilsen",
+    "revenue_backtest",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
