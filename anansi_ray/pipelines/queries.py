@@ -9877,6 +9877,68 @@ def q_word_pmi(sf_dir: str):
     return out.sort_by([("tok_a", "ascending"), ("tok_b", "ascending")])
 
 
+def q_langid_confusion(sf_dir: str):
+    """Model-evaluation crosstab: confusion matrix of the stopword
+    language-ID heuristic against the labeled ``lang`` column — the
+    quality gate run before trusting a classifier to route a corpus.
+    Integer-exact counts only, so the twin (which re-derives the
+    prediction with the SAME CASE-ladder as SQL_LANG_ID) matches
+    bit-for-bit.
+
+    Scale shape: prediction + crosstab fuse into ONE streaming pass —
+    each batch forwards ≤ |langs|² count rows, the driver combine is
+    alphabet-sized."""
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        pred = ftext.lang_id_batch(b)["lang_pred"].to_pandas()
+        true = pc.fill_null(b["lang"], "").to_pandas()
+        df = (
+            pd.DataFrame({"lang_true": true, "lang_pred": pred})
+            .groupby(["lang_true", "lang_pred"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "lang_true": pa.array(
+                    df["lang_true"].to_numpy(dtype=object), pa.string()
+                ),
+                "lang_pred": pa.array(
+                    df["lang_pred"].to_numpy(dtype=object), pa.string()
+                ),
+                "n": pa.array(df["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = _stable(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas(),
+        {"lang_true": "object", "lang_pred": "object", "n": "int64"},
+    )
+    out = (
+        parts.groupby(["lang_true", "lang_pred"], as_index=False)["n"]
+        .sum()
+        .sort_values(["lang_true", "lang_pred"])
+    )
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def _sql_langid_confusion() -> str:
+    return f"""
+WITH pred AS ({_sql_lang_id()}),
+j AS (SELECT coalesce(d.lang, '') AS lang_true, p.lang_pred
+      FROM documents d JOIN pred p USING (doc_id))
+SELECT lang_true, lang_pred, count(*)::BIGINT AS n
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+SQL_LANGID_CONFUSION = _sql_langid_confusion()
+
+
 def _daily_revenue(sf_dir: str):
     """Shared combiner: exact daily revenue in cents (catalog-sized)."""
     from ray.data.aggregate import Sum
@@ -11376,4 +11438,5 @@ QUERIES = {
         SQL_REVENUE_TREND_THEILSEN,
     ),
     "revenue_backtest": (q_revenue_backtest, SQL_REVENUE_BACKTEST),
+    "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
 }

@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "redirect_aliases",
     "revenue_trend_theilsen",
     "revenue_backtest",
+    "langid_confusion",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
