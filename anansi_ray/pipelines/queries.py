@@ -11273,6 +11273,114 @@ ORDER BY 1, 2
 """
 
 
+def q_shingle_dup_fraction(sf_dir: str):
+    """Per-document CORPUS-DUPLICATION fraction at shingle granularity —
+    the substring-dedup signal of Lee et al. ("Deduplicating Training
+    Data Makes Language Models Better") at 3-token resolution: for each
+    document, the share of its distinct 3-token shingles that occur in
+    at least one OTHER document.  Unlike the pair-producing joins
+    (shingle_jaccard_join) this scores every doc against the WHOLE
+    corpus in aggregate — the filter signal used to drop boilerplate-
+    heavy pages before training.
+
+    Scale shape: per-batch distinct (doc, shingle) combiner → ONE
+    shingle-hash exchange where each partition holds EVERY occurrence of
+    its shingles, so corpus df is a run length and the per-doc
+    (n_shingles, n_dup) partial is computed entirely in-kernel → one
+    doc-keyed coarse_agg over partials.  No join, no pair blow-up; the
+    second exchange carries ≤ one row per (doc, part).  At 100 TB the
+    string shingle column would swap for a 128-bit hash (collision-free
+    at corpus scale); the string form keeps the DuckDB twin exact."""
+    import pandas as pd
+
+    from anansi_ray.arrowds import coarse_agg, drop_empty_blocks
+
+    N_PARTS = 32
+
+    def doc_shingles(b: pa.Table) -> pa.Table:
+        ridx, sh = ftext.shingles_for_batch(b, k=3)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"doc_id": ids[ridx], "sh": np.asarray(sh, dtype=object)}
+        ).drop_duplicates()
+        h = pd.util.hash_array(df["sh"].to_numpy(dtype=object))
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+                "sh": pa.array(df["sh"].to_numpy(dtype=object), pa.string()),
+                "part": pa.array((h % N_PARTS).astype(np.int32), pa.int32()),
+            }
+        )
+
+    part_empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_sh": pa.array([], pa.int64()),
+            "n_dup": pa.array([], pa.int64()),
+        }
+    )
+
+    def dup_partial(g: pa.Table) -> pa.Table:
+        # (doc, sh) rows are globally distinct and every occurrence of a
+        # shingle lands in this part → df(sh) == its run length here, and
+        # the per-doc dup count needs no cross-part information.
+        if g.num_rows == 0:
+            return part_empty
+        pdf = g.to_pandas().sort_values(["sh", "doc_id"], kind="stable")
+        sh = pdf["sh"].to_numpy(dtype=object)
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        sizes = np.diff(np.r_[starts, len(sh)])
+        dup = np.repeat(sizes >= 2, sizes)
+        agg = (
+            pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "dup": dup})
+            .groupby("doc_id", sort=False)
+            .agg(n_sh=("dup", "size"), n_dup=("dup", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64), pa.int64()),
+                "n_sh": pa.array(agg["n_sh"].to_numpy(np.int64), pa.int64()),
+                "n_dup": pa.array(agg["n_dup"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    partials = drop_empty_blocks(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(doc_shingles, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dup_partial, batch_format="pyarrow")
+        .materialize()
+    )
+    out = _stable(
+        coarse_agg(
+            partials,
+            "doc_id",
+            {"n_shingles": ("sum", "n_sh"), "n_dup": ("sum", "n_dup")},
+        ).to_pandas(),
+        {"doc_id": "int64", "n_shingles": "int64", "n_dup": "int64"},
+    ).sort_values("doc_id")
+    out["dup_frac"] = (out["n_dup"] / out["n_shingles"]).round(6)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_SHINGLE_DUP_FRACTION = r"""
+WITH w AS (SELECT doc_id,
+                  regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+           FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(i)),
+c AS (SELECT sh, count(*) AS df FROM g GROUP BY 1)
+SELECT g.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       (count(*) FILTER (c.df >= 2))::BIGINT AS n_dup,
+       round((count(*) FILTER (c.df >= 2)) * 1.0 / count(*), 6) AS dup_frac
+FROM g JOIN c USING (sh)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -11439,4 +11547,5 @@ QUERIES = {
     ),
     "revenue_backtest": (q_revenue_backtest, SQL_REVENUE_BACKTEST),
     "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
+    "shingle_dup_fraction": (q_shingle_dup_fraction, SQL_SHINGLE_DUP_FRACTION),
 }

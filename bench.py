@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "revenue_trend_theilsen",
     "revenue_backtest",
     "langid_confusion",
+    "shingle_dup_fraction",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
