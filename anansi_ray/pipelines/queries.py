@@ -11381,6 +11381,155 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_corpus_datacard(sf_dir: str):
+    """One-row corpus DATA CARD — the summary sheet published alongside a
+    training corpus (docs, chars, whitespace tokens, exact-dup rate,
+    language inventory, dominant language, mean doc length), computed in
+    one streaming pass plus one tiny metadata read.
+
+    Scale shape: the text pass feeds ONE coarse hash exchange keyed on the
+    sha256 content hash (count + char/token sums per distinct text), then
+    a per-block second-stage combiner collapses that to scalar partials —
+    the driver sees O(#blocks) rows, never one row per distinct text.  The
+    language histogram is a separate single-column pruned read whose
+    per-batch value_counts ships ≤ |alphabet| rows.  Empty corpus follows
+    the pinned SQL semantics: COUNT → 0, sums/ratios → NULL."""
+    import pandas as pd
+
+    from anansi_ray.arrowds import coarse_agg
+
+    def partial(b: pa.Table) -> pa.Table:
+        n_ws, _ = ftext._ws_tokens(b["text"])
+        chars = (
+            pc.fill_null(pc.utf8_length(b["text"]), 0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        h = fdedup.text_hash_batch(b.select(["text"]))["text_hash"]
+        return pa.table(
+            {
+                "text_hash": h,
+                "n_chars": pa.array(chars, pa.int64()),
+                "n_toks": pa.array(n_ws, pa.int64()),
+            }
+        )
+
+    def reduce_block(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_distinct": pa.array([b.num_rows], pa.int64()),
+                "n_docs": pa.array([int(pc.sum(b["n"]).as_py() or 0)], pa.int64()),
+                "chars": pa.array(
+                    [int(pc.sum(b["chars"]).as_py() or 0)], pa.int64()
+                ),
+                "toks": pa.array([int(pc.sum(b["toks"]).as_py() or 0)], pa.int64()),
+            }
+        )
+
+    scalars = _stable(
+        coarse_agg(
+            _read(sf_dir, "documents", ["text"]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            "text_hash",
+            {
+                "n": ("count", "text_hash"),
+                "chars": ("sum", "n_chars"),
+                "toks": ("sum", "n_toks"),
+            },
+        )
+        .map_batches(reduce_block, batch_format="pyarrow")
+        .to_pandas(),
+        {
+            "n_distinct": "int64",
+            "n_docs": "int64",
+            "chars": "int64",
+            "toks": "int64",
+        },
+    )
+
+    def lang_partial(b: pa.Table) -> pa.Table:
+        vc = b["lang"].to_pandas().value_counts()
+        return pa.table(
+            {
+                "lang": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "c": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    langs = _stable(
+        _read(sf_dir, "documents", ["lang"])
+        .map_batches(lang_partial, batch_format="pyarrow")
+        .to_pandas(),
+        {"lang": "object", "c": "int64"},
+    )
+    langs = langs.groupby("lang", as_index=False)["c"].sum()
+
+    n_docs = int(scalars["n_docs"].sum())
+    n_distinct = int(scalars["n_distinct"].sum())
+    total_chars = int(scalars["chars"].sum()) if n_docs else None
+    total_toks = int(scalars["toks"].sum()) if n_docs else None
+    n_langs = int(len(langs))
+    if len(langs):
+        top = langs.sort_values(
+            ["c", "lang"], ascending=[False, True], kind="stable"
+        ).iloc[0]
+        top_lang, top_c = str(top["lang"]), int(top["c"])
+    else:
+        top_lang, top_c = None, None
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "total_chars": pa.array([total_chars], pa.int64()),
+            "total_tokens_ws": pa.array([total_toks], pa.int64()),
+            "n_distinct_texts": pa.array([n_distinct], pa.int64()),
+            "dup_frac": pa.array(
+                [round(1.0 - n_distinct * 1.0 / n_docs, 6) if n_docs else None],
+                pa.float64(),
+            ),
+            "n_langs": pa.array([n_langs], pa.int64()),
+            "top_lang": pa.array([top_lang], pa.string()),
+            "top_lang_share": pa.array(
+                [round(top_c * 1.0 / n_docs, 6) if n_docs else None],
+                pa.float64(),
+            ),
+            "avg_chars": pa.array(
+                [round(total_chars * 1.0 / n_docs, 6) if n_docs else None],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+SQL_CORPUS_DATACARD = r"""
+WITH t AS (SELECT count(*) AS n_docs,
+                  sum(length(text)) AS total_chars,
+                  sum(len(string_split_regex(trim(text), '\s+')))
+                    AS total_tokens_ws,
+                  count(DISTINCT substr(sha256(text), 1, 32))
+                    AS n_distinct_texts,
+                  count(DISTINCT lang) AS n_langs
+           FROM documents),
+l AS (SELECT lang, count(*) AS c FROM documents
+      GROUP BY 1 ORDER BY c DESC, lang LIMIT 1)
+SELECT n_docs::BIGINT AS n_docs,
+       total_chars::BIGINT AS total_chars,
+       total_tokens_ws::BIGINT AS total_tokens_ws,
+       n_distinct_texts::BIGINT AS n_distinct_texts,
+       CASE WHEN n_docs > 0
+            THEN round(1.0 - n_distinct_texts * 1.0 / n_docs, 6) END
+         AS dup_frac,
+       n_langs::BIGINT AS n_langs,
+       (SELECT lang FROM l) AS top_lang,
+       CASE WHEN n_docs > 0
+            THEN round((SELECT c FROM l) * 1.0 / n_docs, 6) END
+         AS top_lang_share,
+       CASE WHEN n_docs > 0
+            THEN round(total_chars * 1.0 / n_docs, 6) END AS avg_chars
+FROM t
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -11548,4 +11697,5 @@ QUERIES = {
     "revenue_backtest": (q_revenue_backtest, SQL_REVENUE_BACKTEST),
     "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
     "shingle_dup_fraction": (q_shingle_dup_fraction, SQL_SHINGLE_DUP_FRACTION),
+    "corpus_datacard": (q_corpus_datacard, SQL_CORPUS_DATACARD),
 }

@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "revenue_backtest",
     "langid_confusion",
     "shingle_dup_fraction",
+    "corpus_datacard",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
