@@ -11530,6 +11530,155 @@ FROM t
 """
 
 
+def q_segment_ttest(sf_dir: str):
+    """Welch's two-sample t-test of order value between every pair of
+    customer market segments — the hypothesis-testing primitive behind
+    "is segment A actually spending more than segment B, or is that
+    noise?".  Emits the t statistic and Welch–Satterthwaite degrees of
+    freedom per unordered segment pair.
+
+    Exactness: partials carry (n, Σcents, Σcents² as two int64 limbs —
+    the lineitem_variance overflow trick), so the driver holds EXACT
+    integer moments; the float finish then applies the IDENTICAL
+    double-precision expression tree as the SQL twin (casts from exact
+    ints, same operation order, correctly-rounded sqrt), making the
+    rounded outputs bit-stable.
+
+    Scale shape: broadcast dim probe (ray.put + index_in, no per-row
+    Python) and a |segments|-row combiner per batch; the all-pairs finish
+    runs on a 5-row table."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    LIMB = 10**9
+
+    cust_tbl = pa.Table.from_pandas(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas(),
+        preserve_index=False,
+    ).combine_chunks()
+    ref = ray.put(cust_tbl)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cust = ray.get(ref)
+        idx = pc.index_in(b["o_custkey"], cust["c_custkey"])
+        hit = pc.is_valid(idx)
+        seg = np.asarray(
+            cust["c_mktsegment"].combine_chunks().take(idx.filter(hit)).to_pylist(),
+            dtype=object,
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"].filter(hit), 100.0)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(seg, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s1 = np.zeros(len(uniq), np.int64)
+        np.add.at(s1, inv, cents)
+        sq = cents * cents  # ≤ ~3.6e15 per row: inside int64
+        hi = np.zeros(len(uniq), np.int64)
+        np.add.at(hi, inv, sq // LIMB)
+        lo = np.zeros(len(uniq), np.int64)
+        np.add.at(lo, inv, sq % LIMB)
+        return pa.table(
+            {
+                "seg": pa.array(uniq, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "s1": pa.array(s1, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "lo": pa.array(lo, pa.int64()),
+            }
+        )
+
+    agg = _stable(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("seg")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("hi", alias_name="hi"),
+            Sum("lo", alias_name="lo"),
+        )
+        .to_pandas(),
+        {"seg": "object", "n": "int64", "s1": "int64", "hi": "int64", "lo": "int64"},
+    ).sort_values("seg")
+
+    stats = []
+    for _, r in agg.iterrows():
+        n = int(r["n"])
+        if n < 2:
+            continue
+        s1 = int(r["s1"])
+        s2 = int(r["hi"]) * LIMB + int(r["lo"])
+        f1 = float(s1)
+        mean = f1 / n
+        var = (float(s2) - f1 * f1 / n) / (n - 1)
+        stats.append((str(r["seg"]), n, mean, var))
+
+    rows = {
+        "seg_a": [], "seg_b": [], "n_a": [], "n_b": [],
+        "mean_a": [], "mean_b": [], "t_stat": [], "welch_dof": [],
+    }
+    for i in range(len(stats)):
+        for j in range(i + 1, len(stats)):
+            (sa, na, ma, va), (sb, nb, mb, vb) = stats[i], stats[j]
+            va_n, vb_n = va / na, vb / nb
+            se2 = va_n + vb_n
+            t = (ma - mb) / math.sqrt(se2)
+            dof = se2 * se2 / (
+                va_n * va_n / (na - 1) + vb_n * vb_n / (nb - 1)
+            )
+            rows["seg_a"].append(sa)
+            rows["seg_b"].append(sb)
+            rows["n_a"].append(na)
+            rows["n_b"].append(nb)
+            rows["mean_a"].append(round(ma, 6))
+            rows["mean_b"].append(round(mb, 6))
+            rows["t_stat"].append(round(t, 6))
+            rows["welch_dof"].append(round(dof, 6))
+    return pa.table(
+        {
+            "seg_a": pa.array(rows["seg_a"], pa.string()),
+            "seg_b": pa.array(rows["seg_b"], pa.string()),
+            "n_a": pa.array(rows["n_a"], pa.int64()),
+            "n_b": pa.array(rows["n_b"], pa.int64()),
+            "mean_a": pa.array(rows["mean_a"], pa.float64()),
+            "mean_b": pa.array(rows["mean_b"], pa.float64()),
+            "t_stat": pa.array(rows["t_stat"], pa.float64()),
+            "welch_dof": pa.array(rows["welch_dof"], pa.float64()),
+        }
+    )
+
+
+SQL_SEGMENT_TTEST = """
+WITH j AS (SELECT c_mktsegment AS seg,
+                  (round(o_totalprice * 100))::BIGINT AS cents
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+s AS (SELECT seg, count(*) AS n,
+             sum(cents::HUGEINT) AS s1,
+             sum(cents::HUGEINT * cents) AS s2
+      FROM j GROUP BY 1),
+m AS (SELECT seg, n,
+             s1::DOUBLE / n AS mean,
+             (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / (n - 1) AS var
+      FROM s WHERE n >= 2),
+p AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+             a.n AS n_a, b.n AS n_b,
+             a.mean AS mean_a, b.mean AS mean_b,
+             a.var / a.n AS va_n, b.var / b.n AS vb_n
+      FROM m a JOIN m b ON a.seg < b.seg)
+SELECT seg_a, seg_b, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+       round((mean_a - mean_b) / sqrt(va_n + vb_n), 6) AS t_stat,
+       round((va_n + vb_n) * (va_n + vb_n) /
+             (va_n * va_n / (n_a - 1) + vb_n * vb_n / (n_b - 1)), 6)
+         AS welch_dof
+FROM p ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -11698,4 +11847,5 @@ QUERIES = {
     "langid_confusion": (q_langid_confusion, SQL_LANGID_CONFUSION),
     "shingle_dup_fraction": (q_shingle_dup_fraction, SQL_SHINGLE_DUP_FRACTION),
     "corpus_datacard": (q_corpus_datacard, SQL_CORPUS_DATACARD),
+    "segment_ttest": (q_segment_ttest, SQL_SEGMENT_TTEST),
 }

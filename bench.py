@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "langid_confusion",
     "shingle_dup_fraction",
     "corpus_datacard",
+    "segment_ttest",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
