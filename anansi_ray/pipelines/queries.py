@@ -11679,6 +11679,137 @@ FROM p ORDER BY 1, 2
 """
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Exact Pearson correlation matrix over the lineitem numeric columns
+    (price, quantity, discount) — the feature-covariance primitive that
+    feeds whitening / feature selection.  Every moment (n, Σx, Σy, Σx²,
+    Σy², Σxy) is carried as EXACT integers on a fixed-point grid (cents
+    ×100, discount ×100, quantity ×1), with the split-limb trick on every
+    product involving cents so the int64 partials never overflow; the
+    driver recombines into Python big ints and both engines cast the
+    identical exact quantities to double at the same points (r = num /
+    (√vx·√vy)), so the rounded r is bit-stable vs the HUGEINT twin.
+
+    Scale shape: ONE streaming pass, 13 scalar partial columns per batch,
+    driver combine over O(#batches) rows.  Zero-variance / n<2 pairs are
+    omitted on both sides."""
+    import math
+
+    LIMB = 10**9
+
+    def partial(b: pa.Table) -> pa.Table:
+        p = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        q = pc.cast(pc.round(b["l_quantity"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        d = pc.cast(
+            pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+
+        def limb_sum(prod: np.ndarray) -> tuple[int, int]:
+            return int(np.sum(prod // LIMB)), int(np.sum(prod % LIMB))
+
+        pp_hi, pp_lo = limb_sum(p * p)
+        pq_hi, pq_lo = limb_sum(p * q)
+        pd_hi, pd_lo = limb_sum(p * d)
+        cols = {
+            "n": len(p),
+            "sp": int(p.sum()),
+            "sq": int(q.sum()),
+            "sd": int(d.sum()),
+            "pp_hi": pp_hi, "pp_lo": pp_lo,
+            "pq_hi": pq_hi, "pq_lo": pq_lo,
+            "pd_hi": pd_hi, "pd_lo": pd_lo,
+            "sqq": int((q * q).sum()),
+            "sdd": int((d * d).sum()),
+            "sqd": int((q * d).sum()),
+        }
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in cols.items()})
+
+    cols = [
+        "n", "sp", "sq", "sd", "pp_hi", "pp_lo", "pq_hi", "pq_lo",
+        "pd_hi", "pd_lo", "sqq", "sdd", "sqd",
+    ]
+    parts = _stable(
+        _read(
+            sf_dir, "lineitem", ["l_extendedprice", "l_quantity", "l_discount"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas(),
+        {c: "int64" for c in cols},
+    )
+    m = {c: int(parts[c].sum()) for c in cols}
+    n = m["n"]
+    spp = m["pp_hi"] * LIMB + m["pp_lo"]
+    spq = m["pq_hi"] * LIMB + m["pq_lo"]
+    spd = m["pd_hi"] * LIMB + m["pd_lo"]
+    moments = {
+        "l_extendedprice": (m["sp"], spp),
+        "l_quantity": (m["sq"], m["sqq"]),
+        "l_discount": (m["sd"], m["sdd"]),
+    }
+    cross = {
+        ("l_discount", "l_extendedprice"): spd,
+        ("l_discount", "l_quantity"): m["sqd"],
+        ("l_extendedprice", "l_quantity"): spq,
+    }
+    out = {"col_a": [], "col_b": [], "n": [], "r": []}
+    for (a, b_), sxy in sorted(cross.items()):
+        sx, sxx = moments[a]
+        sy, syy = moments[b_]
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if n < 2 or vx <= 0 or vy <= 0:
+            continue
+        num = n * sxy - sx * sy
+        r = float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+        out["col_a"].append(a)
+        out["col_b"].append(b_)
+        out["n"].append(n)
+        out["r"].append(round(r, 6))
+    return pa.table(
+        {
+            "col_a": pa.array(out["col_a"], pa.string()),
+            "col_b": pa.array(out["col_b"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "r": pa.array(out["r"], pa.float64()),
+        }
+    )
+
+
+SQL_LINEITEM_CORR = """
+WITH x AS (SELECT (round(l_extendedprice * 100))::BIGINT AS p,
+                  (round(l_quantity))::BIGINT AS q,
+                  (round(l_discount * 100))::BIGINT AS d
+           FROM lineitem),
+s AS (SELECT count(*) AS n,
+             sum(p::HUGEINT) AS sp, sum(q::HUGEINT) AS sq,
+             sum(d::HUGEINT) AS sd,
+             sum(p::HUGEINT * p) AS spp, sum(q::HUGEINT * q) AS sqq,
+             sum(d::HUGEINT * d) AS sdd,
+             sum(p::HUGEINT * q) AS spq, sum(p::HUGEINT * d) AS spd,
+             sum(q::HUGEINT * d) AS sqd
+      FROM x),
+pairs AS (
+  SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b, n,
+         n * spd - sd * sp AS num, n * sdd - sd * sd AS vx,
+         n * spp - sp * sp AS vy FROM s
+  UNION ALL
+  SELECT 'l_discount', 'l_quantity', n,
+         n * sqd - sd * sq, n * sdd - sd * sd, n * sqq - sq * sq FROM s
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_quantity', n,
+         n * spq - sp * sq, n * spp - sp * sp, n * sqq - sq * sq FROM s)
+SELECT col_a, col_b, n::BIGINT AS n,
+       round(num::DOUBLE / (sqrt(vx::DOUBLE) * sqrt(vy::DOUBLE)), 6) AS r
+FROM pairs
+WHERE n >= 2 AND vx > 0 AND vy > 0
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -11848,4 +11979,5 @@ QUERIES = {
     "shingle_dup_fraction": (q_shingle_dup_fraction, SQL_SHINGLE_DUP_FRACTION),
     "corpus_datacard": (q_corpus_datacard, SQL_CORPUS_DATACARD),
     "segment_ttest": (q_segment_ttest, SQL_SEGMENT_TTEST),
+    "lineitem_corr": (q_lineitem_corr, SQL_LINEITEM_CORR),
 }

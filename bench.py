@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "shingle_dup_fraction",
     "corpus_datacard",
     "segment_ttest",
+    "lineitem_corr",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
