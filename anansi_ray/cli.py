@@ -177,6 +177,48 @@ def cmd_partition(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered pipeline/operator over an sf_dir of parquet
+    tables — the product surface for the query registry: write the result
+    as parquet (resumable downstream) or print a head sample."""
+    from anansi_ray.pipelines.queries import QUERIES
+
+    if args.list:
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
+    if not args.name:
+        print("query name required (or --list)", file=sys.stderr)
+        return 1
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r} (see --list)", file=sys.stderr)
+        return 1
+    import ray.data as rd
+
+    fn = QUERIES[args.name][0]
+    res = fn(args.sf_dir)
+    if isinstance(res, rd.Dataset):
+        if args.out:
+            # partitioned parquet: one file per block, restart-skippable
+            res.write_parquet(args.out)
+            print(f"{args.name}: dataset -> {args.out}")
+            return 0
+        res = res.limit(args.head).to_pandas()
+        print(res.to_string(index=False))
+        return 0
+    tbl = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
+    if args.out:
+        if args.out.endswith(".parquet") and not os.path.isdir(args.out):
+            pq.write_table(tbl, args.out)
+        else:
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(tbl, os.path.join(args.out, "part-0.parquet"))
+        print(f"{args.name}: {tbl.num_rows} rows -> {args.out}")
+        return 0
+    print(tbl.slice(0, args.head).to_pandas().to_string(index=False))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="anansi-ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -233,6 +275,16 @@ def main(argv=None) -> int:
     e.add_argument("--node-id", type=int, default=0)
     e.add_argument("--node-count", type=int, default=1)
     e.set_defaults(fn=cmd_export)
+
+    q = sub.add_parser(
+        "query", help="run a registered pipeline over an sf_dir of tables"
+    )
+    q.add_argument("name", nargs="?")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--out", help="write result parquet here instead of printing")
+    q.add_argument("--head", type=int, default=20)
+    q.add_argument("--list", action="store_true", help="list query names")
+    q.set_defaults(fn=cmd_query)
 
     pt = sub.add_parser("partition", help="label a host root (≙ crawler-partition)")
     pt.add_argument("--hosts", required=True)

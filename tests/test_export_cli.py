@@ -97,3 +97,46 @@ def test_cli_end_to_end(tmp_path):
     r = run("export", "--out", out)
     assert r.returncode == 0, r.stderr[-500:]
     assert "ACCEPTED rows" in r.stdout
+
+
+def test_cli_query(tmp_path):
+    """`query` subcommand: --list, head print, table write, dataset write."""
+    env = dict(os.environ, PYTHONPATH=REPO, RAY_GRAFT_CPUS="4")
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "anansi_ray.cli", "query", *args],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=400,
+        )
+
+    r = run("--list")
+    assert r.returncode == 0
+    names = r.stdout.split()
+    assert "lineitem_corr" in names and len(names) >= 150
+
+    r = run("nope", "--sf-dir", "/root/testdata/sf0.001")
+    assert r.returncode == 1 and "unknown query" in r.stderr
+
+    r = run("lineitem_corr", "--sf-dir", "/root/testdata/sf0.001")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "l_discount" in r.stdout
+
+    dest = str(tmp_path / "corr.parquet")
+    r = run("lineitem_corr", "--sf-dir", "/root/testdata/sf0.001", "--out", dest)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert pq.read_table(dest).num_rows == 3
+
+    ddir = str(tmp_path / "tc")
+    r = run("token_count", "--sf-dir", "/root/testdata/sf0.001", "--out", ddir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ddir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert sum(pq.read_metadata(f).num_rows for f in files) == 500
