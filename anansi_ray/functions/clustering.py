@@ -91,14 +91,14 @@ def kmeans_local(
     )
 
 
-def kmeans_distributed(
+def kmeans_fit(
     ds: rd.Dataset, id_col: str = "vec_id", emb_col: str = "embedding",
     k: int = KM_K, iters: int = KM_ITERS,
-) -> pa.Table:
-    """Ray path: per-batch partial (sums, counts) combiner each iteration;
-    the driver only ever sees k x (dim+1) partials per block."""
-    ds = ds.materialize()
-
+):
+    """Centroid training only (the iterative partial-sum loop shared by
+    ``kmeans_distributed`` and the SemDeDup pipeline).  ``ds`` must be
+    materialized by the caller.  Returns ``None`` on an empty corpus,
+    else the rounded ``k_eff x dim`` float64 centroid matrix."""
     # deterministic init: k smallest ids — per-block partial min-k, then a
     # tiny driver merge (no sort/shuffle of the corpus)
     def init_partial(batch: pa.Table) -> pa.Table:
@@ -122,10 +122,7 @@ def kmeans_distributed(
         if t.num_rows
     ]
     if not parts:
-        # empty in, empty out (same contract as kmeans_local)
-        return pa.table(
-            {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
-        )
+        return None
     seed = pa.concat_tables(parts)
     sids = seed["id"].to_numpy(zero_copy_only=False)
     # same fewer-rows-than-k clamp as kmeans_local (the seed table holds
@@ -172,6 +169,22 @@ def kmeans_distributed(
                 [np.asarray(e, dtype=np.float64) for e in t["s"].to_pylist()]
             )
         C = _update(sums, counts, C)
+    return C
+
+
+def kmeans_distributed(
+    ds: rd.Dataset, id_col: str = "vec_id", emb_col: str = "embedding",
+    k: int = KM_K, iters: int = KM_ITERS,
+) -> pa.Table:
+    """Ray path: per-batch partial (sums, counts) combiner each iteration;
+    the driver only ever sees k x (dim+1) partials per block."""
+    ds = ds.materialize()
+    C = kmeans_fit(ds, id_col, emb_col, k, iters)
+    if C is None:
+        # empty in, empty out (same contract as kmeans_local)
+        return pa.table(
+            {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+        )
 
     cref = ray.put(C)
 

@@ -1251,6 +1251,36 @@ def q_kmeans(sf_dir: str):
     return kmeans_distributed(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (functions/semdedup.py): k-means the embedding space
+    (partial-sum training, corpus never shuffles), then near-dup
+    detection ONLY within each cluster — one coarse hash exchange on the
+    cluster id, vectorized per-run cosine kernel, component-minimum
+    representative.  Verified bit-for-bit vs the sequential twin the
+    oracle builder materializes."""
+    from anansi_ray.functions import semdedup as fsem
+
+    return _with_schema(
+        fsem.semantic_dedup_distributed(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        ),
+        fsem._empty_out(),
+    )
+
+
+def q_knn_pq(sf_dir: str):
+    """Product-quantization ANN (functions/pq.py): per-subspace codebook
+    training via the kmeans partial-sum contract, then ONE streaming
+    encode + ADC + per-batch partial-top-k pass; codebooks + query
+    lookup tables are tiny broadcast state.  Verified bit-for-bit vs the
+    sequential twin the oracle builder materializes."""
+    from anansi_ray.functions import pq as fpq
+
+    return fpq.knn_pq_distributed(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    )
+
+
 _STRAT_K = 25
 
 
@@ -1472,7 +1502,8 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v8"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v9"  # bump whenever artifact-affecting code changes
+# v9: added the SemDeDup twin (semdedup.parquet) + PQ ANN twin (pq_knn.parquet)
 # v6: added the k-means assignment twin (kmeans.parquet)
 # v7: added the sequence-packing twin (pack.parquet)
 # v4: vectorized shingle hashing (token-hash fold) changed signature values
@@ -1642,6 +1673,24 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
             kmeans_local(t), os.path.join(ORACLE_DIR, "kmeans.parquet")
         )
 
+        # 5b. SemDeDup twin: kmeans_local assignment + the same
+        #     per-cluster cosine kernel, sequential orchestration
+        #     (functions/semdedup.py determinism contract)
+        from anansi_ray.functions.semdedup import semantic_dedup_local
+
+        pq.write_table(
+            semantic_dedup_local(t), os.path.join(ORACLE_DIR, "semdedup.parquet")
+        )
+
+        # 5c. PQ ANN twin: per-subspace codebooks under the same rounding
+        #     contract, one-sweep encode + ADC + top-k
+        #     (functions/pq.py determinism contract)
+        from anansi_ray.functions.pq import knn_pq_local
+
+        pq.write_table(
+            knn_pq_local(t), os.path.join(ORACLE_DIR, "pq_knn.parquet")
+        )
+
     # 6. sequence-packing twin: token counts via DuckDB's own regex (the
     #    SQL_TOKEN_COUNT expression, independent of the Arrow kernel), then
     #    an INDEPENDENT sequential next-fit — one flat pass over all docs
@@ -1722,6 +1771,18 @@ SQL_KMEANS = f"""
 SELECT vec_id, cluster
 FROM read_parquet('{ORACLE_DIR}/kmeans.parquet')
 ORDER BY vec_id
+"""
+
+SQL_SEMANTIC_DEDUP = f"""
+SELECT vec_id, cluster, rep_id, keep
+FROM read_parquet('{ORACLE_DIR}/semdedup.parquet')
+ORDER BY vec_id
+"""
+
+SQL_KNN_PQ = f"""
+SELECT query_id, "rank", vec_id, adc
+FROM read_parquet('{ORACLE_DIR}/pq_knn.parquet')
+ORDER BY query_id, "rank"
 """
 
 SQL_PACK_SEQUENCES = f"""
@@ -11861,6 +11922,8 @@ QUERIES = {
     "orders_price_histogram": (q_orders_price_histogram, SQL_ORDERS_PRICE_HISTOGRAM),
     "orders_events_window": (q_orders_events_window, SQL_ORDERS_EVENTS_WINDOW),
     "kmeans_embeddings": (q_kmeans, SQL_KMEANS),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "knn_pq": (q_knn_pq, SQL_KNN_PQ),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
     "orders_topk": (q_orders_topk, SQL_ORDERS_TOPK),

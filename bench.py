@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "corpus_datacard",
     "segment_ttest",
     "lineitem_corr",
+    "semantic_dedup",
+    "knn_pq",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
