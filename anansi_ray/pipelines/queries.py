@@ -1268,6 +1268,66 @@ def q_semantic_dedup(sf_dir: str):
     )
 
 
+def q_doc_char_entropy(sf_dir: str):
+    """Per-document byte entropy (functions/text.py char_entropy_batch):
+    the compression-style quality signal, one vectorized bincount per
+    batch — batch-local, zero shuffle."""
+    return _with_schema(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            ftext.char_entropy_batch, batch_format="pyarrow"
+        ),
+        _empty_tbl(
+            {"doc_id": pa.int64(), "n_bytes": pa.int64(), "entropy": pa.float64()}
+        ),
+    )
+
+
+SQL_DOC_CHAR_ENTROPY = r"""
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '(?s).')) AS c
+  FROM documents),
+cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS k FROM ch GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY 1),
+e AS (SELECT cnt.doc_id,
+             round(-sum((k / n) * log2(k / n)), 6) AS entropy,
+             max(n)::BIGINT AS n_bytes
+      FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
+SELECT d.doc_id,
+       coalesce(e.n_bytes, 0) AS n_bytes,
+       coalesce(e.entropy, 0.0) AS entropy
+FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_bpe_train(sf_dir: str):
+    """BPE vocabulary induction (functions/bpe.py): ONE distributed
+    word-count pass (per-batch value-counts combiner → coarse_agg hash
+    exchange), per-block partial top-V + tiny driver merge, then the
+    pure merge loop on the bounded V-row table (corpus-size-independent).
+    The oracle twin recomputes the word counts INDEPENDENTLY in DuckDB
+    and runs the same pure loop."""
+    from anansi_ray.arrowds import coarse_agg
+    from anansi_ray.functions import bpe as fbpe
+
+    counts = coarse_agg(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            fbpe.word_count_partial, batch_format="pyarrow"
+        ),
+        "word",
+        {"cnt": ("sum", "cnt")},
+    )
+    parts = counts.map_batches(
+        fbpe.topv_partial, batch_format="pyarrow"
+    ).to_pandas()
+    if len(parts) == 0:
+        return fbpe.empty_out()
+    merged = fbpe.top_words(
+        list(zip(parts["word"].astype(str), parts["cnt"].astype(int)))
+    )
+    return fbpe.bpe_merge_loop(merged)
+
+
 def q_knn_pq(sf_dir: str):
     """Product-quantization ANN (functions/pq.py): per-subspace codebook
     training via the kmeans partial-sum contract, then ONE streaming
@@ -1502,8 +1562,9 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v9"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v10"  # bump whenever artifact-affecting code changes
 # v9: added the SemDeDup twin (semdedup.parquet) + PQ ANN twin (pq_knn.parquet)
+# v10: added the BPE merge-table twin (bpe_merges.parquet)
 # v6: added the k-means assignment twin (kmeans.parquet)
 # v7: added the sequence-packing twin (pack.parquet)
 # v4: vectorized shingle hashing (token-hash fold) changed signature values
@@ -1734,6 +1795,28 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
             os.path.join(ORACLE_DIR, "pack.parquet"),
         )
 
+    # 7. BPE merge-table twin: word counts recomputed INDEPENDENTLY in
+    #    DuckDB (string_split, not the Arrow kernel), same deterministic
+    #    top-V cut + pure merge loop (functions/bpe.py)
+    if os.path.exists(sfdoc):
+        import duckdb
+
+        from anansi_ray.functions import bpe as fbpe
+
+        rows = (
+            duckdb.connect()
+            .execute(
+                "SELECT word, count(*)::BIGINT AS cnt FROM ("
+                "SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word "
+                f"FROM read_parquet('{sfdoc}')) WHERE word != '' GROUP BY word"
+            )
+            .fetchall()
+        )
+        pq.write_table(
+            fbpe.bpe_merge_loop(fbpe.top_words([(w, int(c)) for w, c in rows])),
+            os.path.join(ORACLE_DIR, "bpe_merges.parquet"),
+        )
+
     with open(marker, "w") as f:
         f.write("ok")
     return ORACLE_DIR
@@ -1783,6 +1866,12 @@ SQL_KNN_PQ = f"""
 SELECT query_id, "rank", vec_id, adc
 FROM read_parquet('{ORACLE_DIR}/pq_knn.parquet')
 ORDER BY query_id, "rank"
+"""
+
+SQL_BPE_TRAIN = f"""
+SELECT merge_rank, "left", "right", merged, pair_count
+FROM read_parquet('{ORACLE_DIR}/bpe_merges.parquet')
+ORDER BY merge_rank
 """
 
 SQL_PACK_SEQUENCES = f"""
@@ -11924,6 +12013,8 @@ QUERIES = {
     "kmeans_embeddings": (q_kmeans, SQL_KMEANS),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "knn_pq": (q_knn_pq, SQL_KNN_PQ),
+    "doc_char_entropy": (q_doc_char_entropy, SQL_DOC_CHAR_ENTROPY),
+    "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
     "orders_topk": (q_orders_topk, SQL_ORDERS_TOPK),

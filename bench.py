@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     "lineitem_corr",
     "semantic_dedup",
     "knn_pq",
+    "doc_char_entropy",
+    "bpe_train",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
