@@ -1892,6 +1892,22 @@ FROM read_parquet('{ORACLE_DIR}/crawl_order.parquet')
 ORDER BY seq
 """
 
+SQL_CRAWL_HOST_PROFILE = f"""
+WITH t AS (
+  SELECT regexp_extract(url, '^[a-z0-9+.-]+://[^/]+') AS host,
+         fetch_clock_ms AS clock
+  FROM read_parquet('{ORACLE_DIR}/crawl_order.parquet')),
+g AS (
+  SELECT host, clock,
+         clock - lag(clock) OVER (PARTITION BY host ORDER BY clock) AS gap
+  FROM t)
+SELECT host,
+       count(*)::BIGINT AS n_fetches,
+       coalesce(min(gap), -1)::BIGINT AS min_gap_ms,
+       (max(clock) - min(clock))::BIGINT AS span_ms
+FROM g GROUP BY host ORDER BY host
+"""
+
 SQL_CRAWL_DOC_PIPELINE = rf"""
 WITH t AS (SELECT * FROM read_parquet('{ORACLE_DIR}/crawl_docs_flat.parquet')),
 q AS (
@@ -2100,6 +2116,79 @@ def q_crawl_order(sf_dir: str):
     Conformance vs the reference-semantics oracle is asserted in
     tests/test_crawl_pipeline.py."""
     return _crawl_results()["expected_crawl"]
+
+
+def q_crawl_host_profile(sf_dir: str):
+    """Politeness profile of the crawl ledger: per crawl_root (the
+    politeness key, ≙ crawl_root db.c:279-338) the fetch count, the
+    MINIMUM inter-fetch clock gap and the total clock span.  The min gap
+    is the politeness invariant made value-comparable — the SQL twin
+    computes the same profile over the INDEPENDENT reference-semantics
+    crawl artifact, so a single politeness slip (one fetch scheduled
+    inside another's rate window) breaks the hash.  Distributed shape:
+    host stamp + ONE coarse hash exchange, vectorized per-run gap scan
+    (single-fetch hosts report min_gap_ms = -1)."""
+    ledger = _crawl_results()["expected_crawl"]
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = pc.extract_regex(
+            pc.cast(batch["url"].combine_chunks(), pa.string()),
+            r"^(?P<root>[a-z0-9+.-]+://[^/]+)",
+        )
+        h = pc.fill_null(pc.struct_field(m, "root"), "")
+        # deterministic cross-process hash (same primitive as coarse_agg)
+        part = (
+            pd.util.hash_array(h.to_numpy(zero_copy_only=False)) % 8
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "host": h,
+                "clock": batch["fetch_clock_ms"].combine_chunks().cast(pa.int64()),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def profile(group: pa.Table) -> pa.Table:
+        h = group["host"].to_numpy(zero_copy_only=False)
+        c = group["clock"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, h))
+        h, c = h[order], c[order]
+        bounds = np.flatnonzero(np.r_[True, h[1:] != h[:-1], True])
+        hosts, n, ming, span = [], [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            hosts.append(h[s])
+            n.append(e - s)
+            gaps = np.diff(c[s:e])
+            ming.append(int(gaps.min()) if len(gaps) else -1)
+            span.append(int(c[e - 1] - c[s]))
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n_fetches": pa.array(n, pa.int64()),
+                "min_gap_ms": pa.array(ming, pa.int64()),
+                "span_ms": pa.array(span, pa.int64()),
+            }
+        )
+
+    out = (
+        rd.from_arrow(ledger)
+        .map_batches(stamp, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: profile(t.drop_columns(["part"])), batch_format="pyarrow")
+    )
+    return _with_schema(
+        out,
+        _empty_tbl(
+            {
+                "host": pa.string(),
+                "n_fetches": pa.int64(),
+                "min_gap_ms": pa.int64(),
+                "span_ms": pa.int64(),
+            }
+        ),
+    )
 
 
 def q_crawl_documents(sf_dir: str):
@@ -12020,6 +12109,7 @@ QUERIES = {
     "orders_topk": (q_orders_topk, SQL_ORDERS_TOPK),
     "media_features": (q_media_features, SQL_MEDIA_FEATURES),
     "crawl_order": (q_crawl_order, SQL_CRAWL_ORDER),
+    "crawl_host_profile": (q_crawl_host_profile, SQL_CRAWL_HOST_PROFILE),
     "crawl_documents": (q_crawl_documents, SQL_CRAWL_DOCUMENTS),
     "crawl_doc_pipeline": (q_crawl_doc_pipeline, SQL_CRAWL_DOC_PIPELINE),
     "crawl_media_pipeline": (q_crawl_media_pipeline, SQL_CRAWL_MEDIA_PIPELINE),

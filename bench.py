@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "knn_pq",
     "doc_char_entropy",
     "bpe_train",
+    "crawl_host_profile",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
