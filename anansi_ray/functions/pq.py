@@ -301,3 +301,233 @@ def knn_pq_local(
     codes = _encode(X, C)
     D = _adc_dists(codes, T)
     return _finish(_topk_rows(qids, ids, D, PQ_TOPK), PQ_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ composition (the FAISS "IVFADC" shape, Jégou et al. 2011 §IV):
+# a coarse quantizer prunes the scan to ``IVF_NPROBE`` cells per query and
+# PQ codes over RESIDUALS (x − coarse_centroid) give the compressed-domain
+# distance within each probed cell.  At 100 TB this is the full scale
+# recipe: the corpus is partitioned by coarse cell (a pruned read), each
+# vector stores only PQ_M bytes of codes, and a query touches
+# nprobe/n_cells of the data — the streaming ``map_batches`` search below
+# does exactly that pruning per batch without any shuffle.
+#
+# Determinism contract (the :func:`knn_ivfpq_local` twin is bit-for-bit):
+# coarse centroids follow the ``clustering`` contract (init = k smallest
+# ids, broadcast-subtract distances, argmin ties → lowest cell, mean
+# rounded to KM_ROUND per epoch); residuals are elementwise against the
+# ROUNDED coarse centroids (no reduction → no drift); PQ codebooks train
+# on residuals under the same contract; probe order is (distance, cell)
+# lexicographic; ADC sums the PQ_M per-subspace terms in fixed order and
+# rounds to ADC_ROUND before the (dist, vec_id) tie-broken top-k.
+
+IVF_NC = 8        # coarse cells
+IVF_NPROBE = 3    # cells probed per query
+IVF_ITERS = 3     # coarse k-means epochs
+
+
+def _coarse_fit_local(ids: np.ndarray, X: np.ndarray) -> np.ndarray:
+    """Sequential coarse-quantizer training — mirrors clustering.kmeans_fit
+    (same init / assign / rounded update) without the Ray plumbing."""
+    k = min(IVF_NC, len(ids))
+    C = _init_centroids(ids, X, k)
+    for _ in range(IVF_ITERS):
+        a = _assign(X, C)
+        sums = np.zeros((k, X.shape[1]))
+        np.add.at(sums, a, X)
+        counts = np.bincount(a, minlength=k).astype(np.float64)
+        C = _update(sums, counts, C)
+    return C
+
+
+def _probe_plan(Q: np.ndarray, qids: np.ndarray, Co: np.ndarray, Cb):
+    """Per-query probe cells + per-(query, cell) residual ADC tables.
+    Tiny (nq × nprobe × PQ_M × PQ_K floats) → broadcast once."""
+    nprobe = min(IVF_NPROBE, Co.shape[0])
+    probes, tables = [], []
+    for qi in range(len(qids)):
+        dq = ((Q[qi][None, :] - Co) ** 2).sum(-1)
+        cells = np.lexsort((np.arange(Co.shape[0]), dq))[:nprobe]
+        probes.append(cells)
+        tabs_q = []
+        for c in cells:
+            qres = (Q[qi] - Co[c])[None, :]
+            tabs_q.append([t[0] for t in _adc_tables(qres, Cb)])
+        tables.append(tabs_q)
+    return probes, tables
+
+
+def _ivf_search(
+    ids: np.ndarray,
+    cells: np.ndarray,
+    codes: np.ndarray,
+    qids: np.ndarray,
+    probes,
+    tables,
+    k: int,
+) -> pa.Table:
+    """Probed-cell ADC + per-query partial top-k (self excluded).  Each
+    vector lives in exactly one cell, so candidates never duplicate."""
+    out_q, out_v, out_d = [], [], []
+    for qi, qid in enumerate(qids):
+        cand_ids, cand_d = [], []
+        for pi, c in enumerate(probes[qi]):
+            sel = np.flatnonzero((cells == c) & (ids != qid))
+            if len(sel) == 0:
+                continue
+            T = tables[qi][pi]
+            acc = T[0][codes[sel, 0]]
+            for m in range(1, PQ_M):
+                acc = acc + T[m][codes[sel, m]]
+            cand_ids.append(ids[sel])
+            cand_d.append(np.round(acc, ADC_ROUND))
+        if not cand_ids:
+            continue
+        cid = np.concatenate(cand_ids)
+        cd = np.concatenate(cand_d)
+        order = np.lexsort((cid, cd))[:k]
+        out_q.append(np.full(len(order), qid, np.int64))
+        out_v.append(cid[order])
+        out_d.append(cd[order])
+    if not out_q:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "adc": pa.array([], pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "adc": pa.array(np.concatenate(out_d), pa.float64()),
+        }
+    )
+
+
+def knn_ivfpq_distributed(
+    ds: rd.Dataset, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> pa.Table:
+    """IVF+PQ on Ray Data: coarse centroids via the kmeans partial-sum
+    contract, residual-PQ codebooks via the same contract, then ONE
+    streaming assign→residual-encode→probed-ADC→partial-top-k pass.
+    The corpus never shuffles; broadcast state is O(nc·dim + M·K·dim)."""
+    from anansi_ray.functions.clustering import kmeans_fit
+
+    ds = ds.materialize()
+    seed_ids, seed_X = _min_ids_seed(ds, id_col, emb_col, max(PQ_K, PQ_NQ))
+    if seed_ids is None:
+        return _empty_out()
+    Co = kmeans_fit(ds, id_col, emb_col, k=IVF_NC, iters=IVF_ITERS)
+    k = min(PQ_K, len(seed_ids))
+    seed_R = seed_X - Co[_assign(seed_X, Co)]
+
+    def partials(C):
+        cref = ray.put((C, Co))
+
+        def batch_part(batch: pa.Table) -> pa.Table:
+            Cc, Co_ = ray.get(cref)
+            X = _emb_matrix(batch, emb_col)
+            R = X - Co_[_assign(X, Co_)]
+            rows = []
+            for m in range(PQ_M):
+                Rs = _sub(R, m)
+                a = _assign(Rs, Cc[m])
+                sums = np.zeros((k, Rs.shape[1]))
+                np.add.at(sums, a, Rs)
+                counts = np.bincount(a, minlength=k).astype(np.float64)
+                rows.append((m, sums, counts))
+            return pa.table(
+                {
+                    "m": pa.array(
+                        np.repeat([r[0] for r in rows], k), pa.int64()
+                    ),
+                    "c": pa.array(np.tile(np.arange(k), PQ_M), pa.int64()),
+                    "n": pa.array(
+                        np.concatenate([r[2] for r in rows]), pa.float64()
+                    ),
+                    "s": pa.array(
+                        [list(v) for r in rows for v in r[1]],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            )
+
+        tabs = [
+            t
+            for t in ray.get(
+                ds.map_batches(batch_part, batch_format="pyarrow")
+                .materialize()
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        d = seed_X.shape[1] // PQ_M
+        sums = [np.zeros((k, d)) for _ in range(PQ_M)]
+        counts = [np.zeros(k) for _ in range(PQ_M)]
+        for t in tabs:
+            ms = t["m"].to_numpy(zero_copy_only=False)
+            cs = t["c"].to_numpy(zero_copy_only=False)
+            ns = t["n"].to_numpy(zero_copy_only=False)
+            ss = t["s"].to_pylist()
+            for m_, c_, n_, s_ in zip(ms, cs, ns, ss):
+                counts[m_][c_] += n_
+                sums[m_][c_] += np.asarray(s_, np.float64)
+        return sums, counts
+
+    Cb = _train_codebooks(seed_ids, seed_R, partials)
+
+    nq = min(PQ_NQ, len(seed_ids))
+    qids = seed_ids[:nq]
+    probes, tables = _probe_plan(seed_X[:nq], qids, Co, Cb)
+    bref = ray.put((Co, Cb, qids, probes, tables))
+
+    def search(batch: pa.Table) -> pa.Table:
+        Co_, Cb_, qids_, probes_, tables_ = ray.get(bref)
+        X = _emb_matrix(batch, emb_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = _assign(X, Co_)
+        codes = _encode(X - Co_[cells], Cb_)
+        return _ivf_search(ids, cells, codes, qids_, probes_, tables_, PQ_TOPK)
+
+    parts = ds.map_batches(search, batch_format="pyarrow").to_pandas()
+    return _finish(pa.Table.from_pandas(parts, preserve_index=False), PQ_TOPK)
+
+
+def knn_ivfpq_local(
+    tbl: pa.Table, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> pa.Table:
+    """Single-threaded twin (the oracle side): same kernels, sequential
+    orchestration, one ``np.add.at`` sweep per training epoch."""
+    ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(ids) == 0:
+        return _empty_out()
+    X = _emb_matrix(tbl, emb_col)
+    order = np.argsort(ids, kind="stable")
+    Co = _coarse_fit_local(ids, X)
+    cells = _assign(X, Co)
+    R = X - Co[cells]
+    k = min(PQ_K, len(ids))
+
+    def partials(C):
+        sums, counts = [], []
+        for m in range(PQ_M):
+            Rs = _sub(R, m)
+            a = _assign(Rs, C[m])
+            s = np.zeros((k, Rs.shape[1]))
+            np.add.at(s, a, Rs)
+            sums.append(s)
+            counts.append(np.bincount(a, minlength=k).astype(np.float64))
+        return sums, counts
+
+    Cb = _train_codebooks(ids[order], R[order], partials)
+    nq = min(PQ_NQ, len(ids))
+    qsel = order[:nq]
+    qids = ids[qsel]
+    probes, tables = _probe_plan(X[qsel], qids, Co, Cb)
+    codes = _encode(R, Cb)
+    return _finish(
+        _ivf_search(ids, cells, codes, qids, probes, tables, PQ_TOPK), PQ_TOPK
+    )

@@ -1341,6 +1341,20 @@ def q_knn_pq(sf_dir: str):
     )
 
 
+def q_knn_ivfpq(sf_dir: str):
+    """IVF+PQ ANN (functions/pq.py, the FAISS IVFADC composition): coarse
+    cells via the kmeans partial-sum contract prune the scan to
+    ``IVF_NPROBE`` cells per query; PQ codebooks over residuals give the
+    compressed-domain ADC distance inside each probed cell; ONE streaming
+    assign→encode→probed-ADC→partial-top-k pass.  Verified bit-for-bit vs
+    the sequential twin the oracle builder materializes."""
+    from anansi_ray.functions import pq as fpq
+
+    return fpq.knn_ivfpq_distributed(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    )
+
+
 _STRAT_K = 25
 
 
@@ -1562,9 +1576,10 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v10"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v11"  # bump whenever artifact-affecting code changes
 # v9: added the SemDeDup twin (semdedup.parquet) + PQ ANN twin (pq_knn.parquet)
 # v10: added the BPE merge-table twin (bpe_merges.parquet)
+# v11: added the IVF+PQ twin (ivfpq_knn.parquet)
 # v6: added the k-means assignment twin (kmeans.parquet)
 # v7: added the sequence-packing twin (pack.parquet)
 # v4: vectorized shingle hashing (token-hash fold) changed signature values
@@ -1752,6 +1767,15 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
             knn_pq_local(t), os.path.join(ORACLE_DIR, "pq_knn.parquet")
         )
 
+        # 5d. IVF+PQ twin: coarse quantizer + residual codebooks under the
+        #     same contracts, sequential probed-cell ADC search
+        #     (functions/pq.py knn_ivfpq_local determinism contract)
+        from anansi_ray.functions.pq import knn_ivfpq_local
+
+        pq.write_table(
+            knn_ivfpq_local(t), os.path.join(ORACLE_DIR, "ivfpq_knn.parquet")
+        )
+
     # 6. sequence-packing twin: token counts via DuckDB's own regex (the
     #    SQL_TOKEN_COUNT expression, independent of the Arrow kernel), then
     #    an INDEPENDENT sequential next-fit — one flat pass over all docs
@@ -1865,6 +1889,12 @@ ORDER BY vec_id
 SQL_KNN_PQ = f"""
 SELECT query_id, "rank", vec_id, adc
 FROM read_parquet('{ORACLE_DIR}/pq_knn.parquet')
+ORDER BY query_id, "rank"
+"""
+
+SQL_KNN_IVFPQ = f"""
+SELECT query_id, "rank", vec_id, adc
+FROM read_parquet('{ORACLE_DIR}/ivfpq_knn.parquet')
 ORDER BY query_id, "rank"
 """
 
@@ -12102,6 +12132,7 @@ QUERIES = {
     "kmeans_embeddings": (q_kmeans, SQL_KMEANS),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "knn_pq": (q_knn_pq, SQL_KNN_PQ),
+    "knn_ivfpq": (q_knn_ivfpq, SQL_KNN_IVFPQ),
     "doc_char_entropy": (q_doc_char_entropy, SQL_DOC_CHAR_ENTROPY),
     "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

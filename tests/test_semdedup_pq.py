@@ -140,3 +140,75 @@ class TestKnnPQ:
         assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
         # 5 queries x 6 candidates (self excluded)
         assert len(exp) == 5 * 6
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnnIVFPQ:
+    def test_distributed_matches_local_across_block_layouts(self):
+        from anansi_ray.functions.pq import knn_ivfpq_distributed, knn_ivfpq_local
+
+        t = _synth(n=300, dim=16, seed=13)
+        exp = knn_ivfpq_local(t).to_pandas()
+        for nblocks in (1, 4, 9):
+            ds = rd.from_arrow(t).repartition(nblocks)
+            got = knn_ivfpq_distributed(ds).to_pandas()
+            assert got.reset_index(drop=True).equals(
+                exp.reset_index(drop=True)
+            ), f"mismatch at nblocks={nblocks}"
+
+    def test_probed_subset_of_pq_candidates(self):
+        # IVFPQ scans only nprobe cells: every neighbour it returns must be
+        # ranked by the same ADC geometry, monotone within a query, and
+        # self-excluded — and with nprobe == n_cells it would equal plain
+        # PQ, so with fewer probes the candidate pool can only shrink
+        from anansi_ray.functions.pq import IVF_NPROBE, knn_ivfpq_local
+
+        t = _synth(n=200, dim=16, seed=17)
+        out = knn_ivfpq_local(t).to_pandas()
+        assert len(out) > 0
+        for qid, grp in out.groupby("query_id"):
+            assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+            assert qid not in set(grp["vec_id"])
+            d = grp["adc"].to_numpy()
+            assert (np.diff(d) >= 0).all()
+
+    def test_probe_plan_prunes_cells(self):
+        # the search must only touch IVF_NPROBE cells per query
+        from anansi_ray.functions.clustering import _assign
+        from anansi_ray.functions.pq import (
+            IVF_NPROBE,
+            _coarse_fit_local,
+            knn_ivfpq_local,
+        )
+
+        t = _synth(n=250, dim=16, seed=19)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        X = np.stack([np.asarray(e, np.float64) for e in t["embedding"].to_pylist()])
+        Co = _coarse_fit_local(ids, X)
+        cells = _assign(X, Co)
+        out = knn_ivfpq_local(t).to_pandas()
+        cell_of = dict(zip(ids.tolist(), cells.tolist()))
+        for qid, grp in out.groupby("query_id"):
+            touched = {cell_of[v] for v in grp["vec_id"]}
+            assert len(touched) <= IVF_NPROBE
+
+    def test_fewer_rows_than_cells(self):
+        from anansi_ray.functions.pq import knn_ivfpq_distributed, knn_ivfpq_local
+
+        t = _synth(n=5, dim=16, seed=21)
+        exp = knn_ivfpq_local(t).to_pandas()
+        got = knn_ivfpq_distributed(rd.from_arrow(t).repartition(2)).to_pandas()
+        assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+    def test_empty_input(self):
+        from anansi_ray.functions.pq import knn_ivfpq_local
+
+        t = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+        out = knn_ivfpq_local(t)
+        assert out.num_rows == 0
+        assert out.column_names == ["query_id", "rank", "vec_id", "adc"]
