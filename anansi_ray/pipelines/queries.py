@@ -2344,6 +2344,63 @@ ORDER BY doc_id, score DESC, token
 """
 
 
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-k retrieval (functions/bm25.py): two streaming passes —
+    per-batch corpus-stats partials (one row each: n_docs, total length,
+    per-query-term df) merged on the driver, then broadcast stats +
+    vectorized scoring with per-batch partial top-k.  The query
+    vocabulary is fixed and tiny, so nothing shuffles at any corpus
+    size.  Full independent DuckDB twin (SQL_BM25_TOPK)."""
+    from anansi_ray.functions import bm25 as fbm25
+
+    return fbm25.bm25_topk(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_BM25_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))
+           AS tok
+  FROM documents),
+dl AS (
+  SELECT d.doc_id, count(t.tok)::DOUBLE AS dl
+  FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+qterms(query_id, tok) AS (VALUES
+  (1, 'hash'), (1, 'join'), (1, 'merge'),
+  (2, 'window'), (2, 'sort'), (2, 'order'),
+  (3, 'stream'), (3, 'batch'), (3, 'data')),
+dfreq AS (
+  SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM toks WHERE tok IN (SELECT tok FROM qterms) GROUP BY tok),
+tf AS (
+  SELECT t.doc_id, q.query_id, t.tok, count(*)::DOUBLE AS tf
+  FROM toks t JOIN qterms q ON t.tok = q.tok
+  GROUP BY t.doc_id, q.query_id, t.tok),
+scores AS (
+  SELECT tf.query_id, tf.doc_id,
+         round(sum(ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))),
+               6) AS score
+  FROM tf
+  JOIN dfreq ON tf.tok = dfreq.tok
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS "rank"
+  FROM scores WHERE score > 0)
+SELECT query_id, "rank", doc_id, score FROM ranked WHERE "rank" <= 10
+ORDER BY query_id, "rank"
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag corpus docs sharing any 8-token
     shingle with a held-out benchmark set (here: the 100 smallest doc_ids).
@@ -12108,6 +12165,7 @@ QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "token_df": (q_token_df, SQL_TOKEN_DF),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
