@@ -2401,6 +2401,63 @@ ORDER BY query_id, "rank"
 """
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (functions/dsir.py): hashed unigram+bigram
+    bucket distributions for the target domain (lang = 'en') vs the raw
+    corpus, Laplace-smoothed per-bucket log-ratio, per-doc log-weight =
+    sum of ratios over its feature instances.  Fixed NB-bucket feature
+    space ⇒ pass 1 is two NB-vectors per batch merged driver-side, pass 2
+    a broadcast + bincount scoring pass — zero shuffle at any corpus
+    size.  Full independent DuckDB twin (same md5-bucket contract)."""
+    from anansi_ray.functions import dsir as fdsir
+
+    return fdsir.dsir_weights(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    )
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+  FROM documents),
+uni AS (
+  SELECT doc_id, lang, unnest(toks) AS f, generate_subscripts(toks, 1) AS i
+  FROM t),
+big AS (
+  SELECT a.doc_id, a.lang, a.f || ' ' || b.f AS f
+  FROM uni a JOIN uni b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+feats AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(f), 1, 8))::UBIGINT % 1024 AS b
+  FROM (SELECT doc_id, lang, f FROM uni
+        UNION ALL SELECT doc_id, lang, f FROM big)),
+raw AS (SELECT b, count(*)::DOUBLE AS c FROM feats GROUP BY b),
+tgt AS (SELECT b, count(*)::DOUBLE AS c FROM feats WHERE lang = 'en' GROUP BY b),
+tot AS (
+  SELECT (SELECT count(*) FROM feats)::DOUBLE AS nraw,
+         (SELECT count(*) FROM feats WHERE lang = 'en')::DOUBLE AS ntgt),
+lam AS (
+  SELECT g.b,
+         ln((coalesce(tgt.c, 0) + 1.0) / (tot.ntgt + 1024.0))
+           - ln((coalesce(raw.c, 0) + 1.0) / (tot.nraw + 1024.0)) AS lam
+  FROM generate_series(0, 1023) g(b)
+  LEFT JOIN raw ON g.b = raw.b
+  LEFT JOIN tgt ON g.b = tgt.b
+  CROSS JOIN tot),
+scored AS (
+  SELECT feats.doc_id, count(*)::BIGINT AS n_feats,
+         round(sum(lam.lam), 6) AS logw
+  FROM feats JOIN lam ON feats.b = lam.b
+  GROUP BY feats.doc_id)
+SELECT d.doc_id,
+       coalesce(s.n_feats, 0) AS n_feats,
+       coalesce(s.logw, 0.0) AS logw
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag corpus docs sharing any 8-token
     shingle with a held-out benchmark set (here: the 100 smallest doc_ids).
@@ -12166,6 +12223,7 @@ QUERIES = {
     "token_df": (q_token_df, SQL_TOKEN_DF),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
