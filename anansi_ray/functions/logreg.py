@@ -1,0 +1,175 @@
+"""Distributed logistic-regression training over the documents table —
+the canonical "train a quality/domain classifier on corpus features"
+step of an LLM data pipeline (e.g. the GPT-3/CCNet-style quality filter:
+fit a classifier that separates a target domain, score every document).
+
+Task: predict ``lang == 'en'`` from five cheap per-doc text statistics.
+Full-batch gradient descent, fixed iteration count, no stochasticity.
+
+Shape at 100 TB: each iteration is ONE streaming ``map_batches`` pass
+reducing every batch to a (dim+1)-vector partial (feature-weighted
+residual sums + count); the driver merges O(blocks) tiny partials,
+updates the weight vector, and re-broadcasts it (``ray.put``).  The
+corpus never shuffles and is materialized once; scoring is a final
+streaming pass with the trained weights broadcast.
+
+Determinism contract (the :func:`logreg_local` twin reproduces the
+distributed output bit-for-bit — same playbook as ``clustering``):
+features are per-row reductions (identical wherever the row lands);
+the weight vector is ROUNDED to ``LR_ROUND`` decimals after every
+update, absorbing the ~1e-13 drift between block-wise and sequential
+gradient summation; probabilities are rounded to ``LR_ROUND`` before
+output; predictions threshold at 0.5 on the ROUNDED probability.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+LR_ITERS = 10
+LR_ETA = 0.5
+LR_ROUND = 6
+LR_DIM = 5  # bias + 4 text statistics
+
+OUT_SPEC = {
+    "doc_id": pa.int64(),
+    "label": pa.int64(),
+    "prob": pa.float64(),
+    "pred": pa.int64(),
+}
+
+_STOPWORDS = ("the", "a")
+
+
+def _empty_out() -> pa.Table:
+    return pa.table({c: pa.array([], t) for c, t in OUT_SPEC.items()})
+
+
+def _features(batch: pa.Table) -> np.ndarray:
+    """Per-doc feature matrix — every column is a per-row reduction over
+    that row's own tokens (same value whatever batch the row lands in):
+    [bias, n_tokens/100, mean token length, stopword ratio,
+    distinct-token ratio]."""
+    n = batch.num_rows
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch["text"].combine_chunks().cast(pa.string())),
+        "[^a-z0-9]+",
+    )
+    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(str)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    parents = np.repeat(np.arange(n), lens)
+    keep = flat != ""
+    flat, parents = flat[keep], parents[keep]
+    ntok = np.bincount(parents, minlength=n).astype(np.float64)
+    safe = np.maximum(ntok, 1.0)
+    charlen = np.char.str_len(flat).astype(np.float64) if len(flat) else np.array([])
+    sumlen = (
+        np.bincount(parents, weights=charlen, minlength=n)
+        if len(flat)
+        else np.zeros(n)
+    )
+    stop = (
+        np.bincount(
+            parents[np.isin(flat, _STOPWORDS)], minlength=n
+        ).astype(np.float64)
+        if len(flat)
+        else np.zeros(n)
+    )
+    # distinct tokens per doc: unique over (parent, token) pairs
+    if len(flat):
+        key = np.char.add(np.char.add(parents.astype(str), "\x00"), flat)
+        _, first = np.unique(key, return_index=True)
+        distinct = np.bincount(parents[first], minlength=n).astype(np.float64)
+    else:
+        distinct = np.zeros(n)
+    X = np.empty((n, LR_DIM), np.float64)
+    X[:, 0] = 1.0
+    X[:, 1] = ntok / 100.0
+    X[:, 2] = sumlen / safe
+    X[:, 3] = stop / safe
+    X[:, 4] = distinct / safe
+    return X
+
+
+def _labels(batch: pa.Table) -> np.ndarray:
+    return (
+        pc.equal(batch["lang"].combine_chunks().cast(pa.string()), "en")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-z))
+
+
+def _grad_partial(X: np.ndarray, y: np.ndarray, w: np.ndarray):
+    r = _sigmoid(X @ w) - y
+    return X.T @ r, float(len(y))
+
+
+def _score_rows(batch: pa.Table, w: np.ndarray, id_col: str) -> pa.Table:
+    X = _features(batch)
+    y = _labels(batch)
+    p = np.round(_sigmoid(X @ w), LR_ROUND)
+    return pa.table(
+        {
+            "doc_id": batch[id_col].cast(pa.int64()),
+            "label": pa.array(y.astype(np.int64), pa.int64()),
+            "prob": pa.array(p, pa.float64()),
+            "pred": pa.array((p >= 0.5).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def logreg_distributed(ds: rd.Dataset, id_col: str = "doc_id") -> pa.Table:
+    """Fixed-iteration full-batch GD: per-batch gradient partials →
+    driver merge → rounded weight update → re-broadcast; final scoring
+    pass with the trained weights."""
+    ds = ds.materialize()
+    w = np.zeros(LR_DIM)
+    for _ in range(LR_ITERS):
+        wref = ray.put(w)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            w_ = ray.get(wref)
+            g, n = _grad_partial(_features(batch), _labels(batch), w_)
+            return pa.table(
+                {
+                    "g": pa.array([list(g)], pa.list_(pa.float64())),
+                    "n": pa.array([n], pa.float64()),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        if len(parts) == 0 or parts["n"].sum() == 0:
+            return _empty_out()
+        g = np.sum(np.stack([np.asarray(x, np.float64) for x in parts["g"]]), axis=0)
+        w = np.round(w - LR_ETA * g / parts["n"].sum(), LR_ROUND)
+
+    wref = ray.put(w)
+    out = ds.map_batches(
+        lambda b: _score_rows(b, ray.get(wref), id_col), batch_format="pyarrow"
+    ).to_pandas()
+    out = out.sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def logreg_local(tbl: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Single-threaded twin (the oracle side): same kernels, one
+    gradient sweep per iteration."""
+    if tbl.num_rows == 0:
+        return _empty_out()
+    X = _features(tbl)
+    y = _labels(tbl)
+    w = np.zeros(LR_DIM)
+    for _ in range(LR_ITERS):
+        g, n = _grad_partial(X, y, w)
+        w = np.round(w - LR_ETA * g / n, LR_ROUND)
+    out = _score_rows(tbl, w, id_col).to_pandas()
+    out = out.sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1576,7 +1576,8 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v11"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v12"  # bump whenever artifact-affecting code changes
+# v12: added the logistic-regression twin (logreg.parquet)
 # v9: added the SemDeDup twin (semdedup.parquet) + PQ ANN twin (pq_knn.parquet)
 # v10: added the BPE merge-table twin (bpe_merges.parquet)
 # v11: added the IVF+PQ twin (ivfpq_knn.parquet)
@@ -1776,6 +1777,18 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
             knn_ivfpq_local(t), os.path.join(ORACLE_DIR, "ivfpq_knn.parquet")
         )
 
+    # 5e. logistic-regression twin: sequential full-batch GD under the
+    #     same rounding contract (functions/logreg.py)
+    if os.path.exists(sfdoc):
+        from anansi_ray.functions.logreg import logreg_local
+
+        pq.write_table(
+            logreg_local(
+                pq.read_table(sfdoc, columns=["doc_id", "text", "lang"])
+            ),
+            os.path.join(ORACLE_DIR, "logreg.parquet"),
+        )
+
     # 6. sequence-packing twin: token counts via DuckDB's own regex (the
     #    SQL_TOKEN_COUNT expression, independent of the Arrow kernel), then
     #    an INDEPENDENT sequential next-fit — one flat pass over all docs
@@ -1890,6 +1903,12 @@ SQL_KNN_PQ = f"""
 SELECT query_id, "rank", vec_id, adc
 FROM read_parquet('{ORACLE_DIR}/pq_knn.parquet')
 ORDER BY query_id, "rank"
+"""
+
+SQL_LOGREG_QUALITY = f"""
+SELECT doc_id, label, prob, pred
+FROM read_parquet('{ORACLE_DIR}/logreg.parquet')
+ORDER BY doc_id
 """
 
 SQL_KNN_IVFPQ = f"""
@@ -2399,6 +2418,20 @@ ranked AS (
 SELECT query_id, "rank", doc_id, score FROM ranked WHERE "rank" <= 10
 ORDER BY query_id, "rank"
 """
+
+
+def q_logreg_quality(sf_dir: str):
+    """Distributed logistic-regression training (functions/logreg.py):
+    full-batch GD where each iteration is ONE streaming pass reducing
+    every batch to a (dim+1)-vector gradient partial; the driver merges
+    O(blocks) partials, applies the rounded weight update, re-broadcasts.
+    Scoring is a final streaming pass.  Verified bit-for-bit vs the
+    sequential twin the oracle builder materializes."""
+    from anansi_ray.functions import logreg as flogreg
+
+    return flogreg.logreg_distributed(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    )
 
 
 def q_dsir_weights(sf_dir: str):
@@ -12224,6 +12257,7 @@ QUERIES = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "logreg_quality": (q_logreg_quality, SQL_LOGREG_QUALITY),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
