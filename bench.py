@@ -187,6 +187,10 @@ BENCH_QUERIES = [
     "doc_char_entropy",
     "bpe_train",
     "crawl_host_profile",
+    "knn_ivfpq",
+    "bm25_topk",
+    "dsir_weights",
+    "logreg_quality",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
