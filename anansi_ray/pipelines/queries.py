@@ -2420,6 +2420,105 @@ ORDER BY query_id, "rank"
 """
 
 
+_VC_THRESH = (16, 64, 256, 1024)
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve (tokenizer sizing): what share of the
+    corpus token stream is covered by the top-V most frequent tokens, at
+    V ∈ {16, 64, 256, 1024}.  Per-batch value-counts combiner → ONE
+    coarse hash exchange (``coarse_agg``) → per-block partial top-Vmax +
+    a distributed ``sum`` for the denominator → tiny driver merge.  The
+    token stream itself never shuffles; driver traffic is
+    O(blocks · Vmax) rows at any corpus size.  Ties at the V boundary
+    break (count desc, token asc) in both engines."""
+    import pandas as pd
+
+    from anansi_ray.arrowds import coarse_agg
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def tc_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(
+                pc.fill_null(
+                    batch["text"].combine_chunks().cast(pa.string()), ""
+                )
+            ),
+            "[^a-z0-9]+",
+        )
+        flat = pc.list_flatten(toks).to_pandas().to_numpy(dtype=object)
+        s = pd.Series(flat, dtype=object)
+        vc = s[s != ""].value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "cnt": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    counts = coarse_agg(
+        docs.map_batches(tc_partial, batch_format="pyarrow"),
+        "token",
+        {"cnt": ("sum", "cnt")},
+    ).materialize()
+    vmax = max(_VC_THRESH)
+
+    def topv_partial(batch: pa.Table) -> pa.Table:
+        c = batch["cnt"].to_numpy(zero_copy_only=False)
+        t = batch["token"].to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((t, -c))[:vmax]
+        return batch.take(pa.array(order))
+
+    parts = counts.map_batches(topv_partial, batch_format="pyarrow").to_pandas()
+    spec = {
+        "v": pa.int64(),
+        "covered": pa.int64(),
+        "total": pa.int64(),
+        "share": pa.float64(),
+    }
+    if len(parts) == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    total = int(counts.sum("cnt"))
+    c = parts["cnt"].to_numpy(dtype=np.int64)
+    t = parts["token"].to_numpy(dtype=str)
+    order = np.lexsort((t, -c))
+    csum = np.cumsum(c[order])
+    rows = []
+    for v in _VC_THRESH:
+        covered = int(csum[min(v, len(csum)) - 1]) if len(csum) else 0
+        rows.append((v, covered, total, round(covered / total, 6)))
+    return pa.table(
+        {
+            "v": pa.array([r[0] for r in rows], pa.int64()),
+            "covered": pa.array([r[1] for r in rows], pa.int64()),
+            "total": pa.array([r[2] for r in rows], pa.int64()),
+            "share": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+SQL_VOCAB_COVERAGE = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))
+    AS tok
+  FROM documents),
+cnts AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rn FROM cnts),
+tot AS (SELECT sum(cnt)::BIGINT AS total FROM cnts),
+v(v) AS (VALUES (16), (64), (256), (1024))
+SELECT v.v,
+       coalesce(sum(r.cnt) FILTER (WHERE r.rn <= v.v), 0)::BIGINT AS covered,
+       tot.total,
+       round(coalesce(sum(r.cnt) FILTER (WHERE r.rn <= v.v), 0)
+             / tot.total::DOUBLE, 6) AS share
+FROM v, ranked r, tot
+GROUP BY v.v, tot.total
+ORDER BY v.v
+"""
+
+
 def q_logreg_quality(sf_dir: str):
     """Distributed logistic-regression training (functions/logreg.py):
     full-batch GD where each iteration is ONE streaming pass reducing
@@ -12258,6 +12357,7 @@ QUERIES = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "logreg_quality": (q_logreg_quality, SQL_LOGREG_QUALITY),
+    "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "dsir_weights",
     "logreg_quality",
+    "vocab_coverage",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
