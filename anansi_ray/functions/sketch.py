@@ -228,3 +228,92 @@ def quantile_summary_estimate(
     for q in qs:
         out.append(float(v[np.searchsorted(cum, q * tot, side="left")]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan 2005) over the corpus token
+# stream.  Plain (non-conservative) CMS is LINEAR — cells are integer sums
+# — so per-batch partial sketches merge EXACTLY whatever the block layout,
+# which is what makes a full value oracle possible: DuckDB recomputes the
+# same D×W table from scratch (same md5 bucket contract as dsir.py) and
+# must land on identical estimates.  Estimates are reported for a fixed
+# probe-token list next to their exact counts; CMS guarantees est ≥ exact.
+#
+# Shape at 100 TB: each batch reduces its token stream to one D×W integer
+# matrix (a few KB) + a probe-count vector; the driver sums O(blocks)
+# partials.  Nothing shuffles.
+
+CMS_D = 4
+CMS_W = 64
+CMS_PROBES = (
+    "a", "batch", "data", "hash", "join", "merge",
+    "order", "sort", "stream", "the", "window", "zzz_absent",
+)
+
+
+def _cms_bucket(d: int, token: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{d}:{token}".encode()).hexdigest()[:8], 16) % CMS_W
+
+
+def cms_partial_batch(batch: "pa.Table", text_col: str = "text") -> "pa.Table":
+    """Per-batch combiner: one flattened D×W cell vector + probe-token
+    exact-count vector.  One md5 per DISTINCT token per batch."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(
+            pc.fill_null(batch[text_col].combine_chunks().cast(pa.string()), "")
+        ),
+        "[^a-z0-9]+",
+    )
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(str)
+    flat = flat[flat != ""]
+    uniq, counts = np.unique(flat, return_counts=True)
+    M = np.zeros((CMS_D, CMS_W), np.int64)
+    for u, c in zip(uniq, counts):
+        for d in range(CMS_D):
+            M[d, _cms_bucket(d, u)] += c
+    probe = np.zeros(len(CMS_PROBES), np.int64)
+    for i, p in enumerate(CMS_PROBES):
+        hit = np.flatnonzero(uniq == p)
+        if len(hit):
+            probe[i] = counts[hit[0]]
+    return pa.table(
+        {
+            "cells": pa.array([list(M.ravel())], pa.list_(pa.int64())),
+            "probe": pa.array([list(probe)], pa.list_(pa.int64())),
+        }
+    )
+
+
+def cms_counts(ds: "rd.Dataset") -> "pa.Table":
+    """Distributed CMS build + probe estimates: (token, exact_cnt,
+    cms_est) per probe token, ordered by token."""
+    parts = ds.map_batches(cms_partial_batch, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        M = np.zeros((CMS_D, CMS_W), np.int64)
+        probe = np.zeros(len(CMS_PROBES), np.int64)
+    else:
+        M = np.sum(
+            np.stack([np.asarray(x, np.int64) for x in parts["cells"]]), axis=0
+        ).reshape(CMS_D, CMS_W)
+        probe = np.sum(
+            np.stack([np.asarray(x, np.int64) for x in parts["probe"]]), axis=0
+        )
+    est = np.array(
+        [
+            min(M[d, _cms_bucket(d, p)] for d in range(CMS_D))
+            for p in CMS_PROBES
+        ],
+        np.int64,
+    )
+    order = np.argsort(np.array(CMS_PROBES))
+    return pa.table(
+        {
+            "token": pa.array(np.array(CMS_PROBES)[order], pa.string()),
+            "exact_cnt": pa.array(probe[order], pa.int64()),
+            "cms_est": pa.array(est[order], pa.int64()),
+        }
+    )

@@ -2498,6 +2498,55 @@ def q_vocab_coverage(sf_dir: str):
     )
 
 
+def q_cms_counts(sf_dir: str):
+    """Count-Min Sketch frequency estimates (functions/sketch.py): plain
+    CMS is linear, so per-batch D×W integer partials merge EXACTLY —
+    each batch forwards a few-KB matrix, the driver sums O(blocks)
+    partials, nothing shuffles.  Probe tokens are reported with exact
+    count next to the sketch estimate (CMS invariant: est ≥ exact).
+    Full independent DuckDB twin rebuilds the same table cell-for-cell
+    under the shared md5 bucket contract."""
+    from anansi_ray.functions import sketch as fsketch
+
+    return fsketch.cms_counts(_read(sf_dir, "documents", ["text"]))
+
+
+SQL_CMS_COUNTS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))
+    AS tok
+  FROM documents),
+cnts AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
+probes(token) AS (VALUES
+  ('a'), ('batch'), ('data'), ('hash'), ('join'), ('merge'),
+  ('order'), ('sort'), ('stream'), ('the'), ('window'), ('zzz_absent')),
+cells AS (
+  SELECT d.d,
+         ('0x' || substr(md5(d.d::VARCHAR || ':' || cnts.tok), 1, 8))::UBIGINT
+           % 64 AS b,
+         sum(cnts.c)::BIGINT AS cell
+  FROM cnts, generate_series(0, 3) d(d)
+  GROUP BY 1, 2),
+probe_cells AS (
+  SELECT p.token, d.d,
+         ('0x' || substr(md5(d.d::VARCHAR || ':' || p.token), 1, 8))::UBIGINT
+           % 64 AS b
+  FROM probes p, generate_series(0, 3) d(d)),
+est AS (
+  SELECT pc.token, min(coalesce(cells.cell, 0))::BIGINT AS cms_est
+  FROM probe_cells pc
+  LEFT JOIN cells ON pc.d = cells.d AND pc.b = cells.b
+  GROUP BY pc.token)
+SELECT p.token,
+       coalesce(cnts.c, 0)::BIGINT AS exact_cnt,
+       est.cms_est
+FROM probes p
+LEFT JOIN cnts ON p.token = cnts.tok
+JOIN est ON p.token = est.token
+ORDER BY p.token
+"""
+
+
 SQL_VOCAB_COVERAGE = r"""
 WITH toks AS (
   SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))
@@ -12358,6 +12407,7 @@ QUERIES = {
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "logreg_quality": (q_logreg_quality, SQL_LOGREG_QUALITY),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "logreg_quality",
     "vocab_coverage",
+    "cms_counts",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts

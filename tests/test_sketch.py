@@ -122,3 +122,40 @@ class TestLagLeadWindow:
             pd.testing.assert_series_equal(
                 got[col], ref[col], check_names=False, check_dtype=False
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCountMin:
+    def test_block_layout_invariant_and_overestimate(self):
+        import ray.data as rd
+
+        from anansi_ray.functions.sketch import CMS_PROBES, cms_counts
+
+        rng = np.random.default_rng(5)
+        vocab = ["the", "a", "data", "hash", "join", "x1", "x2", "x3", "x4"]
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(2, 50)))
+            for _ in range(200)
+        ]
+        t = pa.table({"text": pa.array(texts, pa.string())})
+        outs = [
+            cms_counts(rd.from_arrow(t).repartition(nb)).to_pandas()
+            for nb in (1, 3, 8)
+        ]
+        # linear sketch: partial merge is exact, so layout cannot matter
+        assert outs[0].equals(outs[1]) and outs[0].equals(outs[2])
+        out = outs[0]
+        # CMS invariant: estimate never undercounts
+        assert (out["cms_est"] >= out["exact_cnt"]).all()
+        # absent probe has exact 0
+        assert out[out["token"] == "zzz_absent"]["exact_cnt"].iloc[0] == 0
+        assert len(out) == len(CMS_PROBES)
+
+    def test_empty_corpus(self):
+        import ray.data as rd
+
+        from anansi_ray.functions.sketch import cms_counts
+
+        t = pa.table({"text": pa.array([], pa.string())})
+        out = cms_counts(rd.from_arrow(t)).to_pandas()
+        assert (out["exact_cnt"] == 0).all() and (out["cms_est"] == 0).all()
