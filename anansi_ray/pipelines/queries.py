@@ -1576,8 +1576,9 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v12"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v13"  # bump whenever artifact-affecting code changes
 # v12: added the logistic-regression twin (logreg.parquet)
+# v13: added the ALS item-factor twin (als_factors.parquet)
 # v9: added the SemDeDup twin (semdedup.parquet) + PQ ANN twin (pq_knn.parquet)
 # v10: added the BPE merge-table twin (bpe_merges.parquet)
 # v11: added the IVF+PQ twin (ivfpq_knn.parquet)
@@ -1777,6 +1778,32 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
             knn_ivfpq_local(t), os.path.join(ORACLE_DIR, "ivfpq_knn.parquet")
         )
 
+    # 5f. ALS twin: INDEPENDENT DuckDB ratings build (orders ⨝ lineitem),
+    #     then the sequential factor loop under the rounding contract
+    #     (functions/als.py)
+    sfli = os.path.join(sf_dir, "lineitem.parquet")
+    sford = os.path.join(sf_dir, "orders.parquet")
+    if os.path.exists(sfli) and os.path.exists(sford):
+        import duckdb
+
+        from anansi_ray.functions.als import als_local
+
+        ratings = (
+            duckdb.connect()
+            .execute(
+                "SELECT o.o_custkey::BIGINT AS custkey, "
+                "l.l_partkey::BIGINT AS partkey, "
+                "sum(l.l_quantity)::DOUBLE AS qty "
+                f"FROM read_parquet('{sford}') o "
+                f"JOIN read_parquet('{sfli}') l ON o.o_orderkey = l.l_orderkey "
+                "GROUP BY 1, 2"
+            )
+            .arrow()
+        )
+        pq.write_table(
+            als_local(ratings), os.path.join(ORACLE_DIR, "als_factors.parquet")
+        )
+
     # 5e. logistic-regression twin: sequential full-batch GD under the
     #     same rounding contract (functions/logreg.py)
     if os.path.exists(sfdoc):
@@ -1903,6 +1930,12 @@ SQL_KNN_PQ = f"""
 SELECT query_id, "rank", vec_id, adc
 FROM read_parquet('{ORACLE_DIR}/pq_knn.parquet')
 ORDER BY query_id, "rank"
+"""
+
+SQL_ALS_FACTORS = f"""
+SELECT partkey, j, factor
+FROM read_parquet('{ORACLE_DIR}/als_factors.parquet')
+ORDER BY partkey, j
 """
 
 SQL_LOGREG_QUALITY = f"""
@@ -2496,6 +2529,76 @@ def q_vocab_coverage(sf_dir: str):
             "share": pa.array([r[3] for r in rows], pa.float64()),
         }
     )
+
+
+def q_als_factors(sf_dir: str):
+    """Distributed ALS matrix factorization (functions/als.py) over the
+    implicit customer × part ratings (total quantity from orders ⨝
+    lineitem).  Ratings build: bucketed co-partitioned join on orderkey +
+    one coarse composite-key aggregation; training: ratings co-partition
+    by user hash ONCE, then each iteration is a single streaming pass —
+    user factors solved batch-locally (never materialized), item normal-
+    equation partials merged centrally over the bounded part catalog.
+    Verified bit-for-bit vs the sequential twin (independent DuckDB
+    ratings build) the oracle builder materializes."""
+    from anansi_ray.arrowds import coarse_agg
+    from anansi_ray.functions import als as fals
+
+    B = 32
+
+    def tag_lineitem(b: pa.Table) -> pa.Table:
+        key = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": b["l_orderkey"].cast(pa.int64()),
+                "bucket": pa.array((key % B).astype(np.int32), pa.int32()),
+                "partkey": b["l_partkey"].cast(pa.int64()),
+                "qty": b["l_quantity"].cast(pa.float64()),
+                "custkey": pa.nulls(b.num_rows, pa.int64()),
+                "side": pa.array(["l"] * b.num_rows, pa.string()),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        key = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": b["o_orderkey"].cast(pa.int64()),
+                "bucket": pa.array((key % B).astype(np.int32), pa.int32()),
+                "partkey": pa.nulls(b.num_rows, pa.int64()),
+                "qty": pa.nulls(b.num_rows, pa.float64()),
+                "custkey": b["o_custkey"].cast(pa.int64()),
+                "side": pa.array(["o"] * b.num_rows, pa.string()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"]).map_batches(
+        tag_lineitem, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        tag_orders, batch_format="pyarrow"
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        left = df[df["side"] == "l"][["key", "partkey", "qty"]]
+        right = df[df["side"] == "o"][["key", "custkey"]]
+        merged = left.merge(right, on="key", how="inner")
+        agg = merged.groupby(["custkey", "partkey"], as_index=False).agg(
+            qty=("qty", "sum")
+        )
+        agg["custkey"] = agg["custkey"].astype("int64")
+        agg["partkey"] = agg["partkey"].astype("int64")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    ratings = coarse_agg(
+        li.union(orders)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow"),
+        ["custkey", "partkey"],
+        {"qty": ("sum", "qty")},
+    )
+    return fals.als_distributed(ratings)
 
 
 def q_cms_counts(sf_dir: str):
@@ -12408,6 +12511,7 @@ QUERIES = {
     "logreg_quality": (q_logreg_quality, SQL_LOGREG_QUALITY),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
+    "als_factors": (q_als_factors, SQL_ALS_FACTORS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "logreg_quality",
     "vocab_coverage",
     "cms_counts",
+    "als_factors",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
