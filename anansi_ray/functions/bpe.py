@@ -138,3 +138,70 @@ def topv_partial(batch: pa.Table, v: int = BPE_TOP_WORDS) -> pa.Table:
             "cnt": pa.array(c[order].astype(np.int64), pa.int64()),
         }
     )
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> int:
+    """Apply the trained merge table to one word (merges in rank order,
+    each scanning left-to-right — the exact application rule of the
+    training loop) and return its piece count."""
+    syms = list(word)
+    for l, r in merges:
+        if len(syms) < 2:
+            break
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def bpe_encode_batch(
+    batch: pa.Table, merges: list[tuple[str, str]], id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-doc encode stats under a broadcast merge table: (doc_id,
+    n_words, n_pieces, ratio).  One encode per DISTINCT word per batch
+    (np.unique memo); everything else is vectorized bincount."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    words = pc.split_pattern(
+        pc.fill_null(batch["text"].combine_chunks().cast(pa.string()), ""),
+        " ",
+    )
+    flat = words.flatten().to_numpy(zero_copy_only=False).astype(str)
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    parents = np.repeat(np.arange(n), lens)
+    keep = flat != ""
+    flat, parents = flat[keep], parents[keep]
+    uniq, inv = np.unique(flat, return_inverse=True)
+    pieces_u = np.array([encode_word(u, merges) for u in uniq], np.int64)
+    n_words = np.bincount(parents, minlength=n).astype(np.int64)
+    n_pieces = (
+        np.bincount(parents, weights=pieces_u[inv].astype(np.float64), minlength=n)
+        .astype(np.int64)
+        if len(flat)
+        else np.zeros(n, np.int64)
+    )
+    ratio = np.round(
+        np.divide(
+            n_pieces,
+            n_words,
+            out=np.zeros(n, np.float64),
+            where=n_words > 0,
+        ),
+        6,
+    )
+    return pa.table(
+        {
+            "doc_id": batch[id_col].cast(pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_pieces": pa.array(n_pieces, pa.int64()),
+            "ratio": pa.array(ratio, pa.float64()),
+        }
+    )

@@ -1328,6 +1328,47 @@ def q_bpe_train(sf_dir: str):
     return fbpe.bpe_merge_loop(merged)
 
 
+def q_bpe_encode(sf_dir: str):
+    """Tokenizer APPLY (the natural pair of ``bpe_train``): train the
+    merge table with the same one-counting-pass pipeline, broadcast it,
+    then ONE streaming encode pass over the corpus — one encode per
+    DISTINCT word per batch (np.unique memo), per-doc stats via
+    bincount.  Output: (doc_id, n_words, n_pieces, ratio).  The oracle
+    twin recounts words INDEPENDENTLY in DuckDB and applies the same
+    pure merge/encode kernels sequentially."""
+    import ray as _ray
+
+    from anansi_ray.functions import bpe as fbpe
+
+    merges_tbl = q_bpe_train(sf_dir)
+    merges = list(
+        zip(
+            merges_tbl["left"].to_pylist(),
+            merges_tbl["right"].to_pylist(),
+        )
+    )
+    mref = _ray.put(merges)
+    out = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            lambda b: fbpe.bpe_encode_batch(b, _ray.get(mref)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "n_pieces": pa.array([], pa.int64()),
+                "ratio": pa.array([], pa.float64()),
+            }
+        )
+    out = out.sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_knn_pq(sf_dir: str):
     """Product-quantization ANN (functions/pq.py): per-subspace codebook
     training via the kmeans partial-sum contract, then ONE streaming
@@ -1576,7 +1617,8 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v13"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v14"  # bump whenever artifact-affecting code changes
+# v14: added the BPE encode twin (bpe_encode.parquet)
 # v12: added the logistic-regression twin (logreg.parquet)
 # v13: added the ALS item-factor twin (als_factors.parquet)
 # v9: added the SemDeDup twin (semdedup.parquet) + PQ ANN twin (pq_knn.parquet)
@@ -1876,9 +1918,27 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
             )
             .fetchall()
         )
+        merges_twin = fbpe.bpe_merge_loop(
+            fbpe.top_words([(w, int(c)) for w, c in rows])
+        )
         pq.write_table(
-            fbpe.bpe_merge_loop(fbpe.top_words([(w, int(c)) for w, c in rows])),
-            os.path.join(ORACLE_DIR, "bpe_merges.parquet"),
+            merges_twin, os.path.join(ORACLE_DIR, "bpe_merges.parquet")
+        )
+
+        # 7b. BPE encode twin: apply the twin's merge table sequentially
+        #     over the whole documents table (functions/bpe.py encode
+        #     kernels, one slice)
+        mlist = list(
+            zip(merges_twin["left"].to_pylist(), merges_twin["right"].to_pylist())
+        )
+        enc = fbpe.bpe_encode_batch(
+            pq.read_table(sfdoc, columns=["doc_id", "text"]), mlist
+        ).to_pandas()
+        pq.write_table(
+            pa.Table.from_pandas(
+                enc.sort_values("doc_id", ignore_index=True), preserve_index=False
+            ),
+            os.path.join(ORACLE_DIR, "bpe_encode.parquet"),
         )
 
     with open(marker, "w") as f:
@@ -1930,6 +1990,12 @@ SQL_KNN_PQ = f"""
 SELECT query_id, "rank", vec_id, adc
 FROM read_parquet('{ORACLE_DIR}/pq_knn.parquet')
 ORDER BY query_id, "rank"
+"""
+
+SQL_BPE_ENCODE = f"""
+SELECT doc_id, n_words, n_pieces, ratio
+FROM read_parquet('{ORACLE_DIR}/bpe_encode.parquet')
+ORDER BY doc_id
 """
 
 SQL_ALS_FACTORS = f"""
@@ -12512,6 +12578,7 @@ QUERIES = {
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
     "als_factors": (q_als_factors, SQL_ALS_FACTORS),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "vocab_coverage",
     "cms_counts",
     "als_factors",
+    "bpe_encode",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts

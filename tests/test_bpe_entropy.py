@@ -142,3 +142,69 @@ class TestCharEntropy:
             _, counts = np.unique(list(s), return_counts=True)
             p = counts / len(s)
             assert e == round(float(-(p * np.log2(p)).sum()), 6)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBpeEncode:
+    def test_encode_word_applies_merges_in_rank_order(self):
+        from anansi_ray.functions.bpe import encode_word
+
+        # merges: (a,b)->ab then (ab,c)->abc
+        merges = [("a", "b"), ("ab", "c")]
+        assert encode_word("abc", merges) == 1
+        assert encode_word("acb", merges) == 3
+        assert encode_word("ababc", merges) == 2  # ab + abc
+        assert encode_word("", merges) == 0
+        assert encode_word("x", merges) == 1
+
+    def test_batch_stats_and_memo(self):
+        import pyarrow as pa
+
+        from anansi_ray.functions.bpe import bpe_encode_batch
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["ab ab cd", "", "ab"], pa.string()),
+            }
+        )
+        out = bpe_encode_batch(t, [("a", "b")]).to_pandas()
+        assert list(out["n_words"]) == [3, 0, 1]
+        assert list(out["n_pieces"]) == [4, 0, 1]  # ab->1 piece, cd->2
+        assert out["ratio"].iloc[1] == 0.0
+
+    def test_query_layout_invariance(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+
+        from anansi_ray.functions.bpe import bpe_encode_batch
+
+        rng = np.random.default_rng(3)
+        texts = [
+            " ".join(rng.choice(["low", "lower", "lowest", "new", "newer"], 10))
+            for _ in range(60)
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(60), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        merges = [("l", "o"), ("lo", "w"), ("e", "r")]
+        mref = ray.put(merges)
+        outs = []
+        for nb in (1, 5):
+            out = (
+                rd.from_arrow(t)
+                .repartition(nb)
+                .map_batches(
+                    lambda b: bpe_encode_batch(b, ray.get(mref)),
+                    batch_format="pyarrow",
+                )
+                .to_pandas()
+                .sort_values("doc_id", ignore_index=True)
+            )
+            outs.append(out)
+        assert outs[0].equals(outs[1])
