@@ -159,33 +159,24 @@ def als_distributed(ratings: rd.Dataset) -> pa.Table:
             r = batch["qty"].to_numpy(zero_copy_only=False).astype(np.float64)
             order = np.lexsort((i, u))  # canonical within-partition order
             pk, Ai, bi = user_item_pass(u[order], i[order], r[order], ik, Y_)
-            return pa.table(
-                {
-                    "partkey": pa.array(pk, pa.int64()),
-                    "a": pa.array([list(v) for v in Ai], pa.list_(pa.float64())),
-                    "b": pa.array([list(v) for v in bi], pa.list_(pa.float64())),
-                }
-            )
+            # wide numeric columns so the driver merge is one vectorized
+            # groupby-sum, not a per-item Python loop
+            cols: dict = {"partkey": pa.array(pk, pa.int64())}
+            for c in range(ALS_K * ALS_K):
+                cols[f"a{c}"] = pa.array(Ai[:, c], pa.float64())
+            for c in range(ALS_K):
+                cols[f"b{c}"] = pa.array(bi[:, c], pa.float64())
+            return pa.table(cols)
 
         merged = parts.map_batches(
             it_pass, batch_format="pyarrow", batch_size=None
         ).to_pandas()
         if len(merged) == 0:
             return _empty_out()
-        g = merged.groupby("partkey", sort=True)
-        pks = np.array(sorted(g.groups), np.int64)
-        A_flat = np.stack(
-            [
-                np.sum(np.stack([np.asarray(v, np.float64) for v in grp["a"]]), 0)
-                for _, grp in g
-            ]
-        )
-        b_sum = np.stack(
-            [
-                np.sum(np.stack([np.asarray(v, np.float64) for v in grp["b"]]), 0)
-                for _, grp in g
-            ]
-        )
+        g = merged.groupby("partkey", sort=True).sum()
+        pks = g.index.to_numpy(dtype=np.int64)
+        A_flat = g[[f"a{c}" for c in range(ALS_K * ALS_K)]].to_numpy()
+        b_sum = g[[f"b{c}" for c in range(ALS_K)]].to_numpy()
         Y = solve_items(item_keys, Y, pks, A_flat, b_sum)
 
     return _factors_table(item_keys, Y)
