@@ -1617,8 +1617,9 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v14"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v15"  # bump whenever artifact-affecting code changes
 # v14: added the BPE encode twin (bpe_encode.parquet)
+# v15: added the HLL distinct twin (hll_distinct.parquet)
 # v12: added the logistic-regression twin (logreg.parquet)
 # v13: added the ALS item-factor twin (als_factors.parquet)
 # v9: added the SemDeDup twin (semdedup.parquet) + PQ ANN twin (pq_knn.parquet)
@@ -1901,6 +1902,39 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
             os.path.join(ORACLE_DIR, "pack.parquet"),
         )
 
+    # 8. HLL distinct-count twin: register max-merge is commutative and
+    #    idempotent, so ONE sequential hll_partial_batch over the whole
+    #    events table produces exactly the registers the distributed
+    #    groupby(group, register).max path converges to — the estimates
+    #    are therefore value-equal, not merely close (functions/sketch.py)
+    sfev = os.path.join(sf_dir, "events.parquet")
+    if os.path.exists(sfev):
+        from anansi_ray.functions.sketch import (
+            HLL_M,
+            hll_estimate,
+            hll_partial_batch,
+        )
+
+        ev = pq.read_table(sfev, columns=["event_type", "user_id"])
+        regs = hll_partial_batch(ev, "user_id", "event_type").to_pandas()
+        import numpy as _np
+
+        out_g, out_e = [], []
+        for g_, sub in regs.groupby("event_type", sort=True):
+            dense = _np.zeros(HLL_M, _np.int64)
+            dense[sub["register"].to_numpy()] = sub["rho"].to_numpy()
+            out_g.append(g_)
+            out_e.append(int(round(hll_estimate(dense))))
+        pq.write_table(
+            pa.table(
+                {
+                    "event_type": pa.array(out_g, pa.string()),
+                    "approx_distinct": pa.array(out_e, pa.int64()),
+                }
+            ),
+            os.path.join(ORACLE_DIR, "hll_distinct.parquet"),
+        )
+
     # 7. BPE merge-table twin: word counts recomputed INDEPENDENTLY in
     #    DuckDB (string_split, not the Arrow kernel), same deterministic
     #    top-V cut + pure merge loop (functions/bpe.py)
@@ -1990,6 +2024,12 @@ SQL_KNN_PQ = f"""
 SELECT query_id, "rank", vec_id, adc
 FROM read_parquet('{ORACLE_DIR}/pq_knn.parquet')
 ORDER BY query_id, "rank"
+"""
+
+SQL_APPROX_DISTINCT_USERS = f"""
+SELECT event_type, approx_distinct
+FROM read_parquet('{ORACLE_DIR}/hll_distinct.parquet')
+ORDER BY event_type
 """
 
 SQL_BPE_ENCODE = f"""
@@ -3366,9 +3406,11 @@ def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct users per event_type — the
     mergeable-sketch scale path for COUNT(DISTINCT) when the key stream is
     too large to shuffle: the exchange is bounded at |groups| · 2^12
-    register rows per batch no matter the corpus size.  Deterministic
-    (splitmix64) but not SQL-expressible — registered rows-only; its
-    accuracy vs the exact twin is pinned by pytest (±5 %)."""
+    register rows per batch no matter the corpus size.  Register
+    max-merge is commutative+idempotent, so the sequential one-slice twin
+    the oracle builder materializes lands on the IDENTICAL registers —
+    a full value oracle; accuracy vs the exact count is additionally
+    pinned by pytest (±5 %)."""
     from anansi_ray.functions.sketch import approx_distinct
 
     ev = _read(sf_dir, "events", ["event_type", "user_id"])
@@ -12588,7 +12630,7 @@ QUERIES = {
     "customer_no_orders": (q_customer_no_orders, SQL_CUSTOMER_NO_ORDERS),
     "events_lag_lead": (q_events_lag_lead, SQL_EVENTS_LAG_LEAD),
     "distinct_users_exact": (q_distinct_users_exact, SQL_DISTINCT_USERS),
-    "approx_distinct_users": (q_approx_distinct_users, None),
+    "approx_distinct_users": (q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "order_lineitem_join_salted": (q_order_lineitem_join_salted, SQL_ORDER_LINEITEM_JOIN),
