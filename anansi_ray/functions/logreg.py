@@ -126,11 +126,10 @@ def _score_rows(batch: pa.Table, w: np.ndarray, id_col: str) -> pa.Table:
     )
 
 
-def logreg_distributed(ds: rd.Dataset, id_col: str = "doc_id") -> pa.Table:
-    """Fixed-iteration full-batch GD: per-batch gradient partials →
-    driver merge → rounded weight update → re-broadcast; final scoring
-    pass with the trained weights."""
-    ds = ds.materialize()
+def logreg_train(ds: rd.Dataset):
+    """The GD loop alone (shared by scoring and evaluation pipelines):
+    returns the trained rounded weight vector, or ``None`` on an empty
+    corpus.  ``ds`` must be materialized by the caller."""
     w = np.zeros(LR_DIM)
     for _ in range(LR_ITERS):
         wref = ray.put(w)
@@ -147,10 +146,20 @@ def logreg_distributed(ds: rd.Dataset, id_col: str = "doc_id") -> pa.Table:
 
         parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
         if len(parts) == 0 or parts["n"].sum() == 0:
-            return _empty_out()
+            return None
         g = np.sum(np.stack([np.asarray(x, np.float64) for x in parts["g"]]), axis=0)
         w = np.round(w - LR_ETA * g / parts["n"].sum(), LR_ROUND)
+    return w
 
+
+def logreg_distributed(ds: rd.Dataset, id_col: str = "doc_id") -> pa.Table:
+    """Fixed-iteration full-batch GD: per-batch gradient partials →
+    driver merge → rounded weight update → re-broadcast; final scoring
+    pass with the trained weights."""
+    ds = ds.materialize()
+    w = logreg_train(ds)
+    if w is None:
+        return _empty_out()
     wref = ray.put(w)
     out = ds.map_batches(
         lambda b: _score_rows(b, ray.get(wref), id_col), batch_format="pyarrow"

@@ -2791,6 +2791,176 @@ def q_logreg_quality(sf_dir: str):
     )
 
 
+def q_logreg_auc(sf_dir: str):
+    """Exact ROC AUC of the trained classifier, computed distributed:
+    train (functions/logreg.py GD loop), then ONE scoring pass where each
+    batch reduces itself to a (rounded-prob → pos/neg counts) histogram
+    partial — probabilities round to 1e-6, so the histogram is bounded at
+    ~10^6 rows no matter the corpus size — one coarse exchange, then the
+    exact rank-sum AUC on the merged histogram (ties get the standard 0.5
+    credit).  The SQL twin recomputes AUC INDEPENDENTLY (window function
+    over the logreg artifact).  Empty output when either class is absent
+    (AUC undefined)."""
+    import ray as _ray
+
+    from anansi_ray.arrowds import coarse_agg
+    from anansi_ray.functions import logreg as flogreg
+
+    spec = {
+        "n_pos": pa.int64(),
+        "n_neg": pa.int64(),
+        "auc": pa.float64(),
+    }
+
+    def _empty() -> pa.Table:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).materialize()
+    w = flogreg.logreg_train(ds)
+    if w is None:
+        return _empty()
+    wref = _ray.put(w)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        w_ = _ray.get(wref)
+        scored = flogreg._score_rows(batch, w_, "doc_id")
+        p = scored["prob"].to_numpy(zero_copy_only=False)
+        y = scored["label"].to_numpy(zero_copy_only=False)
+        pk = np.round(p * 1e6).astype(np.int64)
+        uniq, inv = np.unique(pk, return_inverse=True)
+        npos = np.bincount(inv[y == 1], minlength=len(uniq)).astype(np.int64)
+        nneg = np.bincount(inv[y == 0], minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "pk": pa.array(uniq, pa.int64()),
+                "np": pa.array(npos, pa.int64()),
+                "nn": pa.array(nneg, pa.int64()),
+            }
+        )
+
+    hist = coarse_agg(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        "pk",
+        {"np": ("sum", "np"), "nn": ("sum", "nn")},
+    ).to_pandas()
+    if len(hist) == 0:
+        return _empty()
+    hist = hist.sort_values("pk", ignore_index=True)
+    npos = hist["np"].to_numpy(dtype=np.float64)
+    nneg = hist["nn"].to_numpy(dtype=np.float64)
+    P, N = npos.sum(), nneg.sum()
+    if P == 0 or N == 0:
+        return _empty()
+    cum_neg_below = np.concatenate([[0.0], np.cumsum(nneg)[:-1]])
+    auc = float(np.sum(npos * (cum_neg_below + 0.5 * nneg)) / (P * N))
+    return pa.table(
+        {
+            "n_pos": pa.array([int(P)], pa.int64()),
+            "n_neg": pa.array([int(N)], pa.int64()),
+            "auc": pa.array([round(auc, 6)], pa.float64()),
+        }
+    )
+
+
+def q_calibration_bins(sf_dir: str):
+    """Classifier reliability diagram: 10 equal-width probability bins,
+    each with (n, mean_prob, frac_pos).  Train + ONE scoring pass where
+    each batch reduces itself to ≤10 bin-partial rows (count, prob sum,
+    positive count) — nothing shuffles but 10-row partials.  SQL twin
+    recomputes the bins INDEPENDENTLY from the logreg artifact."""
+    import ray as _ray
+
+    from anansi_ray.functions import logreg as flogreg
+
+    spec = {
+        "bin": pa.int64(),
+        "n": pa.int64(),
+        "mean_prob": pa.float64(),
+        "frac_pos": pa.float64(),
+    }
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).materialize()
+    w = flogreg.logreg_train(ds)
+    if w is None:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    wref = _ray.put(w)
+
+    def bin_partial(batch: pa.Table) -> pa.Table:
+        w_ = _ray.get(wref)
+        scored = flogreg._score_rows(batch, w_, "doc_id")
+        p = scored["prob"].to_numpy(zero_copy_only=False)
+        y = scored["label"].to_numpy(zero_copy_only=False)
+        b = np.minimum((p * 10).astype(np.int64), 9)
+        n = np.bincount(b, minlength=10).astype(np.int64)
+        psum = np.bincount(b, weights=p, minlength=10)
+        pos = np.bincount(b[y == 1], minlength=10).astype(np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(10), pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "psum": pa.array(psum, pa.float64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(bin_partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    g = parts.groupby("bin", sort=True).sum()
+    n = g["n"].to_numpy(dtype=np.float64)
+    keep = n > 0
+    bins = g.index.to_numpy(dtype=np.int64)[keep]
+    nk = n[keep]
+    return pa.table(
+        {
+            "bin": pa.array(bins, pa.int64()),
+            "n": pa.array(nk.astype(np.int64), pa.int64()),
+            "mean_prob": pa.array(
+                np.round(g["psum"].to_numpy()[keep] / nk, 6), pa.float64()
+            ),
+            "frac_pos": pa.array(
+                np.round(g["pos"].to_numpy(dtype=np.float64)[keep] / nk, 6),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+SQL_LOGREG_AUC = f"""
+WITH s AS (
+  SELECT prob, label FROM read_parquet('{ORACLE_DIR}/logreg.parquet')),
+h AS (
+  SELECT prob,
+         sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)::DOUBLE AS np,
+         sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::DOUBLE AS nn
+  FROM s GROUP BY prob),
+o AS (
+  SELECT np, nn,
+         coalesce(sum(nn) OVER (
+           ORDER BY prob ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS below
+  FROM h)
+SELECT (SELECT sum(np)::BIGINT FROM h) AS n_pos,
+       (SELECT sum(nn)::BIGINT FROM h) AS n_neg,
+       round(sum(np * (below + 0.5 * nn))
+             / ((SELECT sum(np) FROM h) * (SELECT sum(nn) FROM h)), 6) AS auc
+FROM o
+HAVING (SELECT sum(np) FROM h) > 0 AND (SELECT sum(nn) FROM h) > 0
+"""
+
+SQL_CALIBRATION_BINS = f"""
+WITH s AS (
+  SELECT prob, label FROM read_parquet('{ORACLE_DIR}/logreg.parquet')),
+b AS (
+  SELECT least(floor(prob * 10)::BIGINT, 9) AS bin, prob, label FROM s)
+SELECT bin,
+       count(*)::BIGINT AS n,
+       round(sum(prob) / count(*), 6) AS mean_prob,
+       round(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS frac_pos
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weights (functions/dsir.py): hashed unigram+bigram
     bucket distributions for the target domain (lang = 'en') vs the raw
@@ -12621,6 +12791,8 @@ QUERIES = {
     "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
     "als_factors": (q_als_factors, SQL_ALS_FACTORS),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "logreg_auc": (q_logreg_auc, SQL_LOGREG_AUC),
+    "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

@@ -195,6 +195,8 @@ BENCH_QUERIES = [
     "cms_counts",
     "als_factors",
     "bpe_encode",
+    "logreg_auc",
+    "calibration_bins",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
