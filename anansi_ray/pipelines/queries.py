@@ -2791,6 +2791,94 @@ def q_logreg_quality(sf_dir: str):
     )
 
 
+_PAD_BIN = 32
+
+
+def q_padding_waste(sf_dir: str):
+    """Training-efficiency padding report: bucket docs by token length
+    into fixed 32-token bins and report, per bin, the padding fraction a
+    naive pad-to-max batcher would waste (1 − Σlen / (n · max)).  The
+    numbers that justify length-bucketed batching / sequence packing.
+    Each batch reduces itself to ≤ |bins| partial rows (n, Σlen, max) —
+    nothing shuffles; tiny driver merge.  Full SQL twin (same token regex
+    as token_count)."""
+    from anansi_ray.functions import text as _ftext
+
+    def partial(b: pa.Table) -> pa.Table:
+        n_tok = (
+            _ftext.token_count_batch(b)["n_tokens"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        bins = n_tok // _PAD_BIN
+        uniq, inv = np.unique(bins, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.bincount(inv, weights=n_tok.astype(np.float64)).astype(np.int64)
+        mx = np.zeros(len(uniq), np.int64)
+        np.maximum.at(mx, inv, n_tok)
+        return pa.table(
+            {
+                "bin": pa.array(uniq, pa.int64()),
+                "n_docs": pa.array(n, pa.int64()),
+                "sum_tokens": pa.array(s, pa.int64()),
+                "max_tokens": pa.array(mx, pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    spec = {
+        "bin": pa.int64(),
+        "n_docs": pa.int64(),
+        "sum_tokens": pa.int64(),
+        "max_tokens": pa.int64(),
+        "waste": pa.float64(),
+    }
+    if len(parts) == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    g = parts.groupby("bin", sort=True).agg(
+        n_docs=("n_docs", "sum"),
+        sum_tokens=("sum_tokens", "sum"),
+        max_tokens=("max_tokens", "max"),
+    )
+    n = g["n_docs"].to_numpy(dtype=np.float64)
+    s = g["sum_tokens"].to_numpy(dtype=np.float64)
+    mx = g["max_tokens"].to_numpy(dtype=np.float64)
+    denom = np.maximum(n * mx, 1.0)
+    waste = np.round(1.0 - s / denom, 6)
+    return pa.table(
+        {
+            "bin": pa.array(g.index.to_numpy(dtype=np.int64), pa.int64()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(dtype=np.int64), pa.int64()),
+            "sum_tokens": pa.array(
+                g["sum_tokens"].to_numpy(dtype=np.int64), pa.int64()
+            ),
+            "max_tokens": pa.array(
+                g["max_tokens"].to_numpy(dtype=np.int64), pa.int64()
+            ),
+            "waste": pa.array(waste, pa.float64()),
+        }
+    )
+
+
+SQL_PADDING_WASTE = r"""
+WITH t AS (
+  SELECT len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]'))::BIGINT
+           AS n_tokens
+  FROM documents)
+SELECT (n_tokens // 32)::BIGINT AS bin,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS sum_tokens,
+       max(n_tokens)::BIGINT AS max_tokens,
+       round(1.0 - sum(n_tokens)::DOUBLE
+             / greatest(count(*) * max(n_tokens), 1), 6) AS waste
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_logreg_auc(sf_dir: str):
     """Exact ROC AUC of the trained classifier, computed distributed:
     train (functions/logreg.py GD loop), then ONE scoring pass where each
@@ -12793,6 +12881,7 @@ QUERIES = {
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     "logreg_auc": (q_logreg_auc, SQL_LOGREG_AUC),
     "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
+    "padding_waste": (q_padding_waste, SQL_PADDING_WASTE),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

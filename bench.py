@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "logreg_auc",
     "calibration_bins",
+    "padding_waste",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
