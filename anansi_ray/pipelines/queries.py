@@ -1617,7 +1617,8 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v15"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v16"  # bump whenever artifact-affecting code changes
+# v16: added the CDC chunk-dedup twin (cdc_dedup.parquet)
 # v14: added the BPE encode twin (bpe_encode.parquet)
 # v15: added the HLL distinct twin (hll_distinct.parquet)
 # v12: added the logistic-regression twin (logreg.parquet)
@@ -1902,6 +1903,16 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
             os.path.join(ORACLE_DIR, "pack.parquet"),
         )
 
+    # 9. CDC chunk-dedup twin: sequential chunk+hash over the same
+    #    deterministic media table (functions/cdc.py — one slice IS the
+    #    global chunk table)
+    from anansi_ray.functions.cdc import cdc_dedup_local
+
+    pq.write_table(
+        cdc_dedup_local(fmedia.synthesize_media_table(n=256, seed=42)),
+        os.path.join(ORACLE_DIR, "cdc_dedup.parquet"),
+    )
+
     # 8. HLL distinct-count twin: register max-merge is commutative and
     #    idempotent, so ONE sequential hll_partial_batch over the whole
     #    events table produces exactly the registers the distributed
@@ -2024,6 +2035,11 @@ SQL_KNN_PQ = f"""
 SELECT query_id, "rank", vec_id, adc
 FROM read_parquet('{ORACLE_DIR}/pq_knn.parquet')
 ORDER BY query_id, "rank"
+"""
+
+SQL_CDC_CHUNK_DEDUP = f"""
+SELECT n_chunks, n_unique, bytes_total, bytes_unique, dedup_ratio
+FROM read_parquet('{ORACLE_DIR}/cdc_dedup.parquet')
 """
 
 SQL_APPROX_DISTINCT_USERS = f"""
@@ -2789,6 +2805,19 @@ def q_logreg_quality(sf_dir: str):
     return flogreg.logreg_distributed(
         _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     )
+
+
+def q_cdc_chunk_dedup(sf_dir: str):
+    """Content-defined-chunking dedup over the synthetic media corpus
+    (functions/cdc.py): vectorized rolling-hash boundaries, block-local
+    chunk hashing (payload bytes never shuffle), ONE coarse exchange on
+    the chunk key, tiny stats reduction.  Verified value-exact vs the
+    sequential twin the oracle builder materializes."""
+    from anansi_ray.functions import cdc as fcdc
+    from anansi_ray.functions import multimodal as fmedia2
+
+    ds = rd.from_arrow(fmedia2.synthesize_media_table(n=256, seed=42))
+    return fcdc.cdc_dedup_distributed(ds.repartition(8))
 
 
 _PAD_BIN = 32
@@ -12882,6 +12911,7 @@ QUERIES = {
     "logreg_auc": (q_logreg_auc, SQL_LOGREG_AUC),
     "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
     "padding_waste": (q_padding_waste, SQL_PADDING_WASTE),
+    "cdc_chunk_dedup": (q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

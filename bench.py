@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "logreg_auc",
     "calibration_bins",
     "padding_waste",
+    "cdc_chunk_dedup",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
