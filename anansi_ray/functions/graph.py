@@ -321,3 +321,163 @@ def khop_reach(
     return pa.Table.from_pandas(
         out.sort_values("root").reset_index(drop=True), preserve_index=False
     )
+
+
+def hits_integer(
+    docs: rd.Dataset, n_docs: int, rounds: int = 2, n_parts: int = 32
+) -> pa.Table:
+    """Integer-exact HITS (Kleinberg 1999) over the same deterministic
+    link graph as :func:`pagerank_integer`: alternating
+    authority = Σ hubs of in-neighbours / hub = Σ authorities of
+    out-neighbours supersteps.  Degrees are tiny constants, so ``rounds``
+    alternations from h₀ = 1 stay in small exact integers — no float
+    normalization, which is what makes a PURE SQL twin possible (the
+    classic L2-normalized HITS would need an artifact twin).
+
+    Each superstep is the pagerank shape: one value exchange keyed by the
+    lookup side, per-partition vectorized searchsorted + integer bincount,
+    one exchange of (node, partial) rows — integer sums are summation-
+    order-free, so the result is bit-equal whatever the block layout.
+    """
+    from anansi_ray.arrowds import drop_empty_blocks, stable_frame
+
+    def gen_dir(lookup_is_src: bool):
+        def gen(b: pa.Table) -> pa.Table:
+            i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            src = np.concatenate([i, i])
+            dst = np.concatenate([(2 * i + 1) % n_docs, (3 * i + 7) % n_docs])
+            key = src if lookup_is_src else dst
+            out = dst if lookup_is_src else src
+            return pa.table(
+                {
+                    "part": pa.array((key % n_parts).astype(np.int32), pa.int32()),
+                    "key": pa.array(key, pa.int64()),
+                    "out": pa.array(out, pa.int64()),
+                    "val": pa.array(np.zeros(len(key), np.int64), pa.int64()),
+                    "side": pa.array(["e"] * len(key), pa.string()),
+                }
+            )
+
+        return docs.map_batches(gen, batch_format="pyarrow").materialize()
+
+    edges_by_src = gen_dir(True)   # authority update reads hub(src)
+    edges_by_dst = gen_dir(False)  # hub update reads authority(dst)
+
+    def base_rows(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((i % n_parts).astype(np.int32), pa.int32()),
+                "out": pa.array(i, pa.int64()),
+                "c": pa.array(np.zeros(len(i), np.int64), pa.int64()),
+            }
+        )
+
+    baseline = docs.map_batches(base_rows, batch_format="pyarrow").materialize()
+
+    def init_vals(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(i, pa.int64()),
+                "val": pa.array(np.ones(len(i), np.int64), pa.int64()),
+            }
+        )
+
+    hubs = docs.map_batches(init_vals, batch_format="pyarrow").materialize()
+
+    def tag_vals(b: pa.Table) -> pa.Table:
+        k = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        return pa.table(
+            {
+                "part": pa.array((k % n_parts).astype(np.int32), pa.int32()),
+                "key": b["doc_id"],
+                "out": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "val": b["val"],
+                "side": pa.array(["r"] * n, pa.string()),
+            }
+        )
+
+    contrib_empty = pa.table(
+        {"out": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+    )
+
+    def contrib_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return contrib_empty
+        key = g["key"].to_numpy(zero_copy_only=False)
+        is_r = pc.equal(g["side"], "r").to_numpy(zero_copy_only=False)
+        rk = key[is_r]
+        rv = g["val"].to_numpy(zero_copy_only=False)[is_r]
+        order = np.argsort(rk)
+        rk, rv = rk[order], rv[order]
+        is_e = ~is_r
+        lookup = key[is_e]
+        out = g["out"].to_numpy(zero_copy_only=False)[is_e]
+        vals = rv[np.searchsorted(rk, lookup)]
+        uniq, inv = np.unique(out, return_inverse=True)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, vals)
+        return pa.table(
+            {"out": pa.array(uniq, pa.int64()), "c": pa.array(s, pa.int64())}
+        )
+
+    def tag_out(b: pa.Table) -> pa.Table:
+        d = b["out"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((d % n_parts).astype(np.int32), pa.int32()),
+                "out": b["out"],
+                "c": b["c"],
+            }
+        )
+
+    val_empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "val": pa.array([], pa.int64())}
+    )
+
+    def sum_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return val_empty
+        d = g["out"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(d, return_inverse=True)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, c)
+        return pa.table(
+            {"doc_id": pa.array(uniq, pa.int64()), "val": pa.array(s, pa.int64())}
+        )
+
+    def step(edges: rd.Dataset, vals: rd.Dataset) -> rd.Dataset:
+        tagged = vals.map_batches(tag_vals, batch_format="pyarrow")
+        contrib = drop_empty_blocks(
+            edges.union(tagged)
+            .groupby("part")
+            .map_groups(contrib_part, batch_format="pyarrow")
+            .materialize()
+        )
+        return drop_empty_blocks(
+            contrib.map_batches(tag_out, batch_format="pyarrow")
+            .union(baseline)
+            .groupby("part")
+            .map_groups(sum_part, batch_format="pyarrow")
+            .materialize()
+        )
+
+    auth = None
+    for _ in range(rounds):
+        auth = step(edges_by_src, hubs)   # a ← Σ h over in-edges
+        hubs = step(edges_by_dst, auth)   # h ← Σ a over out-edges
+
+    a_df = stable_frame(
+        auth.to_pandas(), {"doc_id": "int64", "val": "int64"}
+    ).rename(columns={"val": "authority"})
+    h_df = stable_frame(
+        hubs.to_pandas(), {"doc_id": "int64", "val": "int64"}
+    ).rename(columns={"val": "hub"})
+    out = a_df.merge(h_df, on="doc_id").sort_values("doc_id", ignore_index=True)
+    out = out[["doc_id", "hub", "authority"]]
+    out["hub"] = out["hub"].astype("int64")
+    out["authority"] = out["authority"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

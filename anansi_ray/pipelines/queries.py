@@ -4903,6 +4903,62 @@ def q_link_pagerank(sf_dir: str):
     return pagerank_integer(docs, n_docs, iters=3)
 
 
+def q_link_hits(sf_dir: str):
+    """Integer-exact HITS hubs/authorities (2 alternating rounds) over
+    the same deterministic link graph as link_pagerank — see
+    functions/graph.py hits_integer: per-superstep one co-partitioned
+    value exchange + integer bincount kernels, no float normalization,
+    so the SQL twin is pure SQL and bit-equal."""
+    from anansi_ray.functions.graph import hits_integer
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    n_docs = docs.count()
+    return hits_integer(docs, n_docs, rounds=2)
+
+
+SQL_LINK_HITS = """
+WITH e AS (
+  SELECT doc_id AS src,
+         (2 * doc_id + 1) % (SELECT count(*) FROM documents) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         (3 * doc_id + 7) % (SELECT count(*) FROM documents)
+  FROM documents
+),
+h0 AS (SELECT doc_id, 1::BIGINT AS v FROM documents),
+a1 AS (
+  SELECT d.doc_id, coalesce(sum(h0.v), 0)::BIGINT AS v
+  FROM documents d
+  LEFT JOIN e ON e.dst = d.doc_id
+  LEFT JOIN h0 ON h0.doc_id = e.src
+  GROUP BY 1),
+h1 AS (
+  SELECT d.doc_id, coalesce(sum(a1.v), 0)::BIGINT AS v
+  FROM documents d
+  LEFT JOIN e ON e.src = d.doc_id
+  LEFT JOIN a1 ON a1.doc_id = e.dst
+  GROUP BY 1),
+a2 AS (
+  SELECT d.doc_id, coalesce(sum(h1.v), 0)::BIGINT AS v
+  FROM documents d
+  LEFT JOIN e ON e.dst = d.doc_id
+  LEFT JOIN h1 ON h1.doc_id = e.src
+  GROUP BY 1),
+h2 AS (
+  SELECT d.doc_id, coalesce(sum(a2.v), 0)::BIGINT AS v
+  FROM documents d
+  LEFT JOIN e ON e.src = d.doc_id
+  LEFT JOIN a2 ON a2.doc_id = e.dst
+  GROUP BY 1)
+SELECT d.doc_id, h2.v AS hub, a2.v AS authority
+FROM documents d
+JOIN h2 ON h2.doc_id = d.doc_id
+JOIN a2 ON a2.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 SQL_LINK_PAGERANK = """
 WITH e AS (
   SELECT doc_id AS src,
@@ -12912,6 +12968,7 @@ QUERIES = {
     "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
     "padding_waste": (q_padding_waste, SQL_PADDING_WASTE),
     "cdc_chunk_dedup": (q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP),
+    "link_hits": (q_link_hits, SQL_LINK_HITS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "calibration_bins",
     "padding_waste",
     "cdc_chunk_dedup",
+    "link_hits",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts

@@ -186,3 +186,37 @@ class TestEventsLatest:
         assert got["event_id"].tolist() == exp["event_id"].tolist()
         assert got["ts"].tolist() == exp["ts"].tolist()
         assert got["value"].tolist() == exp["value"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHITS:
+    def test_layout_invariance_and_hand_check(self):
+        import ray.data as rd
+
+        from anansi_ray.functions.graph import hits_integer
+
+        n = 23
+        docs = pa.table({"doc_id": pa.array(np.arange(n), pa.int64())})
+        outs = []
+        for nb in (1, 5):
+            got = hits_integer(
+                rd.from_arrow(docs).repartition(nb), n, rounds=2
+            ).to_pandas()
+            outs.append(got)
+        assert outs[0].equals(outs[1])
+        out = outs[0].set_index("doc_id")
+        # hand-computed alternation on the deterministic graph
+        edges = [(i, (2 * i + 1) % n) for i in range(n)] + [
+            (i, (3 * i + 7) % n) for i in range(n)
+        ]
+        h = {i: 1 for i in range(n)}
+        for _ in range(2):
+            a = {i: 0 for i in range(n)}
+            for s, d in edges:
+                a[d] += h[s]
+            h = {i: 0 for i in range(n)}
+            for s, d in edges:
+                h[s] += a[d]
+        for i in range(n):
+            assert out.loc[i, "hub"] == h[i]
+            assert out.loc[i, "authority"] == a[i]
