@@ -26,6 +26,73 @@ R0 = 1_000_000_000  # initial rank, fixed-point 1e9
 BASE = 150_000_000  # (1 - d) * 1e9 with damping d = 0.85
 
 
+# ---------------------------------------------------------------------------
+# Partition-once / iterate-in-place plumbing.  Static per-iteration state
+# (edge lists, baseline node rows) is grouped by its ``part`` column ONE
+# time; afterwards the supersteps look a part's blocks up by ObjectRef
+# inside the group kernel — zero-copy from the object store, never
+# re-shuffled, never driver-resident.  Only the iteration-variant rows
+# (ranks, contributions, frontiers) cross the wire each superstep.
+
+def _group_once(ds: rd.Dataset) -> rd.Dataset:
+    return (
+        ds.groupby("part")
+        .map_groups(lambda g: g, batch_format="pyarrow")
+        .materialize()
+    )
+
+
+def _refs_by_part(grouped: rd.Dataset) -> dict:
+    """{part → [block ObjectRef]} WITHOUT pulling any block to the driver
+    (a tiny remote probe reads each block's distinct part values)."""
+    import ray
+
+    refs = grouped.to_arrow_refs()
+
+    @ray.remote
+    def parts_of(t: pa.Table):
+        if t.num_rows == 0:
+            return []
+        return np.unique(t["part"].to_numpy(zero_copy_only=False)).tolist()
+
+    plists = ray.get([parts_of.remote(r) for r in refs])
+    out: dict = {}
+    for pl, r in zip(plists, refs):
+        for p in pl:
+            out.setdefault(int(p), []).append(r)
+    return out
+
+
+def _fetch_part(refs: dict, p: int) -> "pa.Table | None":
+    """Concatenate (and part-filter, in case blocks coalesced groups) the
+    blocks holding partition ``p`` — called INSIDE group kernels, so the
+    ray.get is a worker-local zero-copy object-store read."""
+    import ray
+
+    rs = refs.get(p)
+    if not rs:
+        return None
+    tabs = [ray.get(r) for r in rs]
+    t = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
+    mask = pc.equal(t["part"], pa.scalar(p, t["part"].type))
+    if not pc.all(mask).as_py():
+        t = t.filter(mask)
+    return t if t.num_rows else None
+
+
+def _skeleton(n_parts: int) -> pa.Table:
+    """One sentinel row per partition so every part's group EXISTS in an
+    exchange even when no live rows landed there (sentinels are dropped
+    inside the kernel; the static side is then merged from refs)."""
+    return pa.table(
+        {
+            "part": pa.array(np.arange(n_parts, dtype=np.int32), pa.int32()),
+            "out": pa.array(np.full(n_parts, -1, np.int64), pa.int64()),
+            "c": pa.array(np.zeros(n_parts, np.int64), pa.int64()),
+        }
+    )
+
+
 def _edges_from_docs(docs: rd.Dataset, n_docs: int, n_parts: int) -> rd.Dataset:
     """Deterministic synthetic link graph over doc_id: each document links
     to (2i+1) % N and (3i+7) % N (parallel edges kept; out-degree is
@@ -56,20 +123,24 @@ def pagerank_integer(
     sorted by doc_id.  ``docs`` needs only a ``doc_id`` column."""
     from anansi_ray.arrowds import drop_empty_blocks
 
-    edges = _edges_from_docs(docs, n_docs, n_parts)
+    # static state laid out ONCE: edge blocks + all-node baseline blocks,
+    # looked up by ObjectRef inside the superstep kernels ever after
+    edge_refs = _refs_by_part(_group_once(_edges_from_docs(docs, n_docs, n_parts)))
 
-    # Baseline (dst, 0) rows keep zero-in-degree nodes alive through the
-    # contribution groupby — O(N), built once.
     def base_rows(b: pa.Table) -> pa.Table:
         i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "dst": pa.array(i, pa.int64()),
+                "part": pa.array((i % n_parts).astype(np.int32), pa.int32()),
+                "out": pa.array(i, pa.int64()),
                 "c": pa.array(np.zeros(len(i), np.int64), pa.int64()),
             }
         )
 
-    baseline = docs.map_batches(base_rows, batch_format="pyarrow").materialize()
+    baseline_refs = _refs_by_part(
+        _group_once(docs.map_batches(base_rows, batch_format="pyarrow"))
+    )
+    skeleton = rd.from_arrow(_skeleton(n_parts))
 
     def init_ranks(b: pa.Table) -> pa.Table:
         i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -84,33 +155,33 @@ def pagerank_integer(
 
     def tag_ranks(b: pa.Table) -> pa.Table:
         k = b["doc_id"].to_numpy(zero_copy_only=False)
-        n = len(k)
         return pa.table(
             {
                 "part": pa.array((k % n_parts).astype(np.int32), pa.int32()),
                 "key": b["doc_id"],
-                "dst": pa.array(np.zeros(n, np.int64), pa.int64()),
                 "pr": b["pr"],
-                "side": pa.array(["r"] * n, pa.string()),
             }
         )
 
     empty = pa.table(
-        {"dst": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+        {"out": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
     )
 
     def contrib_part(g: pa.Table) -> pa.Table:
+        # g holds ONLY this part's rank rows; edges come from the static
+        # layout by ref (object-store read, no exchange)
         if g.num_rows == 0:
             return empty
-        key = g["key"].to_numpy(zero_copy_only=False)
-        is_r = pc.equal(g["side"], "r").to_numpy(zero_copy_only=False)
-        rk = key[is_r]
-        rv = g["pr"].to_numpy(zero_copy_only=False)[is_r]
+        p = int(g["part"][0].as_py())
+        et = _fetch_part(edge_refs, p)
+        if et is None:
+            return empty
+        rk = g["key"].to_numpy(zero_copy_only=False)
+        rv = g["pr"].to_numpy(zero_copy_only=False)
         order = np.argsort(rk)
         rk, rv = rk[order], rv[order]
-        is_e = ~is_r
-        src = key[is_e]
-        dst = g["dst"].to_numpy(zero_copy_only=False)[is_e]
+        src = et["key"].to_numpy(zero_copy_only=False)
+        dst = et["dst"].to_numpy(zero_copy_only=False)
         pr_src = rv[np.searchsorted(rk, src)]
         # out-degree is 2 by construction; damping 0.85 in exact integers
         contrib = (85 * (pr_src // 2)) // 100
@@ -118,15 +189,15 @@ def pagerank_integer(
         s = np.zeros(len(uniq), np.int64)
         np.add.at(s, inv, contrib)
         return pa.table(
-            {"dst": pa.array(uniq, pa.int64()), "c": pa.array(s, pa.int64())}
+            {"out": pa.array(uniq, pa.int64()), "c": pa.array(s, pa.int64())}
         )
 
-    def tag_dst(b: pa.Table) -> pa.Table:
-        d = b["dst"].to_numpy(zero_copy_only=False)
+    def tag_out(b: pa.Table) -> pa.Table:
+        d = b["out"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "part": pa.array((d % n_parts).astype(np.int32), pa.int32()),
-                "dst": b["dst"],
+                "out": b["out"],
                 "c": b["c"],
             }
         )
@@ -137,13 +208,24 @@ def pagerank_integer(
 
     def sum_part(g: pa.Table) -> pa.Table:
         # coarse-part combine: every contribution for a dst lands in this
-        # part, so the per-dst total is exact in-kernel — never a sorted
-        # aggregate over the ~unique dst domain (integer sums, so the
-        # bit-equal contract is summation-order-free).
+        # part, so the per-dst total is exact in-kernel (integer sums are
+        # summation-order-free).  The skeleton row guarantees this group
+        # exists; the all-node baseline comes from the static layout.
         if g.num_rows == 0:
             return rank_empty
-        d = g["dst"].to_numpy(zero_copy_only=False)
+        p = int(g["part"][0].as_py())
+        d = g["out"].to_numpy(zero_copy_only=False)
         c = g["c"].to_numpy(zero_copy_only=False)
+        live = d >= 0  # drop the skeleton sentinel
+        bt = _fetch_part(baseline_refs, p)
+        if bt is None:
+            d, c = d[live], c[live]
+            if len(d) == 0:
+                return rank_empty
+        else:
+            nodes = bt["out"].to_numpy(zero_copy_only=False)
+            d = np.concatenate([nodes, d[live]])
+            c = np.concatenate([np.zeros(len(nodes), np.int64), c[live]])
         uniq, inv = np.unique(d, return_inverse=True)
         s = np.zeros(len(uniq), np.int64)
         np.add.at(s, inv, c)
@@ -154,21 +236,16 @@ def pagerank_integer(
             }
         )
 
-    baseline_tagged = baseline.map_batches(
-        tag_dst, batch_format="pyarrow"
-    ).materialize()
-
     for _ in range(iters):
         tagged = ranks.map_batches(tag_ranks, batch_format="pyarrow")
         contrib = drop_empty_blocks(
-            edges.union(tagged)
-            .groupby("part")
+            tagged.groupby("part")
             .map_groups(contrib_part, batch_format="pyarrow")
             .materialize()
         )
         ranks = drop_empty_blocks(
-            contrib.map_batches(tag_dst, batch_format="pyarrow")
-            .union(baseline_tagged)
+            contrib.map_batches(tag_out, batch_format="pyarrow")
+            .union(skeleton)
             .groupby("part")
             .map_groups(sum_part, batch_format="pyarrow")
             .materialize()
@@ -202,7 +279,7 @@ def khop_reach(
     pair key becomes (root_hash, node) and ``mod`` bounds the root set."""
     from anansi_ray.arrowds import drop_empty_blocks
 
-    edges = _edges_from_docs(docs, n_docs, n_parts)
+    edge_refs = _refs_by_part(_group_once(_edges_from_docs(docs, n_docs, n_parts)))
 
     def roots_init(b: pa.Table) -> pa.Table:
         i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -216,14 +293,11 @@ def khop_reach(
 
     def tag_frontier(b: pa.Table) -> pa.Table:
         node = b["node"].to_numpy(zero_copy_only=False)
-        n = len(node)
         return pa.table(
             {
                 "part": pa.array((node % n_parts).astype(np.int32), pa.int32()),
                 "key": pa.array(node, pa.int64()),
-                "dst": b["root"],  # carries the root on frontier rows
-                "pr": pa.array(np.zeros(n, np.int64), pa.int64()),
-                "side": pa.array(["f"] * n, pa.string()),
+                "root": b["root"],
             }
         )
 
@@ -232,15 +306,20 @@ def khop_reach(
     )
 
     def expand_part(g: pa.Table) -> pa.Table:
+        # g holds ONLY this part's frontier rows; edges come from the
+        # static layout by ref (object-store read, no exchange)
         if g.num_rows == 0:
             return pair_empty
-        key = g["key"].to_numpy(zero_copy_only=False)
-        other = g["dst"].to_numpy(zero_copy_only=False)
-        is_e = pc.equal(g["side"], "e").to_numpy(zero_copy_only=False)
-        src, dst = key[is_e], other[is_e]
+        p = int(g["part"][0].as_py())
+        et = _fetch_part(edge_refs, p)
+        if et is None:
+            return pair_empty
+        src = et["key"].to_numpy(zero_copy_only=False)
+        dst = et["dst"].to_numpy(zero_copy_only=False)
         order = np.argsort(src, kind="stable")
         src, dst = src[order], dst[order]
-        fnode, froot = key[~is_e], other[~is_e]
+        fnode = g["key"].to_numpy(zero_copy_only=False)
+        froot = g["root"].to_numpy(zero_copy_only=False)
         lo = np.searchsorted(src, fnode, side="left")
         hi = np.searchsorted(src, fnode, side="right")
         cnt = hi - lo
@@ -293,8 +372,7 @@ def khop_reach(
     for _ in range(hops):
         tagged = frontier.map_batches(tag_frontier, batch_format="pyarrow")
         new_pairs = drop_empty_blocks(
-            edges.union(tagged)
-            .groupby("part")
+            tagged.groupby("part")
             .map_groups(expand_part, batch_format="pyarrow")
             .materialize()
         )
@@ -358,7 +436,9 @@ def hits_integer(
                 }
             )
 
-        return docs.map_batches(gen, batch_format="pyarrow").materialize()
+        return _refs_by_part(
+            _group_once(docs.map_batches(gen, batch_format="pyarrow"))
+        )
 
     edges_by_src = gen_dir(True)   # authority update reads hub(src)
     edges_by_dst = gen_dir(False)  # hub update reads authority(dst)
@@ -373,7 +453,10 @@ def hits_integer(
             }
         )
 
-    baseline = docs.map_batches(base_rows, batch_format="pyarrow").materialize()
+    baseline_refs = _refs_by_part(
+        _group_once(docs.map_batches(base_rows, batch_format="pyarrow"))
+    )
+    skeleton = rd.from_arrow(_skeleton(n_parts))
 
     def init_vals(b: pa.Table) -> pa.Table:
         i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -388,14 +471,11 @@ def hits_integer(
 
     def tag_vals(b: pa.Table) -> pa.Table:
         k = b["doc_id"].to_numpy(zero_copy_only=False)
-        n = len(k)
         return pa.table(
             {
                 "part": pa.array((k % n_parts).astype(np.int32), pa.int32()),
                 "key": b["doc_id"],
-                "out": pa.array(np.zeros(n, np.int64), pa.int64()),
                 "val": b["val"],
-                "side": pa.array(["r"] * n, pa.string()),
             }
         )
 
@@ -403,25 +483,29 @@ def hits_integer(
         {"out": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
     )
 
-    def contrib_part(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return contrib_empty
-        key = g["key"].to_numpy(zero_copy_only=False)
-        is_r = pc.equal(g["side"], "r").to_numpy(zero_copy_only=False)
-        rk = key[is_r]
-        rv = g["val"].to_numpy(zero_copy_only=False)[is_r]
-        order = np.argsort(rk)
-        rk, rv = rk[order], rv[order]
-        is_e = ~is_r
-        lookup = key[is_e]
-        out = g["out"].to_numpy(zero_copy_only=False)[is_e]
-        vals = rv[np.searchsorted(rk, lookup)]
-        uniq, inv = np.unique(out, return_inverse=True)
-        s = np.zeros(len(uniq), np.int64)
-        np.add.at(s, inv, vals)
-        return pa.table(
-            {"out": pa.array(uniq, pa.int64()), "c": pa.array(s, pa.int64())}
-        )
+    def make_contrib_part(edge_refs: dict):
+        def contrib_part(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return contrib_empty
+            p = int(g["part"][0].as_py())
+            et = _fetch_part(edge_refs, p)
+            if et is None:
+                return contrib_empty
+            rk = g["key"].to_numpy(zero_copy_only=False)
+            rv = g["val"].to_numpy(zero_copy_only=False)
+            order = np.argsort(rk)
+            rk, rv = rk[order], rv[order]
+            lookup = et["key"].to_numpy(zero_copy_only=False)
+            out = et["out"].to_numpy(zero_copy_only=False)
+            vals = rv[np.searchsorted(rk, lookup)]
+            uniq, inv = np.unique(out, return_inverse=True)
+            s = np.zeros(len(uniq), np.int64)
+            np.add.at(s, inv, vals)
+            return pa.table(
+                {"out": pa.array(uniq, pa.int64()), "c": pa.array(s, pa.int64())}
+            )
+
+        return contrib_part
 
     def tag_out(b: pa.Table) -> pa.Table:
         d = b["out"].to_numpy(zero_copy_only=False)
@@ -440,8 +524,19 @@ def hits_integer(
     def sum_part(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return val_empty
+        p = int(g["part"][0].as_py())
         d = g["out"].to_numpy(zero_copy_only=False)
         c = g["c"].to_numpy(zero_copy_only=False)
+        live = d >= 0  # drop the skeleton sentinel
+        bt = _fetch_part(baseline_refs, p)
+        if bt is None:
+            d, c = d[live], c[live]
+            if len(d) == 0:
+                return val_empty
+        else:
+            nodes = bt["out"].to_numpy(zero_copy_only=False)
+            d = np.concatenate([nodes, d[live]])
+            c = np.concatenate([np.zeros(len(nodes), np.int64), c[live]])
         uniq, inv = np.unique(d, return_inverse=True)
         s = np.zeros(len(uniq), np.int64)
         np.add.at(s, inv, c)
@@ -449,17 +544,16 @@ def hits_integer(
             {"doc_id": pa.array(uniq, pa.int64()), "val": pa.array(s, pa.int64())}
         )
 
-    def step(edges: rd.Dataset, vals: rd.Dataset) -> rd.Dataset:
+    def step(edge_refs: dict, vals: rd.Dataset) -> rd.Dataset:
         tagged = vals.map_batches(tag_vals, batch_format="pyarrow")
         contrib = drop_empty_blocks(
-            edges.union(tagged)
-            .groupby("part")
-            .map_groups(contrib_part, batch_format="pyarrow")
+            tagged.groupby("part")
+            .map_groups(make_contrib_part(edge_refs), batch_format="pyarrow")
             .materialize()
         )
         return drop_empty_blocks(
             contrib.map_batches(tag_out, batch_format="pyarrow")
-            .union(baseline)
+            .union(skeleton)
             .groupby("part")
             .map_groups(sum_part, batch_format="pyarrow")
             .materialize()
