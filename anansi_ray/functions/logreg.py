@@ -79,11 +79,16 @@ def _features(batch: pa.Table) -> np.ndarray:
         if len(flat)
         else np.zeros(n)
     )
-    # distinct tokens per doc: unique over (parent, token) pairs
+    # distinct tokens per doc: unique over integer (parent, token) pair
+    # keys (numpy U-dtype silently drops NUL separators, so never
+    # string-compose composite keys)
     if len(flat):
-        key = np.char.add(np.char.add(parents.astype(str), "\x00"), flat)
-        _, first = np.unique(key, return_index=True)
-        distinct = np.bincount(parents[first], minlength=n).astype(np.float64)
+        ut, tinv = np.unique(flat, return_inverse=True)
+        pair = parents.astype(np.int64) * len(ut) + tinv
+        upair = np.unique(pair)
+        distinct = np.bincount(
+            (upair // len(ut)).astype(np.int64), minlength=n
+        ).astype(np.float64)
     else:
         distinct = np.zeros(n)
     X = np.empty((n, LR_DIM), np.float64)

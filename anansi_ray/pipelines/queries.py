@@ -1617,7 +1617,8 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v16"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v17"  # bump whenever artifact-affecting code changes
+# v17: logreg distinct-token feature fixed (integer pair keys) ⇒ new weights
 # v16: added the CDC chunk-dedup twin (cdc_dedup.parquet)
 # v14: added the BPE encode twin (bpe_encode.parquet)
 # v15: added the HLL distinct twin (hll_distinct.parquet)
@@ -2805,6 +2806,126 @@ def q_logreg_quality(sf_dir: str):
     return flogreg.logreg_distributed(
         _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     )
+
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher/MassiveText-style rule filter (Rae et al. 2021 §A1.1
+    adapted to this corpus): per-doc named rule flags — word-count range,
+    mean-word-length range, ≥2 distinct stopwords, max-word-repetition
+    cap, symbol-to-word cap — and the conjunction ``keep``.  Every rule
+    is an INTEGER comparison (e.g. mean-length ∈ [3,10] as
+    ``3·n ≤ Σlen ≤ 10·n``), so both engines agree exactly with no float
+    boundary.  One vectorized streaming pass; nothing shuffles."""
+
+    def part(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        col = pc.fill_null(b["text"].combine_chunks().cast(pa.string()), "")
+        toks = pc.split_pattern_regex(col, r"\s+")
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(str)
+        lens_l = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parents = np.repeat(np.arange(n), lens_l)
+        keep_m = flat != ""
+        flat, parents = flat[keep_m], parents[keep_m]
+        n_words = np.bincount(parents, minlength=n).astype(np.int64)
+        wl = np.char.str_len(flat).astype(np.int64) if len(flat) else np.array([], np.int64)
+        sum_len = (
+            np.bincount(parents, weights=wl.astype(np.float64), minlength=n)
+            .astype(np.int64)
+            if len(flat)
+            else np.zeros(n, np.int64)
+        )
+        # max single-word repetition per doc (integer pair keys — numpy
+        # U-dtype silently drops NUL separators, so never string-compose)
+        maxc = np.zeros(n, np.int64)
+        if len(flat):
+            ut, tinv = np.unique(flat, return_inverse=True)
+            pair = parents.astype(np.int64) * len(ut) + tinv
+            upair, cnts = np.unique(pair, return_counts=True)
+            np.maximum.at(maxc, upair // len(ut), cnts.astype(np.int64))
+        # distinct stopwords present (of {'the', 'a'})
+        stop_cnt = np.zeros(n, np.int64)
+        for sw in ("the", "a"):
+            hit = np.zeros(n, bool)
+            if len(flat):
+                hit[parents[flat == sw]] = True
+            stop_cnt += hit.astype(np.int64)
+        sym = (
+            pc.utf8_length(
+                pc.replace_substring_regex(col, r"[A-Za-z0-9\s]", "")
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        r_len = (n_words >= 5) & (n_words <= 100000)
+        r_mwl = (3 * n_words <= sum_len) & (sum_len <= 10 * n_words)
+        r_stop = stop_cnt >= 2
+        r_rep = 5 * maxc <= n_words
+        r_sym = 10 * sym <= n_words
+        keep = r_len & r_mwl & r_stop & r_rep & r_sym
+        mk = lambda a: pa.array(a.astype(np.int64), pa.int64())
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_words": mk(n_words),
+                "r_len": mk(r_len),
+                "r_mean_wl": mk(r_mwl),
+                "r_stop": mk(r_stop),
+                "r_repeat": mk(r_rep),
+                "r_symbol": mk(r_sym),
+                "keep": mk(keep),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    spec = {
+        c: "int64"
+        for c in (
+            "doc_id n_words r_len r_mean_wl r_stop r_repeat r_symbol keep"
+        ).split()
+    }
+    out = _stable(out, spec).sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_GOPHER_RULES = r"""
+WITH occ AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS tok
+  FROM documents),
+wc AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM occ GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         sum(c)::BIGINT AS n_words,
+         sum(c * len(tok))::BIGINT AS sum_len,
+         max(c)::BIGINT AS maxc,
+         count(DISTINCT tok) FILTER (WHERE tok IN ('the', 'a'))::BIGINT
+           AS stop_cnt
+  FROM wc GROUP BY doc_id),
+base AS (
+  SELECT d.doc_id,
+         coalesce(a.n_words, 0) AS n_words,
+         coalesce(a.sum_len, 0) AS sum_len,
+         coalesce(a.maxc, 0) AS maxc,
+         coalesce(a.stop_cnt, 0) AS stop_cnt,
+         len(regexp_replace(coalesce(d.text, ''), '[A-Za-z0-9\s]', '', 'g'))
+           ::BIGINT AS sym
+  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+rules AS (
+  SELECT doc_id, n_words,
+         (n_words >= 5 AND n_words <= 100000)::BIGINT AS r_len,
+         (3 * n_words <= sum_len AND sum_len <= 10 * n_words)::BIGINT
+           AS r_mean_wl,
+         (stop_cnt >= 2)::BIGINT AS r_stop,
+         (5 * maxc <= n_words)::BIGINT AS r_repeat,
+         (10 * sym <= n_words)::BIGINT AS r_symbol
+  FROM base)
+SELECT doc_id, n_words, r_len, r_mean_wl, r_stop, r_repeat, r_symbol,
+       (r_len * r_mean_wl * r_stop * r_repeat * r_symbol)::BIGINT AS keep
+FROM rules ORDER BY doc_id
+"""
 
 
 def q_cdc_chunk_dedup(sf_dir: str):
@@ -12969,6 +13090,7 @@ QUERIES = {
     "padding_waste": (q_padding_waste, SQL_PADDING_WASTE),
     "cdc_chunk_dedup": (q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP),
     "link_hits": (q_link_hits, SQL_LINK_HITS),
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "padding_waste",
     "cdc_chunk_dedup",
     "link_hits",
+    "gopher_rules",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
