@@ -2429,6 +2429,57 @@ ORDER BY doc_id
 """
 
 
+_MEDIA_TOKEN_COST = 64
+
+
+def q_interleaved_token_budget(sf_dir: str):
+    """Training-cost budget per interleaved document: text tokens (the
+    token_count regex over the ordered text spans) plus a fixed
+    ``_MEDIA_TOKEN_COST`` per media span — the number a packing/batching
+    planner needs for mixed text+media sequences.  Computed from the
+    crawl pipeline's own span table; the SQL twin recomputes the tokens
+    INDEPENDENTLY from the reference-crawler artifact's flattened text."""
+    from anansi_ray.functions.spans import flatten_spans_batch
+
+    res = _crawl_results()["documents"]
+    order = pc.sort_indices(res, sort_keys=[("doc_id", "ascending")])
+    flat = flatten_spans_batch(res.take(order))
+    n_tok = (
+        pc.fill_null(
+            pc.count_substring_regex(
+                flat["text"], r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"
+            ),
+            0,
+        )
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    n_media = flat["n_media_spans"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": flat["doc_id"],
+            "n_text_tokens": pa.array(n_tok, pa.int64()),
+            "n_media_spans": pa.array(n_media, pa.int64()),
+            "budget": pa.array(
+                n_tok + _MEDIA_TOKEN_COST * n_media, pa.int64()
+            ),
+        }
+    )
+
+
+SQL_INTERLEAVED_TOKEN_BUDGET = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(coalesce(text, ''),
+           '[A-Za-z0-9]+|[^\sA-Za-z0-9]'))::BIGINT AS n_text_tokens,
+       n_media_spans,
+       (len(regexp_extract_all(coalesce(text, ''),
+            '[A-Za-z0-9]+|[^\sA-Za-z0-9]'))
+        + 64 * n_media_spans)::BIGINT AS budget
+FROM read_parquet('{ORACLE_DIR}/crawl_docs_flat.parquet')
+ORDER BY doc_id
+"""
+
+
 def q_crawl_doc_pipeline(sf_dir: str):
     """End-to-end: crawl → interleaved spans → flatten → text quality +
     token counts + exact-dup fingerprint — the full 'crawl to training
@@ -13091,6 +13142,10 @@ QUERIES = {
     "cdc_chunk_dedup": (q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP),
     "link_hits": (q_link_hits, SQL_LINK_HITS),
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "interleaved_token_budget": (
+        q_interleaved_token_budget,
+        SQL_INTERLEAVED_TOKEN_BUDGET,
+    ),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

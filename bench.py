@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "cdc_chunk_dedup",
     "link_hits",
     "gopher_rules",
+    "interleaved_token_budget",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
