@@ -2859,6 +2859,168 @@ def q_logreg_quality(sf_dir: str):
     )
 
 
+def q_source_overlap_matrix(sf_dir: str):
+    """Cross-source contamination matrix: for every source pair, the
+    number of distinct 3-token shingles they share and the Jaccard
+    overlap of their shingle sets — the corpus-mixing diagnostic that
+    says which sources are near-copies of each other.
+
+    Scale shape: per-batch distinct (shingle → source bitmask) combiner,
+    ONE coarse hash exchange on the shingle, then each partition folds
+    its shingles to a ≤2^|sources| distinct-mask histogram — the pair
+    counting never touches individual shingles again; the driver merges
+    O(parts · pairs) tiny rows.  |sources| is catalog-sized (≤64)."""
+    P = 32
+
+    srcs = sorted(
+        set(
+            _read(sf_dir, "documents", ["source"])
+            .to_pandas()["source"]
+            .astype(str)
+        )
+    )
+    spec = {
+        "src_a": pa.string(),
+        "src_b": pa.string(),
+        "n_shared": pa.int64(),
+        "n_a": pa.int64(),
+        "n_b": pa.int64(),
+        "jaccard": pa.float64(),
+    }
+    if len(srcs) < 2:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    import ray as _ray
+
+    src_ref = _ray.put({s: i for i, s in enumerate(srcs)})
+
+    def shingle_mask_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        smap = _ray.get(src_ref)
+        ridx, sh = ftext.shingles_for_batch(b, k=3)
+        if not sh:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "sh": pa.array([], pa.string()),
+                    "mask": pa.array([], pa.int64()),
+                }
+            )
+        src = b["source"].to_numpy(zero_copy_only=False).astype(str)
+        bits = np.array([np.int64(1) << smap[s] for s in src], np.int64)
+        uniq, inv = np.unique(np.asarray(sh, dtype=str), return_inverse=True)
+        masks = np.zeros(len(uniq), np.int64)
+        np.bitwise_or.at(masks, inv, bits[ridx])
+        h = pd.util.hash_array(uniq.astype(object))
+        return pa.table(
+            {
+                "part": pa.array((h % P).astype(np.int32), pa.int32()),
+                "sh": pa.array(uniq, pa.string()),
+                "mask": pa.array(masks, pa.int64()),
+            }
+        )
+
+    pair_empty = pa.table(
+        {
+            "i": pa.array([], pa.int64()),
+            "j": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+        }
+    )
+
+    ns = len(srcs)
+
+    def pair_kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pair_empty
+        sh = g["sh"].to_numpy(zero_copy_only=False).astype(str)
+        m = g["mask"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(sh, return_inverse=True)
+        masks = np.zeros(len(uniq), np.int64)
+        np.bitwise_or.at(masks, inv, m)
+        # distinct-mask histogram: pair counting over ≤2^ns mask values
+        um, cnt = np.unique(masks, return_counts=True)
+        oi, oj, oc = [], [], []
+        for mask, c in zip(um, cnt):
+            bits = [b for b in range(ns) if mask >> b & 1]
+            for x in range(len(bits)):
+                oi.append(bits[x])
+                oj.append(bits[x])
+                oc.append(int(c))  # diagonal: per-source distinct total
+                for y in range(x + 1, len(bits)):
+                    oi.append(bits[x])
+                    oj.append(bits[y])
+                    oc.append(int(c))
+        return pa.table(
+            {
+                "i": pa.array(oi, pa.int64()),
+                "j": pa.array(oj, pa.int64()),
+                "c": pa.array(oc, pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(shingle_mask_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_kernel, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    g = parts.groupby(["i", "j"], sort=True)["c"].sum()
+    tot = {i: int(g.get((i, i), 0)) for i in range(ns)}
+    rows = []
+    for a in range(ns):
+        for b_ in range(a + 1, ns):
+            shared = int(g.get((a, b_), 0))
+            union = tot[a] + tot[b_] - shared
+            rows.append(
+                (
+                    srcs[a],
+                    srcs[b_],
+                    shared,
+                    tot[a],
+                    tot[b_],
+                    round(shared / union, 6) if union else 0.0,
+                )
+            )
+    return pa.table(
+        {
+            "src_a": pa.array([r[0] for r in rows], pa.string()),
+            "src_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_shared": pa.array([r[2] for r in rows], pa.int64()),
+            "n_a": pa.array([r[3] for r in rows], pa.int64()),
+            "n_b": pa.array([r[4] for r in rows], pa.int64()),
+            "jaccard": pa.array([r[5] for r in rows], pa.float64()),
+        }
+    )
+
+
+SQL_SOURCE_OVERLAP_MATRIX = r"""
+WITH w AS (
+  SELECT source, regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+  FROM documents),
+g AS (
+  SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+  FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(i)),
+sz AS (SELECT source, count(*)::BIGINT AS n FROM g GROUP BY 1),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS shared
+  FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT za.source AS src_a, zb.source AS src_b,
+       coalesce(i.shared, 0)::BIGINT AS n_shared,
+       za.n AS n_a, zb.n AS n_b,
+       round(coalesce(i.shared, 0) * 1.0
+             / (za.n + zb.n - coalesce(i.shared, 0)), 6) AS jaccard
+FROM sz za
+JOIN sz zb ON za.source < zb.source
+LEFT JOIN inter i ON i.sa = za.source AND i.sb = zb.source
+ORDER BY src_a, src_b
+"""
+
+
 def q_gopher_rules(sf_dir: str):
     """Gopher/MassiveText-style rule filter (Rae et al. 2021 §A1.1
     adapted to this corpus): per-doc named rule flags — word-count range,
@@ -13145,6 +13307,10 @@ QUERIES = {
     "interleaved_token_budget": (
         q_interleaved_token_budget,
         SQL_INTERLEAVED_TOKEN_BUDGET,
+    ),
+    "source_overlap_matrix": (
+        q_source_overlap_matrix,
+        SQL_SOURCE_OVERLAP_MATRIX,
     ),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),

@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "link_hits",
     "gopher_rules",
     "interleaved_token_budget",
+    "source_overlap_matrix",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
