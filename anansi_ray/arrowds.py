@@ -375,3 +375,59 @@ def ts_us(col: "pa.ChunkedArray | pa.Array") -> "pa.ChunkedArray | pa.Array":
             col = col.cast(pa.timestamp("us", tz=t.tz))
         return col.cast(pa.int64())
     return col.cast(pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Partition-once / iterate-in-place plumbing for iterative algorithms.
+# Static per-iteration state (edge lists, baseline node rows) is grouped by
+# its ``part`` column ONE time; supersteps then look a part's blocks up by
+# ObjectRef inside the group kernel — zero-copy from the object store,
+# never re-shuffled, never driver-resident.  Only iteration-variant rows
+# (ranks, labels, frontiers) cross the wire each superstep.
+
+def group_once(ds: rd.Dataset) -> rd.Dataset:
+    return (
+        ds.groupby("part")
+        .map_groups(lambda g: g, batch_format="pyarrow")
+        .materialize()
+    )
+
+
+def refs_by_part(grouped: rd.Dataset) -> dict:
+    """{part → [block ObjectRef]} WITHOUT pulling any block to the driver
+    (a tiny remote probe reads each block's distinct part values)."""
+    import numpy as np
+    import ray
+
+    refs = grouped.to_arrow_refs()
+
+    @ray.remote
+    def parts_of(t: pa.Table):
+        if t.num_rows == 0:
+            return []
+        return np.unique(t["part"].to_numpy(zero_copy_only=False)).tolist()
+
+    plists = ray.get([parts_of.remote(r) for r in refs])
+    out: dict = {}
+    for pl, r in zip(plists, refs):
+        for p in pl:
+            out.setdefault(int(p), []).append(r)
+    return out
+
+
+def fetch_part(refs: dict, p: int) -> "pa.Table | None":
+    """Concatenate (and part-filter, in case blocks coalesced groups) the
+    blocks holding partition ``p`` — called INSIDE group kernels, so the
+    ray.get is a worker-local zero-copy object-store read."""
+    import pyarrow.compute as pc
+    import ray
+
+    rs = refs.get(p)
+    if not rs:
+        return None
+    tabs = [ray.get(r) for r in rs]
+    t = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
+    mask = pc.equal(t["part"], pa.scalar(p, t["part"].type))
+    if not pc.all(mask).as_py():
+        t = t.filter(mask)
+    return t if t.num_rows else None

@@ -658,63 +658,63 @@ def connected_components_distributed(
 
         labels = edges.map_batches(init_labels, batch_format="pyarrow").materialize()
 
+        # static layout: edges grouped by src-part ONCE, looked up by
+        # ObjectRef inside the stamp kernel every iteration after — only
+        # the label table crosses the wire per superstep
+        from anansi_ray.arrowds import fetch_part as _fetch_part
+        from anansi_ray.arrowds import group_once as _group_once
+        from anansi_ray.arrowds import refs_by_part as _refs_by_part
+
         def tag_edges(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
             src = batch["src"].combine_chunks()
             return pa.table(
                 {
                     "part": _part_np(src.to_numpy(zero_copy_only=False), n_parts),
                     "src": src,
                     "dst": batch["dst"],
-                    "label": pa.nulls(n, pa.int64()),
-                    "isv": pa.array(np.ones(n, np.int8), pa.int8()),
                 }
             )
 
-        def tag_labels(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            return pa.table(
-                {
-                    "part": batch["part"],
-                    "src": batch["node"],
-                    "dst": pa.nulls(n, pa.int64()),
-                    "label": batch["label"],
-                    "isv": pa.array(np.zeros(n, np.int8), pa.int8()),
-                }
-            )
+        edge_refs = _refs_by_part(
+            _group_once(edges.map_batches(tag_edges, batch_format="pyarrow"))
+        )
 
         def stamp_part(group: pa.Table) -> pa.Table:
-            """One coarse partition: label rows sort first per src-run; every
-            out-edge emits (dst, src's label), every node re-emits its own
-            label (flagged ``own`` for the convergence check downstream)."""
+            """One coarse partition of LABEL rows (edges come from the
+            static layout by ref): every out-edge emits (dst, src's
+            label), every node re-emits its own label (flagged ``own``
+            for the convergence check downstream)."""
             if group.num_rows == 0:
                 return _EMPTY_MSGS
-            t = group.take(
-                pc.sort_indices(
-                    group, sort_keys=[("src", "ascending"), ("isv", "ascending")]
+            p = int(group["part"][0].as_py())
+            node = _np(group["node"])
+            lbl = _np(group["label"])
+            order = np.argsort(node, kind="stable")
+            node, lbl = node[order], lbl[order]
+            # dedup per node (iteration 0 seeds one row per endpoint
+            # occurrence, all with label == node, so run-first is exact)
+            first = np.r_[True, node[1:] != node[:-1]]
+            n_u, l_u = node[first], lbl[first]
+            et = _fetch_part(edge_refs, p)
+            if et is None:
+                out_node, out_label = n_u, l_u
+                own = np.ones(len(n_u), np.int8)
+            else:
+                src = _np(et["src"])
+                dst = _np(et["dst"])
+                # every src is an edge endpoint, so its label row is in
+                # this same part by construction
+                sl = l_u[np.searchsorted(n_u, src)]
+                out_node = np.concatenate([n_u, dst])
+                out_label = np.concatenate([l_u, sl])
+                own = np.concatenate(
+                    [np.ones(len(n_u), np.int8), np.zeros(len(dst), np.int8)]
                 )
-            )
-            src = _np(t["src"])
-            isv = _np(t["isv"])
-            lbl = _np(pc.fill_null(t["label"], 0))
-            new = np.r_[True, src[1:] != src[:-1]]
-            starts = np.flatnonzero(new)
-            run_id = np.cumsum(new) - 1
-            has_lbl = isv[starts] == 0
-            run_lbl = lbl[starts]
-            edge_rows = np.flatnonzero((isv == 1) & has_lbl[run_id])
-            own_rows = starts[has_lbl]
-            dst = _np(t["dst"])
-            node = np.concatenate([src[own_rows], dst[edge_rows]])
-            label = np.concatenate([lbl[own_rows], run_lbl[run_id[edge_rows]]])
-            own = np.concatenate(
-                [np.ones(len(own_rows), np.int8), np.zeros(len(edge_rows), np.int8)]
-            )
             return pa.table(
                 {
-                    "pp": _part_np(node, n_parts),
-                    "node": pa.array(node, pa.int64()),
-                    "label": pa.array(label, pa.int64()),
+                    "pp": _part_np(out_node, n_parts),
+                    "node": pa.array(out_node, pa.int64()),
+                    "label": pa.array(out_label, pa.int64()),
                     "own": pa.array(own, pa.int8()),
                 }
             )
@@ -755,11 +755,8 @@ def connected_components_distributed(
             )
 
         for _ in range(max_iters):
-            msgs = (
-                edges.map_batches(tag_edges, batch_format="pyarrow")
-                .union(labels.map_batches(tag_labels, batch_format="pyarrow"))
-                .groupby("part")
-                .map_groups(stamp_part, batch_format="pyarrow")
+            msgs = labels.groupby("part").map_groups(
+                stamp_part, batch_format="pyarrow"
             )
             labels = _drop_empty_blocks(
                 msgs.groupby("pp")

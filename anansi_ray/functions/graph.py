@@ -34,50 +34,9 @@ BASE = 150_000_000  # (1 - d) * 1e9 with damping d = 0.85
 # re-shuffled, never driver-resident.  Only the iteration-variant rows
 # (ranks, contributions, frontiers) cross the wire each superstep.
 
-def _group_once(ds: rd.Dataset) -> rd.Dataset:
-    return (
-        ds.groupby("part")
-        .map_groups(lambda g: g, batch_format="pyarrow")
-        .materialize()
-    )
-
-
-def _refs_by_part(grouped: rd.Dataset) -> dict:
-    """{part → [block ObjectRef]} WITHOUT pulling any block to the driver
-    (a tiny remote probe reads each block's distinct part values)."""
-    import ray
-
-    refs = grouped.to_arrow_refs()
-
-    @ray.remote
-    def parts_of(t: pa.Table):
-        if t.num_rows == 0:
-            return []
-        return np.unique(t["part"].to_numpy(zero_copy_only=False)).tolist()
-
-    plists = ray.get([parts_of.remote(r) for r in refs])
-    out: dict = {}
-    for pl, r in zip(plists, refs):
-        for p in pl:
-            out.setdefault(int(p), []).append(r)
-    return out
-
-
-def _fetch_part(refs: dict, p: int) -> "pa.Table | None":
-    """Concatenate (and part-filter, in case blocks coalesced groups) the
-    blocks holding partition ``p`` — called INSIDE group kernels, so the
-    ray.get is a worker-local zero-copy object-store read."""
-    import ray
-
-    rs = refs.get(p)
-    if not rs:
-        return None
-    tabs = [ray.get(r) for r in rs]
-    t = tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
-    mask = pc.equal(t["part"], pa.scalar(p, t["part"].type))
-    if not pc.all(mask).as_py():
-        t = t.filter(mask)
-    return t if t.num_rows else None
+from anansi_ray.arrowds import fetch_part as _fetch_part
+from anansi_ray.arrowds import group_once as _group_once
+from anansi_ray.arrowds import refs_by_part as _refs_by_part
 
 
 def _skeleton(n_parts: int) -> pa.Table:
