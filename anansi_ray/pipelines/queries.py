@@ -2859,6 +2859,101 @@ def q_logreg_quality(sf_dir: str):
     )
 
 
+def q_aqp_revenue_estimate(sf_dir: str):
+    """Approximate query processing: estimate mean order price from a
+    deterministic 10 % hash sample (md5 coin on the order key — the
+    BlinkDB-style AQP recipe with a reproducible sample) next to the
+    exact mean, with a Hoeffding 99 % half-width from the exact value
+    range.  One streaming pass computes all partials (per-batch sums,
+    counts, min/max, sample sums) — nothing shuffles; the sample is a
+    pure function of the key, so the SQL twin draws the identical rows."""
+
+    def part(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = b["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        coin = np.array(
+            [
+                int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 10
+                for k in keys
+            ],
+            np.int64,
+        )
+        samp = coin == 0
+        return pa.table(
+            {
+                "n": pa.array([len(keys)], pa.int64()),
+                "s": pa.array([float(price.sum())], pa.float64()),
+                "mn": pa.array(
+                    [float(price.min()) if len(price) else np.inf], pa.float64()
+                ),
+                "mx": pa.array(
+                    [float(price.max()) if len(price) else -np.inf], pa.float64()
+                ),
+                "ns": pa.array([int(samp.sum())], pa.int64()),
+                "ss": pa.array([float(price[samp].sum())], pa.float64()),
+            }
+        )
+
+    spec = {
+        "n_total": pa.int64(),
+        "n_sample": pa.int64(),
+        "exact_mean": pa.float64(),
+        "sample_mean": pa.float64(),
+        "abs_err": pa.float64(),
+        "hoeffding_99": pa.float64(),
+    }
+    parts = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(parts) == 0 or parts["n"].sum() == 0 or parts["ns"].sum() == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    n, s = float(parts["n"].sum()), float(parts["s"].sum())
+    ns, ss = float(parts["ns"].sum()), float(parts["ss"].sum())
+    rng = float(parts["mx"].max()) - float(parts["mn"].min())
+    exact = s / n
+    samp = ss / ns
+    # Hoeffding: P(|mean_est - mean| > t) <= 2 exp(-2 ns t² / range²)
+    hoeff = rng * np.sqrt(np.log(2.0 / 0.01) / (2.0 * ns))
+    return pa.table(
+        {
+            "n_total": pa.array([int(n)], pa.int64()),
+            "n_sample": pa.array([int(ns)], pa.int64()),
+            "exact_mean": pa.array([round(exact, 6)], pa.float64()),
+            "sample_mean": pa.array([round(samp, 6)], pa.float64()),
+            "abs_err": pa.array([round(abs(samp - exact), 6)], pa.float64()),
+            "hoeffding_99": pa.array([round(hoeff, 6)], pa.float64()),
+        }
+    )
+
+
+SQL_AQP_REVENUE_ESTIMATE = r"""
+WITH base AS (
+  SELECT o_totalprice,
+         (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::UBIGINT % 10 = 0)
+           AS in_sample
+  FROM orders),
+agg AS (
+  SELECT count(*)::BIGINT AS n_total,
+         sum(o_totalprice) AS s,
+         max(o_totalprice) - min(o_totalprice) AS rng,
+         count(*) FILTER (in_sample)::BIGINT AS n_sample,
+         sum(o_totalprice) FILTER (in_sample) AS ss
+  FROM base)
+SELECT n_total, n_sample,
+       round(s / n_total, 6) AS exact_mean,
+       round(ss / n_sample, 6) AS sample_mean,
+       round(abs(ss / n_sample - s / n_total), 6) AS abs_err,
+       round(rng * sqrt(ln(2.0 / 0.01) / (2.0 * n_sample)), 6)
+         AS hoeffding_99
+FROM agg
+WHERE n_total > 0 AND n_sample > 0
+"""
+
+
 def q_source_overlap_matrix(sf_dir: str):
     """Cross-source contamination matrix: for every source pair, the
     number of distinct 3-token shingles they share and the Jaccard
@@ -13312,6 +13407,7 @@ QUERIES = {
         q_source_overlap_matrix,
         SQL_SOURCE_OVERLAP_MATRIX,
     ),
+    "aqp_revenue_estimate": (q_aqp_revenue_estimate, SQL_AQP_REVENUE_ESTIMATE),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

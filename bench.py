@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "gopher_rules",
     "interleaved_token_budget",
     "source_overlap_matrix",
+    "aqp_revenue_estimate",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
