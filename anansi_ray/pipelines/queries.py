@@ -2873,13 +2873,13 @@ def q_aqp_revenue_estimate(sf_dir: str):
 
         keys = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         price = b["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
-        coin = np.array(
-            [
-                int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 10
-                for k in keys
-            ],
-            np.int64,
-        )
+        # batched md5 coin: one vectorized decimal render, digests into a
+        # single contiguous buffer (the stratified-sample rank-key shape —
+        # no per-row hex strings)
+        id_bytes = np.char.mod("%d", keys).astype("S").tolist()
+        md5 = hashlib.md5
+        buf = b"".join([md5(s).digest()[:4] for s in id_bytes])
+        coin = np.frombuffer(buf, dtype=">u4").astype(np.int64) % 10
         samp = coin == 0
         return pa.table(
             {
