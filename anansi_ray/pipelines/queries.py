@@ -1617,7 +1617,8 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v17"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v18"  # bump whenever artifact-affecting code changes
+# v18: added the PCA eigen-spectrum twin (pca_spectrum.parquet)
 # v17: logreg distinct-token feature fixed (integer pair keys) ⇒ new weights
 # v16: added the CDC chunk-dedup twin (cdc_dedup.parquet)
 # v14: added the BPE encode twin (bpe_encode.parquet)
@@ -1812,6 +1813,14 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
 
         pq.write_table(
             knn_pq_local(t), os.path.join(ORACLE_DIR, "pq_knn.parquet")
+        )
+
+        # 5g. PCA twin: one covariance slice + eigvalsh on the rounded
+        #     matrix (functions/pca.py determinism contract)
+        from anansi_ray.functions.pca import pca_local
+
+        pq.write_table(
+            pca_local(t), os.path.join(ORACLE_DIR, "pca_spectrum.parquet")
         )
 
         # 5d. IVF+PQ twin: coarse quantizer + residual codebooks under the
@@ -2036,6 +2045,12 @@ SQL_KNN_PQ = f"""
 SELECT query_id, "rank", vec_id, adc
 FROM read_parquet('{ORACLE_DIR}/pq_knn.parquet')
 ORDER BY query_id, "rank"
+"""
+
+SQL_EMBEDDING_PCA = f"""
+SELECT component, eigenvalue, explained_ratio
+FROM read_parquet('{ORACLE_DIR}/pca_spectrum.parquet')
+ORDER BY component
 """
 
 SQL_CDC_CHUNK_DEDUP = f"""
@@ -2857,6 +2872,17 @@ def q_logreg_quality(sf_dir: str):
     return flogreg.logreg_distributed(
         _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     )
+
+
+def q_embedding_pca(sf_dir: str):
+    """Distributed PCA eigen-spectrum of the embedding matrix
+    (functions/pca.py): one streaming pass of O(dim²) covariance
+    partials, driver-side eigendecomposition of the rounded dim×dim
+    matrix.  Verified bit-for-bit vs the sequential twin the oracle
+    builder materializes (rounded-covariance contract)."""
+    from anansi_ray.functions import pca as fpca
+
+    return fpca.pca_distributed(_read(sf_dir, "embeddings", ["embedding"]))
 
 
 def q_aqp_revenue_estimate(sf_dir: str):
@@ -13408,6 +13434,7 @@ QUERIES = {
         SQL_SOURCE_OVERLAP_MATRIX,
     ),
     "aqp_revenue_estimate": (q_aqp_revenue_estimate, SQL_AQP_REVENUE_ESTIMATE),
+    "embedding_pca": (q_embedding_pca, SQL_EMBEDDING_PCA),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

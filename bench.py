@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "interleaved_token_budget",
     "source_overlap_matrix",
     "aqp_revenue_estimate",
+    "embedding_pca",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
