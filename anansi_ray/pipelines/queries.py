@@ -3533,6 +3533,174 @@ FROM b GROUP BY bin ORDER BY bin
 """
 
 
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    rankings — BM25 and raw query-term frequency — for the fixed query
+    set: rrf(d) = Σ_r 1/(60 + rank_r(d)) over the rankings that retrieved
+    d, re-ranked by (rrf desc, doc_id).  Both input rankings are the
+    distributed partial-top-k shapes (corpus streams once per ranking,
+    driver merges ≤ nq·k rows); the fusion itself runs on the bounded
+    candidate union.  Full SQL twin rebuilds both rankings independently."""
+    import ray as _ray
+
+    from anansi_ray.functions import bm25 as fbm25
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    k = fbm25.BM25_TOPK
+    a = fbm25.bm25_topk(docs, k=k).to_pandas()  # query_id, rank, doc_id
+
+    # ranking B: integer query-term-frequency score, same partial-top-k shape
+    q_ids = sorted(fbm25.BM25_QUERIES)
+    q_sel = [
+        np.array(
+            [fbm25._VOCAB.index(t) for t in fbm25.BM25_QUERIES[q]], np.int64
+        )
+        for q in q_ids
+    ]
+    bref = _ray.put((q_ids, q_sel))
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        q_ids_, q_sel_ = _ray.get(bref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, tf = fbm25._doc_term_counts(batch)
+        out_q, out_d, out_s = [], [], []
+        for qi, sel in zip(q_ids_, q_sel_):
+            s = tf[:, sel].sum(axis=1).astype(np.int64)
+            pos = np.flatnonzero(s > 0)
+            if len(pos) == 0:
+                continue
+            order = pos[np.lexsort((ids[pos], -s[pos]))[:k]]
+            out_q.append(np.full(len(order), qi, np.int64))
+            out_d.append(ids[order])
+            out_s.append(s[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "s": pa.array(np.concatenate(out_s), pa.int64()),
+            }
+        )
+
+    b = docs.map_batches(tf_partial, batch_format="pyarrow").to_pandas()
+    spec = {
+        "query_id": pa.int64(),
+        "rank": pa.int64(),
+        "doc_id": pa.int64(),
+        "rrf": pa.float64(),
+    }
+    scores: dict = {}
+    for _, r in a.iterrows():
+        scores.setdefault((int(r["query_id"]), int(r["doc_id"])), 0.0)
+        scores[(int(r["query_id"]), int(r["doc_id"]))] += 1.0 / (
+            60.0 + int(r["rank"])
+        )
+    if len(b):
+        b = b.sort_values(["query_id", "s", "doc_id"], ascending=[True, False, True])
+        b["r"] = b.groupby("query_id").cumcount() + 1
+        for _, r in b[b["r"] <= k].iterrows():
+            key = (int(r["query_id"]), int(r["doc_id"]))
+            scores[key] = scores.get(key, 0.0) + 1.0 / (60.0 + int(r["r"]))
+    if not scores:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    rows = sorted(
+        ((q, d, round(w, 6)) for (q, d), w in scores.items()),
+        key=lambda x: (x[0], -x[2], x[1]),
+    )
+    out_q, out_r, out_d, out_w = [], [], [], []
+    last_q, rk = None, 0
+    for q, d, w in rows:
+        rk = rk + 1 if q == last_q else 1
+        last_q = q
+        if rk <= k:
+            out_q.append(q)
+            out_r.append(rk)
+            out_d.append(d)
+            out_w.append(w)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "rrf": pa.array(out_w, pa.float64()),
+        }
+    )
+
+
+SQL_RRF_FUSION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))
+           AS tok
+  FROM documents),
+dl AS (
+  SELECT d.doc_id, count(t.tok)::DOUBLE AS dl
+  FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl FROM dl),
+qterms(query_id, tok) AS (VALUES
+  (1, 'hash'), (1, 'join'), (1, 'merge'),
+  (2, 'window'), (2, 'sort'), (2, 'order'),
+  (3, 'stream'), (3, 'batch'), (3, 'data')),
+dfreq AS (
+  SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM toks WHERE tok IN (SELECT tok FROM qterms) GROUP BY tok),
+tf AS (
+  SELECT t.doc_id, q.query_id, t.tok, count(*)::DOUBLE AS tf
+  FROM toks t JOIN qterms q ON t.tok = q.tok
+  GROUP BY t.doc_id, q.query_id, t.tok),
+scores AS (
+  SELECT tf.query_id, tf.doc_id,
+         round(sum(ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))),
+               6) AS score
+  FROM tf
+  JOIN dfreq ON tf.tok = dfreq.tok
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.query_id, tf.doc_id),
+rank_a AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS r
+  FROM scores WHERE score > 0),
+tfsum AS (
+  SELECT query_id, doc_id, sum(tf)::BIGINT AS s
+  FROM tf GROUP BY 1, 2),
+rank_b AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY s DESC, doc_id
+         ) AS r
+  FROM tfsum WHERE s > 0),
+allr AS (
+  SELECT query_id, doc_id, 1.0 / (60 + r) AS w FROM rank_a WHERE r <= 10
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60 + r) FROM rank_b WHERE r <= 10),
+fused AS (
+  SELECT query_id, doc_id, round(sum(w), 6) AS rrf
+  FROM allr GROUP BY 1, 2)
+SELECT query_id,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf DESC, doc_id
+       ) AS "rank",
+       doc_id, rrf
+FROM fused
+QUALIFY "rank" <= 10
+ORDER BY query_id, "rank"
+"""
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weights (functions/dsir.py): hashed unigram+bigram
     bucket distributions for the target domain (lang = 'en') vs the raw
@@ -13435,6 +13603,7 @@ QUERIES = {
     ),
     "aqp_revenue_estimate": (q_aqp_revenue_estimate, SQL_AQP_REVENUE_ESTIMATE),
     "embedding_pca": (q_embedding_pca, SQL_EMBEDDING_PCA),
+    "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

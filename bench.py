@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "source_overlap_matrix",
     "aqp_revenue_estimate",
     "embedding_pca",
+    "rrf_fusion",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
