@@ -296,37 +296,61 @@ def khop_reach(
             }
         )
 
-    def tag_pairs(flag: str):
-        def tag(b: pa.Table) -> pa.Table:
-            root = b["root"].to_numpy(zero_copy_only=False)
-            node = b["node"].to_numpy(zero_copy_only=False)
-            pk = root * np.int64(n_docs) + node
-            return pa.table(
-                {
-                    "part": pa.array((pk % n_parts).astype(np.int32), pa.int32()),
-                    "pk": pa.array(pk, pa.int64()),
-                    "new": pa.array([flag] * len(pk), pa.string()),
-                }
-            )
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        root = b["root"].to_numpy(zero_copy_only=False)
+        node = b["node"].to_numpy(zero_copy_only=False)
+        pk = root * np.int64(n_docs) + node
+        return pa.table(
+            {
+                "part": pa.array((pk % n_parts).astype(np.int32), pa.int32()),
+                "pk": pa.array(pk, pa.int64()),
+                "root": b["root"],
+                "node": b["node"],
+            }
+        )
 
-        return tag
+    # the visited set never crosses the wire: it accumulates as per-part
+    # block refs (each hop's fresh output is ALREADY pk-partitioned, so
+    # its refs just append to the part's list), and the anti-join kernel
+    # reads its part's history from the object store
+    visited_refs: dict = {}
+
+    def _append_refs(grouped: rd.Dataset) -> None:
+        for p, rs in _refs_by_part(grouped).items():
+            visited_refs.setdefault(p, []).extend(rs)
+
+    _append_refs(
+        _group_once(visited.map_batches(tag_pairs, batch_format="pyarrow"))
+    )
 
     def fresh_part(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
-            return pair_empty
-        pk = g["pk"].to_numpy(zero_copy_only=False)
-        is_new = pc.equal(g["new"], "y").to_numpy(zero_copy_only=False)
-        seen = np.unique(pk[~is_new])
-        cand = np.unique(pk[is_new])
-        fresh = cand[np.searchsorted(seen, cand) >= len(seen)] if len(seen) == 0 else cand[
-            ~np.isin(cand, seen, assume_unique=True)
-        ]
+            return pair_empty_p
+        p = int(g["part"][0].as_py())
+        cand = np.unique(g["pk"].to_numpy(zero_copy_only=False))
+        vt = _fetch_part(visited_refs, p)
+        if vt is not None:
+            seen = np.unique(vt["pk"].to_numpy(zero_copy_only=False))
+            cand = cand[~np.isin(cand, seen, assume_unique=True)]
         return pa.table(
             {
-                "root": pa.array(fresh // n_docs, pa.int64()),
-                "node": pa.array(fresh % n_docs, pa.int64()),
+                "part": pa.array(
+                    np.full(len(cand), p, np.int32), pa.int32()
+                ),
+                "pk": pa.array(cand, pa.int64()),
+                "root": pa.array(cand // n_docs, pa.int64()),
+                "node": pa.array(cand % n_docs, pa.int64()),
             }
         )
+
+    pair_empty_p = pa.table(
+        {
+            "part": pa.array([], pa.int32()),
+            "pk": pa.array([], pa.int64()),
+            "root": pa.array([], pa.int64()),
+            "node": pa.array([], pa.int64()),
+        }
+    )
 
     for _ in range(hops):
         tagged = frontier.map_batches(tag_frontier, batch_format="pyarrow")
@@ -335,15 +359,16 @@ def khop_reach(
             .map_groups(expand_part, batch_format="pyarrow")
             .materialize()
         )
-        frontier = drop_empty_blocks(
-            new_pairs.map_batches(tag_pairs("y"), batch_format="pyarrow")
-            .union(visited.map_batches(tag_pairs("n"), batch_format="pyarrow"))
+        fresh = drop_empty_blocks(
+            new_pairs.map_batches(tag_pairs, batch_format="pyarrow")
             .groupby("part")
             .map_groups(fresh_part, batch_format="pyarrow")
             .materialize()
         )
-        if frontier.count() == 0:
+        if fresh.count() == 0:
             break
+        _append_refs(fresh)
+        frontier = fresh.select_columns(["root", "node"]).materialize()
         visited = visited.union(frontier).materialize()
 
     from anansi_ray.arrowds import stable_frame
