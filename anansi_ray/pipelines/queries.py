@@ -1617,7 +1617,8 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v18"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v19"  # bump whenever artifact-affecting code changes
+# v19: added the Markov-attribution twin (markov_attr.parquet)
 # v18: added the PCA eigen-spectrum twin (pca_spectrum.parquet)
 # v17: logreg distinct-token feature fixed (integer pair keys) ⇒ new weights
 # v16: added the CDC chunk-dedup twin (cdc_dedup.parquet)
@@ -1923,6 +1924,22 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
         os.path.join(ORACLE_DIR, "cdc_dedup.parquet"),
     )
 
+    # 10. Markov-attribution twin: sequential journey kernel + absorbing
+    #     solve over the same events table (functions/attribution.py)
+    sfev = os.path.join(sf_dir, "events.parquet")
+    if os.path.exists(sfev):
+        from anansi_ray.functions.attribution import markov_attribution_local
+
+        pq.write_table(
+            markov_attribution_local(
+                pq.read_table(
+                    sfev, columns=["event_id", "ts", "user_id", "event_type"]
+                ),
+                ["click", "error", "signup", "view"],
+            ),
+            os.path.join(ORACLE_DIR, "markov_attr.parquet"),
+        )
+
     # 8. HLL distinct-count twin: register max-merge is commutative and
     #    idempotent, so ONE sequential hll_partial_batch over the whole
     #    events table produces exactly the registers the distributed
@@ -2045,6 +2062,12 @@ SQL_KNN_PQ = f"""
 SELECT query_id, "rank", vec_id, adc
 FROM read_parquet('{ORACLE_DIR}/pq_knn.parquet')
 ORDER BY query_id, "rank"
+"""
+
+SQL_MARKOV_ATTRIBUTION = f"""
+SELECT channel, base_cvr, cvr_without, removal_effect, attribution
+FROM read_parquet('{ORACLE_DIR}/markov_attr.parquet')
+ORDER BY channel
 """
 
 SQL_EMBEDDING_PCA = f"""
@@ -2883,6 +2906,24 @@ def q_embedding_pca(sf_dir: str):
     from anansi_ray.functions import pca as fpca
 
     return fpca.pca_distributed(_read(sf_dir, "embeddings", ["embedding"]))
+
+
+_ATTR_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def q_markov_attribution(sf_dir: str):
+    """Markov removal-effect attribution (functions/attribution.py): user
+    journeys → absorbing-chain transition counts (one user-hash
+    co-partition exchange, per-partition vectorized kernel, (S+3)²
+    integer matrix partials) → driver-side removal-effect solve over the
+    catalog-sized channel set.  Verified vs the sequential twin the
+    oracle builder materializes (integer counts ⇒ identical solve)."""
+    from anansi_ray.functions import attribution as fattr
+
+    return fattr.markov_attribution_distributed(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]),
+        _ATTR_CHANNELS,
+    )
 
 
 def q_aqp_revenue_estimate(sf_dir: str):
@@ -13604,6 +13645,7 @@ QUERIES = {
     "aqp_revenue_estimate": (q_aqp_revenue_estimate, SQL_AQP_REVENUE_ESTIMATE),
     "embedding_pca": (q_embedding_pca, SQL_EMBEDDING_PCA),
     "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
+    "markov_attribution": (q_markov_attribution, SQL_MARKOV_ATTRIBUTION),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

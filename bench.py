@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "aqp_revenue_estimate",
     "embedding_pca",
     "rrf_fusion",
+    "markov_attribution",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
