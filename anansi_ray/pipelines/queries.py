@@ -2908,6 +2908,149 @@ def q_embedding_pca(sf_dir: str):
     return fpca.pca_distributed(_read(sf_dir, "embeddings", ["embedding"]))
 
 
+_KM_DAY_US = 3_600_000_000  # "day" grain: 1 hour of event time (dense curve)
+
+
+def q_kaplan_meier(sf_dir: str):
+    """Kaplan–Meier time-to-first-purchase with right-censoring: a
+    user's duration is floor((first purchase − first event)/hour); users
+    who NEVER purchase are CENSORED at their observation end (they leave
+    the risk set without counting as converted — the estimator's whole
+    point).  S(t) = Π_{t'≤t} (1 − d_{t'}/n_{t'}) over event times,
+    multiplied in ascending-t order in BOTH engines (the SQL twin uses a
+    recursive-CTE running product, so the doubles are bit-identical
+    before rounding).
+
+    Scale shape: ONE coarse user-keyed exchange for per-user (first
+    event, first purchase, last event) — per-batch combiner first — then
+    a per-batch (duration, censored) histogram partial bounded by the
+    time-grain range; the KM fold runs on the tiny histogram."""
+    from anansi_ray.arrowds import coarse_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    SENT = np.iinfo(np.int64).max
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        us = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tv = (
+            b["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        ).to_numpy(zero_copy_only=False)
+        is_p = pc.equal(
+            b["event_type"].combine_chunks().cast(pa.string()), "purchase"
+        ).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(us, return_inverse=True)
+        mn = np.full(len(uniq), SENT, np.int64)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min, np.int64)
+        fp = np.full(len(uniq), SENT, np.int64)
+        np.minimum.at(mn, inv, tv)
+        np.maximum.at(mx, inv, tv)
+        if is_p.any():
+            np.minimum.at(fp, inv[is_p], tv[is_p])
+        return pa.table(
+            {
+                "user_id": pa.array(uniq, pa.int64()),
+                "mn": pa.array(mn, pa.int64()),
+                "mx": pa.array(mx, pa.int64()),
+                "fp": pa.array(fp, pa.int64()),
+            }
+        )
+
+    peru = coarse_agg(
+        ev.map_batches(per_batch, batch_format="pyarrow"),
+        "user_id",
+        {"mn": ("min", "mn"), "mx": ("max", "mx"), "fp": ("min", "fp")},
+    ).materialize()
+    spec = {
+        "t_day": pa.int64(),
+        "n_risk": pa.int64(),
+        "n_events": pa.int64(),
+        "survival": pa.float64(),
+    }
+    if peru.count() == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        mn = b["mn"].to_numpy(zero_copy_only=False)
+        mx = b["mx"].to_numpy(zero_copy_only=False)
+        fp = b["fp"].to_numpy(zero_copy_only=False)
+        purchased = fp != SENT
+        end = np.where(purchased, fp, mx)
+        t = (end - mn) // _KM_DAY_US
+        cens = (~purchased).astype(np.int64)
+        key = t * 2 + cens
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "t": pa.array(uniq // 2, pa.int64()),
+                "cens": pa.array(uniq % 2, pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        peru.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["t", "cens"], as_index=False)["c"]
+        .sum()
+        .sort_values("t", ignore_index=True)
+    )
+    g = hist.groupby("t", sort=True)
+    ts = np.array(sorted(g.groups), np.int64)
+    d = np.array(
+        [int(grp[grp["cens"] == 0]["c"].sum()) for _, grp in g], np.int64
+    )
+    allc = np.array([int(grp["c"].sum()) for _, grp in g], np.int64)
+    n_risk = np.cumsum(allc[::-1])[::-1]
+    keep = d > 0
+    surv = np.cumprod(1.0 - d[keep] / n_risk[keep])
+    return pa.table(
+        {
+            "t_day": pa.array(ts[keep], pa.int64()),
+            "n_risk": pa.array(n_risk[keep], pa.int64()),
+            "n_events": pa.array(d[keep], pa.int64()),
+            "survival": pa.array(np.round(surv, 6), pa.float64()),
+        }
+    )
+
+
+SQL_KAPLAN_MEIER = r"""
+WITH RECURSIVE peru AS (
+  SELECT user_id,
+         min(epoch_us(ts))::BIGINT AS mn,
+         max(epoch_us(ts))::BIGINT AS mx,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)::BIGINT
+           AS fp
+  FROM events GROUP BY user_id),
+lt AS (
+  SELECT (coalesce(fp, mx) - mn) // 3600000000 AS t,
+         (fp IS NULL)::INT AS cens
+  FROM peru),
+agg AS (
+  SELECT t,
+         sum(CASE WHEN cens = 0 THEN 1 ELSE 0 END)::BIGINT AS d,
+         count(*)::BIGINT AS allc
+  FROM lt GROUP BY t),
+risk AS (
+  SELECT t, d,
+         sum(allc) OVER (
+           ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )::BIGINT AS n_risk
+  FROM agg),
+steps AS (
+  SELECT t, d, n_risk,
+         row_number() OVER (ORDER BY t) AS rn
+  FROM risk WHERE d > 0),
+km AS (
+  SELECT rn, t, n_risk, d, 1.0 - d * 1.0 / n_risk AS s
+  FROM steps WHERE rn = 1
+  UNION ALL
+  SELECT st.rn, st.t, st.n_risk, st.d, km.s * (1.0 - st.d * 1.0 / st.n_risk)
+  FROM steps st JOIN km ON st.rn = km.rn + 1)
+SELECT t AS t_day, n_risk, d AS n_events, round(s, 6) AS survival
+FROM km ORDER BY t_day
+"""
+
+
 _ATTR_CHANNELS = ["click", "error", "signup", "view"]
 
 
@@ -13646,6 +13789,7 @@ QUERIES = {
     "embedding_pca": (q_embedding_pca, SQL_EMBEDDING_PCA),
     "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
     "markov_attribution": (q_markov_attribution, SQL_MARKOV_ATTRIBUTION),
+    "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "embedding_pca",
     "rrf_fusion",
     "markov_attribution",
+    "kaplan_meier",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
