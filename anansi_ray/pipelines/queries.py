@@ -2908,6 +2908,83 @@ def q_embedding_pca(sf_dir: str):
     return fpca.pca_distributed(_read(sf_dir, "embeddings", ["embedding"]))
 
 
+def q_seasonal_decompose(sf_dir: str):
+    """Additive seasonal decomposition of event values: overall mean plus
+    day-of-week and hour-of-day effects (mean_group − overall) — the
+    means-based STL-lite every metrics pipeline runs before anomaly
+    scoring.  Each batch reduces itself to ≤ 168 (dow, hour, sum, count)
+    partial rows; nothing shuffles; full SQL twin (same Sunday=0 dow
+    convention as DuckDB's ``dayofweek``)."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        tv = (
+            b["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        ).to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dow = ((tv // 86_400_000_000 + 4) % 7).astype(np.int64)
+        hour = ((tv // 3_600_000_000) % 24).astype(np.int64)
+        key = dow * 24 + hour
+        uniq, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=v)
+        c = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(uniq, pa.int64()),
+                "s": pa.array(s, pa.float64()),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    spec = {
+        "component": pa.string(),
+        "k": pa.int64(),
+        "effect": pa.float64(),
+    }
+    parts = ev.map_batches(part, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0 or parts["c"].sum() == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    g = parts.groupby("key", sort=True).agg(s=("s", "sum"), c=("c", "sum"))
+    keys = g.index.to_numpy(dtype=np.int64)
+    s = g["s"].to_numpy()
+    c = g["c"].to_numpy(dtype=np.float64)
+    overall = float(s.sum() / c.sum())
+    comps, ks, eff = ["overall"], [-1], [round(overall, 6)]
+    for name, grp_key, n_groups in (("dow", keys // 24, 7), ("hour", keys % 24, 24)):
+        for kk in range(n_groups):
+            m = grp_key == kk
+            if not m.any():
+                continue
+            comps.append(name)
+            ks.append(kk)
+            eff.append(round(float(s[m].sum() / c[m].sum()) - overall, 6))
+    return pa.table(
+        {
+            "component": pa.array(comps, pa.string()),
+            "k": pa.array(ks, pa.int64()),
+            "effect": pa.array(eff, pa.float64()),
+        }
+    )
+
+
+SQL_SEASONAL_DECOMPOSE = r"""
+WITH base AS (
+  SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hr, value
+  FROM events),
+ov AS (SELECT sum(value) / count(*) AS m FROM base)
+SELECT 'overall' AS component, -1::BIGINT AS k,
+       round((SELECT m FROM ov), 6) AS effect
+FROM (SELECT 1) WHERE (SELECT count(*) FROM base) > 0
+UNION ALL
+SELECT 'dow', dow, round(sum(value) / count(*) - (SELECT m FROM ov), 6)
+FROM base GROUP BY dow
+UNION ALL
+SELECT 'hour', hr, round(sum(value) / count(*) - (SELECT m FROM ov), 6)
+FROM base GROUP BY hr
+ORDER BY component, k
+"""
+
+
 _KM_DAY_US = 3_600_000_000  # "day" grain: 1 hour of event time (dense curve)
 
 
@@ -13790,6 +13867,7 @@ QUERIES = {
     "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
     "markov_attribution": (q_markov_attribution, SQL_MARKOV_ATTRIBUTION),
     "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
+    "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

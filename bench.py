@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "rrf_fusion",
     "markov_attribution",
     "kaplan_meier",
+    "seasonal_decompose",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
