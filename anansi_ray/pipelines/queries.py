@@ -2908,6 +2908,134 @@ def q_embedding_pca(sf_dir: str):
     return fpca.pca_distributed(_read(sf_dir, "embeddings", ["embedding"]))
 
 
+def q_curation_pipeline(sf_dir: str):
+    """FLAGSHIP composition — the end-to-end LLM data-curation chain a
+    user would actually run, as one per-doc disposition table: each doc
+    is attributed to the FIRST stage that drops it:
+
+      1. ``gopher``    — Gopher rule filter (q_gopher_rules keep == 0)
+      2. ``exact_dup`` — sha256 text dedup, keep the min doc_id
+      3. ``near_dup``  — MinHash-LSH component, keep the representative
+      4. ``quality``   — logistic-regression classifier pred == 0
+      5. ``kept``
+
+    Every stage is its own fully distributed pipeline (rule filter,
+    coarse-hash dedup exchange, banded LSH + label propagation, GD
+    training); this query composes their per-doc verdicts — at corpus
+    scale the composition joins are coarse doc-keyed exchanges over
+    narrow verdict columns.  The SQL twin recomposes the chain from the
+    INDEPENDENT stage twins (inline rule SQL + sha256 groups + the
+    minhash-group and logreg artifacts)."""
+    gopher = q_gopher_rules(sf_dir).to_pandas()[["doc_id", "keep"]]
+    groups = q_minhash_near_dup(sf_dir).to_pandas()  # doc_id, dup_group
+    quality = q_logreg_quality(sf_dir).to_pandas()[["doc_id", "pred"]]
+
+    # exact-dup keeper per text hash, re-derived per doc
+    import hashlib
+
+    def fp_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b["text"].to_pylist()
+        hs = [
+            hashlib.sha256((t or "").encode()).hexdigest()[:32] for t in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text_hash": pa.array(hs, pa.string()),
+            }
+        )
+
+    fp = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(fp_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    spec = {"doc_id": pa.int64(), "disposition": pa.string()}
+    if len(fp) == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    keeper = fp.groupby("text_hash")["doc_id"].transform("min")
+    fp["exact_dropped"] = (fp["doc_id"] != keeper).astype(int)
+
+    df = (
+        fp[["doc_id", "exact_dropped"]]
+        .merge(gopher, on="doc_id")
+        .merge(groups, on="doc_id")
+        .merge(quality, on="doc_id")
+        .sort_values("doc_id", ignore_index=True)
+    )
+    disp = np.where(
+        df["keep"] == 0,
+        "gopher",
+        np.where(
+            df["exact_dropped"] == 1,
+            "exact_dup",
+            np.where(
+                df["dup_group"] != df["doc_id"],
+                "near_dup",
+                np.where(df["pred"] == 0, "quality", "kept"),
+            ),
+        ),
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+            "disposition": pa.array(disp.astype(object), pa.string()),
+        }
+    )
+
+
+SQL_CURATION_PIPELINE = rf"""
+WITH occ AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS tok
+  FROM documents),
+wc AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM occ GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         sum(c)::BIGINT AS n_words,
+         sum(c * len(tok))::BIGINT AS sum_len,
+         max(c)::BIGINT AS maxc,
+         count(DISTINCT tok) FILTER (WHERE tok IN ('the', 'a'))::BIGINT
+           AS stop_cnt
+  FROM wc GROUP BY doc_id),
+gopher AS (
+  SELECT d.doc_id,
+         (coalesce(a.n_words, 0) >= 5 AND coalesce(a.n_words, 0) <= 100000
+          AND 3 * coalesce(a.n_words, 0) <= coalesce(a.sum_len, 0)
+          AND coalesce(a.sum_len, 0) <= 10 * coalesce(a.n_words, 0)
+          AND coalesce(a.stop_cnt, 0) >= 2
+          AND 5 * coalesce(a.maxc, 0) <= coalesce(a.n_words, 0)
+          AND 10 * len(regexp_replace(coalesce(d.text, ''),
+                                      '[A-Za-z0-9\s]', '', 'g'))
+              <= coalesce(a.n_words, 0))::INT AS keep
+  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+fp AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY substr(sha256(text), 1, 32))
+           AS keeper
+  FROM documents),
+grp AS (
+  SELECT doc_id, dup_group
+  FROM read_parquet('{ORACLE_DIR}/minhash_groups.parquet')),
+qual AS (
+  SELECT doc_id, pred FROM read_parquet('{ORACLE_DIR}/logreg.parquet'))
+SELECT d.doc_id,
+       CASE
+         WHEN g.keep = 0 THEN 'gopher'
+         WHEN d.doc_id != fp.keeper THEN 'exact_dup'
+         WHEN grp.dup_group != d.doc_id THEN 'near_dup'
+         WHEN qual.pred = 0 THEN 'quality'
+         ELSE 'kept'
+       END AS disposition
+FROM documents d
+JOIN gopher g ON g.doc_id = d.doc_id
+JOIN fp ON fp.doc_id = d.doc_id
+JOIN grp ON grp.doc_id = d.doc_id
+JOIN qual ON qual.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_seasonal_decompose(sf_dir: str):
     """Additive seasonal decomposition of event values: overall mean plus
     day-of-week and hour-of-day effects (mean_group − overall) — the
@@ -13868,6 +13996,7 @@ QUERIES = {
     "markov_attribution": (q_markov_attribution, SQL_MARKOV_ATTRIBUTION),
     "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
     "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

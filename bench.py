@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "markov_attribution",
     "kaplan_meier",
     "seasonal_decompose",
+    "curation_pipeline",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
