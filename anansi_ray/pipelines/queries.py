@@ -1617,7 +1617,8 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v19"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v20"  # bump whenever artifact-affecting code changes
+# v20: added the PPMI-SVD embedding twin (word_emb_knn.parquet)
 # v19: added the Markov-attribution twin (markov_attr.parquet)
 # v18: added the PCA eigen-spectrum twin (pca_spectrum.parquet)
 # v17: logreg distinct-token feature fixed (integer pair keys) ⇒ new weights
@@ -1924,6 +1925,56 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
         os.path.join(ORACLE_DIR, "cdc_dedup.parquet"),
     )
 
+    # 11. PPMI-SVD embedding twin: pair counts recomputed INDEPENDENTLY
+    #     in DuckDB, shared PPMI/SVD/neighbour kernels
+    #     (functions/embed_train.py)
+    if os.path.exists(sfdoc):
+        import duckdb
+
+        import numpy as _np
+
+        from anansi_ray.functions import embed_train as femb
+
+        con = duckdb.connect()
+        vocab_rows = con.execute(
+            "WITH tok AS (SELECT DISTINCT doc_id, "
+            r"unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS t "
+            f"FROM read_parquet('{sfdoc}')), "
+            "df AS (SELECT t, count(*)::BIGINT AS df FROM tok GROUP BY 1) "
+            "SELECT t, df FROM df ORDER BY df DESC, t LIMIT 50"
+        ).fetchall()
+        if vocab_rows:
+            vocab_rows.sort(key=lambda r: r[0])  # alphabetical index order
+            vocab = _np.array([r[0] for r in vocab_rows], dtype=object)
+            dfv = _np.array([r[1] for r in vocab_rows], _np.int64)
+            vidx = {t: i for i, t in enumerate(vocab)}
+            n_docs_twin = con.execute(
+                f"SELECT count(*) FROM read_parquet('{sfdoc}')"
+            ).fetchone()[0]
+            pair_rows = con.execute(
+                "WITH tok AS (SELECT DISTINCT doc_id, "
+                r"unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS t "
+                f"FROM read_parquet('{sfdoc}')), "
+                "df AS (SELECT t, count(*)::BIGINT AS df FROM tok GROUP BY 1), "
+                "vocab AS (SELECT t FROM df ORDER BY df DESC, t LIMIT 50), "
+                "vt AS (SELECT doc_id, t FROM tok WHERE t IN (SELECT t FROM vocab)) "
+                "SELECT x.t, y.t, count(*)::BIGINT FROM vt x "
+                "JOIN vt y ON x.doc_id = y.doc_id AND x.t < y.t GROUP BY 1, 2"
+            ).fetchall()
+            ia = _np.array([vidx[a] for a, _, _ in pair_rows], _np.int64)
+            ib = _np.array([vidx[b] for _, b, _ in pair_rows], _np.int64)
+            nab = _np.array([c for _, _, c in pair_rows], _np.int64)
+            M = femb.ppmi_matrix(ia, ib, nab, dfv, int(n_docs_twin))
+            pq.write_table(
+                femb.svd_neighbors(M, vocab),
+                os.path.join(ORACLE_DIR, "word_emb_knn.parquet"),
+            )
+        else:
+            pq.write_table(
+                femb.empty_out(),
+                os.path.join(ORACLE_DIR, "word_emb_knn.parquet"),
+            )
+
     # 10. Markov-attribution twin: sequential journey kernel + absorbing
     #     solve over the same events table (functions/attribution.py)
     sfev = os.path.join(sf_dir, "events.parquet")
@@ -2062,6 +2113,12 @@ SQL_KNN_PQ = f"""
 SELECT query_id, "rank", vec_id, adc
 FROM read_parquet('{ORACLE_DIR}/pq_knn.parquet')
 ORDER BY query_id, "rank"
+"""
+
+SQL_WORD_EMBEDDING_KNN = f"""
+SELECT probe, "rank", neighbor, cosine
+FROM read_parquet('{ORACLE_DIR}/word_emb_knn.parquet')
+ORDER BY probe, "rank"
 """
 
 SQL_MARKOV_ATTRIBUTION = f"""
@@ -11878,38 +11935,16 @@ ORDER BY 1
 """
 
 
-def q_word_pmi(sf_dir: str):
-    """Word-pair PMI over a bounded vocabulary (collocation mining — the
-    classic corpus statistic behind phrase detection and feature
-    selection): for the corpus's top-50 tokens by document frequency,
-    every pair (a < b) co-occurring in ≥ 5 documents with its pointwise
-    mutual information ln(n_ab · N / (df_a · df_b)).
-
-    Scale shape (two bounded passes, no pair-level shuffle):
-    pass 1 rides the token_df combiner + coarse_agg hash exchange and
-    keeps only the top-V vocabulary (V = 50, fixed — the only sort is
-    over per-batch vocabularies, never the token stream); pass 2
-    broadcasts the alphabetically-indexed vocab, maps each doc's distinct
-    tokens to vocab indices block-locally, enumerates within-doc pairs
-    with an offset-sweep (≤ V−1 vectorized shifts), and bincounts into a
-    V×V partial per batch — every batch forwards ≤ V(V−1)/2 rows, so the
-    driver-side finish is O(V²), independent of corpus size.  The vocab
-    marginals ARE the pass-1 df values, so no third pass."""
+def _vocab_pair_counts(sf_dir: str, V: int):
+    """Bounded-vocabulary co-occurrence machinery shared by word_pmi and
+    the PPMI-SVD embedding trainer: (n_docs, alphabetically indexed
+    vocab_df[token, df], pair-count frame [ia, ib, n_ab] with ia < ib).
+    Pass 1 rides the token_df combiner + coarse exchange (top-V cut);
+    pass 2 broadcasts the vocab and bincounts within-doc index pairs into
+    a V×V partial per batch — every batch forwards ≤ V(V−1)/2 rows."""
     import ray
 
     from anansi_ray.arrowds import coarse_agg
-
-    V = 50
-    MIN_AB = 5
-
-    empty = pa.table(
-        {
-            "tok_a": pa.array([], pa.string()),
-            "tok_b": pa.array([], pa.string()),
-            "n_ab": pa.array([], pa.int64()),
-            "pmi": pa.array([], pa.float64()),
-        }
-    )
 
     n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
     vocab_df = _stable(
@@ -11926,12 +11961,11 @@ def q_word_pmi(sf_dir: str):
         {"token": "object", "df": "int64"},
     )
     if len(vocab_df) == 0:
-        return empty
+        return n_docs, None, None
     # index vocab ALPHABETICALLY so within-doc index order == pair identity
     # order (tok_a < tok_b) without a per-pair string compare
     vocab_df = vocab_df.sort_values("token").reset_index(drop=True)
     vocab_arr = pa.array(vocab_df["token"].to_numpy(dtype=object), pa.string())
-    df_by_idx = vocab_df["df"].to_numpy(np.int64)
     vocab_ref = ray.put(vocab_arr)
 
     pair_empty = pa.table(
@@ -11981,9 +12015,74 @@ def q_word_pmi(sf_dir: str):
         {"ia": "int32", "ib": "int32", "n_ab": "int64"},
     )
     agg = parts.groupby(["ia", "ib"], as_index=False)["n_ab"].sum()
+    return n_docs, vocab_df, agg
+
+
+def q_word_embedding_knn(sf_dir: str):
+    """PPMI-SVD word embeddings (functions/embed_train.py — Levy &
+    Goldberg's count-based word2vec twin): the distributed pair-count
+    pass (shared _vocab_pair_counts machinery) feeds a rounded V×V PPMI
+    matrix whose truncated SVD gives the word vectors; output is the
+    cosine top-3 neighbours of the alphabetically-first 5 vocab words —
+    a surface invariant under the factorization's sign/rotation
+    ambiguity.  Verified vs the sequential twin the oracle builder
+    materializes (independent DuckDB pair counts, shared kernels)."""
+    from anansi_ray.functions import embed_train as femb
+
+    n_docs, vocab_df, agg = _vocab_pair_counts(sf_dir, 50)
+    if vocab_df is None or len(agg) == 0:
+        return femb.empty_out()
+    M = femb.ppmi_matrix(
+        agg["ia"].to_numpy(np.int64),
+        agg["ib"].to_numpy(np.int64),
+        agg["n_ab"].to_numpy(np.int64),
+        vocab_df["df"].to_numpy(np.int64),
+        n_docs,
+    )
+    return femb.svd_neighbors(M, vocab_df["token"].to_numpy(dtype=object))
+
+
+def q_word_pmi(sf_dir: str):
+    """Word-pair PMI over a bounded vocabulary (collocation mining — the
+    classic corpus statistic behind phrase detection and feature
+    selection): for the corpus's top-50 tokens by document frequency,
+    every pair (a < b) co-occurring in ≥ 5 documents with its pointwise
+    mutual information ln(n_ab · N / (df_a · df_b)).
+
+    Scale shape (two bounded passes, no pair-level shuffle):
+    pass 1 rides the token_df combiner + coarse_agg hash exchange and
+    keeps only the top-V vocabulary (V = 50, fixed — the only sort is
+    over per-batch vocabularies, never the token stream); pass 2
+    broadcasts the alphabetically-indexed vocab, maps each doc's distinct
+    tokens to vocab indices block-locally, enumerates within-doc pairs
+    with an offset-sweep (≤ V−1 vectorized shifts), and bincounts into a
+    V×V partial per batch — every batch forwards ≤ V(V−1)/2 rows, so the
+    driver-side finish is O(V²), independent of corpus size.  The vocab
+    marginals ARE the pass-1 df values, so no third pass."""
+    import ray
+
+    from anansi_ray.arrowds import coarse_agg
+
+    V = 50
+    MIN_AB = 5
+
+    empty = pa.table(
+        {
+            "tok_a": pa.array([], pa.string()),
+            "tok_b": pa.array([], pa.string()),
+            "n_ab": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64()),
+        }
+    )
+
+    n_docs, vocab_df, agg = _vocab_pair_counts(sf_dir, V)
+    if vocab_df is None or len(agg) == 0:
+        return empty
+    df_by_idx = vocab_df["df"].to_numpy(np.int64)
     agg = agg[agg["n_ab"] >= MIN_AB]
     if len(agg) == 0:
         return empty
+
     ia = agg["ia"].to_numpy(np.int64)
     ib = agg["ib"].to_numpy(np.int64)
     n_ab = agg["n_ab"].to_numpy(np.int64)
@@ -13997,6 +14096,7 @@ QUERIES = {
     "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
     "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    "word_embedding_knn": (q_word_embedding_knn, SQL_WORD_EMBEDDING_KNN),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

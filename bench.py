@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "kaplan_meier",
     "seasonal_decompose",
     "curation_pipeline",
+    "word_embedding_knn",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
