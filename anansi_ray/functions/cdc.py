@@ -44,14 +44,10 @@ def cdc_boundaries(data: bytes) -> np.ndarray:
     if n <= CDC_W:
         return np.array([n - 1], np.int64) if n else np.array([], np.int64)
     b = np.frombuffer(data, np.uint8).astype(np.uint64)
-    idx = np.arange(n, dtype=np.uint64)
-    p = np.empty(n, np.uint64)      # 31^i  (mod 2^64)
-    ip = np.empty(n, np.uint64)     # 31^-i (mod 2^64)
-    p[0] = np.uint64(1)
-    ip[0] = np.uint64(1)
-    np.multiply.accumulate(np.full(n, _BASE, np.uint64), out=p)
+    # power tables p[i] = 31^i, ip[i] = 31^-i (mod 2^64 via uint64 wrap)
+    p = np.multiply.accumulate(np.full(n, _BASE, np.uint64))
     p = np.concatenate([[np.uint64(1)], p[:-1]])
-    np.multiply.accumulate(np.full(n, _INV31, np.uint64), out=ip)
+    ip = np.multiply.accumulate(np.full(n, _INV31, np.uint64))
     ip = np.concatenate([[np.uint64(1)], ip[:-1]])
     S = np.cumsum(b * ip, dtype=np.uint64)
     H = p * S

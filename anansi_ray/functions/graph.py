@@ -67,8 +67,6 @@ def _edges_from_docs(docs: rd.Dataset, n_docs: int, n_parts: int) -> rd.Dataset:
                 "part": pa.array((src % n_parts).astype(np.int32), pa.int32()),
                 "key": pa.array(src, pa.int64()),
                 "dst": pa.array(dst, pa.int64()),
-                "pr": pa.array(np.zeros(len(src), np.int64), pa.int64()),
-                "side": pa.array(["e"] * len(src), pa.string()),
             }
         )
 
@@ -415,8 +413,6 @@ def hits_integer(
                     "part": pa.array((key % n_parts).astype(np.int32), pa.int32()),
                     "key": pa.array(key, pa.int64()),
                     "out": pa.array(out, pa.int64()),
-                    "val": pa.array(np.zeros(len(key), np.int64), pa.int64()),
-                    "side": pa.array(["e"] * len(key), pa.string()),
                 }
             )
 

@@ -56,7 +56,9 @@ def _features(batch: pa.Table) -> np.ndarray:
     distinct-token ratio]."""
     n = batch.num_rows
     toks = pc.split_pattern_regex(
-        pc.utf8_lower(batch["text"].combine_chunks().cast(pa.string())),
+        pc.utf8_lower(
+            pc.fill_null(batch["text"].combine_chunks().cast(pa.string()), "")
+        ),
         "[^a-z0-9]+",
     )
     flat = toks.flatten().to_numpy(zero_copy_only=False).astype(str)

@@ -3103,9 +3103,9 @@ def q_seasonal_decompose(sf_dir: str):
     ev = _read(sf_dir, "events", ["ts", "value"])
 
     def part(b: pa.Table) -> pa.Table:
-        tv = (
-            b["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
-        ).to_numpy(zero_copy_only=False)
+        from anansi_ray.arrowds import ts_us
+
+        tv = ts_us(b["ts"].combine_chunks()).to_numpy(zero_copy_only=False)
         v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
         dow = ((tv // 86_400_000_000 + 4) % 7).astype(np.int64)
         hour = ((tv // 3_600_000_000) % 24).astype(np.int64)
@@ -3193,10 +3193,10 @@ def q_kaplan_meier(sf_dir: str):
     SENT = np.iinfo(np.int64).max
 
     def per_batch(b: pa.Table) -> pa.Table:
+        from anansi_ray.arrowds import ts_us
+
         us = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tv = (
-            b["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
-        ).to_numpy(zero_copy_only=False)
+        tv = ts_us(b["ts"].combine_chunks()).to_numpy(zero_copy_only=False)
         is_p = pc.equal(
             b["event_type"].combine_chunks().cast(pa.string()), "purchase"
         ).to_numpy(zero_copy_only=False)
@@ -3439,13 +3439,24 @@ def q_source_overlap_matrix(sf_dir: str):
     O(parts · pairs) tiny rows.  |sources| is catalog-sized (≤64)."""
     P = 32
 
-    srcs = sorted(
-        set(
-            _read(sf_dir, "documents", ["source"])
-            .to_pandas()["source"]
-            .astype(str)
+    src_parts = (
+        _read(sf_dir, "documents", ["source"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "source": pa.array(
+                        np.unique(
+                            b["source"].to_numpy(zero_copy_only=False).astype(str)
+                        ),
+                        pa.string(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
         )
+        .to_pandas()  # ≤ |sources| rows per batch — a distinct combiner
     )
+    srcs = sorted(set(src_parts["source"].astype(str))) if len(src_parts) else []
     spec = {
         "src_a": pa.string(),
         "src_b": pa.string(),
@@ -3537,9 +3548,13 @@ def q_source_overlap_matrix(sf_dir: str):
         return pa.table({c: pa.array([], t) for c, t in spec.items()})
     g = parts.groupby(["i", "j"], sort=True)["c"].sum()
     tot = {i: int(g.get((i, i), 0)) for i in range(ns)}
+    # pairs only among shingle-bearing sources — the SQL twin's sz CTE
+    # (built from the shingle set) has no row for a shingle-less source
+    live = [i for i in range(ns) if tot[i] > 0]
     rows = []
-    for a in range(ns):
-        for b_ in range(a + 1, ns):
+    for xa in range(len(live)):
+        for xb in range(xa + 1, len(live)):
+            a, b_ = live[xa], live[xb]
             shared = int(g.get((a, b_), 0))
             union = tot[a] + tot[b_] - shared
             rows.append(
@@ -3796,8 +3811,8 @@ def q_padding_waste(sf_dir: str):
 
 SQL_PADDING_WASTE = r"""
 WITH t AS (
-  SELECT len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]'))::BIGINT
-           AS n_tokens
+  SELECT len(regexp_extract_all(coalesce(text, ''),
+             '[A-Za-z0-9]+|[^\sA-Za-z0-9]'))::BIGINT AS n_tokens
   FROM documents)
 SELECT (n_tokens // 32)::BIGINT AS bin,
        count(*)::BIGINT AS n_docs,

@@ -66,3 +66,26 @@ class TestBM25:
         assert set(out["doc_id"]) == {2}
         empty = _docs([])
         assert bm25_topk(rd.from_arrow(empty)).num_rows == 0
+
+    def test_null_text_rows(self):
+        # NULL text must behave as empty (the SQL twins coalesce) — this
+        # crashed before the fill_null fix
+        import pyarrow as pa
+
+        from anansi_ray.functions.bm25 import _doc_term_counts
+        from anansi_ray.functions.dsir import _features
+        from anansi_ray.functions.logreg import _features as lr_features
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["hash join", None], pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+            }
+        )
+        dl, tf = _doc_term_counts(t)
+        assert dl[1] == 0
+        fp, bk, nf = _features(t)
+        assert nf[1] == 0
+        X = lr_features(t)
+        assert X[1, 1] == 0.0
