@@ -175,6 +175,125 @@ def logreg_distributed(ds: rd.Dataset, id_col: str = "doc_id") -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+CV_FOLDS = 3
+
+CV_SPEC = {
+    "fold": pa.int64(),
+    "n_train": pa.int64(),
+    "n_test": pa.int64(),
+    "accuracy": pa.float64(),
+}
+
+
+def _cv_empty() -> pa.Table:
+    return pa.table({c: pa.array([], t) for c, t in CV_SPEC.items()})
+
+
+def _fold_mask(batch: pa.Table, fold: int, id_col: str, train: bool):
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = (ids % CV_FOLDS) != fold if train else (ids % CV_FOLDS) == fold
+    return batch.filter(pa.array(m))
+
+
+def logreg_cv_distributed(ds: rd.Dataset, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic k-fold cross-validation (folds = doc_id % k): each
+    fold trains the full distributed GD loop on the other folds and
+    scores the held-out fold with one streaming accuracy-partial pass
+    (per-batch correct/count sums).  Output: per-fold sizes + accuracy."""
+    ds = ds.materialize()
+    rows = []
+    for fold in range(CV_FOLDS):
+        train_ds = ds.map_batches(
+            lambda b, f=fold: _fold_mask(b, f, id_col, True),
+            batch_format="pyarrow",
+        ).materialize()
+        w = logreg_train(train_ds)
+        if w is None:
+            continue
+        wref = ray.put(w)
+
+        def acc_partial(batch: pa.Table, f=fold) -> pa.Table:
+            test = _fold_mask(batch, f, id_col, False)
+            if test.num_rows == 0:
+                return pa.table(
+                    {
+                        "n": pa.array([0], pa.int64()),
+                        "ok": pa.array([0], pa.int64()),
+                    }
+                )
+            scored = _score_rows(test, ray.get(wref), id_col)
+            lab = scored["label"].to_numpy(zero_copy_only=False)
+            pred = scored["pred"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "n": pa.array([len(lab)], pa.int64()),
+                    "ok": pa.array([int((lab == pred).sum())], pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(acc_partial, batch_format="pyarrow").to_pandas()
+        n_test = int(parts["n"].sum())
+        if n_test == 0:
+            continue
+        rows.append(
+            (
+                fold,
+                int(train_ds.count()),
+                n_test,
+                round(float(parts["ok"].sum()) / n_test, 6),
+            )
+        )
+    if not rows:
+        return _cv_empty()
+    return pa.table(
+        {
+            "fold": pa.array([r[0] for r in rows], pa.int64()),
+            "n_train": pa.array([r[1] for r in rows], pa.int64()),
+            "n_test": pa.array([r[2] for r in rows], pa.int64()),
+            "accuracy": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+def logreg_cv_local(tbl: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Sequential twin: same fold rule, same kernels, one slice."""
+    if tbl.num_rows == 0:
+        return _cv_empty()
+    rows = []
+    for fold in range(CV_FOLDS):
+        train = _fold_mask(tbl, fold, id_col, True)
+        test = _fold_mask(tbl, fold, id_col, False)
+        if train.num_rows == 0 or test.num_rows == 0:
+            continue
+        X = _features(train)
+        y = _labels(train)
+        w = np.zeros(LR_DIM)
+        for _ in range(LR_ITERS):
+            g, n = _grad_partial(X, y, w)
+            w = np.round(w - LR_ETA * g / n, LR_ROUND)
+        scored = _score_rows(test, w, id_col)
+        lab = scored["label"].to_numpy(zero_copy_only=False)
+        pred = scored["pred"].to_numpy(zero_copy_only=False)
+        rows.append(
+            (
+                fold,
+                train.num_rows,
+                test.num_rows,
+                round(float((lab == pred).sum()) / test.num_rows, 6),
+            )
+        )
+    if not rows:
+        return _cv_empty()
+    return pa.table(
+        {
+            "fold": pa.array([r[0] for r in rows], pa.int64()),
+            "n_train": pa.array([r[1] for r in rows], pa.int64()),
+            "n_test": pa.array([r[2] for r in rows], pa.int64()),
+            "accuracy": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
 def logreg_local(tbl: pa.Table, id_col: str = "doc_id") -> pa.Table:
     """Single-threaded twin (the oracle side): same kernels, one
     gradient sweep per iteration."""

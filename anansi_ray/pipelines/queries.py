@@ -1617,7 +1617,8 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v20"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v21"  # bump whenever artifact-affecting code changes
+# v21: added the logreg cross-validation twin (logreg_cv.parquet)
 # v20: added the PPMI-SVD embedding twin (word_emb_knn.parquet)
 # v19: added the Markov-attribution twin (markov_attr.parquet)
 # v18: added the PCA eigen-spectrum twin (pca_spectrum.parquet)
@@ -1870,6 +1871,16 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
                 pq.read_table(sfdoc, columns=["doc_id", "text", "lang"])
             ),
             os.path.join(ORACLE_DIR, "logreg.parquet"),
+        )
+
+        # 5e-bis. cross-validation twin (same fold rule, sequential)
+        from anansi_ray.functions.logreg import logreg_cv_local
+
+        pq.write_table(
+            logreg_cv_local(
+                pq.read_table(sfdoc, columns=["doc_id", "text", "lang"])
+            ),
+            os.path.join(ORACLE_DIR, "logreg_cv.parquet"),
         )
 
     # 6. sequence-packing twin: token counts via DuckDB's own regex (the
@@ -2154,6 +2165,12 @@ SQL_ALS_FACTORS = f"""
 SELECT partkey, j, factor
 FROM read_parquet('{ORACLE_DIR}/als_factors.parquet')
 ORDER BY partkey, j
+"""
+
+SQL_LOGREG_CV = f"""
+SELECT fold, n_train, n_test, accuracy
+FROM read_parquet('{ORACLE_DIR}/logreg_cv.parquet')
+ORDER BY fold
 """
 
 SQL_LOGREG_QUALITY = f"""
@@ -2723,6 +2740,19 @@ ORDER BY query_id, "rank"
 
 
 _VC_THRESH = (16, 64, 256, 1024)
+
+
+def q_logreg_cv(sf_dir: str):
+    """Deterministic 3-fold cross-validation of the quality classifier
+    (functions/logreg.py logreg_cv_distributed): folds by doc_id % 3,
+    each fold a full distributed GD training run + one streaming
+    accuracy-partial pass over the held-out fold.  Verified bit-for-bit
+    vs the sequential twin the oracle builder materializes."""
+    from anansi_ray.functions import logreg as flogreg
+
+    return flogreg.logreg_cv_distributed(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    )
 
 
 def q_vocab_coverage(sf_dir: str):
@@ -14112,6 +14142,7 @@ QUERIES = {
     "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "word_embedding_knn": (q_word_embedding_knn, SQL_WORD_EMBEDDING_KNN),
+    "logreg_cv": (q_logreg_cv, SQL_LOGREG_CV),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "seasonal_decompose",
     "curation_pipeline",
     "word_embedding_knn",
+    "logreg_cv",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts

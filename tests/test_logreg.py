@@ -77,3 +77,31 @@ class TestLogReg:
         )
         out = logreg_local(t).to_pandas()
         assert (out["prob"] > 0.5).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLogRegCV:
+    def test_distributed_matches_local_across_layouts(self):
+        from anansi_ray.functions.logreg import (
+            logreg_cv_distributed,
+            logreg_cv_local,
+        )
+
+        t = _docs(n=120)
+        exp = logreg_cv_local(t).to_pandas()
+        for nb in (1, 5):
+            got = logreg_cv_distributed(
+                rd.from_arrow(t).repartition(nb)
+            ).to_pandas()
+            assert got.equals(exp), f"mismatch at nblocks={nb}"
+
+    def test_fold_accounting(self):
+        from anansi_ray.functions.logreg import CV_FOLDS, logreg_cv_local
+
+        t = _docs(n=90)
+        out = logreg_cv_local(t).to_pandas()
+        assert len(out) == CV_FOLDS
+        assert (out["n_train"] + out["n_test"] == 90).all()
+        assert ((out["accuracy"] >= 0) & (out["accuracy"] <= 1)).all()
+        # separable corpus: every fold generalizes
+        assert (out["accuracy"] >= 0.9).all()
