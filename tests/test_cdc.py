@@ -81,3 +81,43 @@ class TestCDCDedup:
         assert out["n_chunks"] == 0 and out["dedup_ratio"] == 0.0
         got = cdc_dedup_distributed(rd.from_arrow(t)).to_pandas().iloc[0]
         assert got["n_chunks"] == 0
+
+
+class TestCDCProperties:
+    def test_reassembly_hypothesis(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.binary(min_size=0, max_size=2000))
+        def prop(data):
+            chunks = chunk_payload(data)
+            assert b"".join(chunks) == data
+            assert all(len(c) > 0 for c in chunks)
+
+        prop()
+
+    def test_boundary_locality_hypothesis(self):
+        # boundaries strictly inside a shared suffix are identical
+        # regardless of what came >= W bytes earlier (content-defined)
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from anansi_ray.functions.cdc import CDC_W, cdc_boundaries
+
+        @settings(max_examples=100, deadline=None)
+        @given(
+            st.binary(min_size=1, max_size=50),
+            st.binary(min_size=1, max_size=50),
+            st.binary(min_size=100, max_size=800),
+        )
+        def prop(pre_a, pre_b, core):
+            a = set(int(x) - len(pre_a) for x in cdc_boundaries(pre_a + core))
+            b = set(int(x) - len(pre_b) for x in cdc_boundaries(pre_b + core))
+            # compare only interior cuts fully determined by core bytes
+            interior = range(CDC_W, len(core) - 1)
+            assert {x for x in a if x in interior} == {
+                x for x in b if x in interior
+            }
+
+        prop()
