@@ -7881,6 +7881,168 @@ FROM s ORDER BY event_type
 """
 
 
+def q_conformal_interval(sf_dir: str):
+    """Split-conformal prediction interval for the value-vs-time
+    regression (uncertainty quantification): fit the global integer-exact
+    least-squares line (the events_regression contract — integer-scaled
+    truncating divisions), compute every event's residual in cents, take
+    the exact 5th/95th residual quantiles via the bounded histogram
+    pattern with INTEGER threshold comparisons (20·cum ≥ tot), and report
+    the interval plus its exact empirical coverage.
+
+    Shape: two streaming passes (sums partial, then residual histogram
+    partial — bounded by the cents domain), tiny driver finishes; the SQL
+    twin replays the identical integer arithmetic end-to-end."""
+    from ray.data.aggregate import Min, Sum
+
+    spec = {
+        "n": pa.int64(),
+        "slope_e9": pa.int64(),
+        "intercept_e6": pa.int64(),
+        "q05_cents": pa.int64(),
+        "q95_cents": pa.int64(),
+        "coverage": pa.float64(),
+    }
+
+    def _empty() -> pa.Table:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+
+    mn = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(
+            lambda b: pa.table({"ts": ts_us(b["ts"].combine_chunks())}),
+            batch_format="pyarrow",
+        )
+        .aggregate(Min("ts"))
+    )["min(ts)"]
+    if mn is None:
+        return _empty()
+    MIN_US = int(mn)
+
+    def xy(b: pa.Table):
+        ts = ts_us(b["ts"].combine_chunks()).to_numpy(zero_copy_only=False)
+        x = (ts - MIN_US) // 60_000_000
+        y = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return x, y
+
+    def sums_partial(b: pa.Table) -> pa.Table:
+        x, y = xy(b)
+        xx = x * x
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx_hi": pa.array([int((xx // 10**9).sum())], pa.int64()),
+                "sxx_lo": pa.array([int((xx % 10**9).sum())], pa.int64()),
+            }
+        )
+
+    ev = _read(sf_dir, "events", ["ts", "value"]).materialize()
+    sums = ev.map_batches(sums_partial, batch_format="pyarrow").to_pandas()
+    if len(sums) == 0 or sums["n"].sum() == 0:
+        return _empty()
+    n = int(sums["n"].sum())
+    sx, sy, sxy = (int(sums[c].sum()) for c in ("sx", "sy", "sxy"))
+    sxx = int(sums["sxx_hi"].sum()) * 10**9 + int(sums["sxx_lo"].sum())
+
+    def tdiv(a: int, b: int) -> int:  # truncating division (SQL `//`)
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    if den == 0:
+        return _empty()
+    slope_e9 = tdiv(10**9 * num, den)
+    intercept_e6 = tdiv(10**6 * (sy * den - num * sx), den * n)
+
+    def resid_partial(b: pa.Table) -> pa.Table:
+        x, y = xy(b)
+        scaled = y * 10**9 - (slope_e9 * x + intercept_e6 * 1000)
+        # exact truncating integer division (float / would misround near
+        # exact multiples); magnitudes stay well inside int64
+        q = np.abs(scaled) // 10**9
+        r = np.where(scaled < 0, -q, q).astype(np.int64)
+        uniq, cnt = np.unique(r, return_counts=True)
+        return pa.table(
+            {
+                "r": pa.array(uniq, pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        ev.map_batches(resid_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("r", as_index=False)["c"]
+        .sum()
+        .sort_values("r", ignore_index=True)
+    )
+    v = hist["r"].to_numpy(dtype=np.int64)
+    c = hist["c"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(c)
+    tot = int(cum[-1])
+    q05 = int(v[np.searchsorted(20 * cum, tot, side="left")])
+    q95 = int(v[np.searchsorted(20 * cum, 19 * tot, side="left")])
+    inside = int(c[(v >= q05) & (v <= q95)].sum())
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "slope_e9": pa.array([slope_e9], pa.int64()),
+            "intercept_e6": pa.array([intercept_e6], pa.int64()),
+            "q05_cents": pa.array([q05], pa.int64()),
+            "q95_cents": pa.array([q95], pa.int64()),
+            "coverage": pa.array([round(inside / tot, 6)], pa.float64()),
+        }
+    )
+
+
+SQL_CONFORMAL_INTERVAL = """
+WITH b AS (SELECT min(epoch_us(ts)) AS mn FROM events),
+p AS (SELECT (epoch_us(ts) - mn) // 60000000 AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events, b),
+s AS (SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+             sum(y)::HUGEINT AS sy, sum(x * y)::HUGEINT AS sxy,
+             sum(x::HUGEINT * x) AS sxx
+      FROM p),
+coef AS (
+  SELECT n, sx, sy,
+         (1000000000::HUGEINT * (n * sxy - sx * sy))
+           // (n * sxx - sx * sx) AS slope_e9,
+         (1000000::HUGEINT * (sy * (n * sxx - sx * sx)
+                              - (n * sxy - sx * sy) * sx))
+           // ((n * sxx - sx * sx) * n) AS intercept_e6
+  FROM s WHERE n * sxx - sx * sx != 0),
+resid AS (
+  SELECT ((p.y::HUGEINT * 1000000000
+           - (coef.slope_e9 * p.x + coef.intercept_e6 * 1000))
+          // 1000000000)::BIGINT AS r
+  FROM p, coef),
+hist AS (SELECT r, count(*)::BIGINT AS c FROM resid GROUP BY r),
+cumed AS (
+  SELECT r, c,
+         sum(c) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)::BIGINT AS cum
+  FROM hist),
+tot AS (SELECT sum(c)::BIGINT AS t FROM hist),
+qs AS (
+  SELECT (SELECT min(r) FROM cumed, tot WHERE 20 * cum >= t) AS q05,
+         (SELECT min(r) FROM cumed, tot WHERE 20 * cum >= 19 * t) AS q95)
+SELECT (SELECT t FROM tot) AS n,
+       coef.slope_e9::BIGINT AS slope_e9,
+       coef.intercept_e6::BIGINT AS intercept_e6,
+       qs.q05 AS q05_cents, qs.q95 AS q95_cents,
+       round((SELECT sum(c) FROM hist WHERE r >= qs.q05 AND r <= qs.q95)
+             * 1.0 / (SELECT t FROM tot), 6) AS coverage
+FROM coef, qs
+"""
+
+
 def q_region_revenue(sf_dir: str):
     """Snowflake/star join (TPC-H Q5 shape): revenue per region through the
     dimension chain region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem.
@@ -14143,6 +14305,7 @@ QUERIES = {
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "word_embedding_knn": (q_word_embedding_knn, SQL_WORD_EMBEDDING_KNN),
     "logreg_cv": (q_logreg_cv, SQL_LOGREG_CV),
+    "conformal_interval": (q_conformal_interval, SQL_CONFORMAL_INTERVAL),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "word_embedding_knn",
     "logreg_cv",
+    "conformal_interval",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
