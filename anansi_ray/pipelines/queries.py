@@ -7881,6 +7881,116 @@ FROM s ORDER BY event_type
 """
 
 
+def q_selfjoin_size_cms(sf_dir: str):
+    """Join-size estimation from sketches (Alon–Matias–Szegedy F₂ /
+    Cormode–Muthukrishnan CMS inner product): the self-join cardinality
+    |lineitem ⋈ lineitem on partkey| equals the second frequency moment
+    Σ_k deg(k)², which a Count-Min sketch estimates as min_d Σ_w cell²
+    — the query-planner primitive for sizing a shuffle join WITHOUT
+    running it.  Exact F₂ comes from one coarse degree exchange +
+    a Σdeg² partial pass; the sketch needs only per-batch D×W integer
+    partials (linear ⇒ merge exactly).  CMS guarantees est ≥ exact.
+    Full SQL twin rebuilds both under the shared md5 bucket contract."""
+    import hashlib
+
+    from anansi_ray.arrowds import coarse_agg
+
+    D, W = 4, 64
+
+    def cms_partial(b: pa.Table) -> pa.Table:
+        k = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(k, return_counts=True)
+        M = np.zeros((D, W), np.int64)
+        for u, c in zip(uniq, cnt):
+            for d in range(D):
+                M[d, int(hashlib.md5(f"{d}:{u}".encode()).hexdigest()[:8], 16) % W] += c
+        return pa.table(
+            {
+                "cells": pa.array([list(M.ravel())], pa.list_(pa.int64())),
+                "n": pa.array([len(k)], pa.int64()),
+            }
+        )
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        k = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(uniq, pa.int64()),
+                "deg": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey"]).materialize()
+    spec = {
+        "n_rows": pa.int64(),
+        "distinct_keys": pa.int64(),
+        "exact_f2": pa.int64(),
+        "cms_f2": pa.int64(),
+        "rel_err": pa.float64(),
+    }
+    parts = li.map_batches(cms_partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0 or parts["n"].sum() == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    M = np.sum(
+        np.stack([np.asarray(x, np.int64) for x in parts["cells"]]), axis=0
+    ).reshape(D, W)
+    cms_f2 = int(min(int((M[d].astype(object) ** 2).sum()) for d in range(D)))
+
+    degs = coarse_agg(
+        li.map_batches(deg_partial, batch_format="pyarrow"),
+        "k",
+        {"deg": ("sum", "deg")},
+    )
+
+    def f2_partial(b: pa.Table) -> pa.Table:
+        d = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "f2": pa.array([int((d * d).sum())], pa.int64()),
+                "nk": pa.array([len(d)], pa.int64()),
+            }
+        )
+
+    f2p = degs.map_batches(f2_partial, batch_format="pyarrow").to_pandas()
+    exact = int(f2p["f2"].sum())
+    return pa.table(
+        {
+            "n_rows": pa.array([int(parts["n"].sum())], pa.int64()),
+            "distinct_keys": pa.array([int(f2p["nk"].sum())], pa.int64()),
+            "exact_f2": pa.array([exact], pa.int64()),
+            "cms_f2": pa.array([cms_f2], pa.int64()),
+            "rel_err": pa.array(
+                [round((cms_f2 - exact) / exact, 6) if exact else 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+SQL_SELFJOIN_SIZE_CMS = r"""
+WITH deg AS (
+  SELECT l_partkey AS k, count(*)::BIGINT AS d FROM lineitem GROUP BY 1),
+cells AS (
+  SELECT dd.d AS row_d,
+         ('0x' || substr(md5(dd.d::VARCHAR || ':' || deg.k::VARCHAR), 1, 8))
+           ::UBIGINT % 64 AS b,
+         sum(deg.d)::HUGEINT AS cell
+  FROM deg, generate_series(0, 3) dd(d)
+  GROUP BY 1, 2),
+est AS (
+  SELECT min(s)::BIGINT AS cms_f2
+  FROM (SELECT row_d, sum(cell * cell) AS s FROM cells GROUP BY row_d)),
+ex AS (
+  SELECT sum(d)::BIGINT AS n_rows, count(*)::BIGINT AS distinct_keys,
+         sum(d::HUGEINT * d)::BIGINT AS exact_f2
+  FROM deg)
+SELECT ex.n_rows, ex.distinct_keys, ex.exact_f2, est.cms_f2,
+       round((est.cms_f2 - ex.exact_f2) * 1.0 / ex.exact_f2, 6) AS rel_err
+FROM ex, est WHERE ex.n_rows > 0
+"""
+
+
 def q_conformal_interval(sf_dir: str):
     """Split-conformal prediction interval for the value-vs-time
     regression (uncertainty quantification): fit the global integer-exact
@@ -14306,6 +14416,7 @@ QUERIES = {
     "word_embedding_knn": (q_word_embedding_knn, SQL_WORD_EMBEDDING_KNN),
     "logreg_cv": (q_logreg_cv, SQL_LOGREG_CV),
     "conformal_interval": (q_conformal_interval, SQL_CONFORMAL_INTERVAL),
+    "selfjoin_size_cms": (q_selfjoin_size_cms, SQL_SELFJOIN_SIZE_CMS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "word_embedding_knn",
     "logreg_cv",
     "conformal_interval",
+    "selfjoin_size_cms",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
