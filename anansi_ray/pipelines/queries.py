@@ -7881,6 +7881,148 @@ FROM s ORDER BY event_type
 """
 
 
+def q_chi2_features(sf_dir: str):
+    """χ² feature selection (the classic text-classification feature
+    ranker): for every token, the chi-squared statistic of the 2×2 table
+    (document contains token × document is the target lang 'en'); top-20
+    by (χ² desc, token asc).  Per-batch per-class document-frequency
+    combiner → ONE coarse token exchange → χ² on integer counts (the
+    numerator N(ad−bc)² is exact big-int; only the final division is
+    float, rounded).  Full SQL twin."""
+    import pandas as pd
+
+    from anansi_ray.arrowds import coarse_agg
+
+    spec = {
+        "token": pa.string(),
+        "df_en": pa.int64(),
+        "df_other": pa.int64(),
+        "chi2": pa.float64(),
+    }
+
+    def class_df_partial(b: pa.Table) -> pa.Table:
+        col = pc.fill_null(b["text"], "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\W+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = (
+            pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(str)
+        )
+        doc_idx = np.repeat(np.arange(b.num_rows), lens)
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        is_en = pc.equal(
+            pc.fill_null(b["lang"].combine_chunks().cast(pa.string()), ""),
+            "en",
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"token": flat, "doc": doc_idx, "en": is_en[doc_idx]}
+        ).drop_duplicates(["token", "doc"])
+        g = df.groupby("token")["en"].agg(["sum", "count"]).reset_index()
+        return pa.table(
+            {
+                "token": pa.array(g["token"].to_numpy(dtype=object), pa.string()),
+                "df_en": pa.array(
+                    g["sum"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "df_all": pa.array(
+                    g["count"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["text", "lang"])
+    counts = coarse_agg(
+        docs.map_batches(class_df_partial, batch_format="pyarrow"),
+        "token",
+        {"df_en": ("sum", "df_en"), "df_all": ("sum", "df_all")},
+    ).to_pandas()
+    if len(counts) == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+
+    def n_partial(b: pa.Table) -> pa.Table:
+        is_en = pc.equal(
+            pc.fill_null(b["lang"].combine_chunks().cast(pa.string()), ""),
+            "en",
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_en": pa.array([int(is_en.sum())], pa.int64()),
+                "n": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    ns = (
+        _read(sf_dir, "documents", ["lang"])
+        .map_batches(n_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    N = int(ns["n"].sum())
+    N_en = int(ns["n_en"].sum())
+    N_ot = N - N_en
+    a = counts["df_en"].to_numpy(dtype=np.int64)
+    ab = counts["df_all"].to_numpy(dtype=np.int64)
+    b_ = ab - a
+    c = N_en - a
+    d = N_ot - b_
+    num = N * (a.astype(object) * d - b_.astype(object) * c) ** 2
+    den = (
+        (a + b_).astype(object)
+        * (c + d).astype(object)
+        * (a + c).astype(object)
+        * (b_ + d).astype(object)
+    )
+    chi2 = np.array(
+        [round(float(x) / float(y), 6) if y else 0.0 for x, y in zip(num, den)]
+    )
+    toks = counts["token"].to_numpy(dtype=str)
+    order = np.lexsort((toks, -chi2))[:20]
+    return pa.table(
+        {
+            "token": pa.array(toks[order].astype(object), pa.string()),
+            "df_en": pa.array(a[order], pa.int64()),
+            "df_other": pa.array(b_[order], pa.int64()),
+            "chi2": pa.array(chi2[order], pa.float64()),
+        }
+    )
+
+
+SQL_CHI2_FEATURES = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS t
+  FROM documents),
+cnt AS (
+  SELECT t AS token,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS df_en,
+         count(*)::BIGINT AS df_all
+  FROM tok GROUP BY t),
+ns AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en
+  FROM documents),
+x AS (
+  SELECT token, df_en, (df_all - df_en) AS df_other,
+         (ns.n_en - df_en) AS c, (ns.n - ns.n_en - df_all + df_en) AS d,
+         ns.n AS n
+  FROM cnt, ns),
+stat AS (
+  SELECT token, df_en, df_other,
+         CASE WHEN (df_en + df_other) * (c + d)
+                   * (df_en + c) * (df_other + d) = 0 THEN 0.0
+              ELSE round(
+                n::HUGEINT
+                * (df_en::HUGEINT * d - df_other::HUGEINT * c)
+                * (df_en::HUGEINT * d - df_other::HUGEINT * c)
+                * 1.0
+                / ((df_en + df_other)::HUGEINT * (c + d)
+                   * (df_en + c) * (df_other + d)), 6)
+         END AS chi2
+  FROM x)
+SELECT token, df_en, df_other, chi2
+FROM stat ORDER BY chi2 DESC, token LIMIT 20
+"""
+
+
 def q_selfjoin_size_cms(sf_dir: str):
     """Join-size estimation from sketches (Alon–Matias–Szegedy F₂ /
     Cormode–Muthukrishnan CMS inner product): the self-join cardinality
@@ -14417,6 +14559,7 @@ QUERIES = {
     "logreg_cv": (q_logreg_cv, SQL_LOGREG_CV),
     "conformal_interval": (q_conformal_interval, SQL_CONFORMAL_INTERVAL),
     "selfjoin_size_cms": (q_selfjoin_size_cms, SQL_SELFJOIN_SIZE_CMS),
+    "chi2_features": (q_chi2_features, SQL_CHI2_FEATURES),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

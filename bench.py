@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "logreg_cv",
     "conformal_interval",
     "selfjoin_size_cms",
+    "chi2_features",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
