@@ -7881,6 +7881,141 @@ FROM s ORDER BY event_type
 """
 
 
+def q_spearman_len_tokens(sf_dir: str):
+    """Exact Spearman rank correlation between document token count and
+    character count — the tie-aware rank statistic, computed without any
+    global sort: both variables have BOUNDED value domains, so their
+    average-rank maps come from tiny value histograms (per-batch
+    value-count combiner → driver merge), are broadcast back, and one
+    streaming pass accumulates INTEGER sums of doubled ranks (avg rank
+    over ties is a half-integer ⇒ 2·rank is exact int64).  Only the
+    final ρ division/sqrt is float, rounded to 6.  Full SQL twin with
+    HUGEINT sums."""
+    import ray as _ray
+
+    spec = {
+        "n": pa.int64(),
+        "rho": pa.float64(),
+    }
+
+    def _empty() -> pa.Table:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+
+    def xy(b: pa.Table):
+        x = (
+            ftext.token_count_batch(b)["n_tokens"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        y = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return x, y
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        x, y = xy(b)
+        ux, cx = np.unique(x, return_counts=True)
+        uy, cy = np.unique(y, return_counts=True)
+        return pa.table(
+            {
+                "var": pa.array(
+                    ["x"] * len(ux) + ["y"] * len(uy), pa.string()
+                ),
+                "v": pa.array(np.concatenate([ux, uy]), pa.int64()),
+                "c": pa.array(
+                    np.concatenate([cx, cy]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]).materialize()
+    hist = docs.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    if len(hist) == 0:
+        return _empty()
+    hist = hist.groupby(["var", "v"], as_index=False)["c"].sum()
+
+    def rank_map(var: str):
+        h = hist[hist["var"] == var].sort_values("v")
+        v = h["v"].to_numpy(dtype=np.int64)
+        c = h["c"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(c)
+        dr = 2 * (cum - c) + c + 1  # doubled average rank
+        return v, dr
+
+    vx, drx = rank_map("x")
+    vy, dry = rank_map("y")
+    mref = _ray.put((vx, drx, vy, dry))
+
+    def sums_partial(b: pa.Table) -> pa.Table:
+        vx_, drx_, vy_, dry_ = _ray.get(mref)
+        x, y = xy(b)
+        rx = drx_[np.searchsorted(vx_, x)]
+        ry = dry_[np.searchsorted(vy_, y)]
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(rx.sum())], pa.int64()),
+                "sy": pa.array([int(ry.sum())], pa.int64()),
+                "sxx": pa.array([int((rx * rx).sum())], pa.int64()),
+                "syy": pa.array([int((ry * ry).sum())], pa.int64()),
+                "sxy": pa.array([int((rx * ry).sum())], pa.int64()),
+            }
+        )
+
+    s = docs.map_batches(sums_partial, batch_format="pyarrow").to_pandas()
+    n = int(s["n"].sum())
+    if n < 2:
+        return _empty()
+    sx, sy, sxx, syy, sxy = (
+        int(s[c].sum()) for c in ("sx", "sy", "sxx", "syy", "sxy")
+    )
+    num = n * sxy - sx * sy
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    if den <= 0:
+        return _empty()  # a constant variable: ρ undefined (SQL twin agrees)
+    import math
+
+    # same double conversion as the SQL twin's sqrt(...::DOUBLE)
+    rho = round(float(num) / math.sqrt(float(den)), 6)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "rho": pa.array([rho], pa.float64()),
+        }
+    )
+
+
+SQL_SPEARMAN_LEN_TOKENS = r"""
+WITH v AS (
+  SELECT len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]'))::BIGINT
+           AS x,
+         n_chars::BIGINT AS y
+  FROM documents),
+hx AS (SELECT x, count(*)::BIGINT AS c FROM v GROUP BY x),
+rx AS (
+  SELECT x,
+         (2 * (sum(c) OVER (ORDER BY x) - c) + c + 1)::BIGINT AS dr
+  FROM hx),
+hy AS (SELECT y, count(*)::BIGINT AS c FROM v GROUP BY y),
+ry AS (
+  SELECT y,
+         (2 * (sum(c) OVER (ORDER BY y) - c) + c + 1)::BIGINT AS dr
+  FROM hy),
+r AS (
+  SELECT rx.dr AS a, ry.dr AS b
+  FROM v JOIN rx ON v.x = rx.x JOIN ry ON v.y = ry.y),
+s AS (
+  SELECT count(*)::HUGEINT AS n, sum(a)::HUGEINT AS sx, sum(b)::HUGEINT AS sy,
+         sum(a * a)::HUGEINT AS sxx, sum(b * b)::HUGEINT AS syy,
+         sum(a * b)::HUGEINT AS sxy
+  FROM r)
+SELECT n::BIGINT AS n,
+       round((n * sxy - sx * sy) * 1.0
+             / sqrt(((n * sxx - sx * sx) * (n * syy - sy * sy))::DOUBLE),
+             6) AS rho
+FROM s
+WHERE n >= 2 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+"""
+
+
 def q_chi2_features(sf_dir: str):
     """χ² feature selection (the classic text-classification feature
     ranker): for every token, the chi-squared statistic of the 2×2 table
@@ -14560,6 +14695,7 @@ QUERIES = {
     "conformal_interval": (q_conformal_interval, SQL_CONFORMAL_INTERVAL),
     "selfjoin_size_cms": (q_selfjoin_size_cms, SQL_SELFJOIN_SIZE_CMS),
     "chi2_features": (q_chi2_features, SQL_CHI2_FEATURES),
+    "spearman_len_tokens": (q_spearman_len_tokens, SQL_SPEARMAN_LEN_TOKENS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

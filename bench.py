@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "conformal_interval",
     "selfjoin_size_cms",
     "chi2_features",
+    "spearman_len_tokens",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
