@@ -2435,6 +2435,44 @@ def q_crawl_order(sf_dir: str):
     return _crawl_results()["expected_crawl"]
 
 
+def q_crawl_status_mix(sf_dir: str):
+    """Crawl observability crosstab: ledger row counts per (state,
+    HTTP status class) — the at-a-glance health report every crawl
+    operator watches (2xx/3xx mix, error rates per state).  Computed
+    from the pipeline's own ledger; the SQL twin recomputes the crosstab
+    from the INDEPENDENT reference-semantics crawl artifact, so any
+    state-machine divergence breaks the hash."""
+    led = _crawl_results()["expected_crawl"]
+    state = np.asarray(led["state"].to_pylist(), dtype=object)
+    status = led["status"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cls = status // 100
+    import pandas as pd
+
+    df = (
+        pd.DataFrame({"state": state, "status_class": cls})
+        .groupby(["state", "status_class"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["state", "status_class"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "state": pa.array(df["state"].to_numpy(dtype=object), pa.string()),
+            "status_class": pa.array(
+                df["status_class"].to_numpy(dtype=np.int64), pa.int64()
+            ),
+            "n": pa.array(df["n"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_CRAWL_STATUS_MIX = f"""
+SELECT state, (status // 100)::BIGINT AS status_class, count(*)::BIGINT AS n
+FROM read_parquet('{{od}}/crawl_order.parquet')
+GROUP BY 1, 2 ORDER BY 1, 2
+""".format(od=ORACLE_DIR)
+
+
 def q_crawl_host_profile(sf_dir: str):
     """Politeness profile of the crawl ledger: per crawl_root (the
     politeness key, ≙ crawl_root db.c:279-338) the fetch count, the
@@ -14696,6 +14734,7 @@ QUERIES = {
     "selfjoin_size_cms": (q_selfjoin_size_cms, SQL_SELFJOIN_SIZE_CMS),
     "chi2_features": (q_chi2_features, SQL_CHI2_FEATURES),
     "spearman_len_tokens": (q_spearman_len_tokens, SQL_SPEARMAN_LEN_TOKENS),
+    "crawl_status_mix": (q_crawl_status_mix, SQL_CRAWL_STATUS_MIX),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

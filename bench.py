@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "selfjoin_size_cms",
     "chi2_features",
     "spearman_len_tokens",
+    "crawl_status_mix",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
