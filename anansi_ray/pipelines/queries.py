@@ -8054,6 +8054,100 @@ WHERE n >= 2 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
 """
 
 
+def q_source_lang_entropy(sf_dir: str):
+    """Corpus-mix diversity diagnostic: Shannon entropy (nats) of the
+    language distribution within each source, plus the majority language
+    and its share — the table that says which sources are monolingual
+    silos vs mixed.  Each batch forwards ≤ |sources|·|langs| count rows;
+    entropy runs on the tiny crosstab.  Ties for the majority language
+    break alphabetically in both engines; full SQL twin."""
+    import pandas as pd
+
+    def part(b: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "source": np.asarray(b["source"].to_pylist(), dtype=object),
+                    "lang": np.asarray(b["lang"].to_pylist(), dtype=object),
+                }
+            )
+            .groupby(["source", "lang"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    spec = {
+        "source": pa.string(),
+        "n_docs": pa.int64(),
+        "n_langs": pa.int64(),
+        "entropy": pa.float64(),
+        "top_lang": pa.string(),
+        "top_share": pa.float64(),
+    }
+    ct = (
+        _read(sf_dir, "documents", ["source", "lang"])
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(ct) == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    ct = ct.groupby(["source", "lang"], as_index=False)["n"].sum()
+    rows = []
+    for src, grp in ct.groupby("source", sort=True):
+        n = grp["n"].to_numpy(dtype=np.float64)
+        tot = n.sum()
+        p = n / tot
+        ent = float(-(p * np.log(p)).sum())
+        g2 = grp.sort_values(["n", "lang"], ascending=[False, True])
+        rows.append(
+            (
+                src,
+                int(tot),
+                len(grp),
+                round(ent, 6),
+                g2["lang"].iloc[0],
+                round(float(g2["n"].iloc[0]) / tot, 6),
+            )
+        )
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "n_langs": pa.array([r[2] for r in rows], pa.int64()),
+            "entropy": pa.array([r[3] for r in rows], pa.float64()),
+            "top_lang": pa.array([r[4] for r in rows], pa.string()),
+            "top_share": pa.array([r[5] for r in rows], pa.float64()),
+        }
+    )
+
+
+SQL_SOURCE_LANG_ENTROPY = r"""
+WITH ct AS (
+  SELECT source, lang, count(*)::BIGINT AS n
+  FROM documents GROUP BY 1, 2),
+tot AS (SELECT source, sum(n)::BIGINT AS t FROM ct GROUP BY source),
+ent AS (
+  SELECT ct.source,
+         round(-sum((ct.n * 1.0 / tot.t) * ln(ct.n * 1.0 / tot.t)), 6)
+           AS entropy,
+         count(*)::BIGINT AS n_langs
+  FROM ct JOIN tot USING (source) GROUP BY ct.source),
+top AS (
+  SELECT source, lang AS top_lang, n,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n DESC, lang
+         ) AS rn
+  FROM ct)
+SELECT e.source, t.t AS n_docs, e.n_langs, e.entropy,
+       top.top_lang, round(top.n * 1.0 / t.t, 6) AS top_share
+FROM ent e
+JOIN tot t ON t.source = e.source
+JOIN top ON top.source = e.source AND top.rn = 1
+ORDER BY e.source
+"""
+
+
 def q_chi2_features(sf_dir: str):
     """χ² feature selection (the classic text-classification feature
     ranker): for every token, the chi-squared statistic of the 2×2 table
@@ -14735,6 +14829,7 @@ QUERIES = {
     "chi2_features": (q_chi2_features, SQL_CHI2_FEATURES),
     "spearman_len_tokens": (q_spearman_len_tokens, SQL_SPEARMAN_LEN_TOKENS),
     "crawl_status_mix": (q_crawl_status_mix, SQL_CRAWL_STATUS_MIX),
+    "source_lang_entropy": (q_source_lang_entropy, SQL_SOURCE_LANG_ENTROPY),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

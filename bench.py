@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "chi2_features",
     "spearman_len_tokens",
     "crawl_status_mix",
+    "source_lang_entropy",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
