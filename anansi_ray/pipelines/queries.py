@@ -3399,6 +3399,83 @@ def q_markov_attribution(sf_dir: str):
     )
 
 
+def q_benford_audit(sf_dir: str):
+    """Benford first-digit audit of order prices (the classic
+    fraud/data-quality screen): observed first-significant-digit counts
+    vs the Benford expectation log10(1 + 1/d), with the χ² statistic.
+    Each batch reduces itself to a 9-bin integer histogram; the digit is
+    extracted SYMBOLICALLY (first char of the decimal rendering — the
+    identical rule in both engines, no float log).  Full SQL twin."""
+
+    def part(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        # first significant digit via the cents rendering (prices > 0)
+        cents = np.round(v * 100).astype(np.int64)
+        s = np.char.mod("%d", np.abs(cents))
+        first = np.array([int(x[0]) for x in s], np.int64)
+        keep = first > 0
+        h = np.bincount(first[keep], minlength=10)[1:10]
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10), pa.int64()),
+                "n": pa.array(h.astype(np.int64), pa.int64()),
+            }
+        )
+
+    spec = {
+        "digit": pa.int64(),
+        "n": pa.int64(),
+        "share": pa.float64(),
+        "benford": pa.float64(),
+        "chi2_term": pa.float64(),
+    }
+    parts = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(parts) == 0 or parts["n"].sum() == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    g = parts.groupby("digit", sort=True)["n"].sum()
+    n = g.to_numpy(dtype=np.float64)
+    tot = n.sum()
+    digits = np.arange(1, 10, dtype=np.float64)
+    exp = np.log10(1.0 + 1.0 / digits)
+    chi2 = (n - tot * exp) ** 2 / (tot * exp)
+    return pa.table(
+        {
+            "digit": pa.array(np.arange(1, 10), pa.int64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "share": pa.array(np.round(n / tot, 6), pa.float64()),
+            "benford": pa.array(np.round(exp, 6), pa.float64()),
+            "chi2_term": pa.array(np.round(chi2, 6), pa.float64()),
+        }
+    )
+
+
+SQL_BENFORD_AUDIT = r"""
+WITH d AS (
+  SELECT substr(abs(CAST(round(o_totalprice * 100) AS BIGINT))::VARCHAR, 1, 1)
+           ::BIGINT AS digit
+  FROM orders),
+h AS (
+  SELECT digit, count(*)::BIGINT AS n FROM d WHERE digit > 0 GROUP BY digit),
+base AS (
+  SELECT g.d AS digit, coalesce(h.n, 0)::BIGINT AS n,
+         log10(1.0 + 1.0 / g.d) AS benford
+  FROM generate_series(1, 9) g(d) LEFT JOIN h ON h.digit = g.d),
+tot AS (SELECT sum(n)::DOUBLE AS t FROM base)
+SELECT digit, n,
+       round(n / tot.t, 6) AS share,
+       round(benford, 6) AS benford,
+       round((n - tot.t * benford) * (n - tot.t * benford)
+             / (tot.t * benford), 6) AS chi2_term
+FROM base, tot
+WHERE tot.t > 0
+ORDER BY digit
+"""
+
+
 def q_aqp_revenue_estimate(sf_dir: str):
     """Approximate query processing: estimate mean order price from a
     deterministic 10 % hash sample (md5 coin on the order key — the
@@ -14830,6 +14907,7 @@ QUERIES = {
     "spearman_len_tokens": (q_spearman_len_tokens, SQL_SPEARMAN_LEN_TOKENS),
     "crawl_status_mix": (q_crawl_status_mix, SQL_CRAWL_STATUS_MIX),
     "source_lang_entropy": (q_source_lang_entropy, SQL_SOURCE_LANG_ENTROPY),
+    "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

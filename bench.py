@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "spearman_len_tokens",
     "crawl_status_mix",
     "source_lang_entropy",
+    "benford_audit",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
