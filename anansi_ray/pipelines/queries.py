@@ -2780,6 +2780,127 @@ ORDER BY query_id, "rank"
 _VC_THRESH = (16, 64, 256, 1024)
 
 
+def q_token_zipf_fit(sf_dir: str):
+    """Zipf-law fit of the token rank-frequency curve (the corpus
+    statistic behind vocabulary sizing and quality sanity checks):
+    least-squares slope of ln(freq) on ln(rank) over the top-512 tokens,
+    plus R².  The distributed work is the value-counts combiner + ONE
+    coarse exchange + per-block partial top-V (the vocab_coverage
+    machinery); the fit runs on the bounded V-row table with ranks
+    ordered (count desc, token asc) in both engines.  Full SQL twin."""
+    import pandas as pd
+
+    from anansi_ray.arrowds import coarse_agg
+
+    V = 512
+    spec = {
+        "v_used": pa.int64(),
+        "slope": pa.float64(),
+        "intercept": pa.float64(),
+        "r2": pa.float64(),
+    }
+
+    def tc_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(
+                pc.fill_null(
+                    batch["text"].combine_chunks().cast(pa.string()), ""
+                )
+            ),
+            "[^a-z0-9]+",
+        )
+        flat = pc.list_flatten(toks).to_pandas().to_numpy(dtype=object)
+        s = pd.Series(flat, dtype=object)
+        vc = s[s != ""].value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "cnt": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    counts = coarse_agg(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            tc_partial, batch_format="pyarrow"
+        ),
+        "token",
+        {"cnt": ("sum", "cnt")},
+    ).materialize()
+
+    def topv_partial(batch: pa.Table) -> pa.Table:
+        c = batch["cnt"].to_numpy(zero_copy_only=False)
+        t = batch["token"].to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((t, -c))[:V]
+        return batch.take(pa.array(order))
+
+    parts = counts.map_batches(topv_partial, batch_format="pyarrow").to_pandas()
+    if len(parts) < 2:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    c = parts["cnt"].to_numpy(dtype=np.int64)
+    t = parts["token"].to_numpy(dtype=str)
+    order = np.lexsort((t, -c))[:V]
+    freq = c[order].astype(np.float64)
+    n = len(freq)
+    if n < 2:
+        return pa.table({c_: pa.array([], t_) for c_, t_ in spec.items()})
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(freq)
+    sx, sy = x.sum(), y.sum()
+    sxx, syy, sxy = (x * x).sum(), (y * y).sum(), (x * y).sum()
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    intercept = (sy - slope * sx) / n
+    ss_res = syy - 2 * slope * sxy - 2 * intercept * sy + slope * slope * sxx \
+        + 2 * slope * intercept * sx + n * intercept * intercept
+    ss_tot = syy - sy * sy / n
+    r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 0.0
+    return pa.table(
+        {
+            "v_used": pa.array([n], pa.int64()),
+            "slope": pa.array([round(float(slope), 6)], pa.float64()),
+            "intercept": pa.array([round(float(intercept), 6)], pa.float64()),
+            "r2": pa.array([round(float(r2), 6)], pa.float64()),
+        }
+    )
+
+
+SQL_TOKEN_ZIPF_FIT = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'))
+    AS tok
+  FROM documents),
+cnts AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rn FROM cnts
+  QUALIFY rn <= 512),
+xy AS (SELECT ln(rn::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM ranked),
+s AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM xy),
+fit AS (
+  SELECT n,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         sy, sx, sxx, syy, sxy
+  FROM s WHERE n >= 2 AND n * sxx - sx * sx != 0),
+f2 AS (
+  SELECT n, slope, (sy - slope * sx) / n AS intercept,
+         sxx, syy, sxy, sx, sy
+  FROM fit)
+SELECT n::BIGINT AS v_used,
+       round(slope, 6) AS slope,
+       round(intercept, 6) AS intercept,
+       round(CASE WHEN syy - sy * sy / n > 0 THEN
+               1.0 - (syy - 2 * slope * sxy - 2 * intercept * sy
+                      + slope * slope * sxx
+                      + 2 * slope * intercept * sx
+                      + n * intercept * intercept)
+                     / (syy - sy * sy / n)
+             ELSE 0.0 END, 6) AS r2
+FROM f2
+"""
+
+
 def q_logreg_cv(sf_dir: str):
     """Deterministic 3-fold cross-validation of the quality classifier
     (functions/logreg.py logreg_cv_distributed): folds by doc_id % 3,
@@ -14908,6 +15029,7 @@ QUERIES = {
     "crawl_status_mix": (q_crawl_status_mix, SQL_CRAWL_STATUS_MIX),
     "source_lang_entropy": (q_source_lang_entropy, SQL_SOURCE_LANG_ENTROPY),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
+    "token_zipf_fit": (q_token_zipf_fit, SQL_TOKEN_ZIPF_FIT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

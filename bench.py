@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "crawl_status_mix",
     "source_lang_entropy",
     "benford_audit",
+    "token_zipf_fit",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
