@@ -3869,6 +3869,131 @@ ORDER BY src_a, src_b
 """
 
 
+def q_dup_group_size_hist(sf_dir: str):
+    """Dedup reporting: histogram of MinHash near-dup component sizes
+    (how much of the corpus sits in clusters of 2, 3, …) — the summary a
+    curation run publishes next to its dedup rate.  Built on the fully
+    distributed near-dup components; the histogram fold is a bounded
+    aggregation over (group → size).  The SQL twin recomputes the
+    histogram from the INDEPENDENT reference group artifact."""
+    groups = q_minhash_near_dup(sf_dir)  # (doc_id, dup_group)
+    import pandas as pd
+
+    df = groups.to_pandas()
+    spec = {
+        "group_size": pa.int64(),
+        "n_groups": pa.int64(),
+        "n_docs": pa.int64(),
+    }
+    if len(df) == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    sizes = df.groupby("dup_group").size()
+    hist = sizes.value_counts().sort_index()
+    gs = hist.index.to_numpy(dtype=np.int64)
+    ng = hist.to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "group_size": pa.array(gs, pa.int64()),
+            "n_groups": pa.array(ng, pa.int64()),
+            "n_docs": pa.array(gs * ng, pa.int64()),
+        }
+    )
+
+
+SQL_DUP_GROUP_SIZE_HIST = f"""
+WITH sizes AS (
+  SELECT dup_group, count(*)::BIGINT AS sz
+  FROM read_parquet('{ORACLE_DIR}/minhash_groups.parquet')
+  GROUP BY dup_group)
+SELECT sz AS group_size, count(*)::BIGINT AS n_groups,
+       (sz * count(*))::BIGINT AS n_docs
+FROM sizes GROUP BY sz ORDER BY sz
+"""
+
+
+def q_revenue_autocorr(sf_dir: str):
+    """Lag-1..7 autocorrelation of the daily revenue series (the
+    time-series diagnostic behind seasonality/forecast choices): daily
+    sums via one bounded (day → sum) exchange, then the exact ACF on the
+    tiny ordered series — r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²,
+    computed over the contiguous day range with missing days as 0
+    revenue in BOTH engines.  Full SQL twin."""
+    spec = {"lag": pa.int64(), "acf": pa.float64()}
+
+    def part(b: pa.Table) -> pa.Table:
+        d = (
+            ts_us(b["o_orderdate"].combine_chunks()).to_numpy(
+                zero_copy_only=False
+            )
+            // 86_400_000_000
+        )
+        v = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        uniq, inv = np.unique(d, return_inverse=True)
+        s = np.bincount(inv, weights=v.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "day": pa.array(uniq, pa.int64()),
+                "cents": pa.array(s, pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    g = parts.groupby("day", sort=True)["cents"].sum()
+    days = g.index.to_numpy(dtype=np.int64)
+    full = np.arange(days.min(), days.max() + 1)
+    x = np.zeros(len(full), np.float64)
+    x[np.searchsorted(full, days)] = g.to_numpy(dtype=np.float64)
+    n = len(x)
+    if n < 8:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    xc = x - x.mean()
+    denom = float((xc * xc).sum())
+    lags = np.arange(1, 8)
+    acf = [
+        round(float((xc[:-k] * xc[k:]).sum()) / denom, 6) if denom > 0 else 0.0
+        for k in lags
+    ]
+    return pa.table(
+        {
+            "lag": pa.array(lags.astype(np.int64), pa.int64()),
+            "acf": pa.array(acf, pa.float64()),
+        }
+    )
+
+
+SQL_REVENUE_AUTOCORR = r"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+grid AS (
+  SELECT g.d AS day, coalesce(daily.cents, 0)::DOUBLE AS v,
+         row_number() OVER (ORDER BY g.d) AS t
+  FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM bounds) g
+  LEFT JOIN daily ON daily.day = g.d),
+m AS (SELECT avg(v) AS mu, count(*)::BIGINT AS n FROM grid),
+c AS (SELECT t, v - (SELECT mu FROM m) AS xc FROM grid),
+den AS (SELECT sum(xc * xc) AS d FROM c),
+lags AS (SELECT k FROM generate_series(1, 7) s(k))
+SELECT lags.k::BIGINT AS lag,
+       round(
+         (SELECT sum(a.xc * b.xc) FROM c a JOIN c b ON b.t = a.t + lags.k)
+         / (SELECT d FROM den), 6) AS acf
+FROM lags, m
+WHERE m.n >= 8 AND (SELECT d FROM den) > 0
+ORDER BY lag
+"""
+
+
 def q_gopher_rules(sf_dir: str):
     """Gopher/MassiveText-style rule filter (Rae et al. 2021 §A1.1
     adapted to this corpus): per-doc named rule flags — word-count range,
@@ -15030,6 +15155,8 @@ QUERIES = {
     "source_lang_entropy": (q_source_lang_entropy, SQL_SOURCE_LANG_ENTROPY),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "token_zipf_fit": (q_token_zipf_fit, SQL_TOKEN_ZIPF_FIT),
+    "dup_group_size_hist": (q_dup_group_size_hist, SQL_DUP_GROUP_SIZE_HIST),
+    "revenue_autocorr": (q_revenue_autocorr, SQL_REVENUE_AUTOCORR),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

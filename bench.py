@@ -220,6 +220,8 @@ BENCH_QUERIES = [
     "source_lang_entropy",
     "benford_audit",
     "token_zipf_fit",
+    "dup_group_size_hist",
+    "revenue_autocorr",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
