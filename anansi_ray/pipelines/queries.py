@@ -3505,6 +3505,148 @@ FROM km ORDER BY t_day
 _ATTR_CHANNELS = ["click", "error", "signup", "view"]
 
 
+def q_user_burstiness(sf_dir: str):
+    """Per-user temporal burstiness B = (σ−μ)/(σ+μ) over inter-event
+    gaps (Goh & Barabási's burstiness index: −1 regular, 0 Poisson, →1
+    bursty) — the behavioural-timing signal bots and humans separate on.
+    One user-hash co-partition exchange; per-partition vectorized gap
+    moments from INTEGER microsecond sums (σ and μ are exact rationals
+    of integer sums, so both engines compute identical doubles); float
+    only at the final sqrt/ratio, rounded 6.  Full SQL twin."""
+    import math
+
+    B = 32
+    spec = {
+        "user_id": pa.int64(),
+        "n_gaps": pa.int64(),
+        "mean_gap_s": pa.float64(),
+        "burstiness": pa.float64(),
+    }
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((u % B).astype(np.int32), pa.int32()),
+                "user_id": pa.array(u, pa.int64()),
+                "ts": b["ts"],
+                "event_id": b["event_id"].cast(pa.int64()),
+            }
+        )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sg": pa.array([], pa.int64()),
+                "sgg_hi": pa.array([], pa.int64()),
+                "sgg_lo": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        gs = g.take(order)
+        u = gs["user_id"].to_numpy(zero_copy_only=False)
+        t = ts_us(gs["ts"].combine_chunks()).to_numpy(zero_copy_only=False)
+        same = u[1:] == u[:-1]
+        gap = (t[1:] - t[:-1])[same]
+        gu = u[1:][same]
+        if len(gap) == 0:
+            return empty
+        uniq, inv = np.unique(gu, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        sg = np.bincount(inv, weights=gap.astype(np.float64)).astype(np.int64)
+        # exact Σgap² via limb decomposition (gap² overflows int64):
+        # gap = a·1e6 + b  ⇒  gap² = a²·1e12 + 2ab·1e6 + b², each term and
+        # its per-user sum int64-safe; assembled as big ints per USER
+        a = gap // 1_000_000
+        b_ = gap % 1_000_000
+        saa = np.zeros(len(uniq), np.int64)
+        sab = np.zeros(len(uniq), np.int64)
+        sbb = np.zeros(len(uniq), np.int64)
+        np.add.at(saa, inv, a * a)
+        np.add.at(sab, inv, 2 * a * b_)
+        np.add.at(sbb, inv, b_ * b_)
+        sgg = [
+            int(x) * 10**12 + int(y) * 10**6 + int(z)
+            for x, y, z in zip(saa, sab, sbb)
+        ]
+        return pa.table(
+            {
+                "user_id": pa.array(uniq, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "sg": pa.array(sg, pa.int64()),
+                "sgg_hi": pa.array([x // 10**9 for x in sgg], pa.int64()),
+                "sgg_lo": pa.array([x % 10**9 for x in sgg], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    rows = []
+    for r in parts.sort_values("user_id").itertuples():
+        n, sg = int(r.n), int(r.sg)
+        sgg = int(r.sgg_hi) * 10**9 + int(r.sgg_lo)
+        if n < 2:
+            continue
+        mu = sg / n
+        var = sgg / n - mu * mu
+        sd = math.sqrt(var) if var > 0 else 0.0
+        b_ = (sd - mu) / (sd + mu) if (sd + mu) > 0 else 0.0
+        rows.append((int(r.user_id), n, round(mu / 1e6, 6), round(b_, 6)))
+    if not rows:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    return pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_gaps": pa.array([r[1] for r in rows], pa.int64()),
+            "mean_gap_s": pa.array([r[2] for r in rows], pa.float64()),
+            "burstiness": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+SQL_USER_BURSTINESS = r"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS t,
+         lag(epoch_us(ts)::BIGINT) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM events),
+g AS (SELECT user_id, (t - prev)::HUGEINT AS gap FROM e WHERE prev IS NOT NULL),
+s AS (
+  SELECT user_id, count(*)::BIGINT AS n, sum(gap)::HUGEINT AS sg,
+         sum(gap * gap)::HUGEINT AS sgg
+  FROM g GROUP BY user_id),
+calc AS (
+  SELECT user_id, n, sg::DOUBLE / n AS mu,
+         sqrt(greatest(sgg::DOUBLE / n
+                       - (sg::DOUBLE / n) * (sg::DOUBLE / n), 0)) AS sd
+  FROM s WHERE n >= 2)
+SELECT user_id, n AS n_gaps,
+       round(mu / 1000000, 6) AS mean_gap_s,
+       round(CASE WHEN sd + mu > 0 THEN (sd - mu) / (sd + mu) ELSE 0 END, 6)
+         AS burstiness
+FROM calc ORDER BY user_id
+"""
+
+
 def q_markov_attribution(sf_dir: str):
     """Markov removal-effect attribution (functions/attribution.py): user
     journeys → absorbing-chain transition counts (one user-hash
@@ -15157,6 +15299,7 @@ QUERIES = {
     "token_zipf_fit": (q_token_zipf_fit, SQL_TOKEN_ZIPF_FIT),
     "dup_group_size_hist": (q_dup_group_size_hist, SQL_DUP_GROUP_SIZE_HIST),
     "revenue_autocorr": (q_revenue_autocorr, SQL_REVENUE_AUTOCORR),
+    "user_burstiness": (q_user_burstiness, SQL_USER_BURSTINESS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "quality_filter_p10": (q_quality_filter_p10, SQL_QUALITY_FILTER_P10),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

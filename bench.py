@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "token_zipf_fit",
     "dup_group_size_hist",
     "revenue_autocorr",
+    "user_burstiness",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
