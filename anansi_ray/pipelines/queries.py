@@ -1300,6 +1300,7 @@ ORDER BY d.doc_id
 """
 
 
+
 def q_bpe_train(sf_dir: str):
     """BPE vocabulary induction (functions/bpe.py): ONE distributed
     word-count pass (per-batch value-counts combiner → coarse_agg hash
@@ -3231,6 +3232,34 @@ def q_curation_pipeline(sf_dir: str):
     )
 
 
+def q_curation_funnel(sf_dir: str):
+    """The curation pipeline's funnel report: docs dropped per stage and
+    the survival rate — the one-table summary a curation run publishes.
+    Composes q_curation_pipeline's per-doc dispositions (each stage
+    fully distributed) into a 5-row stage × count × share table."""
+    disp = q_curation_pipeline(sf_dir).to_pandas()
+    spec = {
+        "disposition": pa.string(),
+        "n_docs": pa.int64(),
+        "share": pa.float64(),
+    }
+    if len(disp) == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    g = disp.groupby("disposition", sort=True).size()
+    tot = int(g.sum())
+    return pa.table(
+        {
+            "disposition": pa.array(
+                g.index.to_numpy(dtype=object), pa.string()
+            ),
+            "n_docs": pa.array(g.to_numpy(dtype=np.int64), pa.int64()),
+            "share": pa.array(
+                np.round(g.to_numpy(dtype=np.float64) / tot, 6), pa.float64()
+            ),
+        }
+    )
+
+
 SQL_CURATION_PIPELINE = rf"""
 WITH occ AS (
   SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS tok
@@ -3280,6 +3309,14 @@ JOIN grp ON grp.doc_id = d.doc_id
 JOIN qual ON qual.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
+
+
+SQL_CURATION_FUNNEL = (
+    "WITH d AS (" + SQL_CURATION_PIPELINE.replace("ORDER BY d.doc_id", "") + ") "
+    "SELECT disposition, count(*)::BIGINT AS n_docs, "
+    "round(count(*) * 1.0 / (SELECT count(*) FROM d), 6) AS share "
+    "FROM d GROUP BY disposition ORDER BY disposition"
+)
 
 
 def q_seasonal_decompose(sf_dir: str):
@@ -15288,6 +15325,7 @@ QUERIES = {
     "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "word_embedding_knn": (q_word_embedding_knn, SQL_WORD_EMBEDDING_KNN),
+    "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "logreg_cv": (q_logreg_cv, SQL_LOGREG_CV),
     "conformal_interval": (q_conformal_interval, SQL_CONFORMAL_INTERVAL),
     "selfjoin_size_cms": (q_selfjoin_size_cms, SQL_SELFJOIN_SIZE_CMS),

@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "dup_group_size_hist",
     "revenue_autocorr",
     "user_burstiness",
+    "curation_funnel",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
