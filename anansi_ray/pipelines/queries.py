@@ -10972,6 +10972,78 @@ FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_sequence_entropy_rate(sf_dir: str):
+    """Markov entropy rate of the event-type process, H = −Σᵢ πᵢ Σⱼ Pᵢⱼ
+    ln Pᵢⱼ with π the empirical from-state distribution — how predictable
+    the next event is given the current one (the information-theoretic
+    twin of event_transitions, whose distributed counts it reuses).
+    Also reports H₀ = ln|types| and the predictability ratio 1 − H/H₀.
+    The fold runs on the catalog-sized transition table; full SQL twin."""
+    import math
+
+    trans = q_event_transitions(sf_dir).to_pandas()
+    spec = {
+        "n_transitions": pa.int64(),
+        "n_states": pa.int64(),
+        "entropy_rate": pa.float64(),
+        "max_entropy": pa.float64(),
+        "predictability": pa.float64(),
+    }
+    if len(trans) == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    tot = int(trans["n"].sum())
+    h = 0.0
+    for _, grp in trans.groupby("from_type", sort=True):
+        row_n = grp["n"].to_numpy(dtype=np.float64)
+        row_tot = row_n.sum()
+        pi = row_tot / tot
+        p = row_n / row_tot
+        h += pi * float(-(p * np.log(p)).sum())
+    states = sorted(
+        set(trans["from_type"]) | set(trans["to_type"])
+    )
+    h0 = math.log(len(states)) if len(states) > 1 else 0.0
+    pred = 1.0 - h / h0 if h0 > 0 else 0.0
+    return pa.table(
+        {
+            "n_transitions": pa.array([tot], pa.int64()),
+            "n_states": pa.array([len(states)], pa.int64()),
+            "entropy_rate": pa.array([round(h, 6)], pa.float64()),
+            "max_entropy": pa.array([round(h0, 6)], pa.float64()),
+            "predictability": pa.array([round(pred, 6)], pa.float64()),
+        }
+    )
+
+
+SQL_SEQUENCE_ENTROPY_RATE = """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           FROM events),
+t AS (SELECT event_type AS f, nxt AS g, count(*)::BIGINT AS n
+      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT sum(n)::DOUBLE AS tt FROM t),
+rows_ AS (SELECT f, sum(n)::DOUBLE AS rn FROM t GROUP BY f),
+h AS (
+  SELECT sum((rows_.rn / tot.tt)
+             * (-(t.n / rows_.rn) * ln(t.n / rows_.rn))) AS hr
+  FROM t JOIN rows_ USING (f) CROSS JOIN tot),
+st AS (
+  SELECT count(DISTINCT x)::BIGINT AS k
+  FROM (SELECT f AS x FROM t UNION SELECT g FROM t))
+SELECT (SELECT tt FROM tot)::BIGINT AS n_transitions,
+       st.k AS n_states,
+       round((SELECT hr FROM h), 6) AS entropy_rate,
+       round(CASE WHEN st.k > 1 THEN ln(st.k::DOUBLE) ELSE 0 END, 6)
+         AS max_entropy,
+       round(CASE WHEN st.k > 1
+               THEN 1.0 - (SELECT hr FROM h) / ln(st.k::DOUBLE)
+               ELSE 0 END, 6) AS predictability
+FROM st
+WHERE (SELECT tt FROM tot) > 0
+"""
+
+
 def q_user_twap(sf_dir: str):
     """Time-weighted value aggregate per user (TWAP building block): each
     event's value is weighted by the whole seconds until the user's next
@@ -15326,6 +15398,10 @@ QUERIES = {
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "word_embedding_knn": (q_word_embedding_knn, SQL_WORD_EMBEDDING_KNN),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
+    "sequence_entropy_rate": (
+        q_sequence_entropy_rate,
+        SQL_SEQUENCE_ENTROPY_RATE,
+    ),
     "logreg_cv": (q_logreg_cv, SQL_LOGREG_CV),
     "conformal_interval": (q_conformal_interval, SQL_CONFORMAL_INTERVAL),
     "selfjoin_size_cms": (q_selfjoin_size_cms, SQL_SELFJOIN_SIZE_CMS),

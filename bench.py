@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "revenue_autocorr",
     "user_burstiness",
     "curation_funnel",
+    "sequence_entropy_rate",
 ]
 
 CRAWL_SCALE = os.environ.get("GRAFT_CRAWL_SCALE", "bench")   # 200k URLs / 500 hosts
