@@ -596,13 +596,13 @@ _EMPTY_LABELS = pa.table(
 )
 
 
-def connected_components_distributed(
+def connected_components_labels(
     pairs: pa.Table | rd.Dataset,
     ids_ds: rd.Dataset,
     id_col: str = "doc_id",
     max_iters: int = 64,
     n_parts: int | None = None,
-) -> pa.Table:
+) -> rd.Dataset:
     """Iterated min-label propagation over the dup-pair graph →
     ``(doc_id, dup_group = min id of its component)`` for EVERY id in
     ``ids_ds`` (singletons keep their own id).
@@ -618,7 +618,10 @@ def connected_components_distributed(
     blocks.  Labels only ever decrease; LSH dup clusters are near-cliques,
     so practical iteration counts are 2-4; ``max_iters`` bounds
     adversarial chains.  The only driver traffic is the per-iteration
-    changed-count scalar and the final result table.
+    changed-count scalar — the labels are returned as an (unsorted)
+    Dataset so composing pipelines (e.g. the curation disposition
+    exchange) keep them in the cluster; the sorted-table query boundary
+    is :func:`connected_components_distributed`.
     """
     if isinstance(pairs, pa.Table):
         pairs = rd.from_arrow(pairs)
@@ -799,19 +802,11 @@ def connected_components_distributed(
             else:
                 pos = np.clip(np.searchsorted(ln_, iv), 0, len(ln_) - 1)
                 lab = np.where(ln_[pos] == iv, ll_[pos], iv)
-            return pa.table({"node": ids, "label": pa.array(lab, pa.int64())})
-
-        tbl = _collect_sorted(
-            ids_ds.map_batches(stamp_ids, batch_format="pyarrow"), ["node"]
-        )
-        if tbl is None:
             return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "dup_group": pa.array([], pa.int64()),
-                }
+                {"doc_id": ids, "dup_group": pa.array(lab, pa.int64())}
             )
-        return tbl.rename_columns(["doc_id", "dup_group"])
+
+        return ids_ds.map_batches(stamp_ids, batch_format="pyarrow")
 
     def tag_ids(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].combine_chunks().cast(pa.int64())
@@ -878,12 +873,32 @@ def connected_components_distributed(
         )
 
     out = merged.groupby("part").map_groups(final_min, batch_format="pyarrow")
-    tbl = _collect_sorted(out, ["node"])
+    return out.map_batches(
+        lambda b: b.rename_columns(["doc_id", "dup_group"]),
+        batch_format="pyarrow",
+    )
+
+
+def connected_components_distributed(
+    pairs: pa.Table | rd.Dataset,
+    ids_ds: rd.Dataset,
+    id_col: str = "doc_id",
+    max_iters: int = 64,
+    n_parts: int | None = None,
+) -> pa.Table:
+    """Sorted-table boundary over :func:`connected_components_labels` —
+    the query-result contract.  Pipelines that compose the labels
+    downstream (curation disposition, incremental dedup) use the Dataset
+    form directly and never pull the corpus-cardinality table."""
+    tbl = _collect_sorted(
+        connected_components_labels(pairs, ids_ds, id_col, max_iters, n_parts),
+        ["doc_id"],
+    )
     if tbl is None:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()), "dup_group": pa.array([], pa.int64())}
         )
-    return tbl.rename_columns(["doc_id", "dup_group"])
+    return tbl
 
 
 def connected_components(pairs: pa.Table, all_ids) -> pa.Table:

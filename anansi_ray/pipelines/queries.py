@@ -2634,24 +2634,58 @@ ORDER BY doc_id
 def q_crawl_doc_pipeline(sf_dir: str):
     """End-to-end: crawl → interleaved spans → flatten → text quality +
     token counts + exact-dup fingerprint — the full 'crawl to training
-    data' pipeline over the engine's own output."""
+    data' pipeline over the engine's own output.  ONE fused distributed
+    pass: every per-doc kernel runs inside the same map_batches and the
+    columns zip batch-locally (no triple pass, no driver merges)."""
     from anansi_ray.functions.spans import flatten_spans_batch
 
     docs = _crawl_results()["documents"]
     flat = flatten_spans_batch(docs)
-    ds = rd.from_arrow(flat)
-    quality = ds.map_batches(ftext.quality_score_batch, batch_format="pyarrow").to_pandas()
-    tokens = ds.map_batches(ftext.token_count_batch, batch_format="pyarrow").to_pandas()
-    fps = ds.map_batches(ftext.fingerprint_batch, batch_format="pyarrow").to_pandas()
-    out = (
-        flat.select(["doc_id", "n_spans", "n_text_spans", "n_media_spans"])
-        .to_pandas()
-        .merge(quality, on="doc_id")
-        .merge(tokens, on="doc_id")
-        .merge(fps[["doc_id", "fp_md5"]], on="doc_id")
-        .sort_values("doc_id")
+
+    def fused(b: pa.Table) -> pa.Table:
+        """ONE pass per batch: quality + token counts + fingerprint emitted
+        alongside the span stats — the three kernels are row-aligned with
+        the input, so the composition is a column zip, not a join."""
+        q = ftext.quality_score_batch(b)
+        t = ftext.token_count_batch(b)
+        f = ftext.fingerprint_batch(b)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_spans": b["n_spans"],
+                "n_text_spans": b["n_text_spans"],
+                "n_media_spans": b["n_media_spans"],
+                "n_chars": q["n_chars"],
+                "punct_ratio": q["punct_ratio"],
+                "stopword_ratio": q["stopword_ratio"],
+                "mean_word_len": q["mean_word_len"],
+                "n_tokens_ws": t["n_tokens_ws"],
+                "n_tokens": t["n_tokens"],
+                "fp_md5": f["fp_md5"],
+            }
+        )
+
+    tbl = fdedup._collect_sorted(
+        rd.from_arrow(flat).map_batches(fused, batch_format="pyarrow"),
+        ["doc_id"],
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    if tbl is None:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_spans": pa.array([], pa.int64()),
+                "n_text_spans": pa.array([], pa.int64()),
+                "n_media_spans": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "punct_ratio": pa.array([], pa.float64()),
+                "stopword_ratio": pa.array([], pa.float64()),
+                "mean_word_len": pa.array([], pa.float64()),
+                "n_tokens_ws": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "fp_md5": pa.array([], pa.string()),
+            }
+        )
+    return tbl
 
 
 def q_tfidf_top_terms(sf_dir: str):
@@ -3155,106 +3189,238 @@ def q_embedding_pca(sf_dir: str):
     return fpca.pca_distributed(_read(sf_dir, "embeddings", ["embedding"]))
 
 
-def q_curation_pipeline(sf_dir: str):
-    """FLAGSHIP composition — the end-to-end LLM data-curation chain a
-    user would actually run, as one per-doc disposition table: each doc
-    is attributed to the FIRST stage that drops it:
+_CURATION_MEMO: dict[str, rd.Dataset] = {}
 
-      1. ``gopher``    — Gopher rule filter (q_gopher_rules keep == 0)
-      2. ``exact_dup`` — sha256 text dedup, keep the min doc_id
-      3. ``near_dup``  — MinHash-LSH component, keep the representative
-      4. ``quality``   — logistic-regression classifier pred == 0
-      5. ``kept``
+_CURATION_STAGES = ("gopher", "exact_dup", "near_dup", "quality", "kept")
+_CURATION_KEPT = 4
 
-    Every stage is its own fully distributed pipeline (rule filter,
-    coarse-hash dedup exchange, banded LSH + label propagation, GD
-    training); this query composes their per-doc verdicts — at corpus
-    scale the composition joins are coarse doc-keyed exchanges over
-    narrow verdict columns.  The SQL twin recomposes the chain from the
-    INDEPENDENT stage twins (inline rule SQL + sha256 groups + the
-    minhash-group and logreg artifacts)."""
-    gopher = q_gopher_rules(sf_dir).to_pandas()[["doc_id", "keep"]]
-    groups = q_minhash_near_dup(sf_dir).to_pandas()  # doc_id, dup_group
-    quality = q_logreg_quality(sf_dir).to_pandas()[["doc_id", "pred"]]
+_CURATION_EMPTY = pa.table(
+    {"doc_id": pa.array([], pa.int64()), "verdict": pa.array([], pa.int64())}
+)
 
-    # exact-dup keeper per text hash, re-derived per doc
-    import hashlib
 
-    def fp_partial(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = b["text"].to_pylist()
-        hs = [
-            hashlib.sha256((t or "").encode()).hexdigest()[:32] for t in texts
-        ]
+def _curation_disposition_ds(sf_dir: str) -> rd.Dataset:
+    """The distributed curation composition (shared by q_curation_pipeline
+    and q_curation_funnel; memoized per sf_dir as a materialized Dataset
+    of narrow (doc_id, verdict) rows that stays in the object store).
+
+    Each stage emits a NARROW per-doc verdict stream
+    ``(doc_id, verdict ∈ {stage_rank, KEPT=4})`` fully inside the cluster:
+
+      0 ``gopher``    — the shared rule kernel, zero shuffle
+      1 ``exact_dup`` — (doc_id, sha256-prefix hash) partials → ONE coarse
+                        hash-keyed exchange; the partition kernel computes
+                        per-hash min id and emits per-doc drop flags
+      2 ``near_dup``  — MinHash-LSH pairs → distributed min-label
+                        propagation (connected_components_labels, Dataset
+                        form — no driver table)
+      3 ``quality``   — GD-trained logreg weights broadcast once; scoring
+                        is a streaming pass
+
+    The four streams union into ONE doc_id-hash exchange whose partition
+    kernel takes the per-doc MIN verdict — first-drop-wins in stage
+    order.  Nothing of corpus cardinality reaches the driver: the only
+    driver traffic is the logreg gradient partials, the CC changed-count
+    scalars, and the callers' final query-boundary collect."""
+    memo = _CURATION_MEMO.get(sf_dir)
+    if memo is not None:
+        return memo
+    import pandas as pd
+    import ray
+
+    from anansi_ray.functions import logreg as flogreg
+    from anansi_ray.functions.dedup import _auto_parts, _part_np
+
+    docs_lr = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).materialize()
+    n_docs = docs_lr.count()
+    if n_docs == 0:
+        empty = rd.from_arrow(_CURATION_EMPTY).materialize()
+        _CURATION_MEMO[sf_dir] = empty
+        return empty
+    n_parts = _auto_parts(n_docs)
+    kept = np.int64(_CURATION_KEPT)
+
+    def _verdicts(ids, dropped: np.ndarray, rank: int) -> pa.Table:
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        v = np.where(dropped, np.int64(rank), kept)
+        return pa.table(
+            {"doc_id": ids.cast(pa.int64()), "verdict": pa.array(v, pa.int64())}
+        )
+
+    def gopher_partial(b: pa.Table) -> pa.Table:
+        flags = _gopher_flags_part(b)
+        keep = flags["keep"].to_numpy(zero_copy_only=False)
+        return _verdicts(flags["doc_id"], keep == 0, 0)
+
+    gopher = docs_lr.map_batches(gopher_partial, batch_format="pyarrow")
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        t = fdedup.text_hash_batch(b.select(["doc_id", "text"]))
+        hs = t["text_hash"].to_pandas().to_numpy(dtype=object)
+        part = (pd.util.hash_array(hs) % np.uint64(n_parts)).astype(np.int32)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "text_hash": pa.array(hs, pa.string()),
+                "part": pa.array(part, pa.int32()),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "text_hash": t["text_hash"],
             }
         )
 
-    fp = (
-        _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(fp_partial, batch_format="pyarrow")
-        .to_pandas()
-    )
-    spec = {"doc_id": pa.int64(), "disposition": pa.string()}
-    if len(fp) == 0:
-        return pa.table({c: pa.array([], t) for c, t in spec.items()})
-    keeper = fp.groupby("text_hash")["doc_id"].transform("min")
-    fp["exact_dropped"] = (fp["doc_id"] != keeper).astype(int)
+    def exact_part_kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _CURATION_EMPTY
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        hs = g["text_hash"].to_pandas().to_numpy(dtype=object)
+        order = np.lexsort((ids, hs))
+        h_s, id_s = hs[order], ids[order]
+        new = np.r_[True, h_s[1:] != h_s[:-1]]
+        keeper = id_s[np.flatnonzero(new)][np.cumsum(new) - 1]
+        return _verdicts(pa.array(id_s, pa.int64()), id_s != keeper, 1)
 
-    df = (
-        fp[["doc_id", "exact_dropped"]]
-        .merge(gopher, on="doc_id")
-        .merge(groups, on="doc_id")
-        .merge(quality, on="doc_id")
-        .sort_values("doc_id", ignore_index=True)
+    exact = (
+        docs_lr.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(exact_part_kernel, batch_format="pyarrow")
     )
-    disp = np.where(
-        df["keep"] == 0,
-        "gopher",
-        np.where(
-            df["exact_dropped"] == 1,
-            "exact_dup",
-            np.where(
-                df["dup_group"] != df["doc_id"],
-                "near_dup",
-                np.where(df["pred"] == 0, "quality", "kept"),
-            ),
-        ),
+
+    pairs = fdedup.minhash_candidate_pairs(
+        sig_ds=_doc_signatures(sf_dir), min_jaccard=0.5
     )
-    return pa.table(
-        {
-            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
-            "disposition": pa.array(disp.astype(object), pa.string()),
-        }
+    cc = fdedup.connected_components_labels(
+        pairs, _read(sf_dir, "documents", ["doc_id"])
     )
+
+    def near_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        grp = b["dup_group"].to_numpy(zero_copy_only=False)
+        return _verdicts(b["doc_id"], grp != ids, 2)
+
+    near = cc.map_batches(near_partial, batch_format="pyarrow")
+
+    w = flogreg.logreg_train(docs_lr)
+    wref = ray.put(w)
+
+    def qual_partial(b: pa.Table) -> pa.Table:
+        scored = flogreg._score_rows(b, ray.get(wref), "doc_id")
+        pred = scored["pred"].to_numpy(zero_copy_only=False)
+        return _verdicts(scored["doc_id"], pred == 0, 3)
+
+    qual = docs_lr.map_batches(qual_partial, batch_format="pyarrow")
+
+    def tag_doc(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": _part_np(ids, n_parts),
+                "doc_id": b["doc_id"],
+                "verdict": b["verdict"],
+            }
+        )
+
+    def first_drop_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _CURATION_EMPTY
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        v = g["verdict"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, ids))
+        id_s, v_s = ids[order], v[order]
+        starts = np.flatnonzero(np.r_[True, id_s[1:] != id_s[:-1]])
+        return pa.table(
+            {
+                "doc_id": pa.array(id_s[starts], pa.int64()),
+                "verdict": pa.array(v_s[starts], pa.int64()),
+            }
+        )
+
+    disp = (
+        gopher.union(exact, near, qual)
+        .map_batches(tag_doc, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(first_drop_part, batch_format="pyarrow")
+        .materialize()
+    )
+    _CURATION_MEMO[sf_dir] = disp
+    return disp
+
+
+def q_curation_pipeline(sf_dir: str):
+    """FLAGSHIP composition — the end-to-end LLM data-curation chain a
+    user would actually run, as one per-doc disposition table: each doc
+    is attributed to the FIRST stage that drops it
+    (gopher → exact_dup → near_dup → quality → kept).
+
+    Fully distributed end to end (see ``_curation_disposition_ds``): the
+    four narrow verdict streams union into ONE doc_id-hash exchange with
+    a first-drop-wins partition kernel; only the final disposition table
+    leaves the cluster.  The SQL twin recomposes the chain from the
+    INDEPENDENT stage twins (inline rule SQL + sha256 groups + the
+    minhash-group and logreg artifacts)."""
+    disp = _curation_disposition_ds(sf_dir)
+    names = np.array(_CURATION_STAGES, dtype=object)
+
+    def to_name(b: pa.Table) -> pa.Table:
+        v = b["verdict"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "disposition": pa.array(names[v], pa.string()),
+            }
+        )
+
+    tbl = fdedup._collect_sorted(
+        disp.map_batches(to_name, batch_format="pyarrow"), ["doc_id"]
+    )
+    if tbl is None:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "disposition": pa.array([], pa.string()),
+            }
+        )
+    return tbl
 
 
 def q_curation_funnel(sf_dir: str):
     """The curation pipeline's funnel report: docs dropped per stage and
     the survival rate — the one-table summary a curation run publishes.
-    Composes q_curation_pipeline's per-doc dispositions (each stage
-    fully distributed) into a 5-row stage × count × share table."""
-    disp = q_curation_pipeline(sf_dir).to_pandas()
+    Reuses the memoized disposition Dataset (no recompute of the chain):
+    per-block 5-cell bincount partials, driver merge of O(blocks)·5
+    rows."""
+    disp = _curation_disposition_ds(sf_dir)
     spec = {
         "disposition": pa.string(),
         "n_docs": pa.int64(),
         "share": pa.float64(),
     }
-    if len(disp) == 0:
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        v = b["verdict"].to_numpy(zero_copy_only=False)
+        c = np.bincount(v, minlength=5).astype(np.int64)
+        return pa.table(
+            {
+                "verdict": pa.array(np.arange(5, dtype=np.int64), pa.int64()),
+                "n": pa.array(c, pa.int64()),
+            }
+        )
+
+    parts = disp.map_batches(cnt_partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
         return pa.table({c: pa.array([], t) for c, t in spec.items()})
-    g = disp.groupby("disposition", sort=True).size()
-    tot = int(g.sum())
+    g = parts.groupby("verdict")["n"].sum()
+    cnt = np.zeros(5, np.int64)
+    cnt[g.index.to_numpy()] = g.to_numpy(dtype=np.int64)
+    tot = int(cnt.sum())
+    names = np.array(_CURATION_STAGES, dtype=object)
+    order = np.argsort(names)
+    names, cnt = names[order], cnt[order]
+    nz = cnt > 0
     return pa.table(
         {
-            "disposition": pa.array(
-                g.index.to_numpy(dtype=object), pa.string()
-            ),
-            "n_docs": pa.array(g.to_numpy(dtype=np.int64), pa.int64()),
+            "disposition": pa.array(names[nz], pa.string()),
+            "n_docs": pa.array(cnt[nz], pa.int64()),
             "share": pa.array(
-                np.round(g.to_numpy(dtype=np.float64) / tot, 6), pa.float64()
+                np.round(cnt[nz].astype(np.float64) / tot, 6), pa.float64()
             ),
         }
     )
@@ -4173,16 +4339,10 @@ ORDER BY lag
 """
 
 
-def q_gopher_rules(sf_dir: str):
-    """Gopher/MassiveText-style rule filter (Rae et al. 2021 §A1.1
-    adapted to this corpus): per-doc named rule flags — word-count range,
-    mean-word-length range, ≥2 distinct stopwords, max-word-repetition
-    cap, symbol-to-word cap — and the conjunction ``keep``.  Every rule
-    is an INTEGER comparison (e.g. mean-length ∈ [3,10] as
-    ``3·n ≤ Σlen ≤ 10·n``), so both engines agree exactly with no float
-    boundary.  One vectorized streaming pass; nothing shuffles."""
-
-    def part(b: pa.Table) -> pa.Table:
+def _gopher_flags_part(b: pa.Table) -> pa.Table:
+        """The Gopher rule kernel — per-doc integer rule flags + ``keep``.
+        Module-level so q_gopher_rules and the curation disposition
+        composition share one implementation (all-integer comparisons)."""
         n = b.num_rows
         col = pc.fill_null(b["text"].combine_chunks().cast(pa.string()), "")
         toks = pc.split_pattern_regex(col, r"\s+")
@@ -4241,9 +4401,19 @@ def q_gopher_rules(sf_dir: str):
             }
         )
 
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher/MassiveText-style rule filter (Rae et al. 2021 §A1.1
+    adapted to this corpus): per-doc named rule flags — word-count range,
+    mean-word-length range, ≥2 distinct stopwords, max-word-repetition
+    cap, symbol-to-word cap — and the conjunction ``keep``.  Every rule
+    is an INTEGER comparison (e.g. mean-length ∈ [3,10] as
+    ``3·n ≤ Σlen ≤ 10·n``), so both engines agree exactly with no float
+    boundary.  One vectorized streaming pass (the kernel is the shared
+    module-level ``_gopher_flags_part``); nothing shuffles."""
     out = (
         _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(part, batch_format="pyarrow")
+        .map_batches(_gopher_flags_part, batch_format="pyarrow")
         .to_pandas()
     )
     spec = {
