@@ -73,11 +73,71 @@ def _edges_from_docs(docs: rd.Dataset, n_docs: int, n_parts: int) -> rd.Dataset:
     return docs.map_batches(gen, batch_format="pyarrow").materialize()
 
 
+def _latest_pr_checkpoint(checkpoint_dir: str):
+    """Most recent COMMITTED superstep checkpoint ``(iter, path)`` or
+    ``None``.  Only directories that finished the atomic tmp→rename commit
+    count; stragglers from a killed writer (``*.tmp-*``) are ignored, the
+    same contract as the crawl ledger's checkpoints."""
+    import os
+
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    best = None
+    for name in os.listdir(checkpoint_dir):
+        if not name.startswith("iter_") or ".tmp-" in name:
+            continue
+        path = os.path.join(checkpoint_dir, name)
+        if not os.path.isfile(os.path.join(path, "manifest.json")):
+            continue  # never finished committing
+        it = int(name.split("_", 1)[1])
+        if best is None or it > best[0]:
+            best = (it, path)
+    return best
+
+
+def _commit_pr_checkpoint(
+    checkpoint_dir: str, it: int, ranks: rd.Dataset, meta: dict
+) -> None:
+    """Spool the superstep's rank table + manifest to a tmp dir, then
+    atomically rename into place (≙ the crawl ledger's tmpfile+rename,
+    disk.c:144-170); the previous superstep's checkpoint is dropped after
+    the new one commits, so disk use stays one node-table."""
+    import json
+    import os
+    import shutil
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    final = os.path.join(checkpoint_dir, f"iter_{it:04d}")
+    tmp = f"{final}.tmp-{os.getpid()}"
+    ranks.write_parquet(tmp)
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump({"iter": it, **meta}, f)
+    os.rename(tmp, final)
+    prev = os.path.join(checkpoint_dir, f"iter_{it - 1:04d}")
+    if it > 0 and os.path.isdir(prev):
+        shutil.rmtree(prev, ignore_errors=True)
+
+
 def pagerank_integer(
-    docs: rd.Dataset, n_docs: int, iters: int = 3, n_parts: int = 32
-) -> pa.Table:
+    docs: rd.Dataset,
+    n_docs: int,
+    iters: int = 3,
+    n_parts: int = 32,
+    checkpoint_dir: "str | None" = None,
+    resume: bool = False,
+    stop_after: "int | None" = None,
+) -> "pa.Table | None":
     """``iters`` supersteps of integer PageRank; returns (doc_id, pr)
-    sorted by doc_id.  ``docs`` needs only a ``doc_id`` column."""
+    sorted by doc_id.  ``docs`` needs only a ``doc_id`` column.
+
+    With ``checkpoint_dir`` each completed superstep commits its rank
+    table atomically (tmp+rename + manifest); ``resume=True`` restarts
+    from the latest committed superstep instead of iteration 0 — the
+    10^10-edge case where losing 50 supersteps to a preemption is not
+    acceptable.  The static edge layout is rebuilt on resume (cheap, one
+    pass over ``docs``); only the iteration-variant rank state is
+    persisted.  ``stop_after=k`` simulates a kill after k supersteps
+    (returns ``None``) — the resume conformance test's hook."""
     from anansi_ray.arrowds import drop_empty_blocks
 
     # static state laid out ONCE: edge blocks + all-node baseline blocks,
@@ -193,7 +253,17 @@ def pagerank_integer(
             }
         )
 
-    for _ in range(iters):
+    start_iter = 0
+    if checkpoint_dir is not None and resume:
+        latest = _latest_pr_checkpoint(checkpoint_dir)
+        if latest is not None:
+            it, path = latest
+            ranks = rd.read_parquet(
+                path, columns=["doc_id", "pr"], file_extensions=["parquet"]
+            ).materialize()
+            start_iter = it + 1
+
+    for i in range(start_iter, iters):
         tagged = ranks.map_batches(tag_ranks, batch_format="pyarrow")
         contrib = drop_empty_blocks(
             tagged.groupby("part")
@@ -207,6 +277,15 @@ def pagerank_integer(
             .map_groups(sum_part, batch_format="pyarrow")
             .materialize()
         )
+        if checkpoint_dir is not None:
+            _commit_pr_checkpoint(
+                checkpoint_dir,
+                i,
+                ranks,
+                {"n_docs": n_docs, "iters": iters, "n_parts": n_parts},
+            )
+        if stop_after is not None and i + 1 >= stop_after and i + 1 < iters:
+            return None  # simulated kill between supersteps
 
     from anansi_ray.arrowds import stable_frame
 
