@@ -103,6 +103,7 @@ def cmd_crawl(args) -> int:
         output_dir=args.out,
         checkpoint_every=args.checkpoint_every,
         web_store_dir=args.web_store,
+        instance_id=args.instance,
     )
     if args.resume:
         latest = CrawlPipeline.latest_checkpoint(cfg.checkpoint_dir)
@@ -262,6 +263,11 @@ def main(argv=None) -> int:
         choices=("driver", "sharded"),
         default="driver",
         help="politeness-state backend (sharded = crawl_root actor shards)",
+    )
+    c.add_argument(
+        "--instance",
+        help="crawl instance id stamped per spool row + manifest "
+        "(≙ crawl_instance, db.c:354; default crawl-0)",
     )
     c.set_defaults(fn=cmd_crawl)
 

@@ -709,7 +709,12 @@ def read_cache(output_dir: str) -> pa.Table:
     )
 
 
-def _make_spool_project(horizon, max_depth: int, with_cache: bool = False):
+def _make_spool_project(
+    horizon,
+    max_depth: int,
+    with_cache: bool = False,
+    instance_tag: str = "crawl-0:0",
+):
     """Per-round spool row: the persisted ledger snapshot (status =
     ledger_status — db_unchanged leaves the status column untouched,
     db.c:1077-1126) + the wire status for the dequeue-order records + the
@@ -742,6 +747,12 @@ def _make_spool_project(horizon, max_depth: int, with_cache: bool = False):
             pc.not_equal(batch["redirect"], ""),
         )
         cols["cand"] = _cand_list_column(batch, max_depth)
+        # per-round ownership tag (≙ crawl_instance, db.c:354, 1005):
+        # "instance:round" per row — observability only (round immutability
+        # already implies single ownership); RLE-compresses to ~nothing
+        cols["crawl_instance"] = pa.array(
+            np.full(batch.num_rows, instance_tag, dtype=object), pa.string()
+        )
         if with_cache:
             for c in ("content_type", "headers", "fresh", "payload"):
                 cols[c] = batch[c]
@@ -792,6 +803,7 @@ SPOOL_EXTRA_COLS = [
     "has_doc",
     "spans",
     "has_link",
+    "crawl_instance",
 ]
 
 
@@ -820,7 +832,12 @@ class CrawlPipeline:
         spool_dir: str | None = None,
         web_store_dir: str | None = None,
         web_store_buckets: int = 16,
+        instance_id: str | None = None,
     ):
+        #: ≙ crawl_instance (db.c:354, 1005) — which crawler instance owns
+        #: each round's rows; stamped per-row in the spool and recorded in
+        #: the checkpoint manifest (observability for at-scale debugging)
+        self.instance_id = instance_id or "crawl-0"
         self.cfg = cfg or CrawlConfig()
         self.budget = budget if budget is not None else self.cfg.per_host_budget
         self.output_dir = output_dir
@@ -1070,7 +1087,10 @@ class CrawlPipeline:
 
         trans.map_batches(
             _make_spool_project(
-                horizon, cfg.max_depth, with_cache=bool(self.output_dir)
+                horizon,
+                cfg.max_depth,
+                with_cache=bool(self.output_dir),
+                instance_tag=f"{self.instance_id}:{self.round}",
             ),
             batch_format="pyarrow",
         ).write_parquet(rdir)
@@ -1612,6 +1632,7 @@ class CrawlPipeline:
             "round_metrics": self.round_metrics,
             "spool_dir": os.path.abspath(self.spool_dir),
             "spooled_rounds": list(self.spooled_rounds),
+            "crawl_instance": self.instance_id,
         }
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f)

@@ -4218,24 +4218,34 @@ def q_dup_group_size_hist(sf_dir: str):
     """Dedup reporting: histogram of MinHash near-dup component sizes
     (how much of the corpus sits in clusters of 2, 3, …) — the summary a
     curation run publishes next to its dedup rate.  Built on the fully
-    distributed near-dup components; the histogram fold is a bounded
-    aggregation over (group → size).  The SQL twin recomputes the
-    histogram from the INDEPENDENT reference group artifact."""
-    groups = q_minhash_near_dup(sf_dir)  # (doc_id, dup_group)
-    import pandas as pd
+    distributed near-dup components; the histogram fold is TWO bounded
+    coarse aggregations in the cluster — labels → per-group sizes
+    (O(#groups) rows) → size histogram (O(#distinct sizes) rows) — so
+    the corpus-cardinality label table never reaches the driver.  The
+    SQL twin recomputes the histogram from the INDEPENDENT reference
+    group artifact."""
+    from anansi_ray.arrowds import coarse_agg
 
-    df = groups.to_pandas()
+    pairs = fdedup.minhash_candidate_pairs(
+        sig_ds=_doc_signatures(sf_dir), min_jaccard=0.5
+    )
+    labels = fdedup.connected_components_labels(
+        pairs, _read(sf_dir, "documents", ["doc_id"])
+    )
+    sizes = coarse_agg(labels, "dup_group", {"group_size": ("count", "")})
+    hist = coarse_agg(
+        sizes, "group_size", {"n_groups": ("count", "")}, n_parts=8
+    ).to_pandas()
     spec = {
         "group_size": pa.int64(),
         "n_groups": pa.int64(),
         "n_docs": pa.int64(),
     }
-    if len(df) == 0:
+    if len(hist) == 0:
         return pa.table({c: pa.array([], t) for c, t in spec.items()})
-    sizes = df.groupby("dup_group").size()
-    hist = sizes.value_counts().sort_index()
-    gs = hist.index.to_numpy(dtype=np.int64)
-    ng = hist.to_numpy(dtype=np.int64)
+    hist = hist.sort_values("group_size", ignore_index=True)
+    gs = hist["group_size"].to_numpy(dtype=np.int64)
+    ng = hist["n_groups"].to_numpy(dtype=np.int64)
     return pa.table(
         {
             "group_size": pa.array(gs, pa.int64()),
