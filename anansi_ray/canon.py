@@ -38,6 +38,14 @@ _UNRESERVED = set(
 _PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
 _SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*$")
 
+#: absolute URL with a NON-EMPTY authority: base resolution is a no-op for
+#: these (RFC 3986 §5.2.2 — the reference's relative-ref handling agrees),
+#: so canonicalize skips urljoin and canon_batch memoizes on the URL alone.
+#: Anchored at the start so a "://"" inside a relative ref's query string
+#: does not match; the [^/] guard keeps empty-authority forms on the slow
+#: path (urljoin would splice the base's netloc into those).
+_ABS_URL_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]")
+
 
 def _pct_normalize(s: str) -> str:
     """Uppercase percent-escape hex digits; decode escapes of unreserved chars."""
@@ -88,7 +96,10 @@ def canonicalize(url: str, base: str | None = None) -> str | None:
     url = url.strip()
     if not url:
         return None
-    if base:
+    if base and not _ABS_URL_RE.match(url):
+        # absolute URLs (scheme + non-empty authority) resolve to
+        # themselves under ANY base — skipping urljoin keeps components
+        # identical and lets the batch memo key on the URL alone
         url = urljoin(base, url)
     try:
         parts = urlsplit(url)
@@ -199,6 +210,11 @@ def canon_batch(urls, bases=None) -> dict[str, np.ndarray]:
     for i in range(n):
         u = urls[i]
         b = bases[i] if bases is not None else None
+        # absolute candidates (the hub links that repeat on nearly every
+        # page) key on the URL alone — one memo entry per distinct link
+        # instead of one per (link, referring page)
+        if b is not None and isinstance(u, str) and _ABS_URL_RE.match(u):
+            b = None
         k = (u, b)
         hit = memo.get(k)
         if hit is None:

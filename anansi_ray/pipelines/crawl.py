@@ -1005,7 +1005,7 @@ class CrawlPipeline:
             sched_tbl = _schedule_on_driver(
                 due_tbl, due_hosts, self.budget, keys=order_keys(cfg)
             )
-            nslices = max(1, min(64, sched_tbl.num_rows // 512 or 1))
+            nslices = max(1, min(64, sched_tbl.num_rows // 256 or 1))
             step = (sched_tbl.num_rows + nslices - 1) // nslices
             scheduled = _from_arrow_local(
                 [
