@@ -15519,6 +15519,299 @@ ORDER BY 1, 2
 """
 
 
+def q_ngram_repetition_share(sf_dir: str):
+    """Within-doc 5-gram repetition share — the Gopher-family repetition
+    signal at gram granularity (a doc whose 5-grams repeat is boilerplate
+    or a generation loop): per doc, total 5-grams, distinct 5-grams, and
+    ``1 − distinct/total``.  Entirely per-doc: one vectorized streaming
+    pass (shingles via Arrow split + flattened parent index; distinct via
+    one pandas drop_duplicates per batch), zero shuffle at any corpus
+    size.  Token model = ``\\w+`` over lowercase, same as the shingle
+    join family, so the SQL twin recomputes it verbatim."""
+    import pandas as pd
+
+    from anansi_ray.functions.text import shingles_for_batch
+
+    spec = {
+        "doc_id": pa.int64(),
+        "n5": pa.int64(),
+        "d5": pa.int64(),
+        "rep_share": pa.float64(),
+    }
+
+    def part(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        ridx, sh = shingles_for_batch(b, k=5)
+        n5 = np.bincount(ridx, minlength=n).astype(np.int64)
+        d5 = np.zeros(n, np.int64)
+        if len(ridx):
+            dd = (
+                pd.DataFrame({"r": ridx, "s": np.asarray(sh, dtype=object)})
+                .drop_duplicates()
+                .groupby("r")
+                .size()
+            )
+            d5[dd.index.to_numpy()] = dd.to_numpy()
+        share = np.where(n5 > 0, 1.0 - d5 / np.maximum(n5, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n5": pa.array(n5, pa.int64()),
+                "d5": pa.array(d5, pa.int64()),
+                "rep_share": pa.array(np.round(share, 6), pa.float64()),
+            }
+        )
+
+    out = _stable(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas(),
+        {
+            "doc_id": "int64",
+            "n5": "int64",
+            "d5": "int64",
+            "rep_share": "float64",
+        },
+    ).sort_values("doc_id")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_NGRAM_REPETITION_SHARE = r"""
+WITH w AS (SELECT doc_id,
+                  regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+           FROM documents),
+g AS (SELECT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+                   || ' ' || ws[i+4] AS sh
+      FROM w, unnest(range(1, greatest(len(ws) - 3, 1))) t(i)),
+a AS (SELECT doc_id, count(*)::BIGINT AS n5,
+             count(DISTINCT sh)::BIGINT AS d5
+      FROM g GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.n5, 0)::BIGINT AS n5,
+       coalesce(a.d5, 0)::BIGINT AS d5,
+       round(CASE WHEN coalesce(a.n5, 0) = 0 THEN 0.0
+             ELSE 1.0 - a.d5 * 1.0 / a.n5 END, 6) AS rep_share
+FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_token_fertility_by_lang(sf_dir: str):
+    """Tokenizer fertility by language — BPE-ish tokens per whitespace
+    word, the cost metric a multilingual tokenizer is judged on (fertility
+    ≫1 for a language means its docs burn context length).  Per-batch
+    partial: the two token_count kernels reduced to ≤|langs| rows, then
+    one tiny lang-keyed aggregate; zero corpus-sized traffic."""
+    import pandas as pd
+
+    from anansi_ray.arrowds import coarse_agg
+
+    def part(b: pa.Table) -> pa.Table:
+        t = ftext.token_count_batch(b)
+        lang = pc.fill_null(b["lang"], "").to_pandas().to_numpy(dtype=object)
+        df = pd.DataFrame(
+            {
+                "lang": lang,
+                "n_docs": np.ones(b.num_rows, np.int64),
+                "sum_ws": t["n_tokens_ws"].to_numpy(zero_copy_only=False),
+                "sum_bpe": t["n_tokens"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("lang", sort=True).sum().reset_index()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"].to_numpy(dtype=object), pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(np.int64), pa.int64()),
+                "sum_ws": pa.array(g["sum_ws"].to_numpy(np.int64), pa.int64()),
+                "sum_bpe": pa.array(g["sum_bpe"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    agg = coarse_agg(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+            part, batch_format="pyarrow"
+        ),
+        "lang",
+        {
+            "n_docs": ("sum", "n_docs"),
+            "sum_ws": ("sum", "sum_ws"),
+            "sum_bpe": ("sum", "sum_bpe"),
+        },
+        n_parts=8,
+    ).to_pandas()
+    spec = {
+        "lang": pa.string(),
+        "n_docs": pa.int64(),
+        "sum_ws": pa.int64(),
+        "sum_bpe": pa.int64(),
+        "fertility": pa.float64(),
+    }
+    if len(agg) == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    agg = agg.sort_values("lang", ignore_index=True)
+    ws = agg["sum_ws"].to_numpy(np.int64)
+    bpe = agg["sum_bpe"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "lang": pa.array(agg["lang"].to_numpy(dtype=object), pa.string()),
+            "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64), pa.int64()),
+            "sum_ws": pa.array(ws, pa.int64()),
+            "sum_bpe": pa.array(bpe, pa.int64()),
+            "fertility": pa.array(
+                np.round(bpe / np.maximum(ws, 1), 6), pa.float64()
+            ),
+        }
+    )
+
+
+SQL_TOKEN_FERTILITY_BY_LANG = r"""
+WITH t AS (
+  SELECT coalesce(lang, '') AS lang,
+         len(string_split_regex(trim(text), '\s+'))::BIGINT AS ws,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]'))::BIGINT
+           AS bpe
+  FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(ws)::BIGINT AS sum_ws, sum(bpe)::BIGINT AS sum_bpe,
+       round(sum(bpe) * 1.0 / greatest(sum(ws), 1), 6) AS fertility
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+def q_unigram_surprisal(sf_dir: str):
+    """Per-doc mean unigram surprisal under the corpus's own language
+    model — the cheap perplexity-filter signal (CCNet-style): docs whose
+    tokens are globally rare score high, boilerplate scores low.
+
+    Fully distributed with NO vocabulary broadcast: per-batch distinct
+    (doc, token, count) partials → ONE token-hash exchange whose kernel
+    sees every occurrence row of its tokens (global count = in-kernel
+    sum) and folds each doc's Σ c·ln(cnt) share → one doc-keyed coarse
+    sum → driver math on the two scalars-per-doc result.  Works at any
+    vocabulary size because token rows only ever meet inside their hash
+    partition."""
+    import pandas as pd
+
+    from anansi_ray.arrowds import coarse_agg
+
+    n_parts = 32
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def occ_partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(b["text"], "")), r"\W+"
+        )
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_pandas().to_numpy(dtype=object)
+        parent = np.repeat(ids, lens)
+        keep = flat != ""
+        df = (
+            pd.DataFrame({"doc_id": parent[keep], "tok": flat[keep]})
+            .groupby(["doc_id", "tok"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        tok = df["tok"].to_numpy(dtype=object)
+        part = (pd.util.hash_array(tok) % np.uint64(n_parts)).astype(np.int32)
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int32()),
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+                "tok": pa.array(tok, pa.string()),
+                "c": pa.array(df["c"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    _tok_empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "s": pa.array([], pa.float64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def tok_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _tok_empty
+        pdf = g.to_pandas()
+        cnt = pdf.groupby("tok")["c"].transform("sum").to_numpy(np.int64)
+        c = pdf["c"].to_numpy(np.int64)
+        contrib = c * np.log(cnt.astype(np.float64))
+        agg = (
+            pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(np.int64), "s": contrib, "n": c}
+            )
+            .groupby("doc_id", sort=True)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64), pa.int64()),
+                "s": pa.array(agg["s"].to_numpy(np.float64), pa.float64()),
+                "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    per_doc = coarse_agg(
+        docs.map_batches(occ_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(tok_part, batch_format="pyarrow"),
+        "doc_id",
+        {"s": ("sum", "s"), "n": ("sum", "n")},
+    ).to_pandas()
+    spec = {
+        "doc_id": pa.int64(),
+        "n_toks": pa.int64(),
+        "mean_surprisal": pa.float64(),
+    }
+    all_ids = (
+        _read(sf_dir, "documents", ["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    )
+    if len(all_ids) == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    total = int(per_doc["n"].sum()) if len(per_doc) else 0
+    out = pd.DataFrame({"doc_id": np.sort(all_ids.astype(np.int64))}).merge(
+        per_doc, on="doc_id", how="left"
+    )
+    n = out["n"].fillna(0).to_numpy(np.int64)
+    s = out["s"].fillna(0.0).to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = np.where(
+            n > 0,
+            (np.log(max(total, 1)) - s / np.maximum(n, 1)) / np.log(2.0),
+            0.0,
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64), pa.int64()),
+            "n_toks": pa.array(n, pa.int64()),
+            "mean_surprisal": pa.array(np.round(m, 6), pa.float64()),
+        }
+    )
+
+
+SQL_UNIGRAM_SURPRISAL = r"""
+WITH occ AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS tok
+  FROM documents),
+cnt AS (SELECT tok, count(*)::BIGINT AS c FROM occ GROUP BY tok),
+tot AS (SELECT count(*)::BIGINT AS n FROM occ),
+per AS (
+  SELECT o.doc_id, count(*)::BIGINT AS n_toks, sum(ln(cnt.c)) AS s
+  FROM occ o JOIN cnt USING (tok) GROUP BY o.doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_toks, 0)::BIGINT AS n_toks,
+       round(CASE WHEN coalesce(p.n_toks, 0) = 0 THEN 0.0
+             ELSE (ln(tot.n) - p.s / p.n_toks) / ln(2) END, 6)
+         AS mean_surprisal
+FROM documents d LEFT JOIN per p USING (doc_id), tot
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -15741,4 +16034,13 @@ QUERIES = {
     "corpus_datacard": (q_corpus_datacard, SQL_CORPUS_DATACARD),
     "segment_ttest": (q_segment_ttest, SQL_SEGMENT_TTEST),
     "lineitem_corr": (q_lineitem_corr, SQL_LINEITEM_CORR),
+    "ngram_repetition_share": (
+        q_ngram_repetition_share,
+        SQL_NGRAM_REPETITION_SHARE,
+    ),
+    "token_fertility_by_lang": (
+        q_token_fertility_by_lang,
+        SQL_TOKEN_FERTILITY_BY_LANG,
+    ),
+    "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
 }

@@ -338,6 +338,8 @@ def bench_stage(scale: str) -> dict:
 
     cfg = CrawlConfig()
     fdir = fixtures.ensure_fixture(scale)
+    if fixtures.SCALES.get(scale, {}).get("sharded", False):
+        return _bench_stage_bucketed(scale, fdir)
     web = pq.read_table(os.path.join(fdir, "web.parquet"))
     hosts = pq.read_table(os.path.join(fdir, "hosts.parquet"))
     robots = {
@@ -426,6 +428,104 @@ def bench_stage(scale: str) -> dict:
         .map_batches(strip_payload, batch_format="pyarrow")
     )
     rows = _consume(ds)
+    wall = time.time() - t0
+    return {
+        "scale": scale,
+        "rows": rows,
+        "n_urls": n_urls,
+        "wall_sec": round(wall, 2),
+        "urls_per_sec": round(n_urls / wall, 1),
+    }
+
+
+def _bench_stage_bucketed(scale: str, fdir: str) -> dict:
+    """The same fetch-parse-extract stage at sharded scale (xxxl, 16M
+    URLs): the web table NEVER lands on the driver — input is a parallel
+    read of the sharded web parquet, the fetch is the bucketed keyed
+    lookup (sources/webstore.py: one cache-bucket metadata exchange, web
+    payloads never move).  The warm pass runs on a 200k-URL subset (pool
+    spin-up + bucket metadata), not the full input — a full 16M warm pass
+    would double the measurement's cost for no extra steady-state."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from anansi_ray.canon import canon_batch
+    from anansi_ray.model import CrawlConfig
+    from anansi_ray.sources.webstore import (
+        META_NAME,
+        bucketize_web,
+        fetch_bucketed,
+    )
+
+    cfg = CrawlConfig()
+    from anansi_ray import fixtures
+
+    web_dir = os.path.join(fdir, "web")
+    store = os.path.join(fdir, "store")
+    if not os.path.exists(os.path.join(store, META_NAME)):
+        t0 = time.time()
+        bucketize_web(rd.read_parquet(web_dir), store, n_buckets=64)
+        print(
+            f"# bucketize_web: {time.time() - t0:.1f}s (one-time, cached)",
+            file=sys.stderr,
+        )
+    hosts = pq.read_table(os.path.join(fdir, "hosts.parquet"))
+    robots = {
+        r["host"]: r.get("robots_disallow") or []
+        for r in hosts.to_pylist()
+        if r.get("robots_disallow")
+    }
+    n_urls = sum(
+        pq.read_metadata(os.path.join(web_dir, f)).num_rows
+        for f in os.listdir(web_dir)
+        if f.endswith(".parquet")
+    )
+    nblocks = max(64, 8 * int(ray.cluster_resources().get("CPU", 8)))
+
+    def read_urls(limit=None):
+        ds = rd.read_parquet(
+            web_dir, columns=["url"], override_num_blocks=nblocks
+        )
+        return ds.limit(limit) if limit else ds
+
+    def canon_stage(batch: pa.Table) -> pa.Table:
+        c = canon_batch(batch["url"].to_pylist())
+        n = len(c["url"])
+        return pa.table(
+            {
+                "url": pa.array(c["url"], pa.string()),
+                "url_hash": pa.array(c["url_hash"], pa.string()),
+                "host": pa.array(c["host"], pa.string()),
+                "root_hash": pa.array(c["root_hash"], pa.string()),
+                "depth": pa.array(np.zeros(n, np.int32)),
+                "state": pa.array(["NEW"] * n, pa.string()),
+                "status": pa.array(np.zeros(n, np.int32)),
+                "next_fetch_ms": pa.array(np.zeros(n, np.int64)),
+                "error_count": pa.array(np.zeros(n, np.int32)),
+                "soft_error_count": pa.array(np.zeros(n, np.int32)),
+                "updated_ms": pa.array(np.zeros(n, np.int64)),
+                "fetch_clock_ms": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def strip_payload(batch: pa.Table) -> pa.Table:
+        return batch.select(["url_hash", "state", "status", "out_links"])
+
+    def build(limit=None):
+        canoned = read_urls(limit).map_batches(
+            canon_stage, batch_format="pyarrow", batch_size=2048
+        )
+        return fetch_bucketed(canoned, store, robots, cfg).map_batches(
+            strip_payload, batch_format="pyarrow"
+        )
+
+    _consume(build(limit=200_000))  # warm: pool + bucket metadata
+
+    t0 = time.time()
+    rows = _consume(build())
     wall = time.time() - t0
     return {
         "scale": scale,
