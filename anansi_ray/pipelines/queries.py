@@ -1708,14 +1708,47 @@ def _emb_lsh_pairs_local(tbl: pa.Table, threshold: float) -> pa.Table:
     )
 
 
+def _point_oracle_symlink(target: str) -> None:
+    """Atomically point ORACLE_DIR (the path baked into the static SQL
+    strings at import time) at the requested build directory."""
+    import shutil
+
+    if os.path.lexists(ORACLE_DIR) and not os.path.islink(ORACLE_DIR):
+        # a real directory from a pre-symlink run occupies the path
+        shutil.rmtree(ORACLE_DIR, ignore_errors=True)
+    tmp = f"{ORACLE_DIR}.lnk.{os.getpid()}"
+    try:
+        os.remove(tmp)
+    except FileNotFoundError:
+        pass
+    os.symlink(target, tmp)
+    os.replace(tmp, ORACLE_DIR)
+
+
 def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    """Idempotent build of the oracle side-tables under ORACLE_DIR."""
+    """Idempotent build of the oracle side-tables.
+
+    Data-dependent artifacts (minhash groups, logreg preds, ALS factors,
+    BPE merges, …) are functions of the SF DATA, so each sf_dir builds
+    into its own directory and ``ORACLE_DIR`` — the path the static SQL
+    strings bake in at import — is an atomically-swapped symlink to the
+    requested sf's build.  The driver's sf0.01 gate and the sf0.1 sweep
+    therefore both check against artifacts derived from the data they
+    query, and switching scale factors never rebuilds what exists.
+    Returns the REAL per-sf directory: a consumer that must be immune to
+    another process re-pointing the shared symlink (the sweep harness)
+    rewrites ``ORACLE_DIR`` to this path in the SQL it executes."""
+    import hashlib as _hl
+
     import pyarrow.parquet as pq
 
-    marker = os.path.join(ORACLE_DIR, f"_COMPLETE_{_ORACLE_VERSION}")
+    key = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = f"{ORACLE_DIR}_{key}"
+    marker = os.path.join(out, f"_COMPLETE_{_ORACLE_VERSION}")
     if os.path.exists(marker):
-        return ORACLE_DIR
-    os.makedirs(ORACLE_DIR, exist_ok=True)
+        _point_oracle_symlink(out)
+        return out
+    os.makedirs(out, exist_ok=True)
 
     # 1. reference-semantics crawl of the deterministic tiny fixture
     #    (pure Python, no Ray — the same oracle the conformance tests use)
@@ -1725,7 +1758,7 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
 
     tables = fixtures.generate("tiny", seed=42)
     res = reference_crawl(tables, CrawlConfig(), budget=None)
-    pq.write_table(res["expected_crawl"], os.path.join(ORACLE_DIR, "crawl_order.parquet"))
+    pq.write_table(res["expected_crawl"], os.path.join(out, "crawl_order.parquet"))
     docs = res["documents"]
     docs = docs.take(pc.sort_indices(docs, sort_keys=[("doc_id", "ascending")]))
     flat = flatten_spans_batch(docs)
@@ -1744,21 +1777,21 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
                 "span_sig",
             ]
         ),
-        os.path.join(ORACLE_DIR, "crawl_docs_flat.parquet"),
+        os.path.join(out, "crawl_docs_flat.parquet"),
     )
 
     # 1b. the tiny web's redirect edges (url → redirect), for the
     #     redirect-alias resolution twin's recursive CTE
     pq.write_table(
         tables["web"].select(["url", "redirect"]),
-        os.path.join(ORACLE_DIR, "web_redirects.parquet"),
+        os.path.join(out, "web_redirects.parquet"),
     )
 
     # 2. the synthetic media table (payloads included: DuckDB recomputes
     #    the fake-decode features from the blobs)
     pq.write_table(
         fmedia.synthesize_media_table(n=256, seed=42),
-        os.path.join(ORACLE_DIR, "media.parquet"),
+        os.path.join(out, "media.parquet"),
     )
 
     # 3. MinHash-LSH artifacts over the driver's sf0.01 documents:
@@ -1773,13 +1806,13 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
         t = pq.read_table(sfdoc, columns=["doc_id", "text"])
         pq.write_table(
             _minhash_pairs_local(t, 0.3),
-            os.path.join(ORACLE_DIR, "ngram_cand.parquet"),
+            os.path.join(out, "ngram_cand.parquet"),
         )
         pairs_05 = _minhash_pairs_local(t, 0.5)
         groups = fdedup.connected_components(
             pairs_05, pq.read_table(sfdoc, columns=["doc_id"])["doc_id"].to_pylist()
         )
-        pq.write_table(groups, os.path.join(ORACLE_DIR, "minhash_groups.parquet"))
+        pq.write_table(groups, os.path.join(out, "minhash_groups.parquet"))
 
     # 4. hyperplane-LSH embedding near-dup pairs (integer-exact bucketing
     #    ⇒ the twin reproduces the distributed output value-exactly)
@@ -1788,7 +1821,7 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
         t = pq.read_table(sfemb, columns=["vec_id", "embedding"])
         pq.write_table(
             _emb_lsh_pairs_local(t, NEAR_DUP_TAU),
-            os.path.join(ORACLE_DIR, "emb_lsh_pairs.parquet"),
+            os.path.join(out, "emb_lsh_pairs.parquet"),
         )
 
         # 5. k-means assignment twin: single-threaded Lloyd's under the
@@ -1798,7 +1831,7 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
         from anansi_ray.functions.clustering import kmeans_local
 
         pq.write_table(
-            kmeans_local(t), os.path.join(ORACLE_DIR, "kmeans.parquet")
+            kmeans_local(t), os.path.join(out, "kmeans.parquet")
         )
 
         # 5b. SemDeDup twin: kmeans_local assignment + the same
@@ -1807,7 +1840,7 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
         from anansi_ray.functions.semdedup import semantic_dedup_local
 
         pq.write_table(
-            semantic_dedup_local(t), os.path.join(ORACLE_DIR, "semdedup.parquet")
+            semantic_dedup_local(t), os.path.join(out, "semdedup.parquet")
         )
 
         # 5c. PQ ANN twin: per-subspace codebooks under the same rounding
@@ -1816,7 +1849,7 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
         from anansi_ray.functions.pq import knn_pq_local
 
         pq.write_table(
-            knn_pq_local(t), os.path.join(ORACLE_DIR, "pq_knn.parquet")
+            knn_pq_local(t), os.path.join(out, "pq_knn.parquet")
         )
 
         # 5g. PCA twin: one covariance slice + eigvalsh on the rounded
@@ -1824,7 +1857,7 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
         from anansi_ray.functions.pca import pca_local
 
         pq.write_table(
-            pca_local(t), os.path.join(ORACLE_DIR, "pca_spectrum.parquet")
+            pca_local(t), os.path.join(out, "pca_spectrum.parquet")
         )
 
         # 5d. IVF+PQ twin: coarse quantizer + residual codebooks under the
@@ -1833,7 +1866,7 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
         from anansi_ray.functions.pq import knn_ivfpq_local
 
         pq.write_table(
-            knn_ivfpq_local(t), os.path.join(ORACLE_DIR, "ivfpq_knn.parquet")
+            knn_ivfpq_local(t), os.path.join(out, "ivfpq_knn.parquet")
         )
 
     # 5f. ALS twin: INDEPENDENT DuckDB ratings build (orders ⨝ lineitem),
@@ -1859,7 +1892,7 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
             .arrow()
         )
         pq.write_table(
-            als_local(ratings), os.path.join(ORACLE_DIR, "als_factors.parquet")
+            als_local(ratings), os.path.join(out, "als_factors.parquet")
         )
 
     # 5e. logistic-regression twin: sequential full-batch GD under the
@@ -1871,7 +1904,7 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
             logreg_local(
                 pq.read_table(sfdoc, columns=["doc_id", "text", "lang"])
             ),
-            os.path.join(ORACLE_DIR, "logreg.parquet"),
+            os.path.join(out, "logreg.parquet"),
         )
 
         # 5e-bis. cross-validation twin (same fold rule, sequential)
@@ -1881,7 +1914,7 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
             logreg_cv_local(
                 pq.read_table(sfdoc, columns=["doc_id", "text", "lang"])
             ),
-            os.path.join(ORACLE_DIR, "logreg_cv.parquet"),
+            os.path.join(out, "logreg_cv.parquet"),
         )
 
     # 6. sequence-packing twin: token counts via DuckDB's own regex (the
@@ -1924,7 +1957,7 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
                     "n_tokens": pa.array([r[4] for r in recs], pa.int64()),
                 }
             ),
-            os.path.join(ORACLE_DIR, "pack.parquet"),
+            os.path.join(out, "pack.parquet"),
         )
 
     # 9. CDC chunk-dedup twin: sequential chunk+hash over the same
@@ -1934,7 +1967,7 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
 
     pq.write_table(
         cdc_dedup_local(fmedia.synthesize_media_table(n=256, seed=42)),
-        os.path.join(ORACLE_DIR, "cdc_dedup.parquet"),
+        os.path.join(out, "cdc_dedup.parquet"),
     )
 
     # 11. PPMI-SVD embedding twin: pair counts recomputed INDEPENDENTLY
@@ -1979,12 +2012,12 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
             M = femb.ppmi_matrix(ia, ib, nab, dfv, int(n_docs_twin))
             pq.write_table(
                 femb.svd_neighbors(M, vocab),
-                os.path.join(ORACLE_DIR, "word_emb_knn.parquet"),
+                os.path.join(out, "word_emb_knn.parquet"),
             )
         else:
             pq.write_table(
                 femb.empty_out(),
-                os.path.join(ORACLE_DIR, "word_emb_knn.parquet"),
+                os.path.join(out, "word_emb_knn.parquet"),
             )
 
     # 10. Markov-attribution twin: sequential journey kernel + absorbing
@@ -2000,7 +2033,7 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
                 ),
                 ["click", "error", "signup", "view"],
             ),
-            os.path.join(ORACLE_DIR, "markov_attr.parquet"),
+            os.path.join(out, "markov_attr.parquet"),
         )
 
     # 8. HLL distinct-count twin: register max-merge is commutative and
@@ -2033,7 +2066,7 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
                     "approx_distinct": pa.array(out_e, pa.int64()),
                 }
             ),
-            os.path.join(ORACLE_DIR, "hll_distinct.parquet"),
+            os.path.join(out, "hll_distinct.parquet"),
         )
 
     # 7. BPE merge-table twin: word counts recomputed INDEPENDENTLY in
@@ -2057,7 +2090,7 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
             fbpe.top_words([(w, int(c)) for w, c in rows])
         )
         pq.write_table(
-            merges_twin, os.path.join(ORACLE_DIR, "bpe_merges.parquet")
+            merges_twin, os.path.join(out, "bpe_merges.parquet")
         )
 
         # 7b. BPE encode twin: apply the twin's merge table sequentially
@@ -2073,12 +2106,13 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
             pa.Table.from_pandas(
                 enc.sort_values("doc_id", ignore_index=True), preserve_index=False
             ),
-            os.path.join(ORACLE_DIR, "bpe_encode.parquet"),
+            os.path.join(out, "bpe_encode.parquet"),
         )
 
     with open(marker, "w") as f:
-        f.write("ok")
-    return ORACLE_DIR
+        f.write(os.path.abspath(sf_dir))
+    _point_oracle_symlink(out)
+    return out
 
 
 SQL_NGRAM_JACCARD = rf"""

@@ -66,6 +66,19 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # oracle_sql() builds/points the artifacts for the DRIVER's default
+    # sf0.01; data-dependent twins (minhash groups, logreg, ALS, BPE, …)
+    # must compare against artifacts derived from THE DATA BEING QUERIED,
+    # so build this sf's artifacts and rewrite the artifact paths in the
+    # SQL to the per-sf REAL directory — immune to any concurrent process
+    # re-pointing the shared ORACLE_DIR symlink mid-sweep
+    from anansi_ray.pipelines.queries import ORACLE_DIR, ensure_oracle_artifacts
+
+    real_dir = ensure_oracle_artifacts(sf_dir)
+    oracles = {
+        name: sql.replace(ORACLE_DIR + "/", real_dir + "/")
+        for name, sql in oracles.items()
+    }
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
