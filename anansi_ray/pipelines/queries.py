@@ -3846,7 +3846,11 @@ def q_user_burstiness(sf_dir: str):
         var = sgg / n - mu * mu
         sd = math.sqrt(var) if var > 0 else 0.0
         b_ = (sd - mu) / (sd + mu) if (sd + mu) > 0 else 0.0
-        rows.append((int(r.user_id), n, round(mu / 1e6, 6), round(b_, 6)))
+        # mean gap reported at exact-µs resolution via INTEGER floor
+        # division: an integer µs count over 1e6 sits on the 6-decimal
+        # grid, so no cross-engine rounding tie can exist (a float mean
+        # at exactly .5 µs hits Python half-even vs DuckDB half-away)
+        rows.append((int(r.user_id), n, round((sg // n) / 1e6, 6), round(b_, 6)))
     if not rows:
         return pa.table({c: pa.array([], t) for c, t in spec.items()})
     return pa.table(
@@ -3876,11 +3880,12 @@ calc AS (
          sqrt(greatest(sgg::DOUBLE / n
                        - (sg::DOUBLE / n) * (sg::DOUBLE / n), 0)) AS sd
   FROM s WHERE n >= 2)
-SELECT user_id, n AS n_gaps,
-       round(mu / 1000000, 6) AS mean_gap_s,
-       round(CASE WHEN sd + mu > 0 THEN (sd - mu) / (sd + mu) ELSE 0 END, 6)
+SELECT c.user_id, c.n AS n_gaps,
+       round((s.sg // s.n) / 1000000, 6) AS mean_gap_s,
+       round(CASE WHEN c.sd + c.mu > 0
+             THEN (c.sd - c.mu) / (c.sd + c.mu) ELSE 0 END, 6)
          AS burstiness
-FROM calc ORDER BY user_id
+FROM calc c JOIN s USING (user_id) ORDER BY c.user_id
 """
 
 
