@@ -182,6 +182,9 @@ BENCH_QUERIES = [
     "corpus_datacard",
     "segment_ttest",
     "lineitem_corr",
+    "ngram_repetition_share",
+    "token_fertility_by_lang",
+    "unigram_surprisal",
     "semantic_dedup",
     "knn_pq",
     "doc_char_entropy",
