@@ -515,15 +515,40 @@ def _doc_signatures(sf_dir: str) -> rd.Dataset:
     return sig
 
 
+#: memoized MinHash-CC label Datasets (narrow (doc_id, dup_group) blocks in
+#: the object store), shared by minhash_near_dup, dup_group_size_hist and
+#: the curation composition — the propagation is deterministic per corpus,
+#: so per-process reuse is exact (same pattern as _SIG_CACHE/_CRAWL_MEMO)
+_CC_LABELS_MEMO: dict[str, rd.Dataset] = {}
+
+
+def _minhash_cc_labels(sf_dir: str) -> rd.Dataset:
+    ds = _CC_LABELS_MEMO.get(sf_dir)
+    if ds is None:
+        pairs = fdedup.minhash_candidate_pairs(
+            sig_ds=_doc_signatures(sf_dir), min_jaccard=0.5
+        )
+        ds = fdedup.connected_components_labels(
+            pairs, _read(sf_dir, "documents", ["doc_id"])
+        ).materialize()
+        _CC_LABELS_MEMO[sf_dir] = ds
+    return ds
+
+
 def q_minhash_near_dup(sf_dir: str):
     """MinHash-LSH near-dup groups, fully distributed: repartition-join
     signature verification + iterated min-label propagation — no driver
-    dict / to_pandas anywhere in the path."""
-    pairs = fdedup.minhash_candidate_pairs(
-        sig_ds=_doc_signatures(sf_dir), min_jaccard=0.5
-    )
-    ids_ds = _read(sf_dir, "documents", ["doc_id"])
-    return fdedup.connected_components_distributed(pairs, ids_ds)
+    dict / to_pandas anywhere in the path (labels memoized per process,
+    see _minhash_cc_labels)."""
+    tbl = fdedup._collect_sorted(_minhash_cc_labels(sf_dir), ["doc_id"])
+    if tbl is None:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "dup_group": pa.array([], pa.int64()),
+            }
+        )
+    return tbl
 
 
 def q_simhash(sf_dir: str):
@@ -3198,18 +3223,56 @@ ORDER BY v.v
 """
 
 
+#: memoized materialized LR corpus + trained weight vector per sf_dir —
+#: shared by logreg_quality, logreg_auc-family and the curation
+#: composition (full-batch GD is deterministic per corpus, so the weights
+#: are a pure function of the data; _SIG_CACHE pattern)
+_LR_DOCS_MEMO: dict[str, rd.Dataset] = {}
+_LR_W_MEMO: dict[str, "np.ndarray | None"] = {}
+
+
+def _docs_lr_mat(sf_dir: str) -> rd.Dataset:
+    ds = _LR_DOCS_MEMO.get(sf_dir)
+    if ds is None:
+        ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).materialize()
+        _LR_DOCS_MEMO[sf_dir] = ds
+    return ds
+
+
+def _logreg_weights(sf_dir: str):
+    if sf_dir not in _LR_W_MEMO:
+        from anansi_ray.functions import logreg as flogreg
+
+        _LR_W_MEMO[sf_dir] = flogreg.logreg_train(_docs_lr_mat(sf_dir))
+    return _LR_W_MEMO[sf_dir]
+
+
 def q_logreg_quality(sf_dir: str):
     """Distributed logistic-regression training (functions/logreg.py):
     full-batch GD where each iteration is ONE streaming pass reducing
     every batch to a (dim+1)-vector gradient partial; the driver merges
     O(blocks) partials, applies the rounded weight update, re-broadcasts.
     Scoring is a final streaming pass.  Verified bit-for-bit vs the
-    sequential twin the oracle builder materializes."""
+    sequential twin the oracle builder materializes.  Weights memoized
+    per process (_logreg_weights), shared with the curation chain."""
+    import ray
+
     from anansi_ray.functions import logreg as flogreg
 
-    return flogreg.logreg_distributed(
-        _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    w = _logreg_weights(sf_dir)
+    if w is None:
+        return flogreg._empty_out()
+    wref = ray.put(w)
+    out = (
+        _docs_lr_mat(sf_dir)
+        .map_batches(
+            lambda b: flogreg._score_rows(b, ray.get(wref), "doc_id"),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
     )
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def q_embedding_pca(sf_dir: str):
@@ -3265,7 +3328,7 @@ def _curation_disposition_ds(sf_dir: str) -> rd.Dataset:
     from anansi_ray.functions import logreg as flogreg
     from anansi_ray.functions.dedup import _auto_parts, _part_np
 
-    docs_lr = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).materialize()
+    docs_lr = _docs_lr_mat(sf_dir)
     n_docs = docs_lr.count()
     if n_docs == 0:
         empty = rd.from_arrow(_CURATION_EMPTY).materialize()
@@ -3318,12 +3381,7 @@ def _curation_disposition_ds(sf_dir: str) -> rd.Dataset:
         .map_groups(exact_part_kernel, batch_format="pyarrow")
     )
 
-    pairs = fdedup.minhash_candidate_pairs(
-        sig_ds=_doc_signatures(sf_dir), min_jaccard=0.5
-    )
-    cc = fdedup.connected_components_labels(
-        pairs, _read(sf_dir, "documents", ["doc_id"])
-    )
+    cc = _minhash_cc_labels(sf_dir)
 
     def near_partial(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
@@ -3332,7 +3390,7 @@ def _curation_disposition_ds(sf_dir: str) -> rd.Dataset:
 
     near = cc.map_batches(near_partial, batch_format="pyarrow")
 
-    w = flogreg.logreg_train(docs_lr)
+    w = _logreg_weights(sf_dir)
     wref = ray.put(w)
 
     def qual_partial(b: pa.Table) -> pa.Table:
@@ -4265,12 +4323,7 @@ def q_dup_group_size_hist(sf_dir: str):
     group artifact."""
     from anansi_ray.arrowds import coarse_agg
 
-    pairs = fdedup.minhash_candidate_pairs(
-        sig_ds=_doc_signatures(sf_dir), min_jaccard=0.5
-    )
-    labels = fdedup.connected_components_labels(
-        pairs, _read(sf_dir, "documents", ["doc_id"])
-    )
+    labels = _minhash_cc_labels(sf_dir)
     sizes = coarse_agg(labels, "dup_group", {"group_size": ("count", "")})
     hist = coarse_agg(
         sizes, "group_size", {"n_groups": ("count", "")}, n_parts=8
@@ -4637,8 +4690,8 @@ def q_logreg_auc(sf_dir: str):
     def _empty() -> pa.Table:
         return pa.table({c: pa.array([], t) for c, t in spec.items()})
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).materialize()
-    w = flogreg.logreg_train(ds)
+    ds = _docs_lr_mat(sf_dir)
+    w = _logreg_weights(sf_dir)
     if w is None:
         return _empty()
     wref = _ray.put(w)
@@ -4700,8 +4753,8 @@ def q_calibration_bins(sf_dir: str):
         "mean_prob": pa.float64(),
         "frac_pos": pa.float64(),
     }
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).materialize()
-    w = flogreg.logreg_train(ds)
+    ds = _docs_lr_mat(sf_dir)
+    w = _logreg_weights(sf_dir)
     if w is None:
         return pa.table({c: pa.array([], t) for c, t in spec.items()})
     wref = _ray.put(w)

@@ -309,6 +309,15 @@ def bench_crawl(scale: str) -> dict:
         name: pq.read_table(os.path.join(fdir, f"{name}.parquet"))
         for name in ("seeds", "web", "hosts", "documents")
     }
+    # untimed pool warm-up (same hygiene as bench_stage's warm pass):
+    # spin up the Ray worker pool and fault in the library imports so the
+    # first crawl round doesn't pay worker cold-start inside the timing
+    import ray.data as _rd
+
+    _rd.range(256, override_num_blocks=64).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+
     t0 = time.time()
     pipe = CrawlPipeline(tables, CrawlConfig(), budget=None)
     res = pipe.run()
