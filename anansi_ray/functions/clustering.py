@@ -91,14 +91,82 @@ def kmeans_local(
     )
 
 
+def _latest_km_checkpoint(checkpoint_dir: str):
+    """Most recent committed centroid checkpoint ``(iter, path)`` or
+    ``None`` — single-file npz per superstep, committed via atomic
+    tmp+rename (the same contract as pagerank's superstep checkpoints);
+    in-flight ``*.tmp-*`` writers are ignored."""
+    import os
+
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    best = None
+    for name in os.listdir(checkpoint_dir):
+        if not (name.startswith("iter_") and name.endswith(".npz")):
+            continue
+        if ".tmp-" in name:
+            continue
+        it = int(name[len("iter_") : -len(".npz")])
+        if best is None or it > best[0]:
+            best = (it, os.path.join(checkpoint_dir, name))
+    return best
+
+
 def kmeans_fit(
     ds: rd.Dataset, id_col: str = "vec_id", emb_col: str = "embedding",
     k: int = KM_K, iters: int = KM_ITERS,
+    checkpoint_dir: "str | None" = None,
+    resume: bool = False,
+    stop_after: "int | None" = None,
 ):
     """Centroid training only (the iterative partial-sum loop shared by
     ``kmeans_distributed`` and the SemDeDup pipeline).  ``ds`` must be
     materialized by the caller.  Returns ``None`` on an empty corpus,
-    else the rounded ``k_eff x dim`` float64 centroid matrix."""
+    else the rounded ``k_eff x dim`` float64 centroid matrix.
+
+    With ``checkpoint_dir`` each superstep's ROUNDED centroid matrix (the
+    entire iteration-variant state, k×dim floats) commits atomically;
+    ``resume=True`` restarts from the latest committed superstep — the
+    rounding contract makes the resumed run bit-equal to an uninterrupted
+    one.  ``stop_after=k`` simulates a kill (returns ``None``)."""
+    import os as _os
+
+    start_iter = 0
+    C = None
+    if checkpoint_dir is not None and resume:
+        latest = _latest_km_checkpoint(checkpoint_dir)
+        if latest is not None:
+            it, path = latest
+            C = np.load(path)["C"]
+            k = C.shape[0]
+            start_iter = it + 1
+    if C is None:
+        C = _kmeans_seed(ds, id_col, emb_col, k)
+        if C is None:
+            return None
+        k = C.shape[0]
+
+    for i in range(start_iter, iters):
+        C = _kmeans_superstep(ds, emb_col, C, k)
+        if checkpoint_dir is not None:
+            _os.makedirs(checkpoint_dir, exist_ok=True)
+            final = _os.path.join(checkpoint_dir, f"iter_{i:04d}.npz")
+            tmp = f"{final}.tmp-{_os.getpid()}"
+            np.savez(tmp, C=C)
+            # np.savez appends .npz to names without it; tmp ends .tmp-PID
+            saved = tmp if _os.path.exists(tmp) else tmp + ".npz"
+            _os.replace(saved, final)
+            prev = _os.path.join(checkpoint_dir, f"iter_{i - 1:04d}.npz")
+            if i > 0 and _os.path.exists(prev):
+                _os.remove(prev)
+        if stop_after is not None and i + 1 >= stop_after and i + 1 < iters:
+            return None  # simulated kill between supersteps
+    return C
+
+
+def _kmeans_seed(ds: rd.Dataset, id_col: str, emb_col: str, k: int):
+    """Deterministic init (k smallest ids) — split out so a resumed fit
+    can skip it entirely."""
     # deterministic init: k smallest ids — per-block partial min-k, then a
     # tiny driver merge (no sort/shuffle of the corpus)
     def init_partial(batch: pa.Table) -> pa.Table:
@@ -132,43 +200,46 @@ def kmeans_fit(
     semb = np.stack(
         [np.asarray(e, dtype=np.float64) for e in seed["emb"].to_pylist()]
     )
-    C = _init_centroids(sids, semb, k)
+    return _init_centroids(sids, semb, k)
 
-    for _ in range(iters):
-        cref = ray.put(C)
 
-        def partial(batch: pa.Table) -> pa.Table:
-            Cc = ray.get(cref)
-            X = _emb_matrix(batch, emb_col)
-            a = _assign(X, Cc)
-            sums = np.zeros((k, X.shape[1]))
-            np.add.at(sums, a, X)
-            counts = np.bincount(a, minlength=k).astype(np.float64)
-            return pa.table(
-                {
-                    "c": pa.array(np.arange(k), pa.int64()),
-                    "n": pa.array(counts, pa.float64()),
-                    "s": pa.array(list(sums), pa.list_(pa.float64())),
-                }
-            )
+def _kmeans_superstep(ds: rd.Dataset, emb_col: str, C, k: int):
+    """ONE partial-sum superstep: per-block assign + (sum, count) partials
+    → driver merge of O(blocks) k×dim tables → rounded centroid update."""
+    cref = ray.put(C)
 
-        ptabs = [
-            t
-            for t in ray.get(
-                ds.map_batches(partial, batch_format="pyarrow")
-                .materialize()
-                .to_arrow_refs()
-            )
-            if t.num_rows
-        ]
-        sums = np.zeros((k, C.shape[1]))
-        counts = np.zeros(k)
-        for t in ptabs:
-            counts += t["n"].to_numpy(zero_copy_only=False)
-            sums += np.stack(
-                [np.asarray(e, dtype=np.float64) for e in t["s"].to_pylist()]
-            )
-        C = _update(sums, counts, C)
+    def partial(batch: pa.Table) -> pa.Table:
+        Cc = ray.get(cref)
+        X = _emb_matrix(batch, emb_col)
+        a = _assign(X, Cc)
+        sums = np.zeros((k, X.shape[1]))
+        np.add.at(sums, a, X)
+        counts = np.bincount(a, minlength=k).astype(np.float64)
+        return pa.table(
+            {
+                "c": pa.array(np.arange(k), pa.int64()),
+                "n": pa.array(counts, pa.float64()),
+                "s": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+    ptabs = [
+        t
+        for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    sums = np.zeros((k, C.shape[1]))
+    counts = np.zeros(k)
+    for t in ptabs:
+        counts += t["n"].to_numpy(zero_copy_only=False)
+        sums += np.stack(
+            [np.asarray(e, dtype=np.float64) for e in t["s"].to_pylist()]
+        )
+    C = _update(sums, counts, C)
     return C
 
 

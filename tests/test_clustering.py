@@ -43,3 +43,49 @@ class TestKMeans:
         out = kmeans_local(_synth())
         # 4 well-separated synthetic centers -> at least 4 populated clusters
         assert len(set(out["cluster"].to_pylist())) >= 4
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKMeansResume:
+    def test_kill_and_resume_bitequal(self, tmp_path):
+        """Kill between supersteps, resume from the committed centroid
+        checkpoint → bit-equal centroids (the rounding contract makes the
+        resumed trajectory identical)."""
+        from anansi_ray.functions.clustering import (
+            _latest_km_checkpoint,
+            kmeans_fit,
+        )
+
+        tbl = _synth()
+        ds = rd.from_arrow(tbl).materialize()
+        want = kmeans_fit(ds, iters=5)
+
+        ck = str(tmp_path / "km_ck")
+        killed = kmeans_fit(ds, iters=5, checkpoint_dir=ck, stop_after=2)
+        assert killed is None
+        latest = _latest_km_checkpoint(ck)
+        assert latest is not None and latest[0] == 1  # supersteps 0,1 done
+
+        got = kmeans_fit(ds, iters=5, checkpoint_dir=ck, resume=True)
+        assert np.array_equal(got, want)
+        latest = _latest_km_checkpoint(ck)
+        assert latest is not None and latest[0] == 4  # final committed, prior pruned
+
+    def test_straggler_tmp_files_ignored(self, tmp_path):
+        from anansi_ray.functions.clustering import _latest_km_checkpoint
+
+        ck = tmp_path / "km_ck"
+        ck.mkdir()
+        (ck / "iter_0003.npz.tmp-999.npz").write_bytes(b"partial")
+        assert _latest_km_checkpoint(str(ck)) is None
+
+    def test_resume_without_checkpoint_runs_fresh(self, tmp_path):
+        from anansi_ray.functions.clustering import kmeans_fit
+
+        tbl = _synth(n=60)
+        ds = rd.from_arrow(tbl).materialize()
+        got = kmeans_fit(
+            ds, iters=2, checkpoint_dir=str(tmp_path / "none"), resume=True
+        )
+        want = kmeans_fit(ds, iters=2)
+        assert np.array_equal(got, want)
