@@ -3003,9 +3003,7 @@ def q_logreg_cv(sf_dir: str):
     vs the sequential twin the oracle builder materializes."""
     from anansi_ray.functions import logreg as flogreg
 
-    return flogreg.logreg_cv_distributed(
-        _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    )
+    return flogreg.logreg_cv_distributed(_docs_lr_mat(sf_dir))
 
 
 def q_vocab_coverage(sf_dir: str):

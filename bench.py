@@ -382,7 +382,17 @@ def bench_stage(scale: str) -> dict:
         os.rename(urls_path + ".tmp", urls_path)
     import ray.data as rd
 
-    nblocks = max(64, 8 * int(ray.cluster_resources().get("CPU", 8)))
+    # blocks sized to BOTH the pool and the data: ≥2048 rows per block so
+    # the fetch stage's 1024-row batches never bundle across blocks (at
+    # 200k URLs a flat 8×CPU block count gave 780-row blocks and the
+    # cross-block coalescing tripled the wall at 32 CPUs)
+    nblocks = max(
+        8,
+        min(
+            max(64, 8 * int(ray.cluster_resources().get("CPU", 8))),
+            n_urls // 2048 or 1,
+        ),
+    )
 
     def read_urls():
         return rd.read_parquet(
