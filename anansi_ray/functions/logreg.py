@@ -133,17 +133,57 @@ def _score_rows(batch: pa.Table, w: np.ndarray, id_col: str) -> pa.Table:
     )
 
 
-def logreg_train(ds: rd.Dataset):
+def featurize(ds: rd.Dataset, id_col: str = "doc_id") -> rd.Dataset:
+    """ONE tokenization pass → materialized narrow (id, X, y) Dataset
+    (6 float64 + id per row).  GD iterations then stream ~56 B/row
+    instead of re-tokenizing the corpus every pass — at 100 TB this is
+    the difference between 10 text scans and 1.  Float64 storage
+    round-trips exactly, so gradients computed from the stored features
+    are bit-equal to recomputing them from text."""
+
+    def feat(batch: pa.Table) -> pa.Table:
+        X = _features(batch)
+        y = _labels(batch)
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "X": pa.array(list(X), pa.list_(pa.float64())),
+                "y": pa.array(y, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(feat, batch_format="pyarrow").materialize()
+
+
+def _feat_mat(batch: pa.Table):
+    """(X, y) back from a featurized batch — flatten/reshape, no Python
+    per-row loop."""
+    X = (
+        batch["X"]
+        .combine_chunks()
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .reshape(batch.num_rows, LR_DIM)
+    )
+    y = batch["y"].to_numpy(zero_copy_only=False)
+    return X, y
+
+
+def logreg_train(ds: rd.Dataset, featurized: bool = False):
     """The GD loop alone (shared by scoring and evaluation pipelines):
     returns the trained rounded weight vector, or ``None`` on an empty
-    corpus.  ``ds`` must be materialized by the caller."""
+    corpus.  ``ds`` must be materialized by the caller.  Pass
+    ``featurized=True`` when ``ds`` already is a :func:`featurize`
+    output (the CV path shares one featurization across folds)."""
+    fds = ds if featurized else featurize(ds)
     w = np.zeros(LR_DIM)
     for _ in range(LR_ITERS):
         wref = ray.put(w)
 
         def partial(batch: pa.Table) -> pa.Table:
             w_ = ray.get(wref)
-            g, n = _grad_partial(_features(batch), _labels(batch), w_)
+            X, y = _feat_mat(batch)
+            g, n = _grad_partial(X, y, w_)
             return pa.table(
                 {
                     "g": pa.array([list(g)], pa.list_(pa.float64())),
@@ -151,7 +191,7 @@ def logreg_train(ds: rd.Dataset):
                 }
             )
 
-        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        parts = fds.map_batches(partial, batch_format="pyarrow").to_pandas()
         if len(parts) == 0 or parts["n"].sum() == 0:
             return None
         g = np.sum(np.stack([np.asarray(x, np.float64) for x in parts["g"]]), axis=0)
@@ -196,51 +236,100 @@ def _fold_mask(batch: pa.Table, fold: int, id_col: str, train: bool):
 
 
 def logreg_cv_distributed(ds: rd.Dataset, id_col: str = "doc_id") -> pa.Table:
-    """Deterministic k-fold cross-validation (folds = doc_id % k): each
-    fold trains the full distributed GD loop on the other folds and
-    scores the held-out fold with one streaming accuracy-partial pass
-    (per-batch correct/count sums).  Output: per-fold sizes + accuracy."""
-    ds = ds.materialize()
-    rows = []
-    for fold in range(CV_FOLDS):
-        train_ds = ds.map_batches(
-            lambda b, f=fold: _fold_mask(b, f, id_col, True),
-            batch_format="pyarrow",
-        ).materialize()
-        w = logreg_train(train_ds)
-        if w is None:
-            continue
-        wref = ray.put(w)
+    """Deterministic k-fold cross-validation (folds = doc_id % k),
+    FOLD-FUSED: one streaming pass per GD iteration computes ALL K
+    folds' gradient partials (each batch featurizes once and emits K
+    masked (grad, n) pairs), so the loop costs ``LR_ITERS`` corpus
+    passes instead of ``K·LR_ITERS``; one final fused pass scores every
+    fold's held-out accuracy partials.  Bit-equal to per-fold training:
+    a block's masked gradient is the SAME BLAS reduction the filtered
+    block computed (per-row features are batch-independent), partials
+    merge in the same block order, and blocks with no train rows
+    contribute exact zeros.  Output: per-fold sizes + accuracy."""
+    fds = featurize(ds.materialize(), id_col)
+    W = np.zeros((CV_FOLDS, LR_DIM))
+    n_train = np.zeros(CV_FOLDS, dtype=np.int64)
+    active = np.ones(CV_FOLDS, dtype=bool)
+    for _ in range(LR_ITERS):
+        wref = ray.put(W.copy())
 
-        def acc_partial(batch: pa.Table, f=fold) -> pa.Table:
-            test = _fold_mask(batch, f, id_col, False)
-            if test.num_rows == 0:
-                return pa.table(
-                    {
-                        "n": pa.array([0], pa.int64()),
-                        "ok": pa.array([0], pa.int64()),
-                    }
-                )
-            scored = _score_rows(test, ray.get(wref), id_col)
-            lab = scored["label"].to_numpy(zero_copy_only=False)
-            pred = scored["pred"].to_numpy(zero_copy_only=False)
+        def grad_partials(batch: pa.Table) -> pa.Table:
+            W_ = ray.get(wref)
+            X, y = _feat_mat(batch)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            gs, ns = [], []
+            for f in range(CV_FOLDS):
+                m = (ids % CV_FOLDS) != f
+                g, n = _grad_partial(X[m], y[m], W_[f])
+                gs.append(list(g))
+                ns.append(n)
             return pa.table(
                 {
-                    "n": pa.array([len(lab)], pa.int64()),
-                    "ok": pa.array([int((lab == pred).sum())], pa.int64()),
+                    "fold": pa.array(range(CV_FOLDS), pa.int64()),
+                    "g": pa.array(gs, pa.list_(pa.float64())),
+                    "n": pa.array(ns, pa.float64()),
                 }
             )
 
-        parts = ds.map_batches(acc_partial, batch_format="pyarrow").to_pandas()
-        n_test = int(parts["n"].sum())
+        parts = fds.map_batches(grad_partials, batch_format="pyarrow").to_pandas()
+        if len(parts) == 0:
+            active[:] = False
+            break
+        for f in range(CV_FOLDS):
+            pf = parts[parts["fold"] == f]
+            nsum = pf["n"].sum()
+            if nsum == 0:
+                active[f] = False
+                continue
+            g = np.sum(
+                np.stack([np.asarray(x, np.float64) for x in pf["g"]]), axis=0
+            )
+            W[f] = np.round(W[f] - LR_ETA * g / nsum, LR_ROUND)
+            n_train[f] = int(nsum)
+
+    wref = ray.put(W.copy())
+
+    def acc_partials(batch: pa.Table) -> pa.Table:
+        W_ = ray.get(wref)
+        X, y = _feat_mat(batch)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns, oks = [], []
+        for f in range(CV_FOLDS):
+            m = (ids % CV_FOLDS) == f
+            if not m.any():
+                ns.append(0)
+                oks.append(0)
+                continue
+            # same math as _score_rows: prob rounded BEFORE the 0.5
+            # threshold, labels from the stored y
+            p = np.round(_sigmoid(X[m] @ W_[f]), LR_ROUND)
+            pred = (p >= 0.5).astype(np.int64)
+            lab = y[m].astype(np.int64)
+            ns.append(int(m.sum()))
+            oks.append(int((lab == pred).sum()))
+        return pa.table(
+            {
+                "fold": pa.array(range(CV_FOLDS), pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "ok": pa.array(oks, pa.int64()),
+            }
+        )
+
+    acc = fds.map_batches(acc_partials, batch_format="pyarrow").to_pandas()
+    rows = []
+    for f in range(CV_FOLDS):
+        if not active[f]:
+            continue
+        af = acc[acc["fold"] == f] if len(acc) else acc
+        n_test = int(af["n"].sum()) if len(af) else 0
         if n_test == 0:
             continue
         rows.append(
             (
-                fold,
-                int(train_ds.count()),
+                f,
+                int(n_train[f]),
                 n_test,
-                round(float(parts["ok"].sum()) / n_test, 6),
+                round(float(af["ok"].sum()) / n_test, 6),
             )
         )
     if not rows:
