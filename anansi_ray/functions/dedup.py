@@ -1540,6 +1540,81 @@ def passage_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _shingle_part(col, n_parts: int) -> pa.Array:
+    import pandas as pd
+
+    h = pd.util.hash_array(col.to_pandas().to_numpy(dtype=object))
+    return pa.array((h % n_parts).astype(np.int32), pa.int32())
+
+
+_STAMPED_EMPTY = pa.table(
+    {
+        "doc_id": pa.array([], pa.int64()),
+        "sh": pa.array([], pa.string()),
+        "df": pa.array([], pa.int64()),
+    }
+)
+
+
+def shingle_stamped(
+    docs_ds: rd.Dataset, k: int = 3, n_parts: int = 32
+) -> rd.Dataset:
+    """The df-stamped distinct (doc_id, sh, df) shingle table: per-batch
+    distinct (doc, shingle) combiner → ONE shingle-hash exchange whose
+    kernel stamps global df in-run (rows are globally distinct and every
+    row of a shingle co-locates, so df == run length — no counting
+    aggregate over the string key domain).  THRESHOLD- and
+    SIM-independent, so joins at different thresholds/measures share one
+    build (the query registry memoizes it per sf_dir)."""
+    import pandas as pd
+
+    from anansi_ray.arrowds import drop_empty_blocks
+    from anansi_ray.functions import text as ftext
+
+    def doc_shingles(b: pa.Table) -> pa.Table:
+        ridx, sh = ftext.shingles_for_batch(b, k=k)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"doc_id": ids[ridx], "sh": np.asarray(sh, dtype=object)}
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+                "sh": pa.array(df["sh"].to_numpy(dtype=object), pa.string()),
+            }
+        )
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        return b.append_column("part", _shingle_part(b["sh"], n_parts))
+
+    def stamp_df(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _STAMPED_EMPTY
+        pdf = g.to_pandas().sort_values(["sh", "doc_id"], kind="stable")
+        sh = pdf["sh"].to_numpy(dtype=object)
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        sizes = np.diff(np.r_[starts, len(sh)])
+        dfv = np.repeat(sizes, sizes).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    pdf["doc_id"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "sh": pa.array(sh, pa.string()),
+                "df": pa.array(dfv, pa.int64()),
+            }
+        )
+
+    # every doc lives in one batch → per-batch dedup is globally distinct
+    return drop_empty_blocks(
+        docs_ds.map_batches(doc_shingles, batch_format="pyarrow")
+        .map_batches(tag_pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(stamp_df, batch_format="pyarrow")
+        .materialize()
+    )
+
+
 def shingle_jaccard_pairs(
     docs_ds: rd.Dataset,
     t_num: int = 6,
@@ -1548,6 +1623,7 @@ def shingle_jaccard_pairs(
     n_parts: int = 32,
     new_pred=None,
     sim: str = "jaccard",
+    stamped: "rd.Dataset | None" = None,
 ) -> pa.Table | None:
     """EXACT Jaccard-threshold join over k-token shingle sets — complete by
     construction (prefix-filter lemma), unlike the probabilistic LSH path.
@@ -1591,64 +1667,11 @@ def shingle_jaccard_pairs(
     from anansi_ray.arrowds import drop_empty_blocks
     from anansi_ray.functions import text as ftext
 
-    def doc_shingles(b: pa.Table) -> pa.Table:
-        ridx, sh = ftext.shingles_for_batch(b, k=k)
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        df = pd.DataFrame(
-            {"doc_id": ids[ridx], "sh": np.asarray(sh, dtype=object)}
-        ).drop_duplicates()
-        return pa.table(
-            {
-                "doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
-                "sh": pa.array(df["sh"].to_numpy(dtype=object), pa.string()),
-            }
-        )
-
-    # every doc lives in one batch → per-batch dedup is globally distinct
-    pairs = docs_ds.map_batches(doc_shingles, batch_format="pyarrow")
+    if stamped is None:
+        stamped = shingle_stamped(docs_ds, k=k, n_parts=n_parts)
 
     def _sh_part(col) -> pa.Array:
-        h = pd.util.hash_array(col.to_pandas().to_numpy(dtype=object))
-        return pa.array((h % n_parts).astype(np.int32), pa.int32())
-
-    def tag_pairs(b: pa.Table) -> pa.Table:
-        return b.append_column("part", _sh_part(b["sh"]))
-
-    stamped_empty = pa.table(
-        {
-            "doc_id": pa.array([], pa.int64()),
-            "sh": pa.array([], pa.string()),
-            "df": pa.array([], pa.int64()),
-        }
-    )
-
-    def stamp_df(g: pa.Table) -> pa.Table:
-        # (doc_id, sh) rows are globally distinct and every row of a
-        # shingle lands in this part, so df(sh) == its run length here —
-        # no separate counting aggregate over the string key domain.
-        if g.num_rows == 0:
-            return stamped_empty
-        pdf = g.to_pandas().sort_values(["sh", "doc_id"], kind="stable")
-        sh = pdf["sh"].to_numpy(dtype=object)
-        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
-        sizes = np.diff(np.r_[starts, len(sh)])
-        dfv = np.repeat(sizes, sizes).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    pdf["doc_id"].to_numpy(dtype=np.int64), pa.int64()
-                ),
-                "sh": pa.array(sh, pa.string()),
-                "df": pa.array(dfv, pa.int64()),
-            }
-        )
-
-    stamped = drop_empty_blocks(
-        pairs.map_batches(tag_pairs, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(stamp_df, batch_format="pyarrow")
-        .materialize()
-    )
+        return _shingle_part(col, n_parts)
 
     def tag_doc(b: pa.Table) -> pa.Table:
         d = b["doc_id"].to_numpy(zero_copy_only=False)

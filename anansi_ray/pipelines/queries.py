@@ -515,6 +515,22 @@ def _doc_signatures(sf_dir: str) -> rd.Dataset:
     return sig
 
 
+#: memoized df-stamped shingle table (threshold/sim-independent) shared by
+#: the three exact set-similarity joins — one tokenize+exchange build per
+#: sf instead of three
+_SHINGLE_STAMPED_MEMO: dict[str, rd.Dataset] = {}
+
+
+def _shingle_stamped_ds(sf_dir: str) -> rd.Dataset:
+    ds = _SHINGLE_STAMPED_MEMO.get(sf_dir)
+    if ds is None:
+        ds = fdedup.shingle_stamped(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+        )
+        _SHINGLE_STAMPED_MEMO[sf_dir] = ds
+    return ds
+
+
 #: memoized MinHash-CC label Datasets (narrow (doc_id, dup_group) blocks in
 #: the object store), shared by minhash_near_dup, dup_group_size_hist and
 #: the curation composition — the propagation is deterministic per corpus,
@@ -10462,7 +10478,10 @@ def q_shingle_jaccard_join(sf_dir: str):
     and ngram_jaccard_pairs (verifies only LSH candidates).  Full pipeline
     and the prefix-filter lemma: functions/dedup.py shingle_jaccard_pairs."""
     out = fdedup.shingle_jaccard_pairs(
-        _read(sf_dir, "documents", ["doc_id", "text"]), t_num=6, t_den=10
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        t_num=6,
+        t_den=10,
+        stamped=_shingle_stamped_ds(sf_dir),
     )
     if out is None:
         return pa.table(
@@ -10512,6 +10531,7 @@ def q_incremental_near_dup(sf_dir: str):
         t_num=6,
         t_den=10,
         new_pred=lambda ids: ids % 10 == 0,
+        stamped=_shingle_stamped_ds(sf_dir),
     )
     if out is None:
         return pa.table(
@@ -14602,6 +14622,7 @@ def q_shingle_overlap_join(sf_dir: str):
         t_num=8,
         t_den=10,
         sim="overlap",
+        stamped=_shingle_stamped_ds(sf_dir),
     )
     if out is None:
         return pa.table(
