@@ -15923,6 +15923,200 @@ ORDER BY d.doc_id
 """
 
 
+def q_dup_cluster_quality(sf_dir: str):
+    """Dedup-cluster QUALITY report: for every MinHash near-dup component
+    of size ≥ 2, the mean pairwise EXACT 3-token-shingle Jaccard of its
+    members — the precision audit a curation run publishes next to its
+    dedup rate (a low-quality cluster means the LSH banding over-merged).
+
+    Composes the two memoized cluster artifacts with zero recompute:
+    labels from ``_minhash_cc_labels`` and shingles from
+    ``_shingle_stamped_ds``.  Two coarse co-partition exchanges: (1)
+    doc-hash to attach each shingle row (and one per-doc sentinel, so
+    shingle-less docs still count) to its component, (2) component-hash
+    so each kernel sees a whole component and computes its pairwise
+    intersections with one vectorized self-merge.  Pair count is
+    quadratic only per component (LSH clusters are near-cliques and
+    small); a corpus with pathological mega-clusters would sample pairs
+    per cluster — documented cap, not needed at tested scales.  Both
+    members empty ⇒ Jaccard 1.0 (identical empties), matching
+    ``ngram_jaccard``'s convention and the SQL twin."""
+    import pandas as pd
+
+    P = 32
+    labels = _minhash_cc_labels(sf_dir)
+    stamped = _shingle_stamped_ds(sf_dir)
+    spec = {
+        "dup_group": pa.int64(),
+        "n_docs": pa.int64(),
+        "n_pairs": pa.int64(),
+        "mean_jaccard": pa.float64(),
+    }
+
+    def tag_lab(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((d % P).astype(np.int32), pa.int32()),
+                "doc_id": pa.array(d, pa.int64()),
+                "grp": b["dup_group"].cast(pa.int64()),
+                "sh": pa.array([None] * len(d), pa.string()),
+            }
+        )
+
+    def tag_sh(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((d % P).astype(np.int32), pa.int32()),
+                "doc_id": pa.array(d, pa.int64()),
+                "grp": pa.array(np.full(len(d), -1, np.int64), pa.int64()),
+                "sh": b["sh"],
+            }
+        )
+
+    _h1_empty = pa.table(
+        {
+            "gpart": pa.array([], pa.int32()),
+            "grp": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "sh": pa.array([], pa.string()),
+        }
+    )
+
+    def attach_grp(g: pa.Table) -> pa.Table:
+        # label rows carry grp; shingle rows look their doc's grp up and
+        # re-emit (including the label row itself as the per-doc sentinel)
+        if g.num_rows == 0:
+            return _h1_empty
+        pdf = g.to_pandas()
+        lab = pdf[pdf["grp"] >= 0]
+        gmap = dict(zip(lab["doc_id"], lab["grp"]))
+        pdf = pdf.copy()
+        pdf["grp"] = pdf["doc_id"].map(gmap)
+        pdf = pdf.dropna(subset=["grp"])
+        grp = pdf["grp"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "gpart": pa.array((grp % P).astype(np.int32), pa.int32()),
+                "grp": pa.array(grp, pa.int64()),
+                "doc_id": pa.array(pdf["doc_id"].to_numpy(np.int64), pa.int64()),
+                "sh": pa.array(pdf["sh"].to_numpy(dtype=object), pa.string()),
+            }
+        )
+
+    _out_empty = pa.table({c: pa.array([], t) for c, t in spec.items()})
+
+    def cluster_kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _out_empty
+        pdf = g.to_pandas()
+        sent = pdf[pdf["sh"].isna()]
+        members = sent.groupby("grp")["doc_id"].nunique()
+        big = members[members >= 2]
+        if len(big) == 0:
+            return _out_empty
+        sh = pdf[pdf["sh"].notna() & pdf["grp"].isin(big.index)]
+        sizes = (
+            sh.groupby(["grp", "doc_id"]).size()
+            if len(sh)
+            else pd.Series(dtype=np.int64)
+        )
+        rows = []
+        for grp_id, n_docs in big.sort_index().items():
+            docs = np.sort(
+                sent.loc[sent["grp"] == grp_id, "doc_id"].unique()
+            )
+            gsh = sh[sh["grp"] == grp_id]
+            inter = {}
+            if len(gsh):
+                m = gsh.merge(gsh, on="sh")
+                m = m[m["doc_id_x"] < m["doc_id_y"]]
+                if len(m):
+                    inter = (
+                        m.groupby(["doc_id_x", "doc_id_y"]).size().to_dict()
+                    )
+            nsh = {
+                d: int(sizes.get((grp_id, d), 0)) for d in docs
+            }
+            js = []
+            for ai in range(len(docs)):
+                for bi in range(ai + 1, len(docs)):
+                    a, b = int(docs[ai]), int(docs[bi])
+                    i = int(inter.get((a, b), 0))
+                    u = nsh[a] + nsh[b] - i
+                    js.append(1.0 if u == 0 else i / u)
+            rows.append(
+                (int(grp_id), int(n_docs), len(js), round(float(np.mean(js)), 6))
+            )
+        return pa.table(
+            {
+                "dup_group": pa.array([r[0] for r in rows], pa.int64()),
+                "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+                "n_pairs": pa.array([r[2] for r in rows], pa.int64()),
+                "mean_jaccard": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+
+    out = (
+        labels.map_batches(tag_lab, batch_format="pyarrow")
+        .union(stamped.map_batches(tag_sh, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach_grp, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(cluster_kernel, batch_format="pyarrow")
+    )
+    tbl = fdedup._collect_sorted(out, ["dup_group"])
+    if tbl is None:
+        return _out_empty
+    return tbl
+
+
+SQL_DUP_CLUSTER_QUALITY = rf"""
+WITH grp AS (
+  SELECT doc_id, dup_group
+  FROM read_parquet('{ORACLE_DIR}/minhash_groups.parquet')),
+big AS (SELECT dup_group FROM grp GROUP BY 1 HAVING count(*) >= 2),
+mem AS (SELECT g.doc_id, g.dup_group FROM grp g JOIN big USING (dup_group)),
+w AS (SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws
+      FROM documents JOIN mem USING (doc_id)),
+g AS (SELECT DISTINCT doc_id,
+             ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      FROM w, unnest(range(1, greatest(len(ws) - 1, 1))) t(i)),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM g GROUP BY 1),
+pairs AS (
+  SELECT a.dup_group, a.doc_id AS da, b.doc_id AS db
+  FROM mem a JOIN mem b
+    ON a.dup_group = b.dup_group AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT p.dup_group, p.da, p.db, count(*)::BIGINT AS i
+  FROM pairs p
+  JOIN g ga ON ga.doc_id = p.da
+  JOIN g gb ON gb.doc_id = p.db AND gb.sh = ga.sh
+  GROUP BY 1, 2, 3),
+pj AS (
+  SELECT p.dup_group,
+         CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                   - coalesce(i.i, 0) = 0 THEN 1.0
+              ELSE coalesce(i.i, 0) * 1.0
+                   / (coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                      - coalesce(i.i, 0)) END AS j
+  FROM pairs p
+  LEFT JOIN inter i
+    ON i.dup_group = p.dup_group AND i.da = p.da AND i.db = p.db
+  LEFT JOIN sizes sa ON sa.doc_id = p.da
+  LEFT JOIN sizes sb ON sb.doc_id = p.db)
+SELECT m.dup_group,
+       count(DISTINCT m.doc_id)::BIGINT AS n_docs,
+       (SELECT count(*) FROM pj WHERE pj.dup_group = m.dup_group)::BIGINT
+         AS n_pairs,
+       (SELECT round(avg(j), 6) FROM pj WHERE pj.dup_group = m.dup_group)
+         AS mean_jaccard
+FROM mem m GROUP BY m.dup_group ORDER BY m.dup_group
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -16154,4 +16348,5 @@ QUERIES = {
         SQL_TOKEN_FERTILITY_BY_LANG,
     ),
     "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
+    "dup_cluster_quality": (q_dup_cluster_quality, SQL_DUP_CLUSTER_QUALITY),
 }

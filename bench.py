@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "ngram_repetition_share",
     "token_fertility_by_lang",
     "unigram_surprisal",
+    "dup_cluster_quality",
     "semantic_dedup",
     "knn_pq",
     "doc_char_entropy",
