@@ -1659,7 +1659,8 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # ---------------------------------------------------------------------------
 
 ORACLE_DIR = "/tmp/anansi_oracle"
-_ORACLE_VERSION = "v21"  # bump whenever artifact-affecting code changes
+_ORACLE_VERSION = "v22"  # bump whenever artifact-affecting code changes
+# v22: added the curate→pack twin (pack_kept.parquet)
 # v21: added the logreg cross-validation twin (logreg_cv.parquet)
 # v20: added the PPMI-SVD embedding twin (word_emb_knn.parquet)
 # v19: added the Markov-attribution twin (markov_attr.parquet)
@@ -2148,6 +2149,59 @@ def ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> str:
                 enc.sort_values("doc_id", ignore_index=True), preserve_index=False
             ),
             os.path.join(out, "bpe_encode.parquet"),
+        )
+
+    # 12. curate→pack twin: the per-doc disposition recomposed IN DUCKDB
+    #     from the independent stage artifacts written above (the same
+    #     SQL the curation twin runs), then the sequential next-fit over
+    #     KEPT docs only — the end-to-end "curate then pack" reference.
+    if os.path.exists(sfdoc):
+        import duckdb
+
+        from anansi_ray.functions.packing import PACK_BUCKET, PACK_BUDGET
+
+        con2 = duckdb.connect()
+        con2.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sfdoc}')"
+        )
+        disp_sql = SQL_CURATION_PIPELINE.replace(ORACLE_DIR + "/", out + "/")
+        kept_ids = {
+            int(r[0])
+            for r in con2.execute(
+                "WITH d AS ("
+                + disp_sql.replace("ORDER BY d.doc_id", "")
+                + ") SELECT doc_id FROM d WHERE disposition = 'kept'"
+            ).fetchall()
+        }
+        rows = con2.execute(
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "'[A-Za-z0-9]+|[^\\sA-Za-z0-9]'))::BIGINT AS n "
+            f"FROM read_parquet('{sfdoc}') ORDER BY doc_id"
+        ).fetchall()
+        recs = []
+        cur_bucket, sidx, fill = None, 0, 0
+        for doc_id, n in rows:
+            if int(doc_id) not in kept_ids:
+                continue
+            b = doc_id // PACK_BUCKET
+            if b != cur_bucket:
+                cur_bucket, sidx, fill = b, 0, 0
+            if fill > 0 and fill + n > PACK_BUDGET:
+                sidx += 1
+                fill = 0
+            recs.append((b, doc_id, sidx, fill, n))
+            fill += n
+        pq.write_table(
+            pa.table(
+                {
+                    "bucket": pa.array([r[0] for r in recs], pa.int64()),
+                    "doc_id": pa.array([r[1] for r in recs], pa.int64()),
+                    "seq_idx": pa.array([r[2] for r in recs], pa.int64()),
+                    "offset": pa.array([r[3] for r in recs], pa.int64()),
+                    "n_tokens": pa.array([r[4] for r in recs], pa.int64()),
+                }
+            ),
+            os.path.join(out, "pack_kept.parquet"),
         )
 
     with open(marker, "w") as f:
@@ -16117,6 +16171,126 @@ FROM mem m GROUP BY m.dup_group ORDER BY m.dup_group
 """
 
 
+def q_curation_packed(sf_dir: str):
+    """END-TO-END curate→pack — the final step of the LLM-data story:
+    only documents the curation chain KEEPS are next-fit packed into
+    512-token training sequences (bucket-deterministic, text never
+    shuffles).  Composes the memoized distributed disposition with the
+    token-measure pass through ONE doc-hash co-partition exchange
+    (narrow columns only), then the per-bucket pack kernel.  The SQL
+    twin recomposes the disposition in DuckDB from the independent stage
+    artifacts and runs an independent sequential next-fit over the kept
+    docs (``pack_kept.parquet``)."""
+    import pandas as pd
+
+    from anansi_ray.functions.packing import (
+        PACK_BUCKET,
+        PACK_BUDGET,
+        pack_bucket_ids,
+    )
+
+    P = 32
+    disp = _curation_disposition_ds(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    spec = {
+        "bucket": pa.int64(),
+        "doc_id": pa.int64(),
+        "seq_idx": pa.int64(),
+        "offset": pa.int64(),
+        "n_tokens": pa.int64(),
+    }
+
+    def measure(b: pa.Table) -> pa.Table:
+        t = ftext.token_count_batch(b)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((ids % P).astype(np.int32), pa.int32()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": t["n_tokens"],
+                "verdict": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+            }
+        )
+
+    def tag_verdict(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((ids % P).astype(np.int32), pa.int32()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+                "verdict": b["verdict"].cast(pa.int64()),
+            }
+        )
+
+    _kept_empty = pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+        }
+    )
+
+    def keep_kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _kept_empty
+        pdf = g.to_pandas()
+        kept = set(
+            pdf.loc[
+                (pdf["verdict"] == _CURATION_KEPT) & (pdf["n_tokens"] < 0),
+                "doc_id",
+            ]
+        )
+        m = pdf[(pdf["n_tokens"] >= 0) & pdf["doc_id"].isin(kept)]
+        ids = m["doc_id"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ids // PACK_BUCKET, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(m["n_tokens"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    _pack_empty = pa.table({c: pa.array([], t) for c, t in spec.items()})
+
+    def pack_kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or g.num_columns == 0:
+            return _pack_empty
+        gs = g.take(pc.sort_indices(g, sort_keys=[("doc_id", "ascending")]))
+        ids = gs["doc_id"].to_numpy(zero_copy_only=False)
+        toks = gs["n_tokens"].to_numpy(zero_copy_only=False)
+        seq, off = pack_bucket_ids(ids, toks, PACK_BUDGET)
+        return pa.table(
+            {
+                "bucket": gs["bucket"],
+                "doc_id": gs["doc_id"],
+                "seq_idx": pa.array(seq, pa.int64()),
+                "offset": pa.array(off, pa.int64()),
+                "n_tokens": gs["n_tokens"],
+            }
+        )
+
+    out = (
+        docs.map_batches(measure, batch_format="pyarrow")
+        .union(disp.map_batches(tag_verdict, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(keep_kernel, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pack_kernel, batch_format="pyarrow")
+    )
+    tbl = fdedup._collect_sorted(out, ["doc_id"])
+    if tbl is None:
+        return _pack_empty
+    return tbl
+
+
+SQL_CURATION_PACKED = f"""
+SELECT bucket, doc_id, seq_idx, "offset", n_tokens
+FROM read_parquet('{ORACLE_DIR}/pack_kept.parquet')
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -16349,4 +16523,5 @@ QUERIES = {
     ),
     "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
     "dup_cluster_quality": (q_dup_cluster_quality, SQL_DUP_CLUSTER_QUALITY),
+    "curation_packed": (q_curation_packed, SQL_CURATION_PACKED),
 }

@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "token_fertility_by_lang",
     "unigram_surprisal",
     "dup_cluster_quality",
+    "curation_packed",
     "semantic_dedup",
     "knn_pq",
     "doc_char_entropy",
