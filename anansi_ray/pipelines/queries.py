@@ -16291,6 +16291,124 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_rate_by_source(sf_dir: str):
+    """Near-dup redundancy per SOURCE — which feeds are worth crawling:
+    share of each source's docs that the MinHash components would drop
+    (non-representative members).  Composes the memoized CC labels with
+    the source column through ONE doc-hash co-partition exchange whose
+    kernel reduces to per-source partials; the final aggregate is a tiny
+    source-keyed coarse_agg.  Nothing corpus-sized reaches the driver."""
+    import pandas as pd
+
+    from anansi_ray.arrowds import coarse_agg
+
+    P = 32
+    labels = _minhash_cc_labels(sf_dir)
+    src = _read(sf_dir, "documents", ["doc_id", "source"])
+    spec = {
+        "source": pa.string(),
+        "n_docs": pa.int64(),
+        "n_dup_dropped": pa.int64(),
+        "dup_rate": pa.float64(),
+    }
+
+    def tag_lab(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dropped = (
+            b["dup_group"].to_numpy(zero_copy_only=False) != d
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((d % P).astype(np.int32), pa.int32()),
+                "doc_id": pa.array(d, pa.int64()),
+                "source": pa.array([None] * len(d), pa.string()),
+                "dropped": pa.array(dropped, pa.int64()),
+            }
+        )
+
+    def tag_src(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((d % P).astype(np.int32), pa.int32()),
+                "doc_id": pa.array(d, pa.int64()),
+                "source": pc.fill_null(b["source"], "").cast(pa.string()),
+                "dropped": pa.array(np.full(len(d), -1, np.int64), pa.int64()),
+            }
+        )
+
+    _partial_empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_dropped": pa.array([], pa.int64()),
+        }
+    )
+
+    def src_kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _partial_empty
+        pdf = g.to_pandas()
+        lab = pdf[pdf["dropped"] >= 0]
+        dmap = dict(zip(lab["doc_id"], lab["dropped"]))
+        m = pdf[pdf["dropped"] < 0].copy()
+        m["dropped"] = m["doc_id"].map(dmap)
+        m = m.dropna(subset=["dropped"])
+        agg = (
+            m.groupby("source", sort=True)
+            .agg(n_docs=("doc_id", "size"), n_dropped=("dropped", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(
+                    agg["source"].to_numpy(dtype=object), pa.string()
+                ),
+                "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64), pa.int64()),
+                "n_dropped": pa.array(
+                    agg["n_dropped"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    agg = coarse_agg(
+        labels.map_batches(tag_lab, batch_format="pyarrow")
+        .union(src.map_batches(tag_src, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(src_kernel, batch_format="pyarrow"),
+        "source",
+        {"n_docs": ("sum", "n_docs"), "n_dup_dropped": ("sum", "n_dropped")},
+        n_parts=8,
+    ).to_pandas()
+    if len(agg) == 0:
+        return pa.table({c: pa.array([], t) for c, t in spec.items()})
+    agg = agg.sort_values("source", ignore_index=True)
+    n = agg["n_docs"].to_numpy(np.int64)
+    dr = agg["n_dup_dropped"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "source": pa.array(agg["source"].to_numpy(dtype=object), pa.string()),
+            "n_docs": pa.array(n, pa.int64()),
+            "n_dup_dropped": pa.array(dr, pa.int64()),
+            "dup_rate": pa.array(
+                np.round(dr / np.maximum(n, 1), 6), pa.float64()
+            ),
+        }
+    )
+
+
+SQL_DEDUP_RATE_BY_SOURCE = f"""
+SELECT coalesce(d.source, '') AS source,
+       count(*)::BIGINT AS n_docs,
+       sum((g.dup_group != d.doc_id)::INT)::BIGINT AS n_dup_dropped,
+       round(sum((g.dup_group != d.doc_id)::INT) * 1.0 / count(*), 6)
+         AS dup_rate
+FROM documents d
+JOIN read_parquet('{ORACLE_DIR}/minhash_groups.parquet') g USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "url_cache_key": (q_url_cache_key, SQL_URL_CACHE_KEY),
     "url_root": (q_url_root, SQL_URL_ROOT),
@@ -16524,4 +16642,5 @@ QUERIES = {
     "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
     "dup_cluster_quality": (q_dup_cluster_quality, SQL_DUP_CLUSTER_QUALITY),
     "curation_packed": (q_curation_packed, SQL_CURATION_PACKED),
+    "dedup_rate_by_source": (q_dedup_rate_by_source, SQL_DEDUP_RATE_BY_SOURCE),
 }

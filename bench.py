@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "unigram_surprisal",
     "dup_cluster_quality",
     "curation_packed",
+    "dedup_rate_by_source",
     "semantic_dedup",
     "knn_pq",
     "doc_char_entropy",
