@@ -656,24 +656,42 @@ SCALING_LEVELS = tuple(
 SCALING_REPS = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
 SCALING_SCALE = os.environ.get("GRAFT_STAGE_SCALE", "xl")
 
+#: default --scaling plan: each N→4N pair at a data size where per-level
+#: walls amortize fixed costs (the round-5 finding: at 1M URLs the 32-way
+#: wall is ~7 s and the pair is capped by this VM's memory-bandwidth
+#: envelope; at 16M the 32-way wall is ~120 s and the pair measures the
+#: pipeline).  Format "scale:levels:reps;..."; the 16M segment runs one
+#: rep because its per-level walls are long enough to be stable (the ×2
+#: interleaved evidence lives in BASELINE.md).
+SCALING_PLAN = os.environ.get("GRAFT_SCALING_PLAN", "xl:2,8:2;xxxl:8,32:1")
 
-def run_scaling() -> dict:
-    """North-rule evidence: the fetch-parse-extract stage on the SAME input
-    at multiple parallelism levels, each in a fresh process/ray session
-    (sandbox stand-in for N vs 4N cluster sizes).
 
-    This VM shows heavy CPU-steal variance (8-CPU wall times swing 2×
-    between runs), so levels are run INTERLEAVED for ``SCALING_REPS``
-    repetitions and the best throughput per level is reported (capacity
-    measurement; per-rep raw numbers included for transparency)."""
-    raw: dict[int, list] = {n: [] for n in SCALING_LEVELS}
-    for _rep in range(SCALING_REPS):
-        for ncpu in SCALING_LEVELS:
+def _scaling_segments():
+    # explicit legacy knobs pin a single segment (back-compat)
+    if "GRAFT_SCALING_LEVELS" in os.environ or "GRAFT_STAGE_SCALE" in os.environ:
+        return [(SCALING_SCALE, SCALING_LEVELS, SCALING_REPS)]
+    segs = []
+    for part in SCALING_PLAN.split(";"):
+        scale, levels, reps = part.split(":")
+        segs.append(
+            (scale, tuple(int(x) for x in levels.split(",")), int(reps))
+        )
+    return segs
+
+
+def _run_scaling_segment(scale: str, levels, reps: int) -> dict:
+    """One interleaved best-of-N measurement of the stage at ``levels``
+    parallelism on the ``scale`` fixture, fresh process per run (the
+    sandbox stand-in for N vs 4N cluster sizes; CPU-steal variance is
+    why levels interleave and the best throughput per level counts)."""
+    raw: dict[int, list] = {n: [] for n in levels}
+    for _rep in range(reps):
+        for ncpu in levels:
             env = dict(
                 os.environ,
                 RAY_GRAFT_CPUS=str(ncpu),
                 GRAFT_BENCH_MODE="stage",
-                GRAFT_STAGE_SCALE=SCALING_SCALE,
+                GRAFT_STAGE_SCALE=scale,
             )
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -683,13 +701,11 @@ def run_scaling() -> dict:
                 check=True,
             )
             raw[ncpu].append(json.loads(proc.stdout.strip().splitlines()[-1]))
-    best = {n: max(r["urls_per_sec"] for r in raw[n]) for n in SCALING_LEVELS}
+    best = {n: max(r["urls_per_sec"] for r in raw[n]) for n in levels}
     out = {
-        "metric": "fetch-parse-extract scaling efficiency (N vs 4N parallelism)",
-        "unit": "urls/sec",
-        "scale": SCALING_SCALE,
-        "reps": SCALING_REPS,
-        "urls_per_sec": {str(n): best[n] for n in SCALING_LEVELS},
+        "scale": scale,
+        "reps": reps,
+        "urls_per_sec": {str(n): best[n] for n in levels},
         "raw": {
             str(n): [
                 {
@@ -699,13 +715,38 @@ def run_scaling() -> dict:
                 }
                 for r in raw[n]
             ]
-            for n in SCALING_LEVELS
+            for n in levels
         },
     }
-    if 2 in best and 8 in best:
-        out["efficiency_2_to_8"] = round((best[8] / best[2]) / 4, 3)
-    if 8 in best and 32 in best:
-        out["efficiency_8_to_32"] = round((best[32] / best[8]) / 4, 3)
+    lv = sorted(levels)
+    for lo, hi in zip(lv, lv[1:]):
+        if hi == 4 * lo:
+            out[f"efficiency_{lo}_to_{hi}"] = round((best[hi] / best[lo]) / 4, 3)
+    return out
+
+
+def run_scaling() -> dict:
+    """North-rule evidence: the fetch-parse-extract stage at N and 4N
+    parallelism on the same input, fresh process per run.  The default
+    plan measures 2→8 at 1M URLs and 8→32 at 16M (bucketed web store) —
+    each pair at a scale whose per-level walls amortize fixed costs; set
+    GRAFT_SCALING_PLAN / the legacy GRAFT_SCALING_LEVELS+GRAFT_STAGE_SCALE
+    to override."""
+    segments = [
+        _run_scaling_segment(scale, levels, reps)
+        for scale, levels, reps in _scaling_segments()
+    ]
+    out = {
+        "metric": "fetch-parse-extract scaling efficiency (N vs 4N parallelism)",
+        "unit": "urls/sec",
+        "segments": segments,
+    }
+    # lift each pair's efficiency to the top level (first segment that
+    # measured it wins — segments are ordered small→large scale)
+    for seg in segments:
+        for k, v in seg.items():
+            if k.startswith("efficiency_") and k not in out:
+                out[k] = v
     return out
 
 
