@@ -602,7 +602,10 @@ def connected_components_labels(
     id_col: str = "doc_id",
     max_iters: int = 64,
     n_parts: int | None = None,
-) -> rd.Dataset:
+    checkpoint_dir: "str | None" = None,
+    resume: bool = False,
+    stop_after: "int | None" = None,
+) -> "rd.Dataset | None":
     """Iterated min-label propagation over the dup-pair graph →
     ``(doc_id, dup_group = min id of its component)`` for EVERY id in
     ``ids_ds`` (singletons keep their own id).
@@ -622,6 +625,15 @@ def connected_components_labels(
     Dataset so composing pipelines (e.g. the curation disposition
     exchange) keep them in the cluster; the sorted-table query boundary
     is :func:`connected_components_distributed`.
+
+    With ``checkpoint_dir`` each superstep's label table commits
+    atomically (the pagerank/kmeans tmp+rename contract — the 10^10-edge
+    dedup case where losing 50 supersteps to a preemption is not
+    acceptable); ``resume=True`` restarts from the latest committed
+    superstep (the static edge layout is rebuilt from ``pairs``, cheap);
+    labels only ever decrease, so the resumed trajectory is exact.
+    ``stop_after=k`` simulates a kill after k supersteps (returns
+    ``None``) — the conformance test's hook.
     """
     if isinstance(pairs, pa.Table):
         pairs = rd.from_arrow(pairs)
@@ -757,7 +769,19 @@ def connected_components_labels(
                 }
             )
 
-        for _ in range(max_iters):
+        start_iter = 0
+        if checkpoint_dir is not None and resume:
+            from anansi_ray.functions.graph import _latest_pr_checkpoint
+
+            latest = _latest_pr_checkpoint(checkpoint_dir)
+            if latest is not None:
+                it0, path = latest
+                labels = rd.read_parquet(
+                    path, file_extensions=["parquet"]
+                ).materialize()
+                start_iter = it0 + 1
+
+        for it in range(start_iter, max_iters):
             msgs = labels.groupby("part").map_groups(
                 stamp_part, batch_format="pyarrow"
             )
@@ -766,8 +790,16 @@ def connected_components_labels(
                 .map_groups(min_part, batch_format="pyarrow")
                 .materialize()
             )
+            if checkpoint_dir is not None:
+                from anansi_ray.functions.graph import _commit_pr_checkpoint
+
+                _commit_pr_checkpoint(
+                    checkpoint_dir, it, labels, {"n_parts": n_parts}
+                )
             if not labels.sum("changed"):
                 break
+            if stop_after is not None and it + 1 >= stop_after:
+                return None  # simulated kill between supersteps
 
     # singleton merge — two shapes, picked by the size of the converged
     # edge-node label table (bounded by the dup-pair ENDPOINTS, not the

@@ -210,3 +210,48 @@ class TestDistributedCC:
         ].to_pylist()
         exp = D.connected_components(pairs, all_ids)
         assert got.to_pylist() == exp.to_pylist()
+
+
+class TestCCLabelsResume:
+    def test_kill_and_resume_equal(self, ray_session, tmp_path):
+        """A long min-label chain (path graph) killed mid-propagation and
+        resumed from the committed superstep checkpoint produces exactly
+        the uninterrupted components (labels only ever decrease, so the
+        restored trajectory is exact)."""
+        import numpy as np
+        import ray.data as rd
+
+        from anansi_ray.functions.dedup import (
+            _collect_sorted,
+            connected_components_labels,
+        )
+
+        n = 40  # a 40-node path needs many supersteps to converge
+        pairs = pa.table(
+            {
+                "a": pa.array(np.arange(n - 1, dtype=np.int64), pa.int64()),
+                "b": pa.array(np.arange(1, n, dtype=np.int64), pa.int64()),
+            }
+        )
+        ids = rd.from_arrow(
+            pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
+        )
+        want = _collect_sorted(
+            connected_components_labels(pairs, ids), ["doc_id"]
+        )
+        assert set(want["dup_group"].to_pylist()) == {0}  # one component
+
+        ck = str(tmp_path / "cc_ck")
+        killed = connected_components_labels(
+            pairs, ids, checkpoint_dir=ck, stop_after=2
+        )
+        assert killed is None
+
+        got = _collect_sorted(
+            connected_components_labels(
+                pairs, ids, checkpoint_dir=ck, resume=True
+            ),
+            ["doc_id"],
+        )
+        assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+        assert got["dup_group"].to_pylist() == want["dup_group"].to_pylist()
